@@ -1,0 +1,158 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/**
+ * Deduplication operators for training-data pipelines: exact, MinHash+LSH,
+ * SimHash, n-gram Jaccard, embedding-cosine near-dup.
+ *
+ * Scale design:
+ *  - Exact dedup = hash-groupBy on a 128-bit fingerprint — never groups on
+ *    the full text, so the shuffle carries 16 bytes + id per row, not the
+ *    document body.
+ *  - MinHash/LSH: signatures are computed map-side with codegen'd
+ *    higher-order functions (no UDF); candidate generation explodes each doc
+ *    into `bands` rows and groups by (band, bandHash) — the classic
+ *    shuffle-light near-dup join; only same-bucket pairs are ever compared.
+ *  - SimHash: 64-bit signature, bucketed by 4×16-bit chunks for candidate
+ *    pairs within Hamming distance ≤ 3.
+ *  - All hash families are seeded deterministically (xxhash64 with per-plane
+ *    seed literals) so results are reproducible run-to-run — a correctness
+ *    requirement for the oracle gate, and an operational one at scale.
+ */
+object Dedup {
+
+  /** Exact duplicate groups by content fingerprint (md5). Emits one row per
+    * distinct content: the keeper (min id), the duplicate count. */
+  def exactGroups(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.select(md5(col(textCol)).as("fingerprint"), col(idCol))
+      .groupBy(col("fingerprint"))
+      .agg(min(col(idCol)).as("keeper_id"), count(lit(1)).as("n_copies"))
+
+  /** Exact dedup: keep the min-id row per distinct content. */
+  def exactDedup(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val w = Window.partitionBy(md5(col(textCol))).orderBy(col(idCol))
+    df.withColumn("_rn", row_number().over(w)).filter(col("_rn") === 1).drop("_rn")
+  }
+
+  /** Word k-shingles of a document as an array column (codegen'd — no UDF).
+    * k-shingle i = tokens[i..i+k) joined by a single space. */
+  def shingles(text: Column, k: Int): Column = {
+    val toks = split(text, " ")
+    array_distinct(
+      filter(
+        transform(toks, (_, i) => concat_ws(" ", slice(toks, i + 1, k))),
+        (s: Column) => size(split(s, " ")) === k))
+  }
+
+  /**
+   * MinHash signature: for each of `numHashes` seeded hash functions, the
+   * minimum xxhash64(shingle, seed) over the doc's shingle set. One array
+   * column, computed entirely map-side.
+   */
+  def minhashSignature(text: Column, k: Int, numHashes: Int): Column = {
+    val sh = shingles(text, k)
+    val hashes = (0 until numHashes).map { seed =>
+      array_min(transform(sh, s => xxhash64(s, lit(seed))))
+    }
+    array(hashes: _*)
+  }
+
+  /**
+   * MinHash + LSH candidate pairs: signature of `bands * rowsPerBand`
+   * hashes; docs agreeing on all rows of any band become a candidate pair;
+   * pairs are then verified with exact shingle-set Jaccard ≥ `tau`.
+   *
+   * Emits (id_a, id_b, jaccard) with id_a < id_b, deduplicated across bands.
+   */
+  def minhashLshPairs(df: DataFrame, idCol: String, textCol: String,
+                      k: Int = 3, bands: Int = 8, rowsPerBand: Int = 4,
+                      tau: Double = 0.7): DataFrame = {
+    val numHashes = bands * rowsPerBand
+    val sigs = df.select(col(idCol).as("id"), col(textCol).as("text"))
+      .withColumn("sig", minhashSignature(col("text"), k, numHashes))
+    val banded = sigs.select(col("id"), col("text"),
+        posexplode(transform(
+          sequence(lit(0), lit(bands - 1)),
+          b => hash(slice(col("sig"), b * rowsPerBand + 1, rowsPerBand), b))))
+      .withColumnRenamed("pos", "band").withColumnRenamed("col", "band_hash")
+    val a = banded.alias("a")
+    val b = banded.alias("b")
+    val cand = a.join(b,
+        col("a.band") === col("b.band") &&
+          col("a.band_hash") === col("b.band_hash") &&
+          col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+        col("a.text").as("text_a"), col("b.text").as("text_b"))
+      .dropDuplicates("id_a", "id_b")
+    cand
+      .withColumn("sh_a", shingles(col("text_a"), k))
+      .withColumn("sh_b", shingles(col("text_b"), k))
+      .withColumn("jaccard",
+        size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
+          size(array_union(col("sh_a"), col("sh_b"))).cast("double"))
+      .filter(col("jaccard") >= tau)
+      .select(col("id_a"), col("id_b"), col("jaccard"))
+  }
+
+  /**
+   * 64-bit SimHash over whitespace tokens: sign-sum of per-token xxhash64
+   * bits. Pure expression pipeline: token array → per-bit ±1 votes via
+   * bit arithmetic → signature bits.
+   */
+  def simhash64(text: Column): Column = {
+    val toks = array_distinct(split(text, " "))
+    val bits = (0 until 64).map { bit =>
+      // vote for bit b: +1 if the token-hash has bit set, −1 otherwise; the
+      // signature bit is 1 iff the vote sum is positive.
+      val vote = aggregate(toks, lit(0L),
+        (acc, t) => acc + when(shiftright(xxhash64(t), bit).bitwiseAND(lit(1L)) === 1L, 1L).otherwise(-1L))
+      when(vote > 0, shiftleft(lit(1L), bit)).otherwise(lit(0L))
+    }
+    bits.reduce((a, b) => a.bitwiseOR(b))
+  }
+
+  /** SimHash near-dup candidate pairs within Hamming distance ≤ maxHamming,
+    * using 4×16-bit band bucketing (any doc pair with distance ≤ 3 shares at
+    * least one exact 16-bit band — pigeonhole). */
+  def simhashPairs(df: DataFrame, idCol: String, textCol: String,
+                   maxHamming: Int = 3): DataFrame = {
+    val sigs = df.select(col(idCol).as("id"), simhash64(col(textCol)).as("sig"))
+    val banded = sigs.select(col("id"), col("sig"),
+      posexplode(array((0 until 4).map(b =>
+        shiftright(col("sig"), b * 16).bitwiseAND(lit(0xFFFFL))): _*)))
+      .withColumnRenamed("pos", "band").withColumnRenamed("col", "chunk")
+    val a = banded.alias("a")
+    val b = banded.alias("b")
+    a.join(b,
+        col("a.band") === col("b.band") && col("a.chunk") === col("b.chunk") &&
+          col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+        col("a.sig").as("sig_a"), col("b.sig").as("sig_b"))
+      .dropDuplicates("id_a", "id_b")
+      .withColumn("hamming", bit_count(col("sig_a").bitwiseXOR(col("sig_b"))))
+      .filter(col("hamming") <= maxHamming)
+      .select(col("id_a"), col("id_b"), col("hamming"))
+  }
+
+  /**
+   * n-gram (word-set) Jaccard similarity pairs within a blocking key (e.g.
+   * source) — the quadratic fallback, kept shuffle-safe by requiring a
+   * blocking column so the cross product never leaves a group.
+   */
+  def jaccardPairs(df: DataFrame, idCol: String, textCol: String,
+                   blockCol: String, tau: Double): DataFrame = {
+    val t = df.select(col(idCol).as("id"), col(blockCol).as("blk"),
+      array_distinct(split(col(textCol), " ")).as("toks"))
+    val a = t.alias("a")
+    val b = t.alias("b")
+    a.join(b, col("a.blk") === col("b.blk") && col("a.id") < col("b.id"))
+      .withColumn("jaccard",
+        size(array_intersect(col("a.toks"), col("b.toks"))).cast("double") /
+          size(array_union(col("a.toks"), col("b.toks"))).cast("double"))
+      .filter(col("jaccard") >= tau)
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"), col("jaccard"))
+  }
+}

@@ -1,0 +1,111 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/**
+ * Similarity search over embedding columns (`array<float>`): brute-force
+ * cosine top-k as the exact baseline, and an LSH-bucketed (random
+ * hyperplane) approximate variant as the scale path.
+ *
+ * Scale design:
+ *  - The query side is tiny relative to the corpus → `broadcast()` it, so
+ *    the corpus scan is a single map-only pass with no shuffle of the
+ *    corpus; top-k then shuffles only (query × k) candidate rows.
+ *  - Dot products run through `zip_with` + `aggregate` higher-order
+ *    functions — codegen'd, sequential fold in array order, no UDF. Norms
+ *    are precomputed per side before the join so each pair costs one dot.
+ *  - The LSH variant buckets by a `planes`-bit random-hyperplane signature
+ *    (deterministic plane vectors derived from xxhash64 seeds) and probes
+ *    only same-bucket candidates: corpus shuffles once by bucket id.
+ */
+object Similarity {
+
+  /** Sequential-fold dot product of two double-array columns. */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, v) => acc + v)
+
+  def norm2(a: Column): Column = sqrt(dot(a, a))
+
+  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm2(a) * norm2(b))
+
+  /**
+   * Exact top-k neighbors for a query subset. `queryPred` selects the query
+   * rows (e.g. `vec_id % 100 === 0`); every query is scored against the full
+   * corpus (minus itself) and the k best by cosine kept, ties broken by
+   * neighbor id.
+   */
+  def bruteForceTopK(df: DataFrame, idCol: String, vecCol: String,
+                     queryPred: Column, k: Int): DataFrame = {
+    val base = df.select(col(idCol).as("id"), col(vecCol).cast("array<double>").as("v"))
+      .withColumn("n", norm2(col("v")))
+    val queries = base.filter(queryPred)
+    val corpus = base
+    val q = queries.alias("q")
+    val c = corpus.alias("c")
+    val scored = c.join(broadcast(q), col("q.id") =!= col("c.id"))
+      .select(col("q.id").as("query_id"), col("c.id").as("neighbor_id"),
+        (dot(col("q.v"), col("c.v")) / (col("q.n") * col("c.n"))).as("cos"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("neighbor_id").asc)
+    scored.withColumn("rn", row_number().over(w)).filter(col("rn") <= k)
+      .select(col("query_id"), col("neighbor_id"), round(col("cos"), 6).as("cos"), col("rn"))
+  }
+
+  /** Deterministic pseudo-random hyperplane component for (plane, dim):
+    * xxhash64 of the pair, scaled to [-1, 1). Cheap, seedable, and
+    * reproducible across runs/engines. */
+  private def planeComponent(plane: Int, dim: Column): Column =
+    (xxhash64(lit(plane), dim).cast("double") / lit(Long.MaxValue.toDouble))
+
+  /** `planes`-bit random-hyperplane signature of a double-array column. */
+  def lshSignature(v: Column, planes: Int): Column = {
+    val bits = (0 until planes).map { p =>
+      val proj = aggregate(
+        zip_with(v, sequence(lit(0), size(v) - 1), (x, i) => x * planeComponent(p, i)),
+        lit(0.0), (acc, x) => acc + x)
+      when(proj >= 0, shiftleft(lit(1L), p)).otherwise(lit(0L))
+    }
+    bits.reduce(_ bitwiseOR _)
+  }
+
+  /**
+   * Approximate nearest neighbors via hyperplane-LSH bucketing: corpus and
+   * queries are signed with the same planes; candidates = same-bucket pairs;
+   * exact cosine re-rank inside the bucket. Recall is tunable by `planes`
+   * (fewer planes → bigger buckets → higher recall, more compute).
+   */
+  def lshTopK(df: DataFrame, idCol: String, vecCol: String,
+              queryPred: Column, k: Int, planes: Int = 8): DataFrame = {
+    val base = df.select(col(idCol).as("id"), col(vecCol).cast("array<double>").as("v"))
+      .withColumn("n", norm2(col("v")))
+      .withColumn("bucket", lshSignature(col("v"), planes))
+    val q = base.filter(queryPred).alias("q")
+    val c = base.alias("c")
+    val scored = c.join(broadcast(q),
+        col("q.bucket") === col("c.bucket") && col("q.id") =!= col("c.id"))
+      .select(col("q.id").as("query_id"), col("c.id").as("neighbor_id"),
+        (dot(col("q.v"), col("c.v")) / (col("q.n") * col("c.n"))).as("cos"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("neighbor_id").asc)
+    scored.withColumn("rn", row_number().over(w)).filter(col("rn") <= k)
+      .select(col("query_id"), col("neighbor_id"), round(col("cos"), 6).as("cos"), col("rn"))
+  }
+
+  /** Embedding-cosine near-duplicate pairs above a threshold; id_a < id_b.
+    * Broadcast-join of the (small) left sample against the corpus — for a
+    * full corpus×corpus sweep at scale, use `lshTopK` buckets instead. */
+  def cosineNearDupPairs(df: DataFrame, idCol: String, vecCol: String,
+                         tau: Double, leftPred: Column): DataFrame = {
+    val base = df.select(col(idCol).as("id"), col(vecCol).cast("array<double>").as("v"))
+      .withColumn("n", norm2(col("v")))
+    val a = base.filter(leftPred).alias("a")
+    val b = base.alias("b")
+    b.join(broadcast(a), col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+        (dot(col("a.v"), col("b.v")) / (col("a.n") * col("b.n"))).as("cos"))
+      .filter(round(col("cos"), 6) >= tau)
+      .select(col("id_a"), col("id_b"), round(col("cos"), 6).as("cos"))
+  }
+}

@@ -1,0 +1,106 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/**
+ * Text-analysis operators for large-scale training-data pipelines: token
+ * counting, quality scoring, language ID, document fingerprinting.
+ *
+ * Everything is built from codegen'd `functions._` expressions (no Scala
+ * UDFs) so the whole stage stays inside WholeStageCodegen and the parquet
+ * scan only reads the `text` column (column pruning). At 100 TB these are
+ * embarrassingly parallel map-only stages — no shuffle at all.
+ */
+object TextAnalysis {
+
+  /** Whitespace tokens. Spark `split` is regex-based; a single literal
+    * space matches DuckDB's `string_split(text, ' ')` for oracle parity. */
+  def tokens(text: Column): Column = split(text, " ")
+
+  /** BPE-ish subword proxy: word-boundary chunks of letters / digits /
+    * single punctuation, the usual pre-tokenizer shape. */
+  def bpeIshTokenCount(text: Column): Column =
+    size(regexp_extract_all(text, lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"), lit(0)))
+
+  val defaultStopwords: Seq[String] = Seq("the", "a", "an", "of", "to", "and", "in", "is")
+
+  def stopwordCount(text: Column, stopwords: Seq[String] = defaultStopwords): Column =
+    size(filter(tokens(text), t => t.isInCollection(stopwords)))
+
+  /**
+   * Quality-score features per document: length, token count, mean token
+   * length, stopword ratio, punctuation ratio, alpha ratio — the standard
+   * heuristic-filter family (Gopher/C4-style rules) as one narrow projection.
+   */
+  def withQualityFeatures(df: DataFrame, textCol: String): DataFrame = {
+    val t = col(textCol)
+    val toks = tokens(t)
+    df.withColumn("n_chars_m", length(t))
+      .withColumn("n_tokens", size(toks))
+      .withColumn("mean_token_len",
+        aggregate(toks, lit(0L), (acc, tok) => acc + length(tok)).cast("double")
+          / size(toks).cast("double"))
+      .withColumn("stopword_ratio",
+        stopwordCount(t).cast("double") / size(toks).cast("double"))
+      .withColumn("punct_ratio",
+        (length(t) - length(regexp_replace(t, "[\\p{Punct}]", ""))).cast("double")
+          / length(t).cast("double"))
+      .withColumn("alpha_ratio",
+        length(regexp_replace(t, "[^A-Za-z]", "")).cast("double") / length(t).cast("double"))
+  }
+
+  /** Scalar quality score in [0,1] — a fixed, deterministic linear blend of
+    * the features (weights are part of the operator contract). */
+  def qualityScore(df: DataFrame, textCol: String): DataFrame =
+    withQualityFeatures(df, textCol).withColumn("quality_score",
+      greatest(lit(0.0), least(lit(1.0),
+        lit(0.4) * least(col("n_tokens").cast("double") / lit(64.0), lit(1.0))
+          + lit(0.3) * (lit(1.0) - col("punct_ratio"))
+          + lit(0.3) * col("alpha_ratio"))))
+
+  /**
+   * Language ID via n-gram/stopword profiles — pure-SQL scoring: count of
+   * profile hits per language over the token set, argmax with deterministic
+   * tie-break on language code. Profiles are tiny and inlined as literals
+   * (broadcast-free). Stub-grade accuracy by design; the Spark plumbing
+   * (map-only, codegen'd, no shuffle) is the contract.
+   */
+  val langProfiles: Map[String, Seq[String]] = Map(
+    "en" -> Seq("the", "of", "and", "to", "in", "is", "that", "it"),
+    "de" -> Seq("der", "die", "das", "und", "ist", "nicht", "ein", "zu"),
+    "fr" -> Seq("le", "la", "les", "et", "est", "un", "une", "que"),
+    "es" -> Seq("el", "la", "los", "y", "es", "un", "una", "que"),
+    "zh" -> Seq("的", "是", "了", "在", "我", "有", "和", "不"))
+
+  def withLangId(df: DataFrame, textCol: String): DataFrame = {
+    val toks = tokens(lower(col(textCol)))
+    val langs = langProfiles.toSeq.sortBy(_._1)
+    // argmax via array_max over (hits, tieOrdinal, lang) structs: structs
+    // compare field-by-field, so max hits wins; on equal hits the larger
+    // ordinal wins, and ordinals are assigned in *reverse* lexicographic
+    // order so the lexicographically smallest lang is the deterministic tie
+    // winner.
+    val scored = langs.zipWithIndex.map { case ((lang, words), i) =>
+      struct(
+        size(filter(toks, t => t.isInCollection(words))).as("hits"),
+        lit(langs.size - i).as("tie"),
+        lit(lang).as("lang"))
+    }
+    df.withColumn("lang_pred", array_max(array(scored: _*)).getField("lang"))
+  }
+
+  /** Rolling polynomial (Rabin-Karp style) content fingerprint over bytes —
+    * deterministic 64-bit, expressed with Spark's `aggregate` higher-order
+    * function so it stays codegen'd; plus plain md5/xxhash64 fingerprints. */
+  def withFingerprints(df: DataFrame, textCol: String): DataFrame = {
+    val t = col(textCol)
+    df.withColumn("fp_md5", md5(t))
+      .withColumn("fp_xxh64", xxhash64(t))
+      .withColumn("fp_rolling",
+        aggregate(
+          transform(split(t, ""), ch => ascii(ch).cast("long")),
+          lit(0L),
+          (acc, c) => acc * lit(31L) + c))
+  }
+}

@@ -1,0 +1,95 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/**
+ * Event-time window aggregation operators — the Spark-first re-expression of
+ * the reference's keyed/global window + incremental-aggregate + window-function
+ * stack (SURVEY.md §2.3, W1-W9 / A1-A7; e.g. HotItemApp.java:53-61,
+ * PageViewApp.java:39-48, UvCountApp.java:46-58).
+ *
+ * Design notes for scale:
+ *  - Everything is declarative `groupBy(window(...), keys).agg(...)` —
+ *    Catalyst plans a partial (map-side) HashAggregate before the single
+ *    shuffle, so a hot key (the reference hand-salted this, PageViewApp2)
+ *    is already combined per-partition before the exchange.
+ *  - A sliding window of size S and slide L replicates each row S/L times
+ *    *after* filter/projection — keep the projected row narrow (we project
+ *    to key + ts before windowing).
+ *  - Top-N re-shuffles by windowEnd only (second exchange), mirroring the
+ *    reference's two-stage keyBy(itemId) → keyBy(windowEnd) topology
+ *    (HotItemApp.java:55,60) — but the rank runs as a window function over
+ *    sorted partitions, no per-key driver loops.
+ */
+object Windows {
+
+  /** windowEnd as epoch seconds (bigint) — canonical, engine-portable window
+    * label (raw timestamps don't round-trip parquet ns vs µs cleanly). */
+  private def windowEndSec(c: Column): Column = c.getField("end").cast("long")
+
+  /** Tumbling event-time window count per key (W5/W6 + A1/A3).
+    * `keys` empty → global window (reference's timeWindowAll). */
+  def tumblingCount(df: DataFrame, tsCol: String, keys: Seq[String], size: String,
+                    countName: String = "cnt"): DataFrame = {
+    val w = window(col(tsCol), size)
+    df.groupBy((w +: keys.map(col)): _*)
+      .agg(count(lit(1)).as(countName))
+      .select(keys.map(col) :+ windowEndSec(col("window")).as("window_end") :+ col(countName): _*)
+  }
+
+  /** Sliding event-time window count per key (W3/W4 + A1/A2). */
+  def slidingCount(df: DataFrame, tsCol: String, keys: Seq[String],
+                   size: String, slide: String, countName: String = "cnt"): DataFrame = {
+    val w = window(col(tsCol), size, slide)
+    df.groupBy((w +: keys.map(col)): _*)
+      .agg(count(lit(1)).as(countName))
+      .select(keys.map(col) :+ windowEndSec(col("window")).as("window_end") :+ col(countName): _*)
+  }
+
+  /** Tumbling-window exact distinct count (A5 — the reference buffers the
+    * whole window in a HashSet, UvCountApp.java:58-79; Spark's distinct
+    * aggregate does a two-stage shuffle instead and never materializes the
+    * set on one node). */
+  def exactDistinct(df: DataFrame, tsCol: String, distinctCol: String, size: String,
+                    name: String = "uv"): DataFrame =
+    df.groupBy(window(col(tsCol), size))
+      .agg(countDistinct(col(distinctCol)).as(name))
+      .select(windowEndSec(col("window")).as("window_end"), col(name))
+
+  /** Tumbling-window approximate distinct count (A7 — replaces the
+    * reference's hand-rolled bloom-filter + Redis bitmap,
+    * UvCountWithBloomFilterApp.java:87-161, with built-in HLL++; bounded
+    * memory per window at any scale, no external KV round-trips). */
+  def approxDistinct(df: DataFrame, tsCol: String, distinctCol: String, size: String,
+                     rsd: Double = 0.02, name: String = "uv_approx"): DataFrame =
+    df.groupBy(window(col(tsCol), size))
+      .agg(approx_count_distinct(col(distinctCol), rsd).as(name))
+      .select(windowEndSec(col("window")).as("window_end"), col(name))
+
+  /** Top-N rows per window/partition by a measure (A6 — replaces the
+    * reference's ListState-buffer + timer + ArrayList.sort per windowEnd,
+    * HotItemApp.java:107-179). `tieBreak` makes rank deterministic. */
+  def topNPerWindow(df: DataFrame, partCols: Seq[String], orderCol: String,
+                    tieBreak: String, n: Int): DataFrame = {
+    val w = Window.partitionBy(partCols.map(col): _*)
+      .orderBy(col(orderCol).desc, col(tieBreak).asc)
+    df.withColumn("rn", row_number().over(w)).filter(col("rn") <= n)
+  }
+
+  /** Two-phase salted aggregation (P3/A4 — the reference's hand-rolled
+    * hot-key fix, PageViewApp2.java:55-64,111-147). Kept as an explicit
+    * operator for skew cases where the *measure* is not algebraic enough
+    * for map-side partial agg; for plain counts Spark's partial aggregation
+    * makes this a no-op semantically (result is identical). */
+  def saltedCount(df: DataFrame, keys: Seq[String], saltBuckets: Int,
+                  countName: String = "cnt"): DataFrame = {
+    val salted = df.withColumn("_salt", (rand(seed = 42) * saltBuckets).cast("int"))
+    salted
+      .groupBy((keys.map(col) :+ col("_salt")): _*)
+      .agg(count(lit(1)).as("_partial"))
+      .groupBy(keys.map(col): _*)
+      .agg(sum(col("_partial")).as(countName))
+  }
+}

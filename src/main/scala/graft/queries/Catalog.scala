@@ -1,0 +1,405 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+import graft.operators._
+import graft.sources.Tables
+
+/**
+ * The query catalog: every operator of SURVEY.md §2 (plus the
+ * training-data-pipeline extensions) bound to the driver's synthetic tables,
+ * with an ANSI-SQL DuckDB oracle wherever the semantics are SQL-expressible.
+ *
+ * Engine-parity conventions (see SURVEY.md §7.4):
+ *  - Event time is integer: epoch µs (`usec`) / epoch s (`sec`) derived from
+ *    the raw int64-nanos parquet column with integer division — float epoch
+ *    math would round differently across engines.
+ *  - Window labels are `window_end` epoch-second bigints, never timestamps.
+ *  - Computed money aggregates go through DECIMAL casts and come back as
+ *    doubles, so both engines produce bit-identical values.
+ *  - Every rank/limit has a total-order tie-break.
+ */
+object Catalog {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  /** events with integer event time + item_id extracted from props JSON.
+    * `ts` arrives as int64 nanos (spark.sql.legacy.parquet.nanosAsLong). */
+  def events(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .withColumn("usec", expr("ts div 1000"))
+      .withColumn("sec", expr("ts div 1000000000"))
+      .withColumn("ets", expr("timestamp_micros(ts div 1000)"))
+      .withColumn("item_id", get_json_object(col("props"), "$.k").cast("long"))
+
+  /** DuckDB twin of [[events]]. */
+  private val eventsCte =
+    """WITH e AS (
+      |  SELECT event_id, user_id, event_type, value,
+      |         epoch_ns(ts)//1000 AS usec,
+      |         epoch_ns(ts)//1000000000 AS sec,
+      |         CAST(props->>'k' AS BIGINT) AS item_id
+      |  FROM events
+      |)""".stripMargin
+
+  /** DuckDB sliding-window replication: one row per (row, containing
+    * window), window_end in epoch seconds — mirrors Spark's `window()`
+    * alignment (starts at multiples of the slide). */
+  private def duckSlide(sizeSec: Long, slideSec: Long): String =
+    s"unnest(generate_series((sec//$slideSec)*$slideSec - $sizeSec + $slideSec, (sec//$slideSec)*$slideSec, $slideSec)) + $sizeSec"
+
+  private def duckTumble(sizeSec: Long): String =
+    s"(sec//$sizeSec)*$sizeSec + $sizeSec"
+
+  // ------------------------------------------------------------------
+  // TPC-H-ish relational family (scan / filter / agg / join inventory)
+  // ------------------------------------------------------------------
+
+  val q1Agg: Q = (s, dir) => {
+    val li = Tables.lineitem(s, dir)
+    li.groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        sum(col("l_quantity").cast(DecimalType(18, 2))).cast("double").as("sum_qty"),
+        sum(col("l_extendedprice").cast(DecimalType(18, 2))).cast("double").as("sum_price"),
+        sum(col("l_extendedprice").cast(DecimalType(18, 4)) *
+          (lit(1.0) - col("l_discount")).cast(DecimalType(18, 4))).cast("double").as("sum_disc_price"),
+        count(lit(1)).as("cnt"))
+  }
+
+  val q1AggSql: String =
+    """SELECT l_returnflag, l_linestatus,
+      |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+      |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price,
+      |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4)) * CAST((1.0 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS sum_disc_price,
+      |  count(*) AS cnt
+      |FROM lineitem GROUP BY l_returnflag, l_linestatus""".stripMargin
+
+  /** Shuffle join orders⋈lineitem + broadcast-size dim join to customer;
+    * top-10 orders by revenue. */
+  val q3Revenue: Q = (s, dir) => {
+    val li = Tables.lineitem(s, dir)
+    val o = Tables.orders(s, dir)
+    val c = Tables.customer(s, dir)
+    li.join(o, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+      .groupBy(col("o_orderkey"), col("c_mktsegment"))
+      .agg(sum(col("l_extendedprice").cast(DecimalType(18, 4)) *
+        (lit(1.0) - col("l_discount")).cast(DecimalType(18, 4))).cast("double").as("revenue"))
+      .orderBy(col("revenue").desc, col("o_orderkey").asc)
+      .limit(10)
+  }
+
+  val q3RevenueSql: String =
+    """SELECT o_orderkey, c_mktsegment,
+      |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4)) * CAST((1.0 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+      |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      |JOIN customer ON o_custkey = c_custkey
+      |GROUP BY o_orderkey, c_mktsegment
+      |ORDER BY revenue DESC, o_orderkey ASC LIMIT 10""".stripMargin
+
+  /** Multi-way dim join through region→nation→(customer,supplier): revenue
+    * by nation where customer and supplier share the nation (TPC-H Q5
+    * shape). Dims broadcast; the single big shuffle is lineitem⋈orders. */
+  val q5Nation: Q = (s, dir) => {
+    val li = Tables.lineitem(s, dir)
+    val o = Tables.orders(s, dir)
+    val c = Tables.customer(s, dir)
+    val su = Tables.supplier(s, dir)
+    val n = Tables.nation(s, dir)
+    li.join(o, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(su), col("l_suppkey") === col("s_suppkey") &&
+        col("s_nationkey") === col("c_nationkey"))
+      .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_name"))
+      .agg(sum(col("l_extendedprice").cast(DecimalType(18, 4)) *
+        (lit(1.0) - col("l_discount")).cast(DecimalType(18, 4))).cast("double").as("revenue"),
+        count(lit(1)).as("n_items"))
+  }
+
+  val q5NationSql: String =
+    """SELECT n_name,
+      |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4)) * CAST((1.0 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
+      |  count(*) AS n_items
+      |FROM lineitem
+      |JOIN orders ON l_orderkey = o_orderkey
+      |JOIN customer ON o_custkey = c_custkey
+      |JOIN supplier ON l_suppkey = s_suppkey AND s_nationkey = c_nationkey
+      |JOIN nation ON c_nationkey = n_nationkey
+      |GROUP BY n_name""".stripMargin
+
+  // ------------------------------------------------------------------
+  // Reference stream-analytics family on `events`
+  // (item = props.k, pv = event_type 'view', click = 'click',
+  //  login-fail = 'error', order-create = 'signup', pay = 'purchase')
+  // ------------------------------------------------------------------
+
+  /** W3+A1+A2+A6: sliding 1h/5m per-item counts, top-5 per window —
+    * HotItemApp (SURVEY.md §3.1), flagship. */
+  val hotItems: Q = (s, dir) => {
+    val pv = events(s, dir).filter(col("event_type") === "view")
+      .select(col("ets"), col("item_id"))
+    val counts = Windows.slidingCount(pv, "ets", Seq("item_id"), "1 hour", "5 minutes")
+    Windows.topNPerWindow(counts, Seq("window_end"), "cnt", "item_id", 5)
+      .select(col("item_id"), col("window_end"), col("cnt"), col("rn"))
+  }
+
+  val hotItemsSql: String =
+    s"""$eventsCte, win AS (
+       |  SELECT item_id, ${duckSlide(3600, 300)} AS window_end
+       |  FROM e WHERE event_type = 'view'
+       |), c AS (
+       |  SELECT item_id, window_end, count(*) AS cnt FROM win GROUP BY 1, 2
+       |)
+       |SELECT item_id, window_end, cnt, rn FROM (
+       |  SELECT *, row_number() OVER (PARTITION BY window_end ORDER BY cnt DESC, item_id ASC) AS rn
+       |  FROM c
+       |) WHERE rn <= 5""".stripMargin
+
+  /** §2.5 SQL surface: the same query as [[hotItems]] expressed as SQL text
+    * through `spark.sql` over a registered view (HotItemsWithSQLApp parity:
+    * HOP window → window(); ROW_NUMBER rank verbatim). */
+  val hotItemsSqlSurface: Q = (s, dir) => {
+    events(s, dir).createOrReplaceTempView("graft_events")
+    s.sql(
+      """SELECT item_id, window_end, cnt, rn FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY window_end ORDER BY cnt DESC, item_id ASC) AS rn
+        |  FROM (
+        |    SELECT item_id, CAST(window.end AS LONG) AS window_end, count(*) AS cnt
+        |    FROM graft_events WHERE event_type = 'view'
+        |    GROUP BY item_id, window(ets, '1 hour', '5 minutes')
+        |  )
+        |) WHERE rn <= 5""".stripMargin)
+  }
+
+  /** W5+A1/A3: tumbling 1h page views — PageViewApp. */
+  val pvTumbling: Q = (s, dir) => {
+    val pv = events(s, dir).filter(col("event_type") === "view").select(col("ets"))
+    Windows.tumblingCount(pv, "ets", Seq.empty, "1 hour")
+      .select(col("window_end"), col("cnt"))
+  }
+
+  val pvTumblingSql: String =
+    s"""$eventsCte
+       |SELECT ${duckTumble(3600)} AS window_end, count(*) AS cnt
+       |FROM e WHERE event_type = 'view' GROUP BY 1""".stripMargin
+
+  /** W6+A5: tumbling 1h exact distinct users — UvCountApp. */
+  val uvExact: Q = (s, dir) => {
+    val pv = events(s, dir).filter(col("event_type") === "view")
+      .select(col("ets"), col("user_id"))
+    Windows.exactDistinct(pv, "ets", "user_id", "1 hour")
+      .select(col("window_end"), col("uv"))
+  }
+
+  val uvExactSql: String =
+    s"""$eventsCte
+       |SELECT ${duckTumble(3600)} AS window_end, count(DISTINCT user_id) AS uv
+       |FROM e WHERE event_type = 'view' GROUP BY 1""".stripMargin
+
+  /** A7: HLL++ approximate distinct — replaces bloom-filter+Redis
+    * (UvCountWithBloomFilterApp). Approximation ⇒ rows-only check. */
+  val uvApprox: Q = (s, dir) => {
+    val pv = events(s, dir).filter(col("event_type") === "view")
+      .select(col("ets"), col("user_id"))
+    Windows.approxDistinct(pv, "ets", "user_id", "1 hour")
+  }
+
+  /** W2+W4: composite-key sliding window — MarketByChannelApp
+    * (channel × behavior). Channel proxied by a user-hash bucket. */
+  val channelBehavior: Q = (s, dir) => {
+    val e = events(s, dir)
+      .withColumn("channel", concat(lit("ch_"), col("user_id") % 4))
+      .select(col("ets"), col("channel"), col("event_type").as("behavior"))
+    Windows.slidingCount(e, "ets", Seq("channel", "behavior"), "1 hour", "10 minutes")
+      .select(col("channel"), col("behavior"), col("window_end"), col("cnt"))
+  }
+
+  val channelBehaviorSql: String =
+    s"""$eventsCte, w AS (
+       |  SELECT 'ch_' || CAST(user_id % 4 AS VARCHAR) AS channel,
+       |         event_type AS behavior,
+       |         ${duckSlide(3600, 600)} AS window_end
+       |  FROM e
+       |)
+       |SELECT channel, behavior, window_end, count(*) AS cnt
+       |FROM w GROUP BY 1, 2, 3""".stripMargin
+
+  /** W4+A1: sliding per-province ad-click counts — AdClickByProvinceApp
+    * (province proxied by an item bucket). */
+  val adProvince: Q = (s, dir) => {
+    val e = events(s, dir).filter(col("event_type") === "click")
+      .withColumn("province", concat(lit("p_"), col("item_id") % 10))
+      .select(col("ets"), col("province"))
+    Windows.slidingCount(e, "ets", Seq("province"), "1 hour", "5 minutes")
+      .select(col("province"), col("window_end"), col("cnt"))
+  }
+
+  val adProvinceSql: String =
+    s"""$eventsCte, w AS (
+       |  SELECT 'p_' || CAST(item_id % 10 AS VARCHAR) AS province,
+       |         ${duckSlide(3600, 300)} AS window_end
+       |  FROM e WHERE event_type = 'click'
+       |)
+       |SELECT province, window_end, count(*) AS cnt FROM w GROUP BY 1, 2""".stripMargin
+
+  /** F5: count-threshold blacklist per (user, item-bucket) —
+    * AdClickKeyProcessFunc semantics, batch form. */
+  val blacklist: Q = (s, dir) => {
+    val e = events(s, dir).filter(col("event_type") === "click")
+      .withColumn("item_bucket", col("item_id") % 10)
+      .select(col("user_id"), col("item_bucket"))
+    Detectors.countBlacklist(e, Seq("user_id", "item_bucket"), 5L)
+      .select(col("user_id"), col("item_bucket"), col("clicks"), col("warning"))
+  }
+
+  val blacklistSql: String =
+    s"""$eventsCte
+       |SELECT user_id, item_id % 10 AS item_bucket, count(*) AS clicks,
+       |       'click count ' || CAST(count(*) AS VARCHAR) || ' >= threshold 5' AS warning
+       |FROM e WHERE event_type = 'click'
+       |GROUP BY 1, 2 HAVING count(*) >= 5""".stripMargin
+
+  /** P3/A4: two-phase salted count (reference's manual hot-key fix);
+    * result ≡ plain count, which is exactly what the oracle asserts. */
+  val saltedPv: Q = (s, dir) => {
+    val e = events(s, dir).select(col("event_type"))
+    Windows.saltedCount(e, Seq("event_type"), 8)
+      .select(col("event_type"), col("cnt"))
+  }
+
+  val saltedPvSql: String =
+    "SELECT event_type, count(*) AS cnt FROM events GROUP BY 1"
+
+  /** P2/P4 + scalar surface: projections, string fns, day bucketing. */
+  val scalarFuncs: Q = (s, dir) =>
+    events(s, dir).select(
+      col("event_id"),
+      lit("pv").as("tag"),
+      concat(col("event_type"), lit("_"), col("user_id")).as("label"),
+      upper(col("event_type")).as("utype"),
+      length(col("props")).as("plen"),
+      (col("sec") / 86400L).cast("long").as("day_bucket"),
+      substring(col("event_type"), 1, 3).as("prefix"))
+
+  val scalarFuncsSql: String =
+    s"""$eventsCte
+       |SELECT event_id, 'pv' AS tag,
+       |       event_type || '_' || CAST(user_id AS VARCHAR) AS label,
+       |       upper(event_type) AS utype,
+       |       CAST(length((SELECT props FROM events x WHERE x.event_id = e.event_id)) AS INT) AS plen,
+       |       sec // 86400 AS day_bucket,
+       |       substring(event_type, 1, 3) AS prefix
+       |FROM e""".stripMargin
+
+  // -- stateful detectors (batch forms; streaming twins in graft.streaming)
+
+  /** J4/J5: two consecutive failures within 1h per user — LoginFail*. */
+  val loginFail: Q = (s, dir) => {
+    val e = events(s, dir).select(col("user_id"), col("event_type"), col("usec"), col("event_id"))
+    Detectors.consecutiveFailures(e, "user_id", "usec", "event_id",
+        col("event_type") === "error", 3600L)
+      .select(col("user_id"), col("first_fail_usec"), col("second_fail_usec"))
+  }
+
+  val loginFailSql: String =
+    s"""$eventsCte, o AS (
+       |  SELECT user_id, event_type, usec,
+       |         lag(event_type) OVER (PARTITION BY user_id ORDER BY usec, event_id) AS prev_type,
+       |         lag(usec) OVER (PARTITION BY user_id ORDER BY usec, event_id) AS prev_usec
+       |  FROM e
+       |)
+       |SELECT user_id, prev_usec AS first_fail_usec, usec AS second_fail_usec
+       |FROM o
+       |WHERE event_type = 'error' AND prev_type = 'error'
+       |  AND usec - prev_usec <= ${3600L * 1000000L}""".stripMargin
+
+  /** J3/J6: signup→purchase within 1 day per user, else timeout —
+    * OrderTimeout* semantics. */
+  val orderTimeout: Q = (s, dir) => {
+    val e = events(s, dir)
+    val starts = e.filter(col("event_type") === "signup")
+      .select(col("user_id"), col("usec").as("signup_usec"))
+    val follows = e.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("usec").as("pay_usec"))
+    Detectors.sequenceTimeout(starts, follows, "user_id",
+      "signup_usec", "pay_usec", 86400L)
+  }
+
+  val orderTimeoutSql: String =
+    s"""$eventsCte, s AS (SELECT user_id, usec AS signup_usec FROM e WHERE event_type = 'signup'),
+       |p AS (SELECT user_id, usec AS pay_usec FROM e WHERE event_type = 'purchase')
+       |SELECT s.user_id, s.signup_usec, min(p.pay_usec) AS follow_usec,
+       |       CASE WHEN min(p.pay_usec) IS NOT NULL THEN 'payed' ELSE 'timeout' END AS status
+       |FROM s LEFT JOIN p
+       |  ON s.user_id = p.user_id
+       | AND p.pay_usec > s.signup_usec
+       | AND p.pay_usec <= s.signup_usec + ${86400L * 1000000L}
+       |GROUP BY s.user_id, s.signup_usec""".stripMargin
+
+  /** J1: event-time interval join signup⋈purchase within ±1h on user —
+    * OrderReceiptAppWithJoin semantics. */
+  val intervalJoin: Q = (s, dir) => {
+    val e = events(s, dir)
+    val l = e.filter(col("event_type") === "signup")
+      .select(col("user_id"), col("usec").as("signup_usec"))
+    val r = e.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("usec").as("pay_usec"))
+    Joins.intervalJoin(l, r, "user_id", "signup_usec", "pay_usec", 3600L, 3600L)
+      .select(col("l.user_id").as("user_id"), col("signup_usec"), col("pay_usec"))
+  }
+
+  val intervalJoinSql: String =
+    s"""$eventsCte, s AS (SELECT user_id, usec AS signup_usec FROM e WHERE event_type = 'signup'),
+       |p AS (SELECT user_id, usec AS pay_usec FROM e WHERE event_type = 'purchase')
+       |SELECT s.user_id, s.signup_usec, p.pay_usec
+       |FROM s JOIN p
+       |  ON s.user_id = p.user_id
+       | AND p.pay_usec >= s.signup_usec - ${3600L * 1000000L}
+       | AND p.pay_usec <= s.signup_usec + ${3600L * 1000000L}""".stripMargin
+
+  /** J2: full-outer reconcile with unmatched branches as a status column —
+    * OrderReceiptAppWithConnect semantics (side outputs → filters). */
+  val reconcile: Q = (s, dir) => {
+    val e = events(s, dir)
+    val l = e.filter(col("event_type") === "signup")
+      .select(col("user_id"), col("usec").as("signup_usec"))
+    val r = e.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("usec").as("pay_usec"))
+    Joins.reconcile(l, r, "user_id", "signup_usec", "pay_usec", 3600L, 3600L,
+        leftName = "signup_only", rightName = "purchase_only")
+      .select(coalesce(col("l.user_id"), col("r.user_id")).as("user_id"),
+        col("signup_usec"), col("pay_usec"), col("status"))
+  }
+
+  val reconcileSql: String =
+    s"""$eventsCte, s AS (SELECT user_id, usec AS signup_usec FROM e WHERE event_type = 'signup'),
+       |p AS (SELECT user_id, usec AS pay_usec FROM e WHERE event_type = 'purchase')
+       |SELECT coalesce(s.user_id, p.user_id) AS user_id, s.signup_usec, p.pay_usec,
+       |       CASE WHEN s.signup_usec IS NULL THEN 'purchase_only'
+       |            WHEN p.pay_usec IS NULL THEN 'signup_only'
+       |            ELSE 'matched' END AS status
+       |FROM s FULL JOIN p
+       |  ON s.user_id = p.user_id
+       | AND p.pay_usec >= s.signup_usec - ${3600L * 1000000L}
+       | AND p.pay_usec <= s.signup_usec + ${3600L * 1000000L}""".stripMargin
+
+  /** A3 with a real measure: tumbling 1-day sum(value), decimal-exact. */
+  val valueSumDaily: Q = (s, dir) => {
+    val e = events(s, dir).select(col("ets"), col("value"))
+    e.groupBy(window(col("ets"), "1 day"))
+      .agg(sum(col("value").cast(DecimalType(18, 2))).cast("double").as("total"),
+        count(lit(1)).as("cnt"))
+      .select(col("window").getField("end").cast("long").as("window_end"),
+        col("total"), col("cnt"))
+  }
+
+  val valueSumDailySql: String =
+    s"""$eventsCte
+       |SELECT ${duckTumble(86400)} AS window_end,
+       |       CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total,
+       |       count(*) AS cnt
+       |FROM e GROUP BY 1""".stripMargin
+}

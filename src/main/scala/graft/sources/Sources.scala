@@ -1,0 +1,118 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/**
+ * Table loaders for the driver's synthetic TPC-H-ish parquet tables
+ * (TESTDATA.md) and schema-explicit CSV readers for the reference's own
+ * fixture files (FIXTURES.md; parsers cited per schema in model/Models.scala).
+ *
+ * Scale notes: parquet scans are the only leaf in every batch plan — column
+ * pruning and predicate pushdown reach the scan for free as long as nothing
+ * opaque (UDF on a partition column, RDD hop) sits between the filter and the
+ * read. At 100 TB the same code works: tune
+ * `spark.sql.files.maxPartitionBytes` for split sizing; no collect anywhere.
+ */
+object Tables {
+  val names: Seq[String] = Seq(
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings")
+
+  def load(spark: SparkSession, dir: String, name: String): DataFrame =
+    spark.read.parquet(s"$dir/$name.parquet")
+
+  def region(spark: SparkSession, dir: String): DataFrame     = load(spark, dir, "region")
+  def nation(spark: SparkSession, dir: String): DataFrame     = load(spark, dir, "nation")
+  def customer(spark: SparkSession, dir: String): DataFrame   = load(spark, dir, "customer")
+  def supplier(spark: SparkSession, dir: String): DataFrame   = load(spark, dir, "supplier")
+  def part(spark: SparkSession, dir: String): DataFrame       = load(spark, dir, "part")
+  def orders(spark: SparkSession, dir: String): DataFrame     = load(spark, dir, "orders")
+  def lineitem(spark: SparkSession, dir: String): DataFrame   = load(spark, dir, "lineitem")
+  def events(spark: SparkSession, dir: String): DataFrame     = load(spark, dir, "events")
+  def documents(spark: SparkSession, dir: String): DataFrame  = load(spark, dir, "documents")
+  def embeddings(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "embeddings")
+
+  /** Register every table as a temp view for the `spark.sql` surface
+    * (reference's HotItemsWithSQLApp-style entry point, SURVEY.md §2.5). */
+  def registerViews(spark: SparkSession, dir: String): Unit =
+    names.foreach(n => load(spark, dir, n).createOrReplaceTempView(n))
+}
+
+/**
+ * CSV readers with hand-declared schemas — the Spark-native equivalent of the
+ * reference's positional `String.split` parsers (S1/P1 in SURVEY.md §2; e.g.
+ * HotItemApp.java:37-44). Explicit schema + no header + permissive-off keeps
+ * the scan vectorized and lets Catalyst prune columns at the reader.
+ */
+object CsvSources {
+
+  val userBehaviorSchema: StructType = StructType(Seq(
+    StructField("userId", LongType, nullable = false),
+    StructField("itemId", LongType, nullable = false),
+    StructField("categoryId", IntegerType, nullable = false),
+    StructField("behavior", StringType, nullable = false),
+    StructField("timestamp", LongType, nullable = false)))
+
+  val adClickSchema: StructType = StructType(Seq(
+    StructField("userId", LongType, nullable = false),
+    StructField("adId", LongType, nullable = false),
+    StructField("province", StringType, nullable = false),
+    StructField("city", StringType, nullable = false),
+    StructField("timestamp", LongType, nullable = false)))
+
+  val loginSchema: StructType = StructType(Seq(
+    StructField("userId", LongType, nullable = false),
+    StructField("ip", StringType, nullable = false),
+    StructField("eventType", StringType, nullable = false),
+    StructField("timestamp", LongType, nullable = false)))
+
+  val orderSchema: StructType = StructType(Seq(
+    StructField("orderId", LongType, nullable = false),
+    StructField("eventType", StringType, nullable = false),
+    StructField("txId", StringType, nullable = true), // "" on create rows
+    StructField("eventTime", LongType, nullable = false)))
+
+  val receiptSchema: StructType = StructType(Seq(
+    StructField("txId", StringType, nullable = false),
+    StructField("payChannel", StringType, nullable = false),
+    StructField("timestamp", LongType, nullable = false)))
+
+  private def read(spark: SparkSession, path: String, schema: StructType): DataFrame =
+    spark.read.schema(schema).option("header", "false").csv(path)
+
+  /** Epoch-seconds column → event-time timestamp column `ts` (reference
+    * multiplies by 1000 in its extractors, HotItemApp.java:48). */
+  def withEventTime(df: DataFrame, secondsCol: String): DataFrame =
+    df.withColumn("ts", timestamp_seconds(col(secondsCol)))
+
+  def userBehavior(spark: SparkSession, path: String): DataFrame =
+    withEventTime(read(spark, path, userBehaviorSchema), "timestamp")
+
+  def adClicks(spark: SparkSession, path: String): DataFrame =
+    withEventTime(read(spark, path, adClickSchema), "timestamp")
+
+  def logins(spark: SparkSession, path: String): DataFrame =
+    withEventTime(read(spark, path, loginSchema), "timestamp")
+
+  def orders(spark: SparkSession, path: String): DataFrame =
+    withEventTime(read(spark, path, orderSchema), "eventTime")
+      .na.fill("", Seq("txId"))
+
+  def receipts(spark: SparkSession, path: String): DataFrame =
+    withEventTime(read(spark, path, receiptSchema), "timestamp")
+
+  /** Apache access log: space-delimited text, date field parsed with the
+    * reference's format (HotUrlApp.java:40-44 → dd/MM/yyyy:HH:mm:ss). */
+  def apacheLog(spark: SparkSession, path: String): DataFrame = {
+    val raw = spark.read.text(path)
+    raw.select(split(col("value"), "\\s+").as("f"))
+      .select(
+        col("f").getItem(0).as("ip"),
+        col("f").getItem(1).as("userId"),
+        to_timestamp(col("f").getItem(3), "dd/MM/yyyy:HH:mm:ss").as("ts"),
+        col("f").getItem(5).as("method"),
+        col("f").getItem(6).as("url"))
+  }
+}
