@@ -43,7 +43,7 @@ object Dedup {
     val toks = split(text, " ")
     array_distinct(
       filter(
-        transform(toks, (_, i) => concat_ws(" ", slice(toks, i + 1, k))),
+        transform(toks, (_, i) => concat_ws(" ", slice(toks, i + 1, lit(k)))),
         (s: Column) => size(split(s, " ")) === k))
   }
 
@@ -76,7 +76,7 @@ object Dedup {
     val banded = sigs.select(col("id"), col("text"),
         posexplode(transform(
           sequence(lit(0), lit(bands - 1)),
-          b => hash(slice(col("sig"), b * rowsPerBand + 1, rowsPerBand), b))))
+          b => hash(slice(col("sig"), b * rowsPerBand + 1, lit(rowsPerBand)), b))))
       .withColumnRenamed("pos", "band").withColumnRenamed("col", "band_hash")
     val a = banded.alias("a")
     val b = banded.alias("b")

@@ -402,4 +402,52 @@ object Catalog {
        |       CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total,
        |       count(*) AS cnt
        |FROM e GROUP BY 1""".stripMargin
+
+  // ------------------------------------------------------------------
+  // Registry — the driver contract (SparkEntry.queries / oracleSql).
+  // Every operator claimed done in SURVEY.md §2 must appear in `all`;
+  // it appears in `oracles` too unless genuinely non-SQL-expressible
+  // (approximate results), in which case the driver runs the weaker
+  // rows-only check.
+  // ------------------------------------------------------------------
+
+  val all: Map[String, Q] = Map(
+    "q1_agg" -> q1Agg,
+    "q3_revenue" -> q3Revenue,
+    "q5_nation" -> q5Nation,
+    "hot_items" -> hotItems,
+    "hot_items_sql" -> hotItemsSqlSurface,
+    "pv_tumbling" -> pvTumbling,
+    "uv_exact" -> uvExact,
+    "uv_approx" -> uvApprox,
+    "channel_behavior" -> channelBehavior,
+    "ad_province" -> adProvince,
+    "blacklist" -> blacklist,
+    "salted_pv" -> saltedPv,
+    "scalar_funcs" -> scalarFuncs,
+    "login_fail" -> loginFail,
+    "order_timeout" -> orderTimeout,
+    "interval_join" -> intervalJoin,
+    "reconcile" -> reconcile,
+    "value_sum_daily" -> valueSumDaily)
+
+  val oracles: Map[String, String] = Map(
+    "q1_agg" -> q1AggSql,
+    "q3_revenue" -> q3RevenueSql,
+    "q5_nation" -> q5NationSql,
+    "hot_items" -> hotItemsSql,
+    "hot_items_sql" -> hotItemsSql, // same semantics through spark.sql
+    "pv_tumbling" -> pvTumblingSql,
+    "uv_exact" -> uvExactSql,
+    // uv_approx: HLL++ estimate — rows-only by design
+    "channel_behavior" -> channelBehaviorSql,
+    "ad_province" -> adProvinceSql,
+    "blacklist" -> blacklistSql,
+    "salted_pv" -> saltedPvSql,
+    "scalar_funcs" -> scalarFuncsSql,
+    "login_fail" -> loginFailSql,
+    "order_timeout" -> orderTimeoutSql,
+    "interval_join" -> intervalJoinSql,
+    "reconcile" -> reconcileSql,
+    "value_sum_daily" -> valueSumDailySql)
 }
