@@ -71,23 +71,32 @@ object Dedup {
                       k: Int = 3, bands: Int = 8, rowsPerBand: Int = 4,
                       tau: Double = 0.7): DataFrame = {
     val numHashes = bands * rowsPerBand
-    val sigs = df.select(col(idCol).as("id"), col(textCol).as("text"))
-      .withColumn("sig", minhashSignature(col("text"), k, numHashes))
-    val banded = sigs.select(col("id"), col("text"),
+    val docs = df.select(col(idCol).as("id"), col(textCol).as("text"))
+    // Shingle set materialized once; each of the `numHashes` min-hashes
+    // folds over the same array column (not a per-seed re-tokenize).
+    val sigs = docs
+      .withColumn("sh", shingles(col("text"), k))
+      .withColumn("sig", array((0 until numHashes).map { seed =>
+        array_min(transform(col("sh"), s => xxhash64(s, lit(seed))))
+      }: _*))
+      .select(col("id"), col("sig"))
+    // Candidate generation ships (id, band, band_hash) ONLY — at corpus
+    // scale the 8× banded explode and the self-join shuffle never carry
+    // document bodies; text re-joins for the (small) candidate set below.
+    val banded = sigs.select(col("id"),
         posexplode(transform(
           sequence(lit(0), lit(bands - 1)),
           b => hash(slice(col("sig"), b * rowsPerBand + 1, lit(rowsPerBand)), b))))
       .withColumnRenamed("pos", "band").withColumnRenamed("col", "band_hash")
-    val a = banded.alias("a")
-    val b = banded.alias("b")
-    val cand = a.join(b,
+    val cand = banded.alias("a").join(banded.alias("b"),
         col("a.band") === col("b.band") &&
           col("a.band_hash") === col("b.band_hash") &&
           col("a.id") < col("b.id"))
-      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
-        col("a.text").as("text_a"), col("b.text").as("text_b"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
       .dropDuplicates("id_a", "id_b")
     cand
+      .join(docs.select(col("id").as("id_a"), col("text").as("text_a")), Seq("id_a"))
+      .join(docs.select(col("id").as("id_b"), col("text").as("text_b")), Seq("id_b"))
       .withColumn("sh_a", shingles(col("text_a"), k))
       .withColumn("sh_b", shingles(col("text_b"), k))
       .withColumn("jaccard",
@@ -99,19 +108,23 @@ object Dedup {
 
   /**
    * 64-bit SimHash over whitespace tokens: sign-sum of per-token xxhash64
-   * bits. Pure expression pipeline: token array → per-bit ±1 votes via
-   * bit arithmetic → signature bits.
+   * bits. Single-pass expression pipeline: one fold over the token array
+   * accumulating a 64-slot vote array (one xxhash64 per token, not 64),
+   * then one fold over the votes to assemble the signature. Keeps the
+   * generated code linear in tokens instead of 64 independent aggregates.
    */
   def simhash64(text: Column): Column = {
     val toks = array_distinct(split(text, " "))
-    val bits = (0 until 64).map { bit =>
-      // vote for bit b: +1 if the token-hash has bit set, −1 otherwise; the
-      // signature bit is 1 iff the vote sum is positive.
-      val vote = aggregate(toks, lit(0L),
-        (acc, t) => acc + when(shiftright(xxhash64(t), bit).bitwiseAND(lit(1L)) === 1L, 1L).otherwise(-1L))
-      when(vote > 0, shiftleft(lit(1L), bit)).otherwise(lit(0L))
-    }
-    bits.reduce((a, b) => a.bitwiseOR(b))
+    val powers = array((0 until 64).map(i => lit(1L << i)): _*)
+    val votes = aggregate(toks, array_repeat(lit(0L), 64),
+      (acc, t) => {
+        val h = xxhash64(t)
+        zip_with(acc, powers,
+          (a, p) => a + when(h.bitwiseAND(p) =!= 0L, 1L).otherwise(-1L))
+      })
+    aggregate(
+      zip_with(votes, powers, (v, p) => when(v > 0, p).otherwise(lit(0L))),
+      lit(0L), (acc, b) => acc.bitwiseOR(b))
   }
 
   /** SimHash near-dup candidate pairs within Hamming distance ≤ maxHamming,

@@ -44,13 +44,16 @@ object Similarity {
     val corpus = base
     val q = queries.alias("q")
     val c = corpus.alias("c")
+    // Rank by the 6-digit-rounded cosine (with the id tie-break) so the
+    // top-k frontier is stable across engines/summation orders — the raw
+    // double could flip ranks on last-bit differences.
     val scored = c.join(broadcast(q), col("q.id") =!= col("c.id"))
       .select(col("q.id").as("query_id"), col("c.id").as("neighbor_id"),
-        (dot(col("q.v"), col("c.v")) / (col("q.n") * col("c.n"))).as("cos"))
+        round(dot(col("q.v"), col("c.v")) / (col("q.n") * col("c.n")), 6).as("cos"))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cos").desc, col("neighbor_id").asc)
     scored.withColumn("rn", row_number().over(w)).filter(col("rn") <= k)
-      .select(col("query_id"), col("neighbor_id"), round(col("cos"), 6).as("cos"), col("rn"))
+      .select(col("query_id"), col("neighbor_id"), col("cos"), col("rn"))
   }
 
   /** Deterministic pseudo-random hyperplane component for (plane, dim):
@@ -86,23 +89,30 @@ object Similarity {
     val scored = c.join(broadcast(q),
         col("q.bucket") === col("c.bucket") && col("q.id") =!= col("c.id"))
       .select(col("q.id").as("query_id"), col("c.id").as("neighbor_id"),
-        (dot(col("q.v"), col("c.v")) / (col("q.n") * col("c.n"))).as("cos"))
+        round(dot(col("q.v"), col("c.v")) / (col("q.n") * col("c.n")), 6).as("cos"))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cos").desc, col("neighbor_id").asc)
     scored.withColumn("rn", row_number().over(w)).filter(col("rn") <= k)
-      .select(col("query_id"), col("neighbor_id"), round(col("cos"), 6).as("cos"), col("rn"))
+      .select(col("query_id"), col("neighbor_id"), col("cos"), col("rn"))
   }
 
   /** Embedding-cosine near-duplicate pairs above a threshold; id_a < id_b.
-    * Broadcast-join of the (small) left sample against the corpus — for a
-    * full corpus×corpus sweep at scale, use `lshTopK` buckets instead. */
+    * Candidates come from hyperplane-LSH buckets (same signature family as
+    * [[lshTopK]]) so the join is an equi-join on the bucket id — never an
+    * all-pairs nested loop. High-cosine pairs land in the same bucket with
+    * probability (1 − θ/π)^planes; `planes` trades recall for bucket size.
+    * The exact cosine re-check inside the bucket removes false positives,
+    * so precision is exact and only recall is approximate. */
   def cosineNearDupPairs(df: DataFrame, idCol: String, vecCol: String,
-                         tau: Double, leftPred: Column): DataFrame = {
+                         tau: Double, leftPred: Column,
+                         planes: Int = 6): DataFrame = {
     val base = df.select(col(idCol).as("id"), col(vecCol).cast("array<double>").as("v"))
       .withColumn("n", norm2(col("v")))
+      .withColumn("bucket", lshSignature(col("v"), planes))
     val a = base.filter(leftPred).alias("a")
     val b = base.alias("b")
-    b.join(broadcast(a), col("a.id") < col("b.id"))
+    b.join(broadcast(a),
+        col("a.bucket") === col("b.bucket") && col("a.id") < col("b.id"))
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
         (dot(col("a.v"), col("b.v")) / (col("a.n") * col("b.n"))).as("cos"))
       .filter(round(col("cos"), 6) >= tau)

@@ -98,9 +98,11 @@ object TextAnalysis {
     df.withColumn("fp_md5", md5(t))
       .withColumn("fp_xxh64", xxhash64(t))
       .withColumn("fp_rolling",
+        // Modulus 2^58 keeps acc*31+c < 2^63 — ANSI-safe (Spark 4 raises on
+        // Long overflow) while staying a deterministic 58-bit polynomial hash.
         aggregate(
           transform(split(t, ""), ch => ascii(ch).cast("long")),
           lit(0L),
-          (acc, c) => acc * lit(31L) + c))
+          (acc, c) => (acc * lit(31L) + c) % lit(1L << 58)))
   }
 }

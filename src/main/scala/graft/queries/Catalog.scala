@@ -411,7 +411,7 @@ object Catalog {
   // rows-only check.
   // ------------------------------------------------------------------
 
-  val all: Map[String, Q] = Map(
+  val all: Map[String, Q] = PipelineCatalog.all ++ Map(
     "q1_agg" -> q1Agg,
     "q3_revenue" -> q3Revenue,
     "q5_nation" -> q5Nation,
@@ -431,7 +431,7 @@ object Catalog {
     "reconcile" -> reconcile,
     "value_sum_daily" -> valueSumDaily)
 
-  val oracles: Map[String, String] = Map(
+  val oracles: Map[String, String] = PipelineCatalog.oracles ++ Map(
     "q1_agg" -> q1AggSql,
     "q3_revenue" -> q3RevenueSql,
     "q5_nation" -> q5NationSql,

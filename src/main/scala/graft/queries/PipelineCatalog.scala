@@ -1,0 +1,246 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+
+import graft.operators._
+import graft.sources.Tables
+
+/**
+ * Training-data-pipeline query catalog: deduplication, similarity search,
+ * text analysis, and multimodal plumbing bound to the driver's `documents`
+ * and `embeddings` tables (TESTDATA.md), with DuckDB oracles wherever the
+ * semantics are ANSI-SQL-expressible.
+ *
+ * Oracle notes:
+ *  - md5 / string / list functions are portable → exact oracles.
+ *  - xxhash64-seeded families (MinHash bands, SimHash, hyperplane LSH)
+ *    have no DuckDB twin → rows-only entries; their correctness is pinned
+ *    by ScalaTest fixtures with planted duplicates instead.
+ *  - Cosine scores are rounded to 6 digits on BOTH engines before rank /
+ *    threshold so last-bit summation differences can't flip rows.
+ */
+object PipelineCatalog {
+
+  import Catalog.Q
+
+  // ------------------------------------------------------------------
+  // Deduplication (documents)
+  // ------------------------------------------------------------------
+
+  val dedupExactGroups: Q = (s, dir) =>
+    Dedup.exactGroups(Tables.documents(s, dir), "doc_id", "text")
+
+  val dedupExactGroupsSql: String =
+    """SELECT md5(text) AS fingerprint, min(doc_id) AS keeper_id, count(*) AS n_copies
+      |FROM documents GROUP BY 1""".stripMargin
+
+  val dedupExact: Q = (s, dir) =>
+    Dedup.exactDedup(Tables.documents(s, dir), "doc_id", "text")
+      .select(col("doc_id"), col("lang"), col("source"), col("n_chars"))
+
+  val dedupExactSql: String =
+    """SELECT doc_id, lang, source, n_chars FROM (
+      |  SELECT *, row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
+      |  FROM documents
+      |) WHERE rn = 1""".stripMargin
+
+  /** Blocked word-set Jaccard pairs (block = source). */
+  val dedupJaccard: Q = (s, dir) =>
+    Dedup.jaccardPairs(Tables.documents(s, dir), "doc_id", "text", "source", 0.20)
+
+  val dedupJaccardSql: String =
+    """WITH t AS (
+      |  SELECT doc_id AS id, source AS blk,
+      |         list_distinct(string_split(text, ' ')) AS toks
+      |  FROM documents
+      |)
+      |SELECT a.id AS id_a, b.id AS id_b,
+      |       CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE) /
+      |       CAST(len(a.toks) + len(b.toks) - len(list_intersect(a.toks, b.toks)) AS DOUBLE) AS jaccard
+      |FROM t a JOIN t b ON a.blk = b.blk AND a.id < b.id
+      |WHERE CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE) /
+      |      CAST(len(a.toks) + len(b.toks) - len(list_intersect(a.toks, b.toks)) AS DOUBLE) >= 0.20""".stripMargin
+
+  /** MinHash+LSH near-dup pairs — xxhash64 signatures, rows-only. */
+  val dedupMinhash: Q = (s, dir) =>
+    Dedup.minhashLshPairs(Tables.documents(s, dir), "doc_id", "text",
+      k = 3, bands = 8, rowsPerBand = 4, tau = 0.5)
+
+  /** SimHash near-dup pairs — xxhash64 signature, rows-only. */
+  val dedupSimhash: Q = (s, dir) =>
+    Dedup.simhashPairs(Tables.documents(s, dir), "doc_id", "text")
+
+  // ------------------------------------------------------------------
+  // Similarity search (embeddings)
+  // ------------------------------------------------------------------
+
+  /** Exact brute-force cosine top-5 for every 100th vector. */
+  val simBruteForce: Q = (s, dir) =>
+    Similarity.bruteForceTopK(Tables.embeddings(s, dir), "vec_id", "embedding",
+      col("id") % 100 === 0, k = 5)
+
+  val simBruteForceSql: String =
+    """WITH base AS (
+      |  SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+      |), q AS (SELECT * FROM base WHERE id % 100 = 0),
+      |scored AS (
+      |  SELECT q.id AS query_id, c.id AS neighbor_id,
+      |         round(list_dot_product(q.v, c.v) /
+      |               (sqrt(list_dot_product(q.v, q.v)) * sqrt(list_dot_product(c.v, c.v))), 6) AS cos
+      |  FROM base c CROSS JOIN q
+      |  WHERE q.id <> c.id
+      |)
+      |SELECT query_id, neighbor_id, cos, rn FROM (
+      |  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id ASC) AS rn
+      |  FROM scored
+      |) WHERE rn <= 5""".stripMargin
+
+  /** Hyperplane-LSH bucketed ANN top-5 — xxhash64 planes, rows-only. */
+  val simLsh: Q = (s, dir) =>
+    Similarity.lshTopK(Tables.embeddings(s, dir), "vec_id", "embedding",
+      col("id") % 100 === 0, k = 5, planes = 8)
+
+  /** LSH-bucketed embedding near-dup pairs — rows-only. Thresholds tuned to
+    * the synthetic embeddings (max sample-pair cosine ≈ 0.44): tau 0.3 with
+    * 3 planes keeps recall high enough to emit rows at sf0.01. */
+  val simNearDup: Q = (s, dir) =>
+    Similarity.cosineNearDupPairs(Tables.embeddings(s, dir), "vec_id", "embedding",
+      tau = 0.3, leftPred = col("id") % 20 === 0, planes = 3)
+
+  // ------------------------------------------------------------------
+  // Text analysis (documents)
+  // ------------------------------------------------------------------
+
+  val textTokens: Q = (s, dir) =>
+    Tables.documents(s, dir).select(
+      col("doc_id"),
+      size(TextAnalysis.tokens(col("text"))).as("ws_tokens"),
+      TextAnalysis.bpeIshTokenCount(col("text")).as("bpe_tokens"))
+
+  val textTokensSql: String =
+    """SELECT doc_id,
+      |  CAST(len(string_split(text, ' ')) AS INT) AS ws_tokens,
+      |  CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS INT) AS bpe_tokens
+      |FROM documents""".stripMargin
+
+  val textQuality: Q = (s, dir) =>
+    TextAnalysis.qualityScore(Tables.documents(s, dir), "text")
+      .select(col("doc_id"), col("n_chars_m"), col("n_tokens"),
+        col("mean_token_len"), col("stopword_ratio"), col("punct_ratio"),
+        col("alpha_ratio"), col("quality_score"))
+
+  val textQualitySql: String =
+    """WITH f AS (
+      |  SELECT doc_id,
+      |    CAST(length(text) AS INT) AS n_chars_m,
+      |    CAST(len(string_split(text, ' ')) AS INT) AS n_tokens,
+      |    CAST(list_sum(list_transform(string_split(text, ' '), x -> length(x))) AS DOUBLE)
+      |      / CAST(len(string_split(text, ' ')) AS DOUBLE) AS mean_token_len,
+      |    CAST(len(list_filter(string_split(text, ' '),
+      |          t -> t IN ('the','a','an','of','to','and','in','is'))) AS DOUBLE)
+      |      / CAST(len(string_split(text, ' ')) AS DOUBLE) AS stopword_ratio,
+      |    CAST(length(text) - length(regexp_replace(text, '[[:punct:]]', '', 'g')) AS DOUBLE)
+      |      / CAST(length(text) AS DOUBLE) AS punct_ratio,
+      |    CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS DOUBLE)
+      |      / CAST(length(text) AS DOUBLE) AS alpha_ratio
+      |  FROM documents
+      |)
+      |SELECT doc_id, n_chars_m, n_tokens, mean_token_len, stopword_ratio,
+      |       punct_ratio, alpha_ratio,
+      |       greatest(0.0, least(1.0,
+      |         0.4 * least(CAST(n_tokens AS DOUBLE) / 64.0, 1.0)
+      |         + 0.3 * (1.0 - punct_ratio)
+      |         + 0.3 * alpha_ratio)) AS quality_score
+      |FROM f""".stripMargin
+
+  val textLangId: Q = (s, dir) =>
+    TextAnalysis.withLangId(Tables.documents(s, dir), "text")
+      .select(col("doc_id"), col("lang_pred"))
+
+  /** CASE chain in lexicographic language order replicates the Spark-side
+    * argmax tie-break (smallest language code wins on equal hits). */
+  val textLangIdSql: String = {
+    val langs = TextAnalysis.langProfiles.toSeq.sortBy(_._1)
+    def hits(words: Seq[String]): String =
+      s"len(list_filter(string_split(lower(text), ' '), t -> t IN (${words.map(w => s"'$w'").mkString(",")})))"
+    val hitCols = langs.map { case (l, ws) => s"${hits(ws)} AS h_$l" }.mkString(",\n    ")
+    val cases = langs.init.zipWithIndex.map { case ((l, _), i) =>
+      val rest = langs.drop(i + 1).map { case (r, _) => s"h_$l >= h_$r" }.mkString(" AND ")
+      s"WHEN $rest THEN '$l'"
+    }.mkString("\n    ")
+    s"""WITH h AS (
+       |  SELECT doc_id,
+       |    $hitCols
+       |  FROM documents
+       |)
+       |SELECT doc_id, CASE
+       |    $cases
+       |    ELSE '${langs.last._1}' END AS lang_pred
+       |FROM h""".stripMargin
+  }
+
+  /** Portable fingerprint (md5) — the oracle-checkable slice. */
+  val textFingerprint: Q = (s, dir) =>
+    TextAnalysis.withFingerprints(Tables.documents(s, dir), "text")
+      .select(col("doc_id"), col("fp_md5"))
+
+  val textFingerprintSql: String =
+    "SELECT doc_id, md5(text) AS fp_md5 FROM documents"
+
+  /** Full fingerprint family incl. xxhash64 + rolling hash — rows-only
+    * (no DuckDB twin for Spark's xxhash64 / wrapping Long arithmetic). */
+  val textFingerprintFull: Q = (s, dir) =>
+    TextAnalysis.withFingerprints(Tables.documents(s, dir), "text")
+      .select(col("doc_id"), col("fp_md5"), col("fp_xxh64"), col("fp_rolling"))
+
+  // ------------------------------------------------------------------
+  // Multimodal plumbing (documents.text bytes stand in for payloads)
+  // ------------------------------------------------------------------
+
+  val mmPayloadStats: Q = (s, dir) =>
+    Multimodal.payloadStats(Tables.documents(s, dir), "doc_id", "text")
+
+  val mmPayloadStatsSql: String =
+    """SELECT doc_id AS media_id,
+      |  CAST(octet_length(encode(text)) AS INT) AS n_bytes,
+      |  md5(text) AS digest_md5
+      |FROM documents""".stripMargin
+
+  /** Typed mapPartitions decode path (stub codec) — rows-only. */
+  val mmFeatures: Q = (s, dir) => {
+    val items = Multimodal.itemsFromBinary(Tables.documents(s, dir), "doc_id", "text", "image")
+    Multimodal.extractFeatures(s, items).toDF()
+  }
+
+  // ------------------------------------------------------------------
+  // Registry
+  // ------------------------------------------------------------------
+
+  val all: Map[String, Q] = Map(
+    "dedup_exact_groups" -> dedupExactGroups,
+    "dedup_exact" -> dedupExact,
+    "dedup_jaccard" -> dedupJaccard,
+    "dedup_minhash" -> dedupMinhash,
+    "dedup_simhash" -> dedupSimhash,
+    "sim_bruteforce_topk" -> simBruteForce,
+    "sim_lsh_topk" -> simLsh,
+    "sim_near_dup" -> simNearDup,
+    "text_tokens" -> textTokens,
+    "text_quality" -> textQuality,
+    "text_lang_id" -> textLangId,
+    "text_fingerprint" -> textFingerprint,
+    "text_fingerprint_full" -> textFingerprintFull,
+    "mm_payload_stats" -> mmPayloadStats,
+    "mm_features" -> mmFeatures)
+
+  val oracles: Map[String, String] = Map(
+    "dedup_exact_groups" -> dedupExactGroupsSql,
+    "dedup_exact" -> dedupExactSql,
+    "dedup_jaccard" -> dedupJaccardSql,
+    "sim_bruteforce_topk" -> simBruteForceSql,
+    "text_tokens" -> textTokensSql,
+    "text_quality" -> textQualitySql,
+    "text_lang_id" -> textLangIdSql,
+    "text_fingerprint" -> textFingerprintSql,
+    "mm_payload_stats" -> mmPayloadStatsSql)
+}
