@@ -39,8 +39,10 @@ object Detectors {
   /**
    * Sequence-timeout detector (J3/J6 — OrderTimeoutAppWithCep.java:46-65,
    * OrderTimeoutAppWithState.java:57-111): for every `start` event, find the
-   * first `follow` event with the same key strictly after it and within
-   * `windowSec`; emit status "payed" (with the follow time) or "timeout".
+   * first `follow` event with the same key at-or-after it (the reference
+   * matches a pay in the same second as its create — file arrival order)
+   * and within `windowSec`; emit status "payed" (with the follow time) or
+   * "timeout".
    *
    * Batch shape: left equi-join + range filter + min-aggregate back to one
    * row per start event. The equi key carries the shuffle; at scale this is
@@ -55,7 +57,7 @@ object Detectors {
     val f = follows.alias("f")
     s.join(f,
         col(s"s.$key") === col(s"f.$key") &&
-          col(s"f.$followUsec") > col(s"s.$startUsec") &&
+          col(s"f.$followUsec") >= col(s"s.$startUsec") &&
           col(s"f.$followUsec") <= col(s"s.$startUsec") + lit(windowSec * 1000000L),
         "left_outer")
       .groupBy(col(s"s.$key").as(key), col(s"s.$startUsec").as(startUsec))

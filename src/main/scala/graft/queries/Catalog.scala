@@ -335,7 +335,7 @@ object Catalog {
        |       CASE WHEN min(p.pay_usec) IS NOT NULL THEN 'payed' ELSE 'timeout' END AS status
        |FROM s LEFT JOIN p
        |  ON s.user_id = p.user_id
-       | AND p.pay_usec > s.signup_usec
+       | AND p.pay_usec >= s.signup_usec
        | AND p.pay_usec <= s.signup_usec + ${86400L * 1000000L}
        |GROUP BY s.user_id, s.signup_usec""".stripMargin
 

@@ -1,0 +1,65 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSuite
+
+/** Fixture-pinned correctness for the xxhash64-seeded dedup families that
+  * have no DuckDB oracle (MinHash+LSH, SimHash): planted near-duplicates
+  * must be found, distinct documents must not pair. */
+class DedupSpec extends SparkSuite {
+
+  import spark.implicits._
+
+  private val base =
+    "the quick brown fox jumps over the lazy dog while the cat sleeps on the warm mat near the door and the birds sing in the tall green trees outside the old wooden house every sunny morning"
+  private val nearDup = base.replace("lazy dog", "sleepy dog").replace("sunny morning", "rainy morning")
+  private val distinct1 =
+    "completely different content about distributed query engines processing petabytes of columnar data with vectorized execution and adaptive partitioning across thousands of worker nodes"
+  private val distinct2 =
+    "unrelated recipe for sourdough bread requiring flour water salt starter patience kneading folding proofing shaping scoring baking steam crust crumb flavor fermentation temperature timing"
+
+  private lazy val docs = Seq(
+    (1L, base), (2L, nearDup), (3L, distinct1), (4L, distinct2), (5L, base)
+  ).toDF("doc_id", "text")
+
+  test("exactGroups finds the exact duplicate pair") {
+    val groups = Dedup.exactGroups(docs, "doc_id", "text").collect()
+    assert(groups.length === 4) // 5 docs, one exact dup
+    val dup = groups.filter(_.getAs[Long]("n_copies") == 2L)
+    assert(dup.length === 1 && dup.head.getAs[Long]("keeper_id") === 1L)
+  }
+
+  test("exactDedup keeps min-id row per content") {
+    val kept = Dedup.exactDedup(docs, "doc_id", "text")
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept === Set(1L, 2L, 3L, 4L))
+  }
+
+  test("minhashLshPairs finds the planted near-dup and no false pair") {
+    val pairs = Dedup.minhashLshPairs(docs, "doc_id", "text",
+        k = 3, bands = 8, rowsPerBand = 4, tau = 0.5)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((1L, 2L)), s"near-dup (1,2) must be found, got $pairs")
+    assert(pairs.contains((1L, 5L)), "exact dup is trivially a near-dup")
+    assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L))
+    assert(!pairs.exists(p => p._1 == 4L || p._2 == 4L))
+  }
+
+  test("simhashPairs finds hamming-close docs only") {
+    val pairs = Dedup.simhashPairs(docs, "doc_id", "text", maxHamming = 3)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((1L, 5L)), "identical docs have hamming 0")
+    assert(!pairs.exists(p => Set(p._1, p._2) == Set(3L, 4L)))
+  }
+
+  test("jaccardPairs respects the blocking column") {
+    val blocked = Seq(
+      (1L, base, "s1"), (2L, nearDup, "s2"), // same content family, different blocks
+      (3L, base, "s2")
+    ).toDF("doc_id", "text", "source")
+    val pairs = Dedup.jaccardPairs(blocked, "doc_id", "text", "source", 0.5)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(pairs === Set((2L, 3L))) // only the same-block near pair
+  }
+}

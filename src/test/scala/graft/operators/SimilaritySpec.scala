@@ -1,0 +1,43 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSuite
+
+/** Known-vector correctness for the similarity operators (LSH variants have
+  * no DuckDB oracle; brute force doubles as their recall reference). */
+class SimilaritySpec extends SparkSuite {
+
+  import spark.implicits._
+
+  // 4-dim toy corpus: v1≈v2 (cos≈0.998), v3 orthogonal-ish, v4 negated
+  private lazy val vecs = Seq(
+    (0L, Array(1.0f, 0.0f, 0.0f, 0.0f)),
+    (1L, Array(0.99f, 0.1f, 0.0f, 0.0f)),
+    (2L, Array(0.0f, 1.0f, 0.0f, 0.0f)),
+    (3L, Array(-1.0f, 0.0f, 0.0f, 0.0f)),
+    (4L, Array(0.9f, 0.05f, 0.1f, 0.0f))
+  ).toDF("vec_id", "embedding")
+
+  test("bruteForceTopK ranks by exact cosine") {
+    val res = Similarity.bruteForceTopK(vecs, "vec_id", "embedding",
+        col("id") === 0L, k = 3)
+      .orderBy("rn").select("neighbor_id").as[Long].collect().toSeq
+    assert(res === Seq(1L, 4L, 2L)) // cos: 1→0.995, 4→0.993, 2→0, 3→−1
+  }
+
+  test("lshTopK finds near-identical vectors in the same bucket") {
+    val res = Similarity.lshTopK(vecs, "vec_id", "embedding",
+        col("id") === 0L, k = 3, planes = 4)
+      .select("neighbor_id").as[Long].collect().toSet
+    assert(res.contains(1L), "near-identical vector must share all hyperplane signs")
+  }
+
+  test("cosineNearDupPairs finds high-cosine pairs through buckets") {
+    val res = Similarity.cosineNearDupPairs(vecs, "vec_id", "embedding",
+        tau = 0.98, leftPred = col("id") === 0L, planes = 4)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(res.contains((0L, 1L)))
+    assert(!res.exists(p => p._2 == 3L), "negated vector is never a near-dup")
+  }
+}

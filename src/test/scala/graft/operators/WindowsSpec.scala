@@ -1,0 +1,57 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSuite
+
+/** Window operator semantics on small deterministic data. */
+class WindowsSpec extends SparkSuite {
+
+  import spark.implicits._
+
+  // events at :00:10, :04:50, :05:10, :59:50, 1:00:10 for two keys
+  private lazy val events = Seq(
+    ("a", 10L), ("a", 290L), ("b", 310L), ("a", 3590L), ("b", 3610L)
+  ).toDF("k", "sec").withColumn("ts", timestamp_seconds(col("sec")))
+
+  test("tumblingCount: 1h windows, per-key and global") {
+    val perKey = Windows.tumblingCount(events, "ts", Seq("k"), "1 hour")
+      .as[(String, Long, Long)].collect().toSet
+    assert(perKey === Set(("a", 3600L, 3L), ("b", 3600L, 1L), ("b", 7200L, 1L)))
+    val global = Windows.tumblingCount(events.select("ts"), "ts", Seq.empty, "1 hour")
+      .as[(Long, Long)].collect().toSet
+    assert(global === Set((3600L, 4L), (7200L, 1L)))
+  }
+
+  test("slidingCount: each row lands in size/slide windows") {
+    val res = Windows.slidingCount(events.filter(col("k") === "b"), "ts",
+        Seq("k"), "10 minutes", "5 minutes")
+      .as[(String, Long, Long)].collect().toSet
+    // row at 310s → windows ending 600 and 900; row at 3610 → 3900, 4200
+    assert(res === Set(("b", 600L, 1L), ("b", 900L, 1L), ("b", 3900L, 1L), ("b", 4200L, 1L)))
+  }
+
+  test("exactDistinct vs approxDistinct on duplicated keys") {
+    val dup = Seq(1L, 1L, 2L, 3L, 3L, 3L).toDF("uid")
+      .withColumn("ts", timestamp_seconds(lit(100L)))
+    assert(Windows.exactDistinct(dup, "ts", "uid", "1 hour")
+      .select("uv").as[Long].head() === 3L)
+    assert(Windows.approxDistinct(dup, "ts", "uid", "1 hour")
+      .select("uv_approx").as[Long].head() === 3L) // HLL exact at tiny n
+  }
+
+  test("topNPerWindow: deterministic tie-break") {
+    val counts = Seq(("x", 100L, 5L), ("y", 100L, 5L), ("z", 100L, 9L), ("w", 100L, 1L))
+      .toDF("item", "window_end", "cnt")
+    val top = Windows.topNPerWindow(counts, Seq("window_end"), "cnt", "item", 3)
+      .orderBy("rn").select("item").as[String].collect().toSeq
+    assert(top === Seq("z", "x", "y")) // tie x/y broken by item asc
+  }
+
+  test("saltedCount ≡ plain count") {
+    val df = Seq("a", "a", "a", "b").toDF("k")
+    val salted = Windows.saltedCount(df, Seq("k"), 8)
+      .as[(String, Long)].collect().toSet
+    assert(salted === Set(("a", 3L), ("b", 1L)))
+  }
+}

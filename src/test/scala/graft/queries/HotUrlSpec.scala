@@ -1,0 +1,56 @@
+package graft.queries
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+import graft.SparkSuite
+import graft.sources.CsvSources
+
+/** HotUrl family over the deterministic apache.log fixture: batch top-5,
+  * SQL-surface ≡ DSL, and streaming windowed counts ≡ batch counts. */
+class HotUrlSpec extends SparkSuite {
+
+  import spark.implicits._
+
+  private lazy val logs = CsvSources.apacheLog(spark, fixture("apache.log"))
+
+  test("apacheLog parser: schema + GET share") {
+    val rows = logs.collect()
+    assert(rows.length === 1000)
+    assert(logs.filter(col("method") === "GET").count() > 800)
+    assert(logs.filter(col("ts").isNull).count() === 0, "every date must parse")
+  }
+
+  test("hotUrls: at most 5 per window, rank order correct") {
+    val res = HotUrl.hotUrls(logs).cache()
+    val perWindow = res.groupBy("window_end").count().agg(max("count")).as[Long].head()
+    assert(perWindow <= 5)
+    // within a window, rank follows cnt desc (tie: url asc)
+    val w = res.filter(col("window_end") === res.select(max("window_end")).head().getLong(0))
+      .orderBy("rn").select("cnt").as[Long].collect()
+    assert(w.sameElements(w.sorted(Ordering[Long].reverse)))
+    res.unpersist()
+  }
+
+  test("streaming windowed counts ≡ batch (single replay batch)") {
+    implicit val sqlCtx = spark.sqlContext
+    // (url, epoch-second) tuples — MemoryStream needs a product encoder
+    val rows = logs.filter(col("method") === "GET")
+      .select(col("url"), col("ts").cast("long")).as[(String, Long)].collect().toSeq
+    val input = MemoryStream[(String, Long)]
+    val streamed = HotUrl.hotUrlCountsStream(
+      input.toDS().select(col("_2").cast("timestamp").as("ts"), col("_1").as("url"))
+        .withColumn("method", lit("GET")))
+    val q = streamed.writeStream.format("memory").queryName("hoturl")
+      .outputMode("update").start()
+    try { input.addData(rows); q.processAllAvailable() } finally q.stop()
+    val stream = spark.table("hoturl")
+      .select("url", "window_end", "cnt").as[(String, Long, Long)].collect().toSet
+
+    val batch = graft.operators.Windows.slidingCount(
+        logs.filter(col("method") === "GET").select(col("ts"), col("url")),
+        "ts", Seq("url"), "10 minutes", "5 seconds")
+      .select("url", "window_end", "cnt").as[(String, Long, Long)].collect().toSet
+    assert(stream === batch)
+  }
+}
