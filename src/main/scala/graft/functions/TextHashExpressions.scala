@@ -1,0 +1,153 @@
+package graft.functions
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, TernaryExpression, UnaryExpression, XXH64}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+import org.apache.spark.sql.SparkSessionExtensions
+
+/**
+ * Native Catalyst expressions for the text-hash hot paths.
+ *
+ * Spark's higher-order array functions (transform/aggregate/zip_with) are
+ * CodegenFallback — interpreted, one boxed lambda call per element. A
+ * MinHash signature is numHashes × shingles such calls per document; at
+ * corpus scale that's the whole query cost. These expressions run the same
+ * math as a tight JVM loop (one XXH64 string hash per shingle + numHashes
+ * long hashes), participate in codegen via `defineCodeGen`, and keep the
+ * plan free of UDF/RDD hops so column pruning still reaches the scan.
+ *
+ * Deterministic: same seeds (Spark's default xxhash64 seed 42) as the
+ * declarative fallbacks in [[graft.operators.Dedup]].
+ */
+object TextHash {
+
+  val XXHASH_DEFAULT_SEED = 42L
+
+  private def splitTokens(s: String): Array[String] = s.split(" ", -1)
+
+  /** MinHash signature over the k-shingle set of whitespace tokens.
+    * Shingle content hash runs once (XXH64 over the joined shingle);
+    * family `f`'s hash is XXH64.hashLong(base, f). Empty shingle set →
+    * Long.MaxValue signature (matches no non-empty band). */
+  def minhashSignature(text: UTF8String, k: Int, numHashes: Int): ArrayData = {
+    val toks = splitTokens(text.toString)
+    val nSh = toks.length - k + 1
+    val sig = new Array[Long](numHashes)
+    java.util.Arrays.fill(sig, Long.MaxValue)
+    val seen = new java.util.HashSet[Long]()
+    val sb = new java.lang.StringBuilder()
+    var i = 0
+    while (i < nSh) {
+      sb.setLength(0)
+      var j = 0
+      while (j < k) {
+        if (j > 0) sb.append(' ')
+        sb.append(toks(i + j))
+        j += 1
+      }
+      val base = XXH64.hashUTF8String(UTF8String.fromString(sb.toString), XXHASH_DEFAULT_SEED)
+      if (seen.add(base)) {
+        var f = 0
+        while (f < numHashes) {
+          val v = XXH64.hashLong(base, f.toLong)
+          if (v < sig(f)) sig(f) = v
+          f += 1
+        }
+      }
+      i += 1
+    }
+    new GenericArrayData(sig)
+  }
+
+  /** 64-bit SimHash over the distinct whitespace-token set — bit-identical
+    * to the declarative `Dedup.simhash64` (same tokenization, same
+    * xxhash64(seed=42) per token, same ±1 vote rule). */
+  def simhash64(text: UTF8String): Long = {
+    val toks = splitTokens(text.toString)
+    val seen = new java.util.HashSet[String]()
+    val votes = new Array[Int](64)
+    var i = 0
+    while (i < toks.length) {
+      val t = toks(i)
+      if (seen.add(t)) {
+        val h = XXH64.hashUTF8String(UTF8String.fromString(t), XXHASH_DEFAULT_SEED)
+        var b = 0
+        while (b < 64) {
+          if (((h >>> b) & 1L) == 1L) votes(b) += 1 else votes(b) -= 1
+          b += 1
+        }
+      }
+      i += 1
+    }
+    var sig = 0L
+    var b = 0
+    while (b < 64) {
+      if (votes(b) > 0) sig |= (1L << b)
+      b += 1
+    }
+    sig
+  }
+}
+
+/** minhash_signature(text, k, numHashes) → array<bigint>. */
+case class MinHashSignatureExpr(first: Expression, second: Expression, third: Expression)
+    extends TernaryExpression {
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = first.nullable
+
+  override protected def nullSafeEval(text: Any, k: Any, n: Any): Any =
+    TextHash.minhashSignature(text.asInstanceOf[UTF8String],
+      k.asInstanceOf[Int], n.asInstanceOf[Int])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (t, k, n) =>
+      s"graft.functions.TextHash.minhashSignature($t, $k, $n)")
+
+  override protected def withNewChildrenInternal(
+      newFirst: Expression, newSecond: Expression, newThird: Expression): Expression =
+    copy(first = newFirst, second = newSecond, third = newThird)
+}
+
+/** simhash64(text) → bigint. */
+case class SimHash64Expr(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = child.nullable
+
+  override protected def nullSafeEval(text: Any): Any =
+    TextHash.simhash64(text.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, t => s"graft.functions.TextHash.simhash64($t)")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** Function registry glue: session-local registration (for library callers)
+  * and a SparkSessionExtensions hook (for `spark.sql.extensions` deploys). */
+object GraftFunctions {
+
+  val all: Seq[(String, Seq[Expression] => Expression)] = Seq(
+    "graft_minhash_signature" -> (args => MinHashSignatureExpr(args(0), args(1), args(2))),
+    "graft_simhash64" -> (args => SimHash64Expr(args.head)))
+
+  /** Idempotent per-session registration; call before `call_function`. */
+  def register(spark: SparkSession): Unit = all.foreach { case (name, builder) =>
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(name, builder, "built-in")
+  }
+}
+
+/** `spark.sql.extensions=graft.functions.GraftExtensions` registration. */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit =
+    GraftFunctions.all.foreach { case (name, builder) =>
+      ext.injectFunction((FunctionIdentifier(name),
+        new ExpressionInfo("graft", name), builder))
+    }
+}

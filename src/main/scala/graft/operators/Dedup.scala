@@ -47,18 +47,36 @@ object Dedup {
         (s: Column) => size(split(s, " ")) === k))
   }
 
-  /**
-   * MinHash signature: for each of `numHashes` seeded hash functions, the
-   * minimum xxhash64(shingle, seed) over the doc's shingle set. One array
-   * column, computed entirely map-side.
-   */
-  def minhashSignature(text: Column, k: Int, numHashes: Int): Column = {
-    val sh = shingles(text, k)
-    val hashes = (0 until numHashes).map { seed =>
-      array_min(transform(sh, s => xxhash64(s, lit(seed))))
-    }
-    array(hashes: _*)
+  /** 64-bit hash per k-shingle position, hashing the token-array slice
+    * directly (xxhash64 supports array inputs) — no per-shingle string
+    * building. Distinct, so the signature sees the shingle *set*. */
+  def shingleHashes(text: Column, k: Int): Column = {
+    val toks = split(text, " ")
+    val n = size(toks)
+    array_distinct(
+      when(n >= k,
+        transform(sequence(lit(0), n - k), i => xxhash64(slice(toks, i + 1, lit(k)))))
+      .otherwise(array()))
   }
+
+  /**
+   * MinHash signature: `numHashes` seeded min-hashes over the doc's shingle
+   * set. The expensive content hash runs ONCE per shingle (`shingleHashes`);
+   * each of the `numHashes` families then re-hashes that 8-byte value
+   * (xxhash64(long, seed)) — 32 long-hashes instead of 32 string-hashes per
+   * shingle. One array column, computed entirely map-side.
+   */
+  def minhashSignature(text: Column, k: Int, numHashes: Int): Column =
+    minhashFromHashes(shingleHashes(text, k), numHashes)
+
+  /** Signature from a precomputed shingle-hash array column. `numHashes`
+    * array_min passes over the (cheap, long-typed) hash array — measured
+    * faster than a single aggregate fold, which allocates a fresh
+    * `numHashes`-slot accumulator array per element. */
+  def minhashFromHashes(hs: Column, numHashes: Int): Column =
+    array((0 until numHashes).map { seed =>
+      array_min(transform(hs, h => xxhash64(h, lit(seed))))
+    }: _*)
 
   /**
    * MinHash + LSH candidate pairs: signature of `bands * rowsPerBand`
@@ -71,14 +89,14 @@ object Dedup {
                       k: Int = 3, bands: Int = 8, rowsPerBand: Int = 4,
                       tau: Double = 0.7): DataFrame = {
     val numHashes = bands * rowsPerBand
+    graft.functions.GraftFunctions.register(df.sparkSession)
     val docs = df.select(col(idCol).as("id"), col(textCol).as("text"))
-    // Shingle set materialized once; each of the `numHashes` min-hashes
-    // folds over the same array column (not a per-seed re-tokenize).
+    // Signature via the native codegen'd expression (one content hash per
+    // shingle + numHashes long hashes, tight loop) — the higher-order
+    // function pipeline is CodegenFallback and ~20× slower per doc.
     val sigs = docs
-      .withColumn("sh", shingles(col("text"), k))
-      .withColumn("sig", array((0 until numHashes).map { seed =>
-        array_min(transform(col("sh"), s => xxhash64(s, lit(seed))))
-      }: _*))
+      .withColumn("sig", call_function("graft_minhash_signature",
+        col("text"), lit(k), lit(numHashes)))
       .select(col("id"), col("sig"))
     // Candidate generation ships (id, band, band_hash) ONLY — at corpus
     // scale the 8× banded explode and the self-join shuffle never carry
@@ -132,7 +150,9 @@ object Dedup {
     * least one exact 16-bit band — pigeonhole). */
   def simhashPairs(df: DataFrame, idCol: String, textCol: String,
                    maxHamming: Int = 3): DataFrame = {
-    val sigs = df.select(col(idCol).as("id"), simhash64(col(textCol)).as("sig"))
+    graft.functions.GraftFunctions.register(df.sparkSession)
+    val sigs = df.select(col(idCol).as("id"),
+      call_function("graft_simhash64", col(textCol)).as("sig"))
     val banded = sigs.select(col("id"), col("sig"),
       posexplode(array((0 until 4).map(b =>
         shiftright(col("sig"), b * 16).bitwiseAND(lit(0xFFFFL))): _*)))
