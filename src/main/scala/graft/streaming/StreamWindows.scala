@@ -1,8 +1,10 @@
 package graft.streaming
 
-import org.apache.spark.sql.DataFrame
+import scala.collection.mutable.ArrayBuffer
+
+import org.apache.spark.sql.{DataFrame, Dataset}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{DataStreamWriter, StreamingQuery, Trigger}
+import org.apache.spark.sql.streaming.{DataStreamWriter, GroupState, GroupStateTimeout, OutputMode, StreamingQuery, Trigger}
 
 import graft.operators.Windows
 
@@ -87,4 +89,63 @@ object StreamWindows {
       sink: (DataFrame, Long) => Unit): StreamingQuery =
     topNPerWindowStream(counts, partCols, orderCol, tieBreak, n)(sink)
       .trigger(Trigger.AvailableNow()).start()
+
+  /** Per-window bloom-bitmap UV state: fixed-size bitmap + running count —
+    * the reference's Redis bitmap (`setbit`/`getbit`,
+    * UvCountWithBloomFilterApp.java:100-126) as Spark-managed state. */
+  final case class BloomUvState(bitmap: Array[Byte], uv: Long)
+
+  final case class UvUpdate(window_end: Long, uv: Long)
+
+  /**
+   * W9/A7/K3 — per-event UV emission (FIRE_AND_PURGE parity,
+   * UvCountWithBloomFilterApp.java:64-161): keyed by tumbling window end,
+   * every arriving event tests-and-sets its user's bit in a bounded bitmap
+   * and emits the running UV. Memory is `2^bitsLog2 / 8` bytes per open
+   * window regardless of cardinality (the reference used 2^29 bits in
+   * Redis); collisions undercount exactly like the reference's bloom.
+   * Event-time timeout evicts a window's bitmap once the watermark passes.
+   *
+   * `events` needs `ts` (timestamp) and `user` columns.
+   */
+  def perEventUv(events: DataFrame, windowSize: String,
+                 watermarkDelay: String, bitsLog2: Int = 20): Dataset[UvUpdate] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    val sizeBytes = 1 << (bitsLog2 - 3)
+    val mask = (1L << bitsLog2) - 1L
+    events
+      .select(window(col("ts"), windowSize).getField("end").as("we"),
+        col("user").cast("long").as("user"))
+      .withWatermark("we", watermarkDelay)
+      .as[(java.sql.Timestamp, Long)]
+      .groupByKey(_._1.getTime / 1000L)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (windowEnd: Long, rows: Iterator[(java.sql.Timestamp, Long)],
+         state: GroupState[BloomUvState]) =>
+          if (state.hasTimedOut) { state.remove(); Iterator.empty }
+          else {
+            var st = state.getOption.getOrElse(BloomUvState(new Array[Byte](sizeBytes), 0L))
+            val out = ArrayBuffer.empty[UvUpdate]
+            rows.foreach { case (_, user) =>
+              // reference's 31-polynomial hash intent → any stable hash; use
+              // a mixed multiplicative hash of the user id
+              val h = (java.lang.Long.rotateLeft(user * 0x9E3779B97F4A7C15L, 31) & mask).toInt
+              val byteIdx = h >>> 3
+              val bit = (1 << (h & 7)).toByte
+              val seen = (st.bitmap(byteIdx) & bit) != 0
+              if (!seen) {
+                st.bitmap(byteIdx) = (st.bitmap(byteIdx) | bit).toByte
+                st = BloomUvState(st.bitmap, st.uv + 1)
+              }
+              out += UvUpdate(windowEnd, st.uv) // emit per event (FIRE_AND_PURGE)
+            }
+            state.update(st)
+            // evict this window's bitmap once the watermark passes its end
+            state.setTimeoutTimestamp(math.max(windowEnd * 1000L,
+              state.getCurrentWatermarkMs() + 1L))
+            out.iterator
+          }
+      }
+  }
 }

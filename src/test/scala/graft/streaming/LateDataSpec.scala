@@ -1,0 +1,114 @@
+package graft.streaming
+
+import java.io.PrintWriter
+import java.net.ServerSocket
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+import graft.SparkSuite
+
+/**
+ * W7/W8/W9 + S2 semantics (SURVEY.md §2.3, §2.6):
+ *  - allowedLateness → delayed watermark + update mode re-emits corrected
+ *    window rows for late-but-inside-horizon events;
+ *  - later-than-horizon rows are dropped and accounted in
+ *    StreamingQueryProgress (numRowsDroppedByWatermark) — the side-output
+ *    accounting slice;
+ *  - FIRE_AND_PURGE per-event emission via the bloom-bitmap UV operator;
+ *  - socket source smoke (S2).
+ */
+class LateDataSpec extends SparkSuite {
+
+  import spark.implicits._
+
+  test("W7: late row within horizon re-fires its window in update mode") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(String, Long)]
+    val counts = StreamWindows.tumblingCountStream(
+      input.toDS().select(col("_1").as("url"),
+        col("_2").cast("timestamp").as("ts")),
+      "ts", Seq("url"), "60 seconds", "61 seconds")
+    val q = counts.writeStream.format("memory").queryName("late1")
+      .outputMode("update").start()
+    try {
+      input.addData(Seq(("/a", 10L), ("/a", 20L), ("/a", 70L), ("/a", 130L)))
+      q.processAllAvailable() // watermark → 130-61 = 69
+      // late row at t=80: out of order (max seen 130) but above the
+      // watermark → accepted, window [60,120) re-fires corrected
+      input.addData(Seq(("/a", 80L)))
+      q.processAllAvailable()
+    } finally q.stop()
+    val rows = spark.table("late1")
+      .select("url", "window_end", "cnt").as[(String, Long, Long)].collect().toSeq
+    val w120 = rows.filter(_._2 == 120L).map(_._3)
+    assert(w120.contains(1L) && w120.contains(2L),
+      s"window 120 must emit count 1 then corrected 2, got $rows")
+  }
+
+  test("W8: row later than the horizon is dropped and accounted") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(String, Long)]
+    val counts = StreamWindows.tumblingCountStream(
+      input.toDS().select(col("_1").as("url"),
+        col("_2").cast("timestamp").as("ts")),
+      "ts", Seq("url"), "60 seconds", "5 seconds")
+    val q = counts.writeStream.format("memory").queryName("late2")
+      .outputMode("update").start()
+    try {
+      input.addData(Seq(("/a", 10L), ("/a", 1000L)))
+      q.processAllAvailable() // watermark → 995
+      input.addData(Seq(("/a", 20L))) // hopelessly late
+      q.processAllAvailable()
+      val dropped = q.recentProgress
+        .flatMap(_.stateOperators.map(_.numRowsDroppedByWatermark)).sum
+      assert(dropped >= 1L, "late row must be dropped and counted in progress")
+    } finally q.stop()
+    val w60 = spark.table("late2").filter(col("window_end") === 60L)
+      .select("cnt").as[Long].collect().toSeq
+    assert(w60.forall(_ == 1L), "dropped row must not change the window count")
+  }
+
+  test("W9: per-event bloom UV emits a running count per input row") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, Long)] // (user, sec)
+    val uv = StreamWindows.perEventUv(
+      input.toDS().select(col("_1").as("user"),
+        col("_2").cast("timestamp").as("ts")),
+      windowSize = "60 seconds", watermarkDelay = "5 seconds")
+    val q = uv.writeStream.format("memory").queryName("pev")
+      .outputMode("append").start()
+    try {
+      // 5 events, 3 distinct users in one window
+      input.addData(Seq((1L, 10L), (2L, 11L), (1L, 12L), (3L, 13L), (2L, 14L)))
+      q.processAllAvailable()
+    } finally q.stop()
+    val rows = spark.table("pev").as[StreamWindows.UvUpdate].collect().toSeq
+    assert(rows.length === 5, "one emission per event (FIRE_AND_PURGE parity)")
+    assert(rows.map(_.uv).max === 3L, "running UV reaches the exact distinct count")
+    assert(rows.forall(_.window_end === 60L))
+  }
+
+  test("S2: socket source delivers lines") {
+    val server = new ServerSocket(0)
+    val port = server.getLocalPort
+    val writerThread = new Thread(() => {
+      val s = server.accept()
+      val out = new PrintWriter(s.getOutputStream, true)
+      (1 to 5).foreach(i => out.println(s"line$i"))
+      Thread.sleep(2000)
+      out.close(); s.close()
+    })
+    writerThread.start()
+    val lines = StreamSources.socketLines(spark, "localhost", port)
+    val q = lines.writeStream.format("memory").queryName("sock").start()
+    try {
+      val deadline = System.currentTimeMillis() + 15000
+      while (spark.table("sock").count() < 5 && System.currentTimeMillis() < deadline)
+        Thread.sleep(200)
+    } finally { q.stop(); server.close() }
+    val got = spark.table("sock").as[String].collect().toSet
+    assert(got === (1 to 5).map(i => s"line$i").toSet)
+  }
+}
