@@ -3,7 +3,7 @@ package graft.functions
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
-import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, TernaryExpression, UnaryExpression, XXH64}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ExpressionInfo, TernaryExpression, UnaryExpression, XXH64}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.types._
 import org.apache.spark.unsafe.types.UTF8String
@@ -63,6 +63,26 @@ object TextHash {
     new GenericArrayData(sig)
   }
 
+  /** Exact Jaccard similarity of two SORTED distinct long arrays (token /
+    * shingle hashes) via a single merge walk — O(|a|+|b|), no allocation.
+    * Equals string-set Jaccard up to 64-bit hash collisions (~2^-64/pair). */
+  def jaccardSorted(a: ArrayData, b: ArrayData): Double = {
+    val na = a.numElements()
+    val nb = b.numElements()
+    if (na == 0 && nb == 0) return 0.0
+    var i = 0
+    var j = 0
+    var inter = 0
+    while (i < na && j < nb) {
+      val x = a.getLong(i)
+      val y = b.getLong(j)
+      if (x == y) { inter += 1; i += 1; j += 1 }
+      else if (x < y) i += 1
+      else j += 1
+    }
+    inter.toDouble / (na + nb - inter).toDouble
+  }
+
   /** 64-bit SimHash over the distinct whitespace-token set — bit-identical
     * to the declarative `Dedup.simhash64` (same tokenization, same
     * xxhash64(seed=42) per token, same ±1 vote rule). */
@@ -113,6 +133,24 @@ case class MinHashSignatureExpr(first: Expression, second: Expression, third: Ex
     copy(first = newFirst, second = newSecond, third = newThird)
 }
 
+/** jaccard_sorted(sortedHashesA, sortedHashesB) → double. */
+case class JaccardSortedExpr(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def dataType: DataType = DoubleType
+  override def nullable: Boolean = left.nullable || right.nullable
+
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    TextHash.jaccardSorted(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) => s"graft.functions.TextHash.jaccardSorted($a, $b)")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
 /** simhash64(text) → bigint. */
 case class SimHash64Expr(child: Expression) extends UnaryExpression {
 
@@ -135,7 +173,8 @@ object GraftFunctions {
 
   val all: Seq[(String, Seq[Expression] => Expression)] = Seq(
     "graft_minhash_signature" -> (args => MinHashSignatureExpr(args(0), args(1), args(2))),
-    "graft_simhash64" -> (args => SimHash64Expr(args.head)))
+    "graft_simhash64" -> (args => SimHash64Expr(args.head)),
+    "graft_jaccard_sorted" -> (args => JaccardSortedExpr(args(0), args(1))))
 
   /** Idempotent per-session registration; call before `call_function`. */
   def register(spark: SparkSession): Unit = all.foreach { case (name, builder) =>

@@ -177,14 +177,19 @@ object Dedup {
    */
   def jaccardPairs(df: DataFrame, idCol: String, textCol: String,
                    blockCol: String, tau: Double): DataFrame = {
+    graft.functions.GraftFunctions.register(df.sparkSession)
+    // Token sets hashed to sorted long arrays once per doc; each pair costs
+    // one merge walk (native codegen'd expression) instead of interpreted
+    // array_intersect/array_union set ops. Value equals string-set Jaccard
+    // up to 64-bit collisions.
     val t = df.select(col(idCol).as("id"), col(blockCol).as("blk"),
-      array_distinct(split(col(textCol), " ")).as("toks"))
+      sort_array(array_distinct(
+        transform(split(col(textCol), " "), tok => xxhash64(tok)))).as("th"))
     val a = t.alias("a")
     val b = t.alias("b")
     a.join(b, col("a.blk") === col("b.blk") && col("a.id") < col("b.id"))
       .withColumn("jaccard",
-        size(array_intersect(col("a.toks"), col("b.toks"))).cast("double") /
-          size(array_union(col("a.toks"), col("b.toks"))).cast("double"))
+        call_function("graft_jaccard_sorted", col("a.th"), col("b.th")))
       .filter(col("jaccard") >= tau)
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"), col("jaccard"))
   }
