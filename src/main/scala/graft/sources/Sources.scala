@@ -41,6 +41,29 @@ object Tables {
 }
 
 /**
+ * Bucketed-table plumbing for the 100 TB path: a fact table written
+ * `bucketBy(join key)` joins other tables bucketed on the same key with NO
+ * exchange on either side — the shuffle is paid once at write time and
+ * amortized over every subsequent join/aggregation on that key. This is the
+ * Spark-native equivalent of the reference's implicit "keyBy once, keep the
+ * partitioning" topology (a Flink keyed stream stays partitioned;
+ * a Spark table must be bucketed to persist the partitioning).
+ */
+object BucketedTables {
+
+  /** Write `df` as a bucketed+sorted managed table (bucketing requires the
+    * table catalog; `path` keeps the data at an explicit location). */
+  def writeBucketed(df: DataFrame, table: String, path: String,
+                    buckets: Int, keyCol: String, moreKeys: String*): Unit =
+    df.write.mode("overwrite")
+      .bucketBy(buckets, keyCol, moreKeys: _*)
+      .sortBy(keyCol, moreKeys: _*)
+      .option("path", path)
+      .format("parquet")
+      .saveAsTable(table)
+}
+
+/**
  * CSV readers with hand-declared schemas — the Spark-native equivalent of the
  * reference's positional `String.split` parsers (S1/P1 in SURVEY.md §2; e.g.
  * HotItemApp.java:37-44). Explicit schema + no header + permissive-off keeps

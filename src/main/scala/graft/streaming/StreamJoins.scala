@@ -1,0 +1,43 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+
+import graft.model.{OrderEvent, ReceiptEvent}
+
+/**
+ * Stream-stream joins (SURVEY.md §2.4 J1/J2) — the built-in Structured
+ * Streaming mapping: watermarks on both sides + a time-range conjunct give
+ * Spark exactly the state-retention bound the reference implemented with
+ * per-key timers (OrderReceiptProcessJoinFunc:71-77). State for a side is
+ * dropped as soon as the watermark passes its join horizon — no custom
+ * state machine needed for the inner-join case.
+ */
+object StreamJoins {
+
+  /**
+   * J1 — event-time interval inner join on txId:
+   * `receipt.ts ∈ [pay.ts − lowerSec, pay.ts + upperSec]`
+   * (OrderReceiptAppWithJoin.java:58-61: between(-3 s, +5 s)).
+   */
+  def intervalJoinStream(pays: Dataset[OrderEvent], receipts: Dataset[ReceiptEvent],
+                         lowerSec: Long, upperSec: Long,
+                         watermarkDelay: String = "2 seconds"): DataFrame = {
+    val l = pays.filter(col("txId") =!= "")
+      .select(col("txId"), col("orderId"),
+        timestamp_seconds(col("eventTime")).as("payTime"))
+      .withWatermark("payTime", watermarkDelay)
+    val r = receipts
+      .select(col("txId").as("rTxId"), col("payChannel"),
+        timestamp_seconds(col("timestamp")).as("receiptTime"))
+      .withWatermark("receiptTime", watermarkDelay)
+    l.join(r,
+      col("txId") === col("rTxId") &&
+        col("receiptTime") >= col("payTime") - expr(s"INTERVAL $lowerSec SECONDS") &&
+        col("receiptTime") <= col("payTime") + expr(s"INTERVAL $upperSec SECONDS"),
+      "inner")
+      .select(col("txId"), col("orderId"), col("payChannel"),
+        col("payTime").cast("long").as("pay_sec"),
+        col("receiptTime").cast("long").as("receipt_sec"))
+  }
+}

@@ -1,0 +1,47 @@
+package graft.streaming
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+import graft.SparkSuite
+import graft.model.{OrderEvent, ReceiptEvent}
+import graft.operators.Joins
+import graft.sources.CsvSources
+
+/** J1 stream-stream interval join ≡ batch interval join on the reference
+  * fixtures (final-state set equivalence). */
+class StreamJoinsSpec extends SparkSuite {
+
+  import spark.implicits._
+
+  test("intervalJoinStream ≡ batch intervalJoin on OrderLog+ReceiptLog") {
+    val orders = CsvSources.orders(spark, fixture("OrderLog.csv"))
+    val receipts = CsvSources.receipts(spark, fixture("ReceiptLog.csv"))
+    val pays = orders.filter(col("eventType") === "pay" && col("txId") =!= "")
+
+    val batch = Joins.intervalJoin(
+        pays.select(col("txId"), (col("eventTime") * 1000000L).as("pay_usec")),
+        receipts.select(col("txId"), (col("timestamp") * 1000000L).as("receipt_usec")),
+        "txId", "pay_usec", "receipt_usec", 3L, 5L)
+      .select(col("l.txId"), (col("pay_usec") / 1000000L).cast("long"),
+        (col("receipt_usec") / 1000000L).cast("long"))
+      .as[(String, Long, Long)].collect().toSet
+
+    implicit val sqlCtx = spark.sqlContext
+    val payIn = MemoryStream[OrderEvent]
+    val rcptIn = MemoryStream[ReceiptEvent]
+    val joined = StreamJoins.intervalJoinStream(payIn.toDS(), rcptIn.toDS(), 3L, 5L)
+    val q = joined.writeStream.format("memory").queryName("ssj").outputMode("append").start()
+    try {
+      payIn.addData(pays.as[OrderEvent].collect().toSeq)
+      rcptIn.addData(receipts.as[ReceiptEvent].collect().toSeq)
+      q.processAllAvailable()
+    } finally q.stop()
+    val streamed = spark.table("ssj")
+      .select("txId", "pay_sec", "receipt_sec")
+      .as[(String, Long, Long)].collect().toSet
+
+    assert(batch.nonEmpty)
+    assert(streamed === batch)
+  }
+}
