@@ -55,4 +55,68 @@ class DetectorPropertySpec extends SparkSuite {
       org.scalacheck.Test.Parameters.default.withMinSuccessfulTests(8), prop)
     assert(result.passed, result.status.toString)
   }
+
+  private val orderGen: Gen[List[graft.model.OrderEvent]] = for {
+    n <- Gen.choose(4, 20)
+    events <- Gen.listOfN(n, for {
+      order <- Gen.choose(1L, 6L)
+      typ <- Gen.oneOf("create", "pay")
+      gap <- Gen.choose(0L, 400L)
+    } yield (order, typ, gap))
+  } yield {
+    var ts = 1000000L
+    events.map { case (o, t, gap) => ts += gap
+      graft.model.OrderEvent(o, t, if (t == "pay") s"tx$o" else "", ts) }
+  }
+
+  test("orderTimeoutStream ≡ batch sequenceTimeout on random streams") {
+    val prop = Prop.forAll(orderGen) { events =>
+      // Batch oracle applies per (order, create) pair; the stream state
+      // machine keeps ONE create per order (later create overwrites) and
+      // consumes state on pay — restrict generated streams to at most one
+      // create and one pay per order to compare like-for-like.
+      val dedup = events.groupBy(e => (e.orderId, e.eventType))
+        .map(_._2.minBy(_.eventTime)).toList.sortBy(_.eventTime)
+      val df = dedup.toDF()
+      val creates = df.filter(col("eventType") === "create")
+        .select(col("orderId"), (col("eventTime") * 1000000L).as("start_usec"))
+      val pays = df.filter(col("eventType") === "pay")
+        .select(col("orderId"), (col("eventTime") * 1000000L).as("pay_usec"))
+      val batch = Detectors.sequenceTimeout(creates, pays, "orderId",
+          "start_usec", "pay_usec", 900L)
+        .select(col("orderId"), col("status")).as[(Long, String)].collect().toSet
+      // A pay is "payed timeout" (reference: pay with no create flag) when
+      // no create exists OR the create is later than the pay — in both
+      // cases the state machine sees the pay with no live create state.
+      val stray = pays.join(creates, Seq("orderId"), "left_outer")
+        .filter(col("start_usec").isNull || col("start_usec") > col("pay_usec"))
+        .select("orderId").as[Long].collect().toSet
+
+      implicit val sqlCtx = spark.sqlContext
+      val input = MemoryStream[graft.model.OrderEvent]
+      val out = StreamDetectors.orderTimeoutStream(input.toDS(), timeoutSec = 900L)
+      val name = s"ot${System.nanoTime()}"
+      val q = out.writeStream.format("memory").queryName(name).outputMode("append").start()
+      val maxTs = dedup.map(_.eventTime).max
+      try {
+        input.addData(dedup); q.processAllAvailable()
+        input.addData(graft.model.OrderEvent(9999901L, "create", "", maxTs + 100000L))
+        q.processAllAvailable()
+        input.addData(graft.model.OrderEvent(9999902L, "create", "", maxTs + 200000L))
+        q.processAllAvailable()
+      } finally q.stop()
+      val streamed = spark.table(name).as[graft.model.OrderResult]
+        .collect().filter(_.orderId < 9999900L)
+
+      val payedOk = streamed.filter(_.resultType == "payed").map(_.orderId).toSet ==
+        batch.collect { case (id, "payed") => id }
+      val timeoutOk = streamed.filter(_.resultType == "pay timeout").map(_.orderId).toSet ==
+        batch.collect { case (id, "timeout") => id }
+      val strayOk = streamed.filter(_.resultType == "payed timeout").map(_.orderId).toSet == stray
+      payedOk && timeoutOk && strayOk
+    }
+    val result = org.scalacheck.Test.check(
+      org.scalacheck.Test.Parameters.default.withMinSuccessfulTests(6), prop)
+    assert(result.passed, result.status.toString)
+  }
 }
