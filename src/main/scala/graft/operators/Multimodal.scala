@@ -94,6 +94,54 @@ object Multimodal {
     }
   }
 
+  /** One sampled frame: parent item + frame index + the frame's payload
+    * slice (stub: fixed-size byte windows stand in for decoded frames). */
+  final case class MediaFrame(
+      media_id: Long,
+      frame_idx: Int,
+      frame_bytes: Array[Byte])
+
+  /**
+   * Frame sampling: every `everyN`-th frame of each item, payload sliced
+   * into fixed `frameSize`-byte windows (STUB for a real demuxer, which
+   * would keep this exact signature: item in, frames out). Map-only —
+   * a generator-shaped `flatMap` per partition; downstream sees frames,
+   * never the whole payload, so per-frame processing parallelizes past
+   * item granularity.
+   */
+  def sampleFrames(spark: SparkSession, items: DataFrame,
+                   everyN: Int, frameSize: Int = 256): Dataset[MediaFrame] = {
+    import spark.implicits._
+    items.as[MediaItem].flatMap { m =>
+      val nFrames = math.max(1, m.payload.length / frameSize)
+      (0 until nFrames by everyN).map { idx =>
+        val from = idx * frameSize
+        val until = math.min(from + frameSize, m.payload.length)
+        MediaFrame(m.media_id, idx, java.util.Arrays.copyOfRange(m.payload, from, until))
+      }
+    }
+  }
+
+  /**
+   * Resize/re-encode pass (STUB codec, real plumbing): fixed-size output
+   * per item derived deterministically from the payload — the shape of a
+   * decode→resize→encode stage. Runs as a typed map, so the pipeline is a
+   * single map-only stage with no shuffle and no driver involvement.
+   */
+  def resizePayloads(spark: SparkSession, items: DataFrame,
+                     targetBytes: Int = 64): DataFrame = {
+    import spark.implicits._
+    items.as[MediaItem].map { m =>
+      val out = new Array[Byte](targetBytes)
+      var i = 0
+      while (i < m.payload.length) {
+        out(i % targetBytes) = (out(i % targetBytes) ^ m.payload(i)).toByte
+        i += 1
+      }
+      (m.media_id, m.modality, out)
+    }.toDF("media_id", "modality", "resized")
+  }
+
   /** Expression-only metadata pass (no decode): byte length + md5 — the
     * always-on cheap path that stays in WholeStageCodegen and is
     * DuckDB-checkable. */

@@ -262,6 +262,28 @@ object Catalog {
        |FROM e WHERE event_type = 'click'
        |GROUP BY 1, 2 HAVING count(*) >= 5""".stripMargin
 
+  /** F5 with the reference's day semantics: same count-threshold blacklist
+    * bucketed by UTC+8 calendar day (`(ts/86400+1)*86400_000 − 8*3600_000`
+    * timer math in AdClickByProvinceApp.java:146 ≡ grouping by
+    * `(sec + 8h) div 1day`). Threshold 2 per day so sf0.01 emits a meaningful row set. */
+  val blacklistDaily: Q = (s, dir) => {
+    val e = events(s, dir).filter(col("event_type") === "click")
+      .withColumn("item_bucket", col("item_id") % 10)
+      .withColumn("day_utc8", expr("(sec + 28800) div 86400"))
+      .select(col("user_id"), col("item_bucket"), col("day_utc8"))
+    Detectors.countBlacklist(e, Seq("user_id", "item_bucket", "day_utc8"), 2L)
+      .select(col("user_id"), col("item_bucket"), col("day_utc8"),
+        col("clicks"), col("warning"))
+  }
+
+  val blacklistDailySql: String =
+    s"""$eventsCte
+       |SELECT user_id, item_id % 10 AS item_bucket,
+       |       (sec + 28800) // 86400 AS day_utc8, count(*) AS clicks,
+       |       'click count ' || CAST(count(*) AS VARCHAR) || ' >= threshold 2' AS warning
+       |FROM e WHERE event_type = 'click'
+       |GROUP BY 1, 2, 3 HAVING count(*) >= 2""".stripMargin
+
   /** P3/A4: two-phase salted count (reference's manual hot-key fix);
     * result ≡ plain count, which is exactly what the oracle asserts. */
   val saltedPv: Q = (s, dir) => {
@@ -423,6 +445,7 @@ object Catalog {
     "channel_behavior" -> channelBehavior,
     "ad_province" -> adProvince,
     "blacklist" -> blacklist,
+    "blacklist_daily" -> blacklistDaily,
     "salted_pv" -> saltedPv,
     "scalar_funcs" -> scalarFuncs,
     "login_fail" -> loginFail,
@@ -443,6 +466,7 @@ object Catalog {
     "channel_behavior" -> channelBehaviorSql,
     "ad_province" -> adProvinceSql,
     "blacklist" -> blacklistSql,
+    "blacklist_daily" -> blacklistDailySql,
     "salted_pv" -> saltedPvSql,
     "scalar_funcs" -> scalarFuncsSql,
     "login_fail" -> loginFailSql,
