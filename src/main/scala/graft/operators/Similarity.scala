@@ -96,6 +96,53 @@ object Similarity {
       .select(col("query_id"), col("neighbor_id"), col("cos"), col("rn"))
   }
 
+  /**
+   * IVF (inverted-file) approximate top-k: the second scale path besides
+   * hyperplane LSH. Coarse quantizer = `nCentroids` deterministic sample
+   * vectors (lowest ids — seedless and reproducible); every vector is
+   * assigned to its nearest centroid map-side (the centroid table is a
+   * broadcast of `nCentroids` rows, so the "cross join" is a bounded
+   * 16-way dot product per row, not an all-pairs sweep). A query probes
+   * its `nProbe` nearest centroid lists and re-ranks candidates exactly.
+   *
+   * At 100 TB: assignment is one map-only pass; the only shuffle of the
+   * corpus is the candidate join keyed by centroid id, whose fan-in per
+   * query is corpus/nCentroids × nProbe on average. Recall improves with
+   * nProbe; a real deployment would train centroids (k-means) instead of
+   * sampling — the operator contract (assign → probe → re-rank) is
+   * identical.
+   */
+  def ivfTopK(df: DataFrame, idCol: String, vecCol: String,
+              queryPred: Column, k: Int,
+              nCentroids: Int = 16, nProbe: Int = 4): DataFrame = {
+    val base = df.select(col(idCol).as("id"), col(vecCol).cast("array<double>").as("v"))
+      .withColumn("n", norm2(col("v")))
+    val centroids = base.orderBy(col("id")).limit(nCentroids)
+      .select(col("id").as("cid"), col("v").as("cv"), col("n").as("cn"))
+    def nearestCentroids(side: DataFrame, keep: Int, out: String): DataFrame = {
+      val scored = side.join(broadcast(centroids))
+        .withColumn("csim", dot(col("v"), col("cv")) / (col("n") * col("cn")))
+      val w = Window.partitionBy(col("id")).orderBy(col("csim").desc, col("cid").asc)
+      scored.withColumn("crn", row_number().over(w)).filter(col("crn") <= keep)
+        .select(col("id").as(out), col("cid"))
+    }
+    val assigned = nearestCentroids(base, 1, "id")
+      .join(base, "id") // (id, cid, v, n)
+    val probes = nearestCentroids(base.filter(queryPred), nProbe, "query_id")
+    val qVecs = base.filter(queryPred)
+      .select(col("id").as("query_id"), col("v").as("qv"), col("n").as("qn"))
+    val cand = probes.join(broadcast(qVecs), "query_id")
+      .join(assigned, "cid")
+      .filter(col("query_id") =!= col("id"))
+      .select(col("query_id"), col("id").as("neighbor_id"),
+        round(dot(col("qv"), col("v")) / (col("qn") * col("n")), 6).as("cos"))
+      .dropDuplicates("query_id", "neighbor_id")
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("neighbor_id").asc)
+    cand.withColumn("rn", row_number().over(w)).filter(col("rn") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("cos"), col("rn"))
+  }
+
   /** Embedding-cosine near-duplicate pairs above a threshold; id_a < id_b.
     * Candidates come from hyperplane-LSH buckets (same signature family as
     * [[lshTopK]]) so the join is an equi-join on the bucket id — never an

@@ -100,6 +100,11 @@ object PipelineCatalog {
     Similarity.lshTopK(Tables.embeddings(s, dir), "vec_id", "embedding",
       col("id") % 100 === 0, k = 5, planes = 8)
 
+  /** IVF ANN top-5 (sampled coarse quantizer, 4-probe) — rows-only. */
+  val simIvf: Q = (s, dir) =>
+    Similarity.ivfTopK(Tables.embeddings(s, dir), "vec_id", "embedding",
+      col("id") % 100 === 0, k = 5, nCentroids = 16, nProbe = 4)
+
   /** LSH-bucketed embedding near-dup pairs — rows-only. Thresholds tuned to
     * the synthetic embeddings (max sample-pair cosine ≈ 0.44): tau 0.3 with
     * 3 planes keeps recall high enough to emit rows at sf0.01. */
@@ -224,6 +229,7 @@ object PipelineCatalog {
     "dedup_simhash" -> dedupSimhash,
     "sim_bruteforce_topk" -> simBruteForce,
     "sim_lsh_topk" -> simLsh,
+    "sim_ivf_topk" -> simIvf,
     "sim_near_dup" -> simNearDup,
     "text_tokens" -> textTokens,
     "text_quality" -> textQuality,

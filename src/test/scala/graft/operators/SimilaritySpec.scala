@@ -33,6 +33,14 @@ class SimilaritySpec extends SparkSuite {
     assert(res.contains(1L), "near-identical vector must share all hyperplane signs")
   }
 
+  test("ivfTopK finds the nearest neighbor through probed centroid lists") {
+    val res = Similarity.ivfTopK(vecs, "vec_id", "embedding",
+        col("id") === 0L, k = 3, nCentroids = 3, nProbe = 2)
+      .orderBy("rn").select("neighbor_id").as[Long].collect().toSeq
+    assert(res.headOption === Some(1L),
+      s"nearest neighbor 1 must rank first among probed candidates, got $res")
+  }
+
   test("cosineNearDupPairs finds high-cosine pairs through buckets") {
     val res = Similarity.cosineNearDupPairs(vecs, "vec_id", "embedding",
         tau = 0.98, leftPred = col("id") === 0L, planes = 4)
