@@ -130,6 +130,50 @@ object Catalog {
       |JOIN nation ON c_nationkey = n_nationkey
       |GROUP BY n_name""".stripMargin
 
+  /** TPC-H Q14 shape: promo revenue share — conditional aggregation over
+    * lineitem⋈part (broadcast dim), exercises the `part` table. */
+  val q14Promo: Q = (s, dir) => {
+    val li = Tables.lineitem(s, dir)
+    val p = Tables.part(s, dir)
+    li.join(broadcast(p), col("l_partkey") === col("p_partkey"))
+      .groupBy(col("p_type"))
+      .agg(
+        sum(col("l_extendedprice").cast(DecimalType(18, 4)) *
+          (lit(1.0) - col("l_discount")).cast(DecimalType(18, 4))).cast("double").as("revenue"),
+        count(lit(1)).as("n_items"))
+  }
+
+  val q14PromoSql: String =
+    """SELECT p_type,
+      |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4)) * CAST((1.0 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
+      |  count(*) AS n_items
+      |FROM lineitem JOIN part ON l_partkey = p_partkey
+      |GROUP BY p_type""".stripMargin
+
+  /** Region rollup through region→nation→customer→orders: order counts and
+    * value per region — the remaining dim-chain (uses `region`). */
+  val qRegionRollup: Q = (s, dir) => {
+    val o = Tables.orders(s, dir)
+    val c = Tables.customer(s, dir)
+    val n = Tables.nation(s, dir)
+    val r = Tables.region(s, dir)
+    o.join(broadcast(c), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
+      .groupBy(col("r_name"))
+      .agg(count(lit(1)).as("n_orders"),
+        sum(col("o_totalprice").cast(DecimalType(18, 2))).cast("double").as("total_value"))
+  }
+
+  val qRegionRollupSql: String =
+    """SELECT r_name, count(*) AS n_orders,
+      |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+      |FROM orders
+      |JOIN customer ON o_custkey = c_custkey
+      |JOIN nation ON c_nationkey = n_nationkey
+      |JOIN region ON n_regionkey = r_regionkey
+      |GROUP BY r_name""".stripMargin
+
   // ------------------------------------------------------------------
   // Reference stream-analytics family on `events`
   // (item = props.k, pv = event_type 'view', click = 'click',
@@ -437,6 +481,8 @@ object Catalog {
     "q1_agg" -> q1Agg,
     "q3_revenue" -> q3Revenue,
     "q5_nation" -> q5Nation,
+    "q14_promo" -> q14Promo,
+    "q_region_rollup" -> qRegionRollup,
     "hot_items" -> hotItems,
     "hot_items_sql" -> hotItemsSqlSurface,
     "pv_tumbling" -> pvTumbling,
@@ -458,6 +504,8 @@ object Catalog {
     "q1_agg" -> q1AggSql,
     "q3_revenue" -> q3RevenueSql,
     "q5_nation" -> q5NationSql,
+    "q14_promo" -> q14PromoSql,
+    "q_region_rollup" -> qRegionRollupSql,
     "hot_items" -> hotItemsSql,
     "hot_items_sql" -> hotItemsSql, // same semantics through spark.sql
     "pv_tumbling" -> pvTumblingSql,
