@@ -78,6 +78,20 @@ object Windows {
     df.withColumn("rn", row_number().over(w)).filter(col("rn") <= n)
   }
 
+  /** Session windows (gap-based) — beyond the reference's fixed windows
+    * (SURVEY.md §2.6 notes none used); included for engine completeness.
+    * Emits (keys..., session_start, session_end, cnt) in epoch seconds. */
+  def sessionCount(df: DataFrame, tsCol: String, keys: Seq[String], gap: String,
+                   countName: String = "cnt"): DataFrame = {
+    val w = session_window(col(tsCol), gap)
+    df.groupBy((w +: keys.map(col)): _*)
+      .agg(count(lit(1)).as(countName))
+      .select(keys.map(col) ++ Seq(
+        col("session_window").getField("start").cast("long").as("session_start"),
+        col("session_window").getField("end").cast("long").as("session_end"),
+        col(countName)): _*)
+  }
+
   /** Two-phase salted aggregation (P3/A4 — the reference's hand-rolled
     * hot-key fix, PageViewApp2.java:55-64,111-147). Kept as an explicit
     * operator for skew cases where the *measure* is not algebraic enough

@@ -174,6 +174,54 @@ object Catalog {
       |JOIN region ON n_regionkey = r_regionkey
       |GROUP BY r_name""".stripMargin
 
+  /** Cube aggregation over lineitem flags — grouping-set surface the
+    * reference lacks entirely (SURVEY.md §2.4 note: "Spark gives these for
+    * free"). NULL grouping markers coalesced to 'ALL' for engine parity. */
+  val qCubeFlags: Q = (s, dir) => {
+    val li = Tables.lineitem(s, dir)
+    li.cube(col("l_returnflag"), col("l_linestatus"))
+      .agg(count(lit(1)).as("cnt"),
+        sum(col("l_quantity").cast(DecimalType(18, 2))).cast("double").as("sum_qty"))
+      .select(coalesce(col("l_returnflag"), lit("ALL")).as("rf"),
+        coalesce(col("l_linestatus"), lit("ALL")).as("ls"),
+        col("cnt"), col("sum_qty"))
+  }
+
+  val qCubeFlagsSql: String =
+    """SELECT coalesce(l_returnflag, 'ALL') AS rf, coalesce(l_linestatus, 'ALL') AS ls,
+      |  count(*) AS cnt,
+      |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+      |FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)""".stripMargin
+
+  /** Session windows per user over events (30 min gap) — sessionization,
+    * the one window family the reference never used. Whole-second event
+    * time (`sec`) so the lag-based oracle sees identical gap arithmetic. */
+  val qSessions: Q = (s, dir) => {
+    val e = events(s, dir).select(timestamp_seconds(col("sec")).as("sts"), col("user_id"))
+    Windows.sessionCount(e, "sts", Seq("user_id"), "30 minutes")
+  }
+
+  /** DuckDB twin: gap-based sessionization via lag + running session id.
+    * Spark merges sessions only on strict overlap, so a gap of exactly the
+    * threshold starts a NEW session (hence `>= 1800`); session end =
+    * last event + gap. */
+  val qSessionsSql: String =
+    s"""$eventsCte, o AS (
+       |  SELECT user_id, sec,
+       |         CASE WHEN sec - lag(sec) OVER (PARTITION BY user_id ORDER BY sec) >= 1800
+       |              OR lag(sec) OVER (PARTITION BY user_id ORDER BY sec) IS NULL
+       |              THEN 1 ELSE 0 END AS new_session
+       |  FROM e
+       |), s AS (
+       |  SELECT user_id, sec,
+       |         sum(new_session) OVER (PARTITION BY user_id ORDER BY sec
+       |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+       |  FROM o
+       |)
+       |SELECT user_id, min(sec) AS session_start, max(sec) + 1800 AS session_end,
+       |       count(*) AS cnt
+       |FROM s GROUP BY user_id, session_id""".stripMargin
+
   // ------------------------------------------------------------------
   // Reference stream-analytics family on `events`
   // (item = props.k, pv = event_type 'view', click = 'click',
@@ -483,6 +531,8 @@ object Catalog {
     "q5_nation" -> q5Nation,
     "q14_promo" -> q14Promo,
     "q_region_rollup" -> qRegionRollup,
+    "q_cube_flags" -> qCubeFlags,
+    "q_sessions" -> qSessions,
     "hot_items" -> hotItems,
     "hot_items_sql" -> hotItemsSqlSurface,
     "pv_tumbling" -> pvTumbling,
@@ -506,6 +556,8 @@ object Catalog {
     "q5_nation" -> q5NationSql,
     "q14_promo" -> q14PromoSql,
     "q_region_rollup" -> qRegionRollupSql,
+    "q_cube_flags" -> qCubeFlagsSql,
+    "q_sessions" -> qSessionsSql,
     "hot_items" -> hotItemsSql,
     "hot_items_sql" -> hotItemsSql, // same semantics through spark.sql
     "pv_tumbling" -> pvTumblingSql,

@@ -32,6 +32,37 @@ class HotUrlSpec extends SparkSuite {
     res.unpersist()
   }
 
+  test("W7 lateness horizon: 61s watermark absorbs the fixture's 70s-late rows' drops seen at 1s") {
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    // replay in ORIGINAL FILE ORDER (the fixture plants rows 3s and 70s
+    // out of order) in 47-row micro-batches so the watermark advances
+    // between batches like a live stream. 47 is prime so the planted late
+    // rows (every 331st raw row) land at varying offsets within batches —
+    // a drop only happens when a late row lands EARLY in a batch, where
+    // its event time falls behind the previous batch's max − delay.
+    val ordered = logs.filter(col("method") === "GET")
+      .select(col("url"), col("ts").cast("long"))
+      .as[(String, Long)].collect().toSeq // parser preserves file order per file
+    def droppedWith(delay: String): Long = {
+      val input = MemoryStream[(String, Long)]
+      val counts = HotUrl.hotUrlCountsStream(
+        input.toDS().select(col("_2").cast("timestamp").as("ts"), col("_1").as("url"))
+          .withColumn("method", lit("GET")), watermarkDelay = delay)
+      val q = counts.writeStream.format("memory")
+        .queryName(s"lw${System.nanoTime()}").outputMode("update").start()
+      try {
+        ordered.grouped(47).foreach { b => input.addData(b); q.processAllAvailable() }
+        q.recentProgress.flatMap(_.stateOperators.map(_.numRowsDroppedByWatermark)).sum
+      } finally q.stop()
+    }
+    val strict = droppedWith("1 second")
+    val lenient = droppedWith("61 seconds")
+    assert(strict > 0, "1s watermark must drop some planted late rows")
+    assert(lenient < strict,
+      s"61s lateness horizon must absorb drops: strict=$strict lenient=$lenient")
+  }
+
   test("streaming windowed counts ≡ batch (single replay batch)") {
     implicit val sqlCtx = spark.sqlContext
     // (url, epoch-second) tuples — MemoryStream needs a product encoder
