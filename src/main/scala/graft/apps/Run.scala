@@ -1,0 +1,47 @@
+package graft.apps
+
+import org.apache.spark.sql.SparkSession
+
+import graft.queries.Catalog
+import graft.sources.Tables
+
+/**
+ * CLI runner — the user-facing entry point of the library:
+ *
+ *   runMain graft.apps.Run <queryName|list|sql> [sfDir] [args...]
+ *
+ *   list            print every registered query name
+ *   <queryName>     run one catalog query and show the result
+ *   sql "<query>"   run arbitrary SQL over the registered table views
+ *                   (HotItemsWithSQLApp-style declarative entry point)
+ */
+object Run {
+  def main(args: Array[String]): Unit = {
+    val cmd = args.headOption.getOrElse("list")
+    val sfDir = if (args.length > 1) args(1) else "/root/testdata/sf0.001"
+    val spark = SparkSession.builder()
+      .master(sys.env.getOrElse("SPARK_MASTER", "local[8]"))
+      .appName("graft")
+      .config("spark.sql.shuffle.partitions",
+        sys.env.getOrElse("SPARK_GRAFT_CPUS", "8"))
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    graft.functions.GraftFunctions.register(spark)
+    cmd match {
+      case "list" =>
+        Catalog.all.keys.toSeq.sorted.foreach(println)
+      case "sql" =>
+        Tables.registerViews(spark, sfDir)
+        spark.sql(args(2)).show(50, truncate = false)
+      case name if Catalog.all.contains(name) =>
+        Catalog.all(name)(spark, sfDir).show(20, truncate = false)
+      case other =>
+        System.err.println(s"unknown query '$other' — try 'list'")
+        sys.exit(1)
+    }
+    spark.stop()
+  }
+}
