@@ -233,7 +233,7 @@ object Catalog {
   val hotItems: Q = (s, dir) => {
     val pv = events(s, dir).filter(col("event_type") === "view")
       .select(col("ets"), col("item_id"))
-    val counts = Windows.slidingCount(pv, "ets", Seq("item_id"), "1 hour", "5 minutes")
+    val counts = Windows.slidingCountRollup(pv, "ets", Seq("item_id"), 3600L, 300L)
     Windows.topNPerWindow(counts, Seq("window_end"), "cnt", "item_id", 5)
       .select(col("item_id"), col("window_end"), col("cnt"), col("rn"))
   }
@@ -305,7 +305,7 @@ object Catalog {
     val e = events(s, dir)
       .withColumn("channel", concat(lit("ch_"), col("user_id") % 4))
       .select(col("ets"), col("channel"), col("event_type").as("behavior"))
-    Windows.slidingCount(e, "ets", Seq("channel", "behavior"), "1 hour", "10 minutes")
+    Windows.slidingCountRollup(e, "ets", Seq("channel", "behavior"), 3600L, 600L)
       .select(col("channel"), col("behavior"), col("window_end"), col("cnt"))
   }
 
@@ -325,7 +325,7 @@ object Catalog {
     val e = events(s, dir).filter(col("event_type") === "click")
       .withColumn("province", concat(lit("p_"), col("item_id") % 10))
       .select(col("ets"), col("province"))
-    Windows.slidingCount(e, "ets", Seq("province"), "1 hour", "5 minutes")
+    Windows.slidingCountRollup(e, "ets", Seq("province"), 3600L, 300L)
       .select(col("province"), col("window_end"), col("cnt"))
   }
 

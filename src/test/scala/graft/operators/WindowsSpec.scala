@@ -31,6 +31,16 @@ class WindowsSpec extends SparkSuite {
     assert(res === Set(("b", 600L, 1L), ("b", 900L, 1L), ("b", 3900L, 1L), ("b", 4200L, 1L)))
   }
 
+  test("slidingCountRollup ≡ slidingCount (slice roll-up is exact)") {
+    val big = spark.range(2000).selectExpr("cast(id % 7 as string) as k",
+      "timestamp_seconds(id * 37 % 9000) as ts")
+    val direct = Windows.slidingCount(big, "ts", Seq("k"), "1 hour", "5 minutes")
+      .as[(String, Long, Long)].collect().toSet
+    val rollup = Windows.slidingCountRollup(big, "ts", Seq("k"), 3600L, 300L)
+      .as[(String, Long, Long)].collect().toSet
+    assert(rollup === direct)
+  }
+
   test("exactDistinct vs approxDistinct on duplicated keys") {
     val dup = Seq(1L, 1L, 2L, 3L, 3L, 3L).toDF("uid")
       .withColumn("ts", timestamp_seconds(lit(100L)))
