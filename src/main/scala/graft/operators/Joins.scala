@@ -2,6 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.IntegerType
 
 /**
  * Multi-stream join operators (SURVEY.md §2.4).
@@ -32,6 +33,28 @@ object Joins {
         col(s"r.$rightUsec") >= col(s"l.$leftUsec") - lit(lowerSec * 1000000L) &&
         col(s"r.$rightUsec") <= col(s"l.$leftUsec") + lit(upperSec * 1000000L),
       "inner")
+  }
+
+  /**
+   * Skew-salted equi-join: the join-side analog of `Windows.saltedCount`
+   * for the case AQE's runtime skew split can't reach (e.g. a first-stage
+   * shuffle where one key holds a double-digit share of the fact side).
+   * The skewed (large) side gets a random salt in [0, saltBuckets); the
+   * other side is replicated once per salt value; the join key becomes
+   * (key, salt), spreading each hot key over `saltBuckets` reducers.
+   * Result is exactly the plain inner equi-join (test-pinned); cost is a
+   * `saltBuckets`× replication of the SMALLER side, so pick the sides
+   * accordingly. Prefer plain joins + AQE unless a key is provably hot.
+   */
+  def skewSaltedJoin(skewed: DataFrame, other: DataFrame, key: String,
+                     saltBuckets: Int): DataFrame = {
+    val salted = skewed.withColumn("_salt",
+      (rand(seed = 7) * saltBuckets).cast(IntegerType))
+    val replicated = other.withColumn("_salt",
+      explode(sequence(lit(0), lit(saltBuckets - 1))))
+    salted.join(replicated,
+        salted(key) === replicated(key) && salted("_salt") === replicated("_salt"))
+      .drop(replicated(key)).drop("_salt")
   }
 
   /**

@@ -1,0 +1,38 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSuite
+
+/** Join operator semantics, including the skew-salting equivalence. */
+class JoinsSpec extends SparkSuite {
+
+  import spark.implicits._
+
+  test("skewSaltedJoin ≡ plain inner join on skewed data") {
+    // one hot key (90% of rows) + a tail
+    val skewed = spark.range(2000)
+      .selectExpr("if(id % 10 = 0, id, 1) as k", "id as v")
+    val other = Seq((1L, "hot"), (10L, "a"), (20L, "b"), (30L, "c"))
+      .toDF("k", "label")
+    val plain = skewed.join(other, "k")
+      .select("k", "v", "label").as[(Long, Long, String)].collect().toSet
+    val salted = Joins.skewSaltedJoin(skewed, other, "k", saltBuckets = 8)
+      .select("k", "v", "label").as[(Long, Long, String)].collect().toSet
+    assert(salted === plain)
+    assert(plain.count(_._1 == 1L) > 1000, "the hot key dominates the join")
+  }
+
+  test("intervalJoin: boundary inclusivity on both ends") {
+    val l = Seq((1L, 1000L * 1000000L)).toDF("k", "lu")
+    val r = Seq(
+      (1L, 997L * 1000000L),  // exactly lower bound (1000-3)
+      (1L, 1005L * 1000000L), // exactly upper bound (1000+5)
+      (1L, 996L * 1000000L),  // below
+      (1L, 1006L * 1000000L)  // above
+    ).toDF("k", "ru")
+    val res = Joins.intervalJoin(l, r, "k", "lu", "ru", 3L, 5L)
+      .select(col("ru") / 1000000L).as[Double].collect().map(_.toLong).toSet
+    assert(res === Set(997L, 1005L))
+  }
+}
