@@ -61,6 +61,12 @@ object BucketedTables {
       .option("path", path)
       .format("parquet")
       .saveAsTable(table)
+
+  /** Hive-style partitioned parquet write — the other pay-once layout:
+    * downstream filters on the partition columns become directory pruning
+    * (zero I/O for untouched partitions) at any scale. */
+  def writePartitioned(df: DataFrame, path: String, partitionCols: String*): Unit =
+    df.write.mode("overwrite").partitionBy(partitionCols: _*).parquet(path)
 }
 
 /**

@@ -51,10 +51,14 @@ object StreamWindows {
   def distinctCountStream(df: DataFrame, tsCol: String, distinctCol: String,
                           size: String, watermarkDelay: String): DataFrame =
     df.withWatermark(tsCol, watermarkDelay)
-      .dropDuplicates(Seq(distinctCol, tsCol))
-      .groupBy(window(col(tsCol), size))
+      // dedup key = (value, containing window): the window struct derives
+      // from the watermarked event time, so dedup state for a window is
+      // evicted once the watermark passes it
+      .withColumn("_w", window(col(tsCol), size))
+      .dropDuplicates(distinctCol, "_w")
+      .groupBy(col("_w"))
       .agg(count(lit(1)).as("uv"))
-      .select(col("window.end").cast("long").as("window_end"), col("uv"))
+      .select(col("_w.end").cast("long").as("window_end"), col("uv"))
 
   /** A7 streaming — approximate distinct per window (HLL++), replaces the
     * bloom-filter + Redis bitmap (UvCountWithBloomFilterApp.java:87-161). */

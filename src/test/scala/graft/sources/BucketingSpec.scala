@@ -10,6 +10,18 @@ import graft.SparkSuite
   * sort-merge-join with zero Exchange on either side. */
 class BucketingSpec extends SparkSuite {
 
+  test("partitioned write prunes directories on partition filter") {
+    val dir = Files.createTempDirectory("graft_part").toString + "/events"
+    val e = Tables.events(spark, "/root/testdata/sf0.001")
+      .withColumn("etype", col("event_type"))
+    BucketedTables.writePartitioned(e, dir, "etype")
+    val scan = spark.read.parquet(dir).filter(col("etype") === "view")
+    val plan = scan.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters: [") && plan.contains("etype"),
+      s"partition filter must reach the scan:\n${plan.take(600)}")
+    assert(scan.count() > 0)
+  }
+
   test("bucketed fact-fact join plans without exchanges") {
     val dir = Files.createTempDirectory("graft_bucket").toString
     val sfDir = "/root/testdata/sf0.001"

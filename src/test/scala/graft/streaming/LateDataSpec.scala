@@ -90,6 +90,26 @@ class LateDataSpec extends SparkSuite {
     assert(rows.forall(_.window_end === 60L))
   }
 
+  test("A5/A7 streaming: exact and approx distinct counts per window") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, Long)] // (user, sec)
+    val src = input.toDS()
+      .select(col("_1").as("uid"), col("_2").cast("timestamp").as("ts"))
+    val exact = StreamWindows.distinctCountStream(src, "ts", "uid", "60 seconds", "5 seconds")
+    val approx = StreamWindows.approxDistinctStream(src, "ts", "uid", "60 seconds", "5 seconds")
+    val q1 = exact.writeStream.format("memory").queryName("uvx").outputMode("update").start()
+    val q2 = approx.writeStream.format("memory").queryName("uva").outputMode("update").start()
+    try {
+      val data = Seq((1L, 10L), (2L, 11L), (1L, 12L), (3L, 13L), (2L, 14L), (4L, 70L))
+      input.addData(data)
+      q1.processAllAvailable(); q2.processAllAvailable()
+    } finally { q1.stop(); q2.stop() }
+    val ex = spark.table("uvx").as[(Long, Long)].collect().toMap
+    assert(ex === Map(60L -> 3L, 120L -> 1L))
+    val ap = spark.table("uva").as[(Long, Long)].collect().toMap
+    assert(ap(60L) === 3L, "HLL is exact at tiny cardinality")
+  }
+
   test("S2: socket source delivers lines") {
     val server = new ServerSocket(0)
     val port = server.getLocalPort
