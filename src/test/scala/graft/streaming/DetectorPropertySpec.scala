@@ -4,6 +4,7 @@ import org.apache.spark.sql.Dataset
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 import org.apache.spark.sql.functions._
 import org.scalacheck.{Gen, Prop}
+import org.scalacheck.Prop.propBoolean
 
 import graft.SparkSuite
 import graft.model.LoginEvent
@@ -114,6 +115,63 @@ class DetectorPropertySpec extends SparkSuite {
         batch.collect { case (id, "timeout") => id }
       val strayOk = streamed.filter(_.resultType == "payed timeout").map(_.orderId).toSet == stray
       payedOk && timeoutOk && strayOk
+    }
+    val result = org.scalacheck.Test.check(
+      org.scalacheck.Test.Parameters.default.withMinSuccessfulTests(6), prop)
+    assert(result.passed, result.status.toString)
+  }
+
+  private val reconcileGen: Gen[(List[graft.model.OrderEvent], List[graft.model.ReceiptEvent])] =
+    for {
+      n <- Gen.choose(2, 8)
+      specs <- Gen.listOfN(n, for {
+        kind <- Gen.oneOf("pay", "receipt", "both")
+        payTs <- Gen.choose(100000L, 100100L)
+        offset <- Gen.choose(-10L, 12L)
+      } yield (kind, payTs, offset))
+    } yield {
+      val pays = scala.collection.mutable.ListBuffer.empty[graft.model.OrderEvent]
+      val receipts = scala.collection.mutable.ListBuffer.empty[graft.model.ReceiptEvent]
+      specs.zipWithIndex.foreach { case ((kind, payTs, offset), i) =>
+        val tx = s"tx$i"
+        if (kind != "receipt") pays += graft.model.OrderEvent(i.toLong, "pay", tx, payTs)
+        if (kind != "pay") receipts += graft.model.ReceiptEvent(tx, "wechat", payTs + offset)
+      }
+      (pays.toList, receipts.toList)
+    }
+
+  test("reconcileStream ≡ batch reconcile on random two-sided streams") {
+    val prop = Prop.forAll(reconcileGen) { case (pays, receipts) =>
+      (pays.nonEmpty || receipts.nonEmpty) ==> {
+        val payDf = pays.toDF().select(col("txId"), (col("eventTime") * 1000000L).as("pay_usec"))
+        val rcptDf = receipts.toDF().select(col("txId"), (col("timestamp") * 1000000L).as("receipt_usec"))
+        val batch = graft.operators.Joins.reconcile(payDf, rcptDf, "txId",
+            "pay_usec", "receipt_usec", 3L, 5L,
+            leftName = "pay_no_receipt", rightName = "receipt_no_pay")
+          .select(coalesce(col("l.txId"), col("r.txId")).as("txId"), col("status"))
+          .as[(String, String)].collect().toSet
+
+        implicit val sqlCtx = spark.sqlContext
+        val payIn = MemoryStream[graft.model.OrderEvent]
+        val rcptIn = MemoryStream[graft.model.ReceiptEvent]
+        val out = StreamDetectors.reconcileStream(payIn.toDS(), rcptIn.toDS(), 3L, 5L)
+        val name = s"rp${System.nanoTime()}"
+        val q = out.writeStream.format("memory").queryName(name).outputMode("append").start()
+        val maxTs = (pays.map(_.eventTime) ++ receipts.map(_.timestamp)).max
+        try {
+          if (pays.nonEmpty) payIn.addData(pays)
+          if (receipts.nonEmpty) rcptIn.addData(receipts)
+          q.processAllAvailable()
+          payIn.addData(graft.model.OrderEvent(9999901L, "pay", "s1", maxTs + 100000L))
+          q.processAllAvailable()
+          payIn.addData(graft.model.OrderEvent(9999902L, "pay", "s2", maxTs + 200000L))
+          q.processAllAvailable()
+        } finally q.stop()
+        val streamed = spark.table(name).as[StreamDetectors.ReconcileResult]
+          .collect().filterNot(r => r.txId == "s1" || r.txId == "s2")
+          .map(r => (r.txId, r.status)).toSet
+        streamed == batch
+      }
     }
     val result = org.scalacheck.Test.check(
       org.scalacheck.Test.Parameters.default.withMinSuccessfulTests(6), prop)
