@@ -34,6 +34,26 @@ object StreamWindows {
       .select(keys.map(col) :+ col("window.end").cast("long").as("window_end") :+ col("cnt"): _*)
   }
 
+  /**
+   * Streaming form of `Windows.slidingCountRollup`: two chained stateful
+   * window aggregations (Spark ≥3.4 supports `window()` over a window
+   * column) — rows aggregate into tumbling slide-width slices, closed
+   * slices roll up into the sliding windows containing them. Shuffle and
+   * state volume scale with |keys × slices|, not size/slide × rows.
+   * Append mode: a window emits once its last slice's watermark passes.
+   */
+  def slidingCountRollupStream(df: DataFrame, tsCol: String, keys: Seq[String],
+                               sizeSec: Long, slideSec: Long,
+                               watermarkDelay: String): DataFrame = {
+    require(sizeSec % slideSec == 0, "size must be a multiple of slide")
+    df.withWatermark(tsCol, watermarkDelay)
+      .groupBy((window(col(tsCol), s"$slideSec seconds") +: keys.map(col)): _*)
+      .agg(count(lit(1)).as("_slice_cnt"))
+      .groupBy((window(col("window"), s"$sizeSec seconds", s"$slideSec seconds") +: keys.map(col)): _*)
+      .agg(sum(col("_slice_cnt")).as("cnt"))
+      .select(keys.map(col) :+ col("window.end").cast("long").as("window_end") :+ col("cnt"): _*)
+  }
+
   /** W5/W6 — tumbling event-time window count (empty keys = all-window). */
   def tumblingCountStream(df: DataFrame, tsCol: String, keys: Seq[String],
                           size: String, watermarkDelay: String): DataFrame = {

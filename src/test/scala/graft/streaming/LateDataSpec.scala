@@ -110,6 +110,29 @@ class LateDataSpec extends SparkSuite {
     assert(ap(60L) === 3L, "HLL is exact at tiny cardinality")
   }
 
+  test("streaming slice roll-up ≡ batch sliding count for closed windows") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(String, Long)]
+    val src = input.toDS().select(col("_1").as("k"), col("_2").cast("timestamp").as("ts"))
+    val rolled = StreamWindows.slidingCountRollupStream(src, "ts", Seq("k"),
+      sizeSec = 3600L, slideSec = 300L, watermarkDelay = "0 seconds")
+    val q = rolled.writeStream.format("memory").queryName("roll")
+      .outputMode("append").start()
+    val data = Seq(("a", 10L), ("a", 400L), ("b", 20L), ("a", 3800L), ("b", 4100L))
+    try {
+      input.addData(data); q.processAllAvailable()
+      input.addData(Seq(("zz", 1000000L))); q.processAllAvailable() // close all
+      input.addData(Seq(("zz", 2000000L))); q.processAllAvailable()
+    } finally q.stop()
+    val streamed = spark.table("roll").filter(col("k") =!= "zz")
+      .as[(String, Long, Long)].collect().toSet
+    val batch = graft.operators.Windows.slidingCount(
+        data.toDF("k", "sec").select(col("k"), timestamp_seconds(col("sec")).as("ts")),
+        "ts", Seq("k"), "1 hour", "5 minutes")
+      .as[(String, Long, Long)].collect().toSet
+    assert(streamed === batch)
+  }
+
   test("S2: socket source delivers lines") {
     val server = new ServerSocket(0)
     val port = server.getLocalPort
