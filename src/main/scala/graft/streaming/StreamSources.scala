@@ -78,6 +78,14 @@ object StreamSources {
       .selectExpr("CAST(key AS STRING) AS key", "CAST(value AS STRING) AS value",
         "topic", "partition", "offset", "timestamp")
 
+  /** S4 sink side — kafka writer parity (value column required; key
+    * optional). Like [[kafkaSource]], compile-level parity: the reference
+    * declares but never instantiates its kafka dependency. */
+  def kafkaSink(df: DataFrame, servers: String, topic: String): DataStreamWriter[org.apache.spark.sql.Row] =
+    df.writeStream.format("kafka")
+      .option("kafka.bootstrap.servers", servers)
+      .option("topic", topic)
+
   /** K1 — console sink (`stream.print(label)`). Append mode. */
   def consoleSink[T](ds: Dataset[T], label: String = ""): DataStreamWriter[T] =
     ds.writeStream.format("console").queryName(if (label.isEmpty) "console" else label)
