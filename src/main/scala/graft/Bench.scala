@@ -29,7 +29,15 @@ object Bench {
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    // sf as a bare number (driver parses the JSON; a path string broke it)
+    val sf = "sf([0-9.]+)".r.findFirstMatchIn(sfDir).map(_.group(1)).getOrElse("0")
+    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":$sf}"""
     spark.stop()
+    // Stop Spark BEFORE printing so the JSON is the last stdout line, and
+    // also drop a file copy in case the driver prefers machine-read files.
+    val out = java.nio.file.Paths.get("bench_result.json")
+    java.nio.file.Files.write(out, (json + "\n").getBytes("UTF-8"))
+    println(json)
+    System.out.flush()
   }
 }

@@ -12,6 +12,7 @@ import graft.sources.Tables
  *
  *   list            print every registered query name
  *   <queryName>     run one catalog query and show the result
+ *   explain <name>  print the formatted physical plan of a catalog query
  *   sql "<query>"   run arbitrary SQL over the registered table views
  *                   (HotItemsWithSQLApp-style declarative entry point)
  */
@@ -36,6 +37,9 @@ object Run {
       case "sql" =>
         Tables.registerViews(spark, sfDir)
         spark.sql(args(2)).show(50, truncate = false)
+      case "explain" =>
+        val name = args(2)
+        Catalog.all(name)(spark, sfDir).explain("formatted")
       case name if Catalog.all.contains(name) =>
         Catalog.all(name)(spark, sfDir).show(20, truncate = false)
       case other =>

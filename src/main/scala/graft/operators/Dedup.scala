@@ -84,6 +84,16 @@ object Dedup {
    * pairs are then verified with exact shingle-set Jaccard ≥ `tau`.
    *
    * Emits (id_a, id_b, jaccard) with id_a < id_b, deduplicated across bands.
+   *
+   * Mega-bucket guard: identical documents all share every band hash, so an
+   * N-copy cluster would put N rows in one LSH bucket and the self-join
+   * would expand it to O(N²) candidate rows × bands — the classic LSH
+   * blow-up. Exact dedup therefore runs FIRST: only one keeper per distinct
+   * content is banded, and each duplicate is emitted as a (keeper, dup, 1.0)
+   * star instead (linear in cluster size; downstream connected-components
+   * dedup sees the same clusters). The exact-group pass shuffles only
+   * (fingerprint, id, signature) — signatures are computed map-side before
+   * it, so document bodies never enter a wide exchange anywhere.
    */
   def minhashLshPairs(df: DataFrame, idCol: String, textCol: String,
                       k: Int = 3, bands: Int = 8, rowsPerBand: Int = 4,
@@ -94,9 +104,17 @@ object Dedup {
     // Signature via the native codegen'd expression (one content hash per
     // shingle + numHashes long hashes, tight loop) — the higher-order
     // function pipeline is CodegenFallback and ~20× slower per doc.
-    val sigs = docs
+    val hashed = docs
       .withColumn("sig", call_function("graft_minhash_signature",
         col("text"), lit(k), lit(numHashes)))
+      .withColumn("fp", md5(col("text")))
+      .select(col("id"), col("fp"), col("sig"))
+    val keepers = hashed.groupBy(col("fp")).agg(min(col("id")).as("keeper"))
+    val tagged = hashed.join(keepers, "fp")
+    val dupPairs = tagged.filter(col("id") =!= col("keeper"))
+      .select(col("keeper").as("id_a"), col("id").as("id_b"),
+        lit(1.0).as("jaccard"))
+    val sigs = tagged.filter(col("id") === col("keeper"))
       .select(col("id"), col("sig"))
     // Candidate generation ships (id, band, band_hash) ONLY — at corpus
     // scale the 8× banded explode and the self-join shuffle never carry
@@ -112,7 +130,7 @@ object Dedup {
           col("a.id") < col("b.id"))
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
       .dropDuplicates("id_a", "id_b")
-    cand
+    val keeperPairs = cand
       .join(docs.select(col("id").as("id_a"), col("text").as("text_a")), Seq("id_a"))
       .join(docs.select(col("id").as("id_b"), col("text").as("text_b")), Seq("id_b"))
       .withColumn("sh_a", shingles(col("text_a"), k))
@@ -122,6 +140,7 @@ object Dedup {
           size(array_union(col("sh_a"), col("sh_b"))).cast("double"))
       .filter(col("jaccard") >= tau)
       .select(col("id_a"), col("id_b"), col("jaccard"))
+    keeperPairs.unionByName(dupPairs)
   }
 
   /**

@@ -99,44 +99,55 @@ object Similarity {
   /**
    * IVF (inverted-file) approximate top-k: the second scale path besides
    * hyperplane LSH. Coarse quantizer = `nCentroids` deterministic sample
-   * vectors (lowest ids — seedless and reproducible); every vector is
-   * assigned to its nearest centroid map-side (the centroid table is a
-   * broadcast of `nCentroids` rows, so the "cross join" is a bounded
-   * 16-way dot product per row, not an all-pairs sweep). A query probes
-   * its `nProbe` nearest centroid lists and re-ranks candidates exactly.
+   * vectors (lowest ids — seedless and reproducible), collected to the
+   * driver ONCE (bounded: ≤ nCentroids rows — the quantizer is a model
+   * parameter, not data) and shipped back as literal arrays. Centroid
+   * assignment is then a pure map-side argmax expression — zero corpus
+   * shuffle — and a query's `nProbe` nearest lists come from the same
+   * per-row scored array, sorted and sliced map-side.
    *
-   * At 100 TB: assignment is one map-only pass; the only shuffle of the
-   * corpus is the candidate join keyed by centroid id, whose fan-in per
-   * query is corpus/nCentroids × nProbe on average. Recall improves with
-   * nProbe; a real deployment would train centroids (k-means) instead of
-   * sampling — the operator contract (assign → probe → re-rank) is
-   * identical.
+   * At 100 TB: assignment is one map-only pass with NO exchange (the r2
+   * join+window form shuffled 16× the corpus just to pick an argmax); the
+   * probe side (queries × nProbe, tiny) is broadcast into the candidate
+   * join, so the corpus never shuffles on the nCentroids-value key either.
+   * The only exchange of candidate rows is the final top-k rank by
+   * query_id. Recall improves with nProbe; a real deployment would train
+   * centroids (k-means) instead of sampling — the operator contract
+   * (assign → probe → re-rank) is identical.
    */
   def ivfTopK(df: DataFrame, idCol: String, vecCol: String,
               queryPred: Column, k: Int,
               nCentroids: Int = 16, nProbe: Int = 4): DataFrame = {
     val base = df.select(col(idCol).as("id"), col(vecCol).cast("array<double>").as("v"))
       .withColumn("n", norm2(col("v")))
-    val centroids = base.orderBy(col("id")).limit(nCentroids)
-      .select(col("id").as("cid"), col("v").as("cv"), col("n").as("cn"))
-    def nearestCentroids(side: DataFrame, keep: Int, out: String): DataFrame = {
-      val scored = side.join(broadcast(centroids))
-        .withColumn("csim", dot(col("v"), col("cv")) / (col("n") * col("cn")))
-      val w = Window.partitionBy(col("id")).orderBy(col("csim").desc, col("cid").asc)
-      scored.withColumn("crn", row_number().over(w)).filter(col("crn") <= keep)
-        .select(col("id").as(out), col("cid"))
-    }
-    val assigned = nearestCentroids(base, 1, "id")
-      .join(base, "id") // (id, cid, v, n)
-    val probes = nearestCentroids(base.filter(queryPred), nProbe, "query_id")
-    val qVecs = base.filter(queryPred)
-      .select(col("id").as("query_id"), col("v").as("qv"), col("n").as("qn"))
-    val cand = probes.join(broadcast(qVecs), "query_id")
-      .join(assigned, "cid")
+    val cents: Array[(Long, Seq[Double], Double)] =
+      base.orderBy(col("id")).limit(nCentroids)
+        .select(col("id").cast("long"), col("v"), col("n"))
+        .collect()
+        .map(r => (r.getLong(0), r.getSeq[Double](1), r.getDouble(2)))
+    // Per-row scores against every centroid as one literal-backed array of
+    // (csim, -cid) structs: array_max = argmax with the (csim desc, cid asc)
+    // tie-break; sort desc + slice = the nProbe nearest for the query side.
+    def centScores(v: Column, n: Column): Column =
+      array(cents.map { case (cid, cv, cn) =>
+        struct((dot(v, typedlit(cv)) / (n * lit(cn))).as("csim"),
+          lit(-cid).as("negcid"))
+      }: _*)
+    val assigned = base.withColumn("cid",
+      -array_max(centScores(col("v"), col("n"))).getField("negcid"))
+    val probes = base.filter(queryPred)
+      .withColumn("c",
+        explode(slice(sort_array(centScores(col("v"), col("n")), asc = false),
+          1, nProbe)))
+      .select(col("id").as("query_id"), (-col("c.negcid")).as("cid"),
+        col("v").as("qv"), col("n").as("qn"))
+    // Candidate (query, neighbor) pairs are structurally unique — each
+    // corpus row has exactly one cid and a query's probe cids are distinct —
+    // so no dropDuplicates pass (and its exchange) is needed.
+    val cand = assigned.join(broadcast(probes), "cid")
       .filter(col("query_id") =!= col("id"))
       .select(col("query_id"), col("id").as("neighbor_id"),
         round(dot(col("qv"), col("v")) / (col("qn") * col("n")), 6).as("cos"))
-      .dropDuplicates("query_id", "neighbor_id")
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cos").desc, col("neighbor_id").asc)
     cand.withColumn("rn", row_number().over(w)).filter(col("rn") <= k)

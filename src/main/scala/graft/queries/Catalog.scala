@@ -266,6 +266,34 @@ object Catalog {
         |) WHERE rn <= 5""".stripMargin)
   }
 
+  /** W4+A6 at the reference's fine-slide regime: 10 min / 5 s sliding top-5
+    * URLs — HotUrlApp (HotUrlApp.java:110-192; url proxied from item_id like
+    * channel/province are). The 120× window fan-out is exactly where
+    * [[Windows.slidingCountRollup]] matters: rows pre-aggregate into 5 s
+    * slices so the first exchange carries |urls × slices| rows, not 120×
+    * the event stream. */
+  val hotUrls: Q = (s, dir) => {
+    val pv = events(s, dir).filter(col("event_type") === "view")
+      .withColumn("url", concat(lit("/page/"), col("item_id") % 50))
+      .select(col("ets"), col("url"))
+    val counts = Windows.slidingCountRollup(pv, "ets", Seq("url"), 600L, 5L)
+    Windows.topNPerWindow(counts, Seq("window_end"), "cnt", "url", 5)
+      .select(col("url"), col("window_end"), col("cnt"), col("rn"))
+  }
+
+  val hotUrlsSql: String =
+    s"""$eventsCte, win AS (
+       |  SELECT '/page/' || CAST(item_id % 50 AS VARCHAR) AS url,
+       |         ${duckSlide(600, 5)} AS window_end
+       |  FROM e WHERE event_type = 'view'
+       |), c AS (
+       |  SELECT url, window_end, count(*) AS cnt FROM win GROUP BY 1, 2
+       |)
+       |SELECT url, window_end, cnt, rn FROM (
+       |  SELECT *, row_number() OVER (PARTITION BY window_end ORDER BY cnt DESC, url ASC) AS rn
+       |  FROM c
+       |) WHERE rn <= 5""".stripMargin
+
   /** W5+A1/A3: tumbling 1h page views — PageViewApp. */
   val pvTumbling: Q = (s, dir) => {
     val pv = events(s, dir).filter(col("event_type") === "view").select(col("ets"))
@@ -535,6 +563,7 @@ object Catalog {
     "q_sessions" -> qSessions,
     "hot_items" -> hotItems,
     "hot_items_sql" -> hotItemsSqlSurface,
+    "hot_urls" -> hotUrls,
     "pv_tumbling" -> pvTumbling,
     "uv_exact" -> uvExact,
     "uv_approx" -> uvApprox,
@@ -560,6 +589,7 @@ object Catalog {
     "q_sessions" -> qSessionsSql,
     "hot_items" -> hotItemsSql,
     "hot_items_sql" -> hotItemsSql, // same semantics through spark.sql
+    "hot_urls" -> hotUrlsSql,
     "pv_tumbling" -> pvTumblingSql,
     "uv_exact" -> uvExactSql,
     // uv_approx: HLL++ estimate — rows-only by design

@@ -44,13 +44,20 @@ object PipelineCatalog {
       |  FROM documents
       |) WHERE rn = 1""".stripMargin
 
-  /** Blocked word-set Jaccard pairs (block = source). */
+  /** Blocked word-set Jaccard pairs. The block is corpus-proportional —
+    * `source × (n_chars div 64)` — so block population stays bounded as the
+    * corpus grows (docs of similar length land together; near-dups share a
+    * length bucket), instead of the constant-cardinality `source`-only block
+    * whose groups grow O(n). */
   val dedupJaccard: Q = (s, dir) =>
-    Dedup.jaccardPairs(Tables.documents(s, dir), "doc_id", "text", "source", 0.20)
+    Dedup.jaccardPairs(
+      Tables.documents(s, dir)
+        .withColumn("blk", concat_ws("#", col("source"), expr("n_chars div 64"))),
+      "doc_id", "text", "blk", 0.20)
 
   val dedupJaccardSql: String =
     """WITH t AS (
-      |  SELECT doc_id AS id, source AS blk,
+      |  SELECT doc_id AS id, source || '#' || CAST(n_chars // 64 AS VARCHAR) AS blk,
       |         list_distinct(string_split(text, ' ')) AS toks
       |  FROM documents
       |)
@@ -211,10 +218,18 @@ object PipelineCatalog {
       |  md5(text) AS digest_md5
       |FROM documents""".stripMargin
 
-  /** Typed mapPartitions decode path (stub codec) — rows-only. */
+  /** Typed mapPartitions decode path (stub codec) — rows-only. The gate
+    * output is scalar-only: the driver's pandas sort/compare can't hash an
+    * `Array[Float]` column, so the feature vector is surfaced as a
+    * deterministic digest (rounded L1 sum + dimension) while the
+    * array-returning operator itself stays covered by `MultimodalSpec`. */
   val mmFeatures: Q = (s, dir) => {
     val items = Multimodal.itemsFromBinary(Tables.documents(s, dir), "doc_id", "text", "image")
     Multimodal.extractFeatures(s, items).toDF()
+      .select(col("media_id"), col("modality"), col("n_bytes"), col("digest"),
+        size(col("features")).as("feat_dim"),
+        round(aggregate(col("features").cast("array<double>"),
+          lit(0.0), (acc, v) => acc + v), 6).as("feat_sum"))
   }
 
   // ------------------------------------------------------------------

@@ -54,6 +54,45 @@ object StreamWindows {
       .select(keys.map(col) :+ col("window.end").cast("long").as("window_end") :+ col("cnt"): _*)
   }
 
+  /**
+   * W8 — TRUE late-row side output: the reference tags rows that arrive
+   * behind the watermark and ships them out as a DataStream
+   * (HotUrlApp.java:52-72 `sideOutputLateData`); Spark only *counts* them
+   * (`numRowsDroppedByWatermark`). This operator reproduces the data
+   * branch: each micro-batch is split against the watermark as of the END
+   * of the previous batch (exactly Spark's own update rule — watermark =
+   * max event time seen − delay, advanced at batch boundaries), late rows
+   * go to `lateSink` AS ROWS, on-time rows to `onTime` (typically feeding
+   * the same aggregation the watermark would guard).
+   *
+   * The only driver-side state is one long (the running max event time,
+   * refreshed by a single-row agg per batch) — nothing scales with data.
+   */
+  def lateRowSideOutput(stream: DataFrame, tsCol: String, delaySec: Long)(
+      onTime: (DataFrame, Long) => Unit,
+      lateSink: (DataFrame, Long) => Unit): DataStreamWriter[org.apache.spark.sql.Row] = {
+    val maxTsMicros = new java.util.concurrent.atomic.AtomicLong(Long.MinValue)
+    stream.writeStream.outputMode("append").foreachBatch {
+      (batch: DataFrame, batchId: Long) =>
+        val tsMicros = unix_micros(col(tsCol).cast("timestamp"))
+        val wm = maxTsMicros.get() match {
+          case Long.MinValue => Long.MinValue
+          case m => m - delaySec * 1000000L
+        }
+        val b = batch.persist()
+        try {
+          val (lateDf, onTimeDf) =
+            if (wm == Long.MinValue) (b.limit(0), b)
+            else (b.filter(tsMicros < wm), b.filter(tsMicros >= wm))
+          lateSink(lateDf, batchId)
+          onTime(onTimeDf, batchId)
+          Option(b.agg(max(tsMicros)).head().get(0)).foreach { mx =>
+            maxTsMicros.getAndUpdate(cur => math.max(cur, mx.asInstanceOf[Long]))
+          }
+        } finally b.unpersist()
+    }
+  }
+
   /** W5/W6 — tumbling event-time window count (empty keys = all-window). */
   def tumblingCountStream(df: DataFrame, tsCol: String, keys: Seq[String],
                           size: String, watermarkDelay: String): DataFrame = {
@@ -92,27 +131,76 @@ object StreamWindows {
   /**
    * A6 streaming — Top-N per window via `foreachBatch`: rank-over-update
    * isn't supported inside an append streaming plan (SURVEY.md §7.4), so
-   * each micro-batch of *updated window counts* is re-ranked and handed to
-   * `sink`. With update output mode this reproduces the reference's
-   * per-watermark Top-N emission (TopNItemIdCountProcessFunc,
-   * HotItemApp.java:107-179): later batches re-emit a corrected ranking
-   * for a window when late data lands inside the watermark delay.
+   * the micro-batches of *updated window counts* are upserted into a
+   * parquet state table keyed by (partCols, tieBreak) and the rank runs
+   * over the MERGED state — the reference's MapState dedup-then-sort
+   * pattern (HotUrlApp2.java:111-190) with the map as a distributed table
+   * instead of per-key operator state. A micro-batch in update mode
+   * carries only *changed* (key, window) rows; ranking the batch alone
+   * (the r2 form) ranked against an incomplete competitor set, so an item
+   * could be emitted rank 1 while unchanged rows outranked it.
+   *
+   * Each batch: anti-join the previous state against the batch keys,
+   * union the batch (latest count wins), write the next state version,
+   * then rank ONLY the windows the batch touched (left-semi on partCols —
+   * per-batch work scales with updated windows, like the reference's
+   * per-windowEnd timer firing, not with total state). `sink` receives
+   * fully-merged, trustworthy ranks.
+   *
+   * State is versioned `v0,v1,…` under `statePath` (write-new-then-delete-
+   * old — a poor man's Delta MERGE; at 100 TB the same loop targets a real
+   * lakehouse MERGE INTO). Windows no longer updatable (behind the
+   * watermark) stop being touched and cost nothing per batch; a production
+   * deployment would additionally partition the state by window and drop
+   * finalized partitions.
    */
   def topNPerWindowStream(counts: DataFrame, partCols: Seq[String],
-                          orderCol: String, tieBreak: String, n: Int)(
+                          orderCol: String, tieBreak: String, n: Int,
+                          statePath: String)(
       sink: (DataFrame, Long) => Unit): DataStreamWriter[org.apache.spark.sql.Row] =
     counts.writeStream.outputMode("update").foreachBatch {
       (batch: DataFrame, batchId: Long) =>
-        sink(Windows.topNPerWindow(batch, partCols, orderCol, tieBreak, n), batchId)
+        val spark = batch.sparkSession
+        val root = new org.apache.hadoop.fs.Path(statePath)
+        val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        val versions =
+          if (fs.exists(root))
+            fs.listStatus(root).map(_.getPath.getName)
+              .filter(_.matches("v\\d+")).map(_.drop(1).toLong).sorted
+          else Array.empty[Long]
+        val keyCols = partCols :+ tieBreak
+        val merged = versions.lastOption match {
+          case Some(vmax) =>
+            val prev = spark.read.parquet(
+              new org.apache.hadoop.fs.Path(root, s"v$vmax").toString)
+            prev.join(batch, keyCols, "left_anti").unionByName(batch)
+          case None => batch
+        }
+        val next = new org.apache.hadoop.fs.Path(root,
+          s"v${versions.lastOption.getOrElse(-1L) + 1L}")
+        merged.write.mode("overwrite").parquet(next.toString)
+        val state = spark.read.parquet(next.toString)
+        val touched = batch.select(partCols.map(col): _*).distinct()
+        val ranked = Windows.topNPerWindow(
+          state.join(broadcast(touched), partCols, "left_semi"),
+          partCols, orderCol, tieBreak, n)
+        sink(ranked, batchId)
+        versions.foreach(v =>
+          fs.delete(new org.apache.hadoop.fs.Path(root, s"v$v"), true))
     }
 
   /** Convenience: run an AvailableNow pass writing top-N per window into an
-    * in-memory list via the sink callback (tests / bounded replay). */
+    * in-memory list via the sink callback (tests / bounded replay). State
+    * lives in a fresh temp dir unless `statePath` is given. */
   def runTopNAvailableNow(counts: DataFrame, partCols: Seq[String],
-                          orderCol: String, tieBreak: String, n: Int)(
-      sink: (DataFrame, Long) => Unit): StreamingQuery =
-    topNPerWindowStream(counts, partCols, orderCol, tieBreak, n)(sink)
+                          orderCol: String, tieBreak: String, n: Int,
+                          statePath: String = null)(
+      sink: (DataFrame, Long) => Unit): StreamingQuery = {
+    val path = Option(statePath).getOrElse(
+      java.nio.file.Files.createTempDirectory("graft_topn_state").toString)
+    topNPerWindowStream(counts, partCols, orderCol, tieBreak, n, path)(sink)
       .trigger(Trigger.AvailableNow()).start()
+  }
 
   /** Per-window bloom-bitmap UV state: fixed-size bitmap + running count —
     * the reference's Redis bitmap (`setbit`/`getbit`,

@@ -46,6 +46,24 @@ class DedupSpec extends SparkSuite {
     assert(!pairs.exists(p => p._1 == 4L || p._2 == 4L))
   }
 
+  test("minhashLshPairs survives a planted 1000-copy mega-cluster") {
+    // Unguarded LSH would put all 1000 copies in every band bucket →
+    // bands × N²/2 ≈ 4M candidate rows. With the exact-dedup guard the
+    // cluster bands ONCE (its keeper) and duplicates come back as a
+    // linear (keeper, dup, 1.0) star.
+    val cluster = (100L until 1100L).map(i => (i, base))
+    val all = (Seq((1L, distinct1), (2L, distinct2)) ++ cluster)
+      .toDF("doc_id", "text")
+    val pairs = Dedup.minhashLshPairs(all, "doc_id", "text",
+        k = 3, bands = 8, rowsPerBand = 4, tau = 0.5)
+      .select("id_a", "id_b").as[(Long, Long)].collect()
+    // star, not clique: exactly N-1 pairs for the cluster, all anchored at
+    // the keeper (min id = 100), nothing touching the two distinct docs
+    assert(pairs.length === 999, s"expected linear star, got ${pairs.length} pairs")
+    assert(pairs.forall(_._1 == 100L))
+    assert(pairs.map(_._2).toSet === (101L until 1100L).toSet)
+  }
+
   test("simhashPairs finds hamming-close docs only") {
     val pairs = Dedup.simhashPairs(docs, "doc_id", "text", maxHamming = 3)
       .select("id_a", "id_b").as[(Long, Long)].collect().toSet

@@ -29,7 +29,8 @@ class HotItemsStreamE2ESpec extends SparkSuite {
       "1 hour", "5 minutes", watermarkDelay = "0 seconds")
 
     val perBatch = scala.collection.mutable.Map[(Long, Long), (Long, Int)]()
-    val q = StreamWindows.topNPerWindowStream(counts, Seq("window_end"), "cnt", "itemId", 5) {
+    val q = StreamWindows.topNPerWindowStream(counts, Seq("window_end"), "cnt", "itemId", 5,
+        java.nio.file.Files.createTempDirectory("graft_topn_e2e").toString) {
       (ranked: DataFrame, _: Long) =>
         ranked.select("itemId", "window_end", "cnt", "rn")
           .as[(Long, Long, Long, Int)].collect()

@@ -70,6 +70,37 @@ class LateDataSpec extends SparkSuite {
     assert(w60.forall(_ == 1L), "dropped row must not change the window count")
   }
 
+  test("W8: late rows are captured as DATA in the side-output branch") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(String, Long)]
+    val src = input.toDS().select(col("_1").as("url"),
+      col("_2").cast("timestamp").as("ts"))
+    val lateRows = scala.collection.mutable.ArrayBuffer[(String, Long)]()
+    val onTimeRows = scala.collection.mutable.ArrayBuffer[(String, Long)]()
+    val q = StreamWindows.lateRowSideOutput(src, "ts", delaySec = 5L)(
+        onTime = (df, _) => onTimeRows ++=
+          df.select(col("url"), unix_micros(col("ts")) / 1000000L)
+            .as[(String, Double)].collect().map(r => (r._1, r._2.toLong)),
+        lateSink = (df, _) => lateRows ++=
+          df.select(col("url"), unix_micros(col("ts")) / 1000000L)
+            .as[(String, Double)].collect().map(r => (r._1, r._2.toLong)))
+      .start()
+    try {
+      input.addData(Seq(("/a", 100L), ("/b", 110L))) // watermark after batch → 105
+      q.processAllAvailable()
+      // 50 is behind the 105 watermark → late; 107 is out of order
+      // (max seen 110) but within the horizon → on-time
+      input.addData(Seq(("/late", 50L), ("/ok", 107L), ("/c", 120L)))
+      q.processAllAvailable()
+    } finally q.stop()
+    // the actual late ROW (not just a count) must come out the side branch
+    assert(lateRows.toSeq === Seq(("/late", 50L)),
+      s"late branch must carry the late row's data, got $lateRows")
+    assert(onTimeRows.toSet ===
+      Set(("/a", 100L), ("/b", 110L), ("/ok", 107L), ("/c", 120L)),
+      s"on-time branch keeps within-horizon rows, got $onTimeRows")
+  }
+
   test("W9: per-event bloom UV emits a running count per input row") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[(Long, Long)] // (user, sec)

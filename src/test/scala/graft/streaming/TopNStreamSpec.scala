@@ -7,13 +7,16 @@ import org.apache.spark.sql.functions._
 import graft.SparkSuite
 import graft.operators.Windows
 
-/** A6 streaming — Top-N per window through foreachBatch (rank-over-update),
-  * asserting final-state equivalence with the batch rank. */
+/** A6 streaming — Top-N per window through foreachBatch over the upserted
+  * state table. The assertions trust the OPERATOR'S emitted (item, cnt, rn)
+  * rows directly — no sink-side re-rank — across multiple micro-batches,
+  * so a rank computed against an incomplete per-batch competitor set (the
+  * r2 bug) fails here. */
 class TopNStreamSpec extends SparkSuite {
 
   import spark.implicits._
 
-  test("streaming top-2 per window ≡ batch top-2 (final state)") {
+  test("multi-batch streaming top-2 emits merged-state ranks ≡ batch top-2") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[(Long, Long)] // (item, sec)
     val src = input.toDS()
@@ -21,33 +24,43 @@ class TopNStreamSpec extends SparkSuite {
     val counts = StreamWindows.tumblingCountStream(src, "ts", Seq("item"),
       "60 seconds", "5 seconds")
 
-    // collect the latest ranking per batch; last batch wins per window
-    val perBatch = scala.collection.mutable.Map[Long, Seq[(Long, Long, Long)]]()
-    val q = StreamWindows.topNPerWindowStream(counts, Seq("window_end"), "cnt", "item", 2) {
+    // record each batch's emission verbatim; the LAST batch touching a
+    // window must already carry the fully-merged, correctly-ranked rows
+    val perBatch = scala.collection.mutable.Map[Long, Set[(Long, Long, Long, Int)]]()
+    val statePath = java.nio.file.Files.createTempDirectory("graft_topn_spec").toString
+    val q = StreamWindows.topNPerWindowStream(
+        counts, Seq("window_end"), "cnt", "item", 2, statePath) {
       (ranked: DataFrame, batchId: Long) =>
-        perBatch(batchId) = ranked.select("item", "window_end", "cnt")
-          .as[(Long, Long, Long)].collect().toSeq
+        perBatch(batchId) = ranked.select("item", "window_end", "cnt", "rn")
+          .as[(Long, Long, Long, Int)].collect().toSet
     }.start()
     try {
       input.addData(Seq((1L, 10L), (1L, 11L), (2L, 12L), (3L, 13L)))
       q.processAllAvailable()
-      input.addData(Seq((3L, 20L), (3L, 21L))) // item 3 overtakes
+      // batch 2 updates ONLY item 3 — its batch rows alone can't rank
+      // window 60 correctly; the merged state must supply items 1 and 2
+      input.addData(Seq((3L, 20L), (3L, 21L)))
       q.processAllAvailable()
     } finally q.stop()
 
-    // final ranking for window 60 = union of last-emitted rows per window
-    val finalRows = perBatch.toSeq.sortBy(_._1).flatMap(_._2)
-      .groupBy(r => (r._1, r._2)).map(_._2.last) // latest count per (item, window)
-    val lastRank = finalRows.filter(_._2 == 60L).toSeq.sortBy(-_._3).take(2).map(_._1)
-
-    val batch = Windows.topNPerWindow(
+    val batchOracle = Windows.topNPerWindow(
         Windows.tumblingCount(
           Seq((1L, 10L), (1L, 11L), (2L, 12L), (3L, 13L), (3L, 20L), (3L, 21L)).toDF("item", "sec")
             .select(col("item"), timestamp_seconds(col("sec")).as("ts")),
           "ts", Seq("item"), "60 seconds"),
         Seq("window_end"), "cnt", "item", 2)
-      .orderBy("rn").select("item").as[Long].collect().toSeq
+      .select("item", "window_end", "cnt", "rn")
+      .as[(Long, Long, Long, Int)].collect().toSet
 
-    assert(lastRank === batch, s"stream final top-2 $lastRank must equal batch $batch")
+    // final emission per window = the last batch's rows for that window
+    val lastEmission = perBatch.toSeq.sortBy(_._1).flatMap { case (_, rows) => rows }
+      .groupBy(_._2).map { case (we, _) =>
+        perBatch.toSeq.sortBy(_._1).reverse
+          .collectFirst { case (_, rows) if rows.exists(_._2 == we) =>
+            rows.filter(_._2 == we) }.get
+      }.flatten.toSet
+
+    assert(lastEmission === batchOracle,
+      s"operator-emitted ranks $lastEmission must equal batch oracle $batchOracle")
   }
 }
