@@ -166,19 +166,34 @@ object Dedup {
 
   /** SimHash near-dup candidate pairs within Hamming distance ≤ maxHamming,
     * using 4×16-bit band bucketing (any doc pair with distance ≤ 3 shares at
-    * least one exact 16-bit band — pigeonhole). */
+    * least one exact 16-bit band — pigeonhole).
+    *
+    * Same mega-bucket guard as [[minhashLshPairs]]: identical documents
+    * share the whole 64-bit signature, so an N-copy cluster would make all
+    * four band buckets O(N²). Exact dedup runs first — one keeper per
+    * distinct content is banded; duplicates return as a linear
+    * (keeper, dup, hamming = 0) star. The guard pass shuffles only
+    * (fingerprint, id, sig); bodies stay out of every wide exchange. */
   def simhashPairs(df: DataFrame, idCol: String, textCol: String,
                    maxHamming: Int = 3): DataFrame = {
     graft.functions.GraftFunctions.register(df.sparkSession)
-    val sigs = df.select(col(idCol).as("id"),
+    val hashed = df.select(col(idCol).as("id"),
+      md5(col(textCol)).as("fp"),
       call_function("graft_simhash64", col(textCol)).as("sig"))
+    val keepers = hashed.groupBy(col("fp")).agg(min(col("id")).as("keeper"))
+    val tagged = hashed.join(keepers, "fp")
+    val dupPairs = tagged.filter(col("id") =!= col("keeper"))
+      .select(col("keeper").as("id_a"), col("id").as("id_b"),
+        lit(0).as("hamming"))
+    val sigs = tagged.filter(col("id") === col("keeper"))
+      .select(col("id"), col("sig"))
     val banded = sigs.select(col("id"), col("sig"),
       posexplode(array((0 until 4).map(b =>
         shiftright(col("sig"), b * 16).bitwiseAND(lit(0xFFFFL))): _*)))
       .withColumnRenamed("pos", "band").withColumnRenamed("col", "chunk")
     val a = banded.alias("a")
     val b = banded.alias("b")
-    a.join(b,
+    val keeperPairs = a.join(b,
         col("a.band") === col("b.band") && col("a.chunk") === col("b.chunk") &&
           col("a.id") < col("b.id"))
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
@@ -187,6 +202,7 @@ object Dedup {
       .withColumn("hamming", bit_count(col("sig_a").bitwiseXOR(col("sig_b"))))
       .filter(col("hamming") <= maxHamming)
       .select(col("id_a"), col("id_b"), col("hamming"))
+    keeperPairs.unionByName(dupPairs)
   }
 
   /**

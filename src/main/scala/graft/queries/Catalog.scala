@@ -252,17 +252,31 @@ object Catalog {
 
   /** §2.5 SQL surface: the same query as [[hotItems]] expressed as SQL text
     * through `spark.sql` over a registered view (HotItemsWithSQLApp parity:
-    * HOP window → window(); ROW_NUMBER rank verbatim). */
+    * HOP window → window(); ROW_NUMBER rank verbatim). The SQL uses the
+    * same slice roll-up shape as [[Windows.slidingCountRollup]] — rows
+    * pre-aggregate into 5-minute tumbling slices before the 12× sliding
+    * fan-out — so the declarative twin carries the identical scale story
+    * instead of replicating every input row 12× through the first
+    * exchange (every 1h/5m window is a disjoint union of 12 slices). */
   val hotItemsSqlSurface: Q = (s, dir) => {
     events(s, dir).createOrReplaceTempView("graft_events")
     s.sql(
-      """SELECT item_id, window_end, cnt, rn FROM (
-        |  SELECT *, row_number() OVER (PARTITION BY window_end ORDER BY cnt DESC, item_id ASC) AS rn
+      """WITH slices AS (
+        |  SELECT item_id, CAST(window.end AS LONG) AS slice_end, count(*) AS slice_cnt
+        |  FROM graft_events WHERE event_type = 'view'
+        |  GROUP BY item_id, window(ets, '5 minutes')
+        |), counts AS (
+        |  SELECT item_id, window_end, sum(slice_cnt) AS cnt
         |  FROM (
-        |    SELECT item_id, CAST(window.end AS LONG) AS window_end, count(*) AS cnt
-        |    FROM graft_events WHERE event_type = 'view'
-        |    GROUP BY item_id, window(ets, '1 hour', '5 minutes')
+        |    SELECT item_id, slice_cnt,
+        |           explode(sequence(slice_end, slice_end + 3300, 300)) AS window_end
+        |    FROM slices
         |  )
+        |  GROUP BY item_id, window_end
+        |)
+        |SELECT item_id, window_end, cnt, rn FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY window_end ORDER BY cnt DESC, item_id ASC) AS rn
+        |  FROM counts
         |) WHERE rn <= 5""".stripMargin)
   }
 

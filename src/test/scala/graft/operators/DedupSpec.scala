@@ -71,6 +71,15 @@ class DedupSpec extends SparkSuite {
     assert(!pairs.exists(p => Set(p._1, p._2) == Set(3L, 4L)))
   }
 
+  test("simhashPairs survives a planted 500-copy mega-cluster") {
+    val cluster = (100L until 600L).map(i => (i, base))
+    val all = (Seq((1L, distinct1)) ++ cluster).toDF("doc_id", "text")
+    val pairs = Dedup.simhashPairs(all, "doc_id", "text", maxHamming = 3)
+      .select("id_a", "id_b").as[(Long, Long)].collect()
+    assert(pairs.length === 499, s"expected linear star, got ${pairs.length} pairs")
+    assert(pairs.forall(_._1 == 100L))
+  }
+
   test("jaccardPairs respects the blocking column") {
     val blocked = Seq(
       (1L, base, "s1"), (2L, nearDup, "s2"), // same content family, different blocks
