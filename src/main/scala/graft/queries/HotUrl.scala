@@ -2,6 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.DataStreamWriter
 
 import graft.operators.Windows
 import graft.streaming.StreamWindows
@@ -37,5 +38,27 @@ object HotUrl {
                          size: String = "10 minutes", slide: String = "5 seconds"): DataFrame = {
     val gets = apacheLog.filter(col("method") === "GET").select(col("ts"), col("url"))
     StreamWindows.slidingCountStream(gets, "ts", Seq("url"), size, slide, watermarkDelay)
+  }
+
+  /**
+   * The reference's full HotUrlApp topology (HotUrlApp.java:52-72): the main
+   * windowed path plus the TAGGED LATE STREAM as data. Spark has no in-plan
+   * stream split, so the side output maps to a second consumer of the same
+   * source (each query keeps its own offsets — the standard Structured
+   * Streaming fan-out): the first element is the windowed-counts stream
+   * (start it with [[StreamWindows.topNPerWindowStream]] for the rank), the
+   * second a writer that surfaces rows behind the watermark to `lateSink`
+   * as DataFrames via [[StreamWindows.lateRowSideOutput]].
+   */
+  def hotUrlCountsWithLate(apacheLog: DataFrame, delaySec: Long = 1L,
+                           size: String = "10 minutes", slide: String = "5 seconds")(
+      lateSink: (DataFrame, Long) => Unit):
+      (DataFrame, DataStreamWriter[org.apache.spark.sql.Row]) = {
+    val gets = apacheLog.filter(col("method") === "GET").select(col("ts"), col("url"))
+    val counts = StreamWindows.slidingCountStream(
+      gets, "ts", Seq("url"), size, slide, s"$delaySec seconds")
+    val lateWriter = StreamWindows.lateRowSideOutput(gets, "ts", delaySec)(
+      onTime = (_, _) => (), lateSink = lateSink)
+    (counts, lateWriter)
   }
 }

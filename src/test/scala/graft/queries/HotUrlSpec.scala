@@ -63,6 +63,41 @@ class HotUrlSpec extends SparkSuite {
       s"61s lateness horizon must absorb drops: strict=$strict lenient=$lenient")
   }
 
+  test("W8 topology: late GET rows surface as data alongside the main path") {
+    implicit val sqlCtx = spark.sqlContext
+    // two consumers of one source = the reference's split topology; replay
+    // in file order so the planted 70s-late rows land behind the watermark
+    val ordered = logs.filter(col("method") === "GET")
+      .select(col("url"), col("ts").cast("long"))
+      .as[(String, Long)].collect().toSeq
+    val input = MemoryStream[(String, Long)]
+    val src = input.toDS()
+      .select(col("_2").cast("timestamp").as("ts"), col("_1").as("url"))
+      .withColumn("method", lit("GET"))
+    val late = scala.collection.mutable.ArrayBuffer[(String, Long)]()
+    val (counts, lateWriter) = HotUrl.hotUrlCountsWithLate(src, delaySec = 1L) {
+      (df, _) => late ++= df.select(col("url"), col("ts").cast("long"))
+        .as[(String, Long)].collect()
+    }
+    val qMain = counts.writeStream.format("memory").queryName("wl_main")
+      .outputMode("update").start()
+    val qLate = lateWriter.start()
+    try {
+      ordered.grouped(47).foreach { b =>
+        input.addData(b); qMain.processAllAvailable(); qLate.processAllAvailable()
+      }
+    } finally { qMain.stop(); qLate.stop() }
+    assert(late.nonEmpty, "the fixture's planted 70s-late rows must surface as data")
+    // every captured late row really is behind the watermark built from the
+    // rows before its batch (file order: compare against the prior max ts)
+    val maxBefore = ordered.map(_._2).scanLeft(Long.MinValue)(math.max)
+    val lateSet = late.toSet
+    assert(lateSet.subsetOf(ordered.zipWithIndex.collect {
+      case ((u, t), i) if t < maxBefore(i) - 1 => (u, t) }.toSet),
+      "late branch must only carry genuinely out-of-horizon rows")
+    assert(spark.table("wl_main").count() > 0, "main branch still aggregates")
+  }
+
   test("streaming windowed counts ≡ batch (single replay batch)") {
     implicit val sqlCtx = spark.sqlContext
     // (url, epoch-second) tuples — MemoryStream needs a product encoder
