@@ -206,6 +206,47 @@ object Dedup {
   }
 
   /**
+   * Duplicate-cluster resolution: the completion step of every pair-emitting
+   * dedup family. Near-dup pairs form a graph; a training pipeline keeps one
+   * doc per CONNECTED COMPONENT (near-dup is not transitive, but keeping one
+   * per component is the standard conservative policy). Emits
+   * (doc_id, cluster_id) for every id appearing in `pairs`, cluster_id =
+   * min id of the component — filter `doc_id = cluster_id` for keepers.
+   *
+   * Iterative min-label propagation: each round every node takes the min of
+   * its own and its neighbors' labels — one join + one groupBy per round,
+   * all distributed; converges in O(component diameter) rounds (dedup
+   * graphs are short stars/cliques — the exact-dup guard already emits
+   * stars — so a handful of rounds in practice, `maxIter` caps pathology).
+   * The only driver-side work per round is a 1-row convergence probe.
+   * Lineage is truncated per round via localCheckpoint (the iterative-
+   * algorithm standard; at 100 TB this is a reliable-checkpoint dir).
+   */
+  def resolveClusters(pairs: DataFrame, idA: String = "id_a",
+                      idB: String = "id_b", maxIter: Int = 20): DataFrame = {
+    val edges = pairs.select(col(idA).as("s"), col(idB).as("t"))
+      .union(pairs.select(col(idB).as("s"), col(idA).as("t")))
+      .distinct().localCheckpoint()
+    var labels = edges.select(col("s").as("id")).distinct()
+      .withColumn("label", col("id")).localCheckpoint()
+    var converged = false
+    var i = 0
+    while (!converged && i < maxIter) {
+      val prop = edges.join(labels, edges("t") === labels("id"))
+        .select(edges("s").as("id"), col("label"))
+      val next = labels.union(prop)
+        .groupBy("id").agg(min("label").as("label")).localCheckpoint()
+      val changed = next.alias("n")
+        .join(labels.alias("o"), col("n.id") === col("o.id"))
+        .filter(col("n.label") =!= col("o.label")).limit(1).count()
+      labels = next
+      converged = changed == 0L
+      i += 1
+    }
+    labels.select(col("id").as("doc_id"), col("label").as("cluster_id"))
+  }
+
+  /**
    * n-gram (word-set) Jaccard similarity pairs within a blocking key (e.g.
    * source) — the quadratic fallback, kept shuffle-safe by requiring a
    * blocking column so the cross product never leaves a group.

@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.IntegerType
 
@@ -33,6 +34,49 @@ object Joins {
         col(s"r.$rightUsec") >= col(s"l.$leftUsec") - lit(lowerSec * 1000000L) &&
         col(s"r.$rightUsec") <= col(s"l.$leftUsec") + lit(upperSec * 1000000L),
       "inner")
+  }
+
+  /**
+   * As-of join (backward): for every left row, the single LATEST right row
+   * with `right.ts <= left.ts` on the same key — the time-series/feature
+   * lookup join Spark lacks natively (the brief's canonical custom-operator
+   * example; DuckDB ships it as `ASOF JOIN`, which is the oracle).
+   *
+   * NOT a range join: implemented as the sort-merge union trick —
+   * both sides union with a side marker, one exchange by `key`, one sort
+   * by (ts, side), and a running `last(_, ignoreNulls)` carries each right
+   * row's values forward to the left rows that follow it. Cost at 100 TB:
+   * a single shuffle of |left| + |right| narrow rows and one sort — no
+   * per-row range explosion, no nested loop, no broadcast requirement.
+   * A right row at exactly left.ts matches (side orders right first).
+   *
+   * `rVals` = right value columns to carry (names must not collide with
+   * left columns); right should be unique per (key, ts) for deterministic
+   * results — pre-aggregate if it isn't. `toleranceUsec` optionally
+   * rejects matches older than `left.ts - tolerance` (pandas
+   * merge_asof-style), leaving nulls like the unmatched case.
+   */
+  def asofJoin(left: DataFrame, right: DataFrame, key: String,
+               leftUsec: String, rightUsec: String, rVals: Seq[String],
+               toleranceUsec: Option[Long] = None): DataFrame = {
+    val l = left.withColumn("_side", lit(1)).withColumn("_ts", col(leftUsec))
+    val r = right
+      .select((col(key) +: col(rightUsec) +: rVals.map(col)): _*)
+      .withColumn("_side", lit(0)).withColumn("_ts", col(rightUsec))
+    val u = l.unionByName(r, allowMissingColumns = true)
+    val w = Window.partitionBy(col(key)).orderBy(col("_ts").asc, col("_side").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val carried = (rVals :+ rightUsec).foldLeft(u)((df, c) =>
+      df.withColumn(c, last(col(c), ignoreNulls = true).over(w)))
+    val matched = carried.filter(col("_side") === 1)
+    val out = toleranceUsec match {
+      case Some(tol) =>
+        val fresh = col(rightUsec) >= col("_ts") - lit(tol)
+        (rVals :+ rightUsec).foldLeft(matched)((df, c) =>
+          df.withColumn(c, when(fresh, col(c))))
+      case None => matched
+    }
+    out.drop("_side", "_ts")
   }
 
   /**

@@ -516,6 +516,29 @@ object Catalog {
        | AND p.pay_usec >= s.signup_usec - ${3600L * 1000000L}
        | AND p.pay_usec <= s.signup_usec + ${3600L * 1000000L}""".stripMargin
 
+  /** Beyond-reference join surface: as-of join — for each purchase, the
+    * user's latest at-or-prior view (the time-series feature-lookup join;
+    * DuckDB's native ASOF JOIN is the oracle). Views pre-aggregate to one
+    * row per (user, usec) so the match is deterministic. */
+  val asofJoinQ: Q = (s, dir) => {
+    val e = events(s, dir)
+    val pays = e.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("usec").as("pay_usec"))
+    val views = e.filter(col("event_type") === "view")
+      .groupBy(col("user_id"), col("usec").as("view_usec"))
+      .agg(max(col("value")).as("view_value"))
+    Joins.asofJoin(pays, views, "user_id", "pay_usec", "view_usec", Seq("view_value"))
+      .select(col("user_id"), col("pay_usec"), col("view_usec"), col("view_value"))
+  }
+
+  val asofJoinSql: String =
+    s"""$eventsCte, p AS (SELECT user_id, usec AS pay_usec FROM e WHERE event_type = 'purchase'),
+       |v AS (SELECT user_id, usec AS view_usec, max(value) AS view_value
+       |      FROM e WHERE event_type = 'view' GROUP BY 1, 2)
+       |SELECT p.user_id, p.pay_usec, v.view_usec, v.view_value
+       |FROM p ASOF LEFT JOIN v
+       |  ON p.user_id = v.user_id AND p.pay_usec >= v.view_usec""".stripMargin
+
   /** J2: full-outer reconcile with unmatched branches as a status column —
     * OrderReceiptAppWithConnect semantics (side outputs → filters). */
   val reconcile: Q = (s, dir) => {
@@ -590,6 +613,7 @@ object Catalog {
     "login_fail" -> loginFail,
     "order_timeout" -> orderTimeout,
     "interval_join" -> intervalJoin,
+    "asof_join" -> asofJoinQ,
     "reconcile" -> reconcile,
     "value_sum_daily" -> valueSumDaily)
 
@@ -616,6 +640,7 @@ object Catalog {
     "login_fail" -> loginFailSql,
     "order_timeout" -> orderTimeoutSql,
     "interval_join" -> intervalJoinSql,
+    "asof_join" -> asofJoinSql,
     "reconcile" -> reconcileSql,
     "value_sum_daily" -> valueSumDailySql)
 }

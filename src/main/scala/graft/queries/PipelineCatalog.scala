@@ -68,6 +68,33 @@ object PipelineCatalog {
       |WHERE CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE) /
       |      CAST(len(a.toks) + len(b.toks) - len(list_intersect(a.toks, b.toks)) AS DOUBLE) >= 0.20""".stripMargin
 
+  /** Cluster resolution over the blocked-Jaccard pairs: one row per doc in
+    * any near-dup component, labeled with the component's min id. Oracle =
+    * the same pair query + a recursive-CTE transitive closure. */
+  val dedupClusters: Q = (s, dir) =>
+    Dedup.resolveClusters(dedupJaccard(s, dir))
+
+  val dedupClustersSql: String =
+    """WITH RECURSIVE t AS (
+      |  SELECT doc_id AS id, source || '#' || CAST(n_chars // 64 AS VARCHAR) AS blk,
+      |         list_distinct(string_split(text, ' ')) AS toks
+      |  FROM documents
+      |), p AS (
+      |  SELECT a.id AS id_a, b.id AS id_b
+      |  FROM t a JOIN t b ON a.blk = b.blk AND a.id < b.id
+      |  WHERE CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE) /
+      |        CAST(len(a.toks) + len(b.toks) - len(list_intersect(a.toks, b.toks)) AS DOUBLE) >= 0.20
+      |), edges AS (
+      |  SELECT id_a AS s, id_b AS t FROM p
+      |  UNION SELECT id_b, id_a FROM p
+      |), reach(s, t) AS (
+      |  SELECT s, t FROM edges
+      |  UNION
+      |  SELECT r.s, e.t FROM reach r JOIN edges e ON r.t = e.s
+      |)
+      |SELECT s AS doc_id, least(s, min(t)) AS cluster_id
+      |FROM reach GROUP BY s""".stripMargin
+
   /** MinHash+LSH near-dup pairs — xxhash64 signatures, rows-only. */
   val dedupMinhash: Q = (s, dir) =>
     Dedup.minhashLshPairs(Tables.documents(s, dir), "doc_id", "text",
@@ -240,6 +267,7 @@ object PipelineCatalog {
     "dedup_exact_groups" -> dedupExactGroups,
     "dedup_exact" -> dedupExact,
     "dedup_jaccard" -> dedupJaccard,
+    "dedup_clusters" -> dedupClusters,
     "dedup_minhash" -> dedupMinhash,
     "dedup_simhash" -> dedupSimhash,
     "sim_bruteforce_topk" -> simBruteForce,
@@ -258,6 +286,7 @@ object PipelineCatalog {
     "dedup_exact_groups" -> dedupExactGroupsSql,
     "dedup_exact" -> dedupExactSql,
     "dedup_jaccard" -> dedupJaccardSql,
+    "dedup_clusters" -> dedupClustersSql,
     "sim_bruteforce_topk" -> simBruteForceSql,
     "text_tokens" -> textTokensSql,
     "text_quality" -> textQualitySql,

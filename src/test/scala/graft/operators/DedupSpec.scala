@@ -80,6 +80,16 @@ class DedupSpec extends SparkSuite {
     assert(pairs.forall(_._1 == 100L))
   }
 
+  test("resolveClusters labels connected components with their min id") {
+    // components: {1,2,3,7} (path 1-2, 2-3, 3-7), {10,11}, singleton pairs absent
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 7L), (10L, 11L))
+      .toDF("id_a", "id_b")
+    val got = Dedup.resolveClusters(pairs)
+      .as[(Long, Long)].collect().toSet
+    assert(got === Set((1L, 1L), (2L, 1L), (3L, 1L), (7L, 1L),
+      (10L, 10L), (11L, 10L)))
+  }
+
   test("jaccardPairs respects the blocking column") {
     val blocked = Seq(
       (1L, base, "s1"), (2L, nearDup, "s2"), // same content family, different blocks

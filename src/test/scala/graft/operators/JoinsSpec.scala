@@ -23,6 +23,32 @@ class JoinsSpec extends SparkSuite {
     assert(plain.count(_._1 == 1L) > 1000, "the hot key dominates the join")
   }
 
+  test("asofJoin: latest at-or-prior right row per left row") {
+    val l = Seq((1L, 10L), (1L, 20L), (1L, 8L), (2L, 5L)).toDF("k", "lu")
+    val r = Seq((1L, 8L, 1.5), (1L, 15L, 2.5), (2L, 9L, 9.0)).toDF("k", "ru", "v")
+    val res = Joins.asofJoin(l, r, "k", "lu", "ru", Seq("v"))
+      .select("k", "lu", "ru", "v")
+      .as[(Long, Long, Option[Long], Option[Double])].collect().toSet
+    assert(res === Set(
+      (1L, 10L, Some(8L), Some(1.5)),   // latest prior
+      (1L, 20L, Some(15L), Some(2.5)),  // overtaken by newer right row
+      (1L, 8L, Some(8L), Some(1.5)),    // equal ts matches (>=)
+      (2L, 5L, None, None)))            // no prior right row → left-join nulls
+  }
+
+  test("asofJoin: tolerance rejects stale matches") {
+    val l = Seq((1L, 100L)).toDF("k", "lu")
+    val r = Seq((1L, 10L, 1.0)).toDF("k", "ru", "v")
+    val strict = Joins.asofJoin(l, r, "k", "lu", "ru", Seq("v"),
+        toleranceUsec = Some(50L))
+      .select("ru", "v").as[(Option[Long], Option[Double])].collect().head
+    assert(strict === ((None, None)), "match older than tolerance is nulled")
+    val loose = Joins.asofJoin(l, r, "k", "lu", "ru", Seq("v"),
+        toleranceUsec = Some(95L))
+      .select("ru", "v").as[(Option[Long], Option[Double])].collect().head
+    assert(loose === ((Some(10L), Some(1.0))))
+  }
+
   test("intervalJoin: boundary inclusivity on both ends") {
     val l = Seq((1L, 1000L * 1000000L)).toDF("k", "lu")
     val r = Seq(
