@@ -565,6 +565,44 @@ object Catalog {
        | AND p.pay_usec >= s.signup_usec - ${3600L * 1000000L}
        | AND p.pay_usec <= s.signup_usec + ${3600L * 1000000L}""".stripMargin
 
+  /** Beyond-reference agg surface: exact interpolated percentiles of
+    * `value` per (event_type, day) — Spark's `percentile` and DuckDB's
+    * `quantile_cont` share the linear-interpolation definition, so this
+    * oracles exactly (6-digit round absorbs summation-order last bits).
+    * At scale the exact form sorts per group; the sketch path below is
+    * the 100 TB answer. */
+  val valuePercentiles: Q = (s, dir) => {
+    val e = events(s, dir)
+    e.groupBy(col("event_type"), window(col("ets"), "1 day"))
+      .agg(round(expr("percentile(value, 0.5)"), 6).as("p50"),
+        round(expr("percentile(value, 0.95)"), 6).as("p95"),
+        count(lit(1)).as("cnt"))
+      .select(col("event_type"),
+        col("window").getField("end").cast("long").as("window_end"),
+        col("p50"), col("p95"), col("cnt"))
+  }
+
+  val valuePercentilesSql: String =
+    s"""$eventsCte
+       |SELECT event_type, ${duckTumble(86400)} AS window_end,
+       |       round(quantile_cont(value, 0.5), 6) AS p50,
+       |       round(quantile_cont(value, 0.95), 6) AS p95,
+       |       count(*) AS cnt
+       |FROM e GROUP BY 1, 2""".stripMargin
+
+  /** Sketch twin of [[valuePercentiles]]: `approx_percentile` (bounded
+    * memory per group, mergeable partials — the percentile that survives
+    * 100 TB). Approximate ⇒ rows-only gate. */
+  val valuePercentilesApprox: Q = (s, dir) => {
+    val e = events(s, dir)
+    e.groupBy(col("event_type"), window(col("ets"), "1 day"))
+      .agg(expr("approx_percentile(value, 0.5, 1000)").as("p50_approx"),
+        expr("approx_percentile(value, 0.95, 1000)").as("p95_approx"))
+      .select(col("event_type"),
+        col("window").getField("end").cast("long").as("window_end"),
+        col("p50_approx"), col("p95_approx"))
+  }
+
   /** A3 with a real measure: tumbling 1-day sum(value), decimal-exact. */
   val valueSumDaily: Q = (s, dir) => {
     val e = events(s, dir).select(col("ets"), col("value"))
@@ -615,7 +653,9 @@ object Catalog {
     "interval_join" -> intervalJoin,
     "asof_join" -> asofJoinQ,
     "reconcile" -> reconcile,
-    "value_sum_daily" -> valueSumDaily)
+    "value_sum_daily" -> valueSumDaily,
+    "value_percentiles" -> valuePercentiles,
+    "value_percentiles_approx" -> valuePercentilesApprox)
 
   val oracles: Map[String, String] = PipelineCatalog.oracles ++ Map(
     "q1_agg" -> q1AggSql,
@@ -642,5 +682,7 @@ object Catalog {
     "interval_join" -> intervalJoinSql,
     "asof_join" -> asofJoinSql,
     "reconcile" -> reconcileSql,
-    "value_sum_daily" -> valueSumDailySql)
+    "value_sum_daily" -> valueSumDailySql,
+    // value_percentiles_approx: sketch estimate — rows-only by design
+    "value_percentiles" -> valuePercentilesSql)
 }

@@ -40,4 +40,33 @@ object StreamJoins {
         col("payTime").cast("long").as("pay_sec"),
         col("receiptTime").cast("long").as("receipt_sec"))
   }
+
+  /**
+   * Stream-static dimension enrichment: a streaming fact joined to a
+   * bounded dim table. The static side is marked `broadcast()`, so every
+   * micro-batch plans a BroadcastHashJoin — the stream never shuffles and
+   * carries no join state (Spark re-plans the static side per batch; at
+   * 100 TB/day the dim broadcast is the standard star-schema pattern —
+   * the reference's side-input/async-dim-lookup shape without the
+   * external KV store). Left join keeps facts with no dim row.
+   */
+  def enrichStream(facts: DataFrame, dim: DataFrame, key: String,
+                   joinType: String = "left"): DataFrame =
+    facts.join(broadcast(dim), Seq(key), joinType)
+
+  /**
+   * Streaming exact dedup (training-pipeline stream form of
+   * `Dedup.exactDedup`): first occurrence of each content fingerprint
+   * passes, replays drop. State = one row per distinct fingerprint,
+   * bounded by the watermark horizon (a fingerprint older than the
+   * horizon is evictable; an exactly-once sink dedups redelivery).
+   * Key on the md5 of `contentCol` — state never stores the body.
+   */
+  def dedupStream(stream: DataFrame, tsCol: String, contentCol: String,
+                  watermarkDelay: String): DataFrame =
+    stream
+      .withColumn("_fp", md5(col(contentCol).cast("binary")))
+      .withWatermark(tsCol, watermarkDelay)
+      .dropDuplicatesWithinWatermark("_fp")
+      .drop("_fp")
 }

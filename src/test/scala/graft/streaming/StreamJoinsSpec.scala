@@ -44,4 +44,41 @@ class StreamJoinsSpec extends SparkSuite {
     assert(batch.nonEmpty)
     assert(streamed === batch)
   }
+
+  test("enrichStream: static dim broadcast-joins into every micro-batch") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, Long)] // (item, sec)
+    val facts = input.toDS()
+      .select(col("_1").as("item"), col("_2").cast("timestamp").as("ts"))
+    val dim = Seq((1L, "shoe"), (2L, "hat")).toDF("item", "label")
+    val q = StreamJoins.enrichStream(facts, dim, "item")
+      .writeStream.format("memory").queryName("enr").outputMode("append").start()
+    try {
+      input.addData(Seq((1L, 10L), (2L, 11L), (9L, 12L)))
+      q.processAllAvailable()
+      input.addData(Seq((2L, 20L))) // second batch re-joins the dim
+      q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.table("enr").select("item", "label")
+      .as[(Long, Option[String])].collect().toSeq
+    assert(got.sorted === Seq((1L, Some("shoe")), (2L, Some("hat")),
+      (2L, Some("hat")), (9L, None)).sorted)
+  }
+
+  test("dedupStream: first fingerprint occurrence passes, replays drop") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(String, Long)] // (text, sec)
+    val src = input.toDS()
+      .select(col("_1").as("text"), col("_2").cast("timestamp").as("ts"))
+    val q = StreamJoins.dedupStream(src, "ts", "text", "10 seconds")
+      .writeStream.format("memory").queryName("sdedup").outputMode("append").start()
+    try {
+      input.addData(Seq(("aaa", 10L), ("bbb", 11L), ("aaa", 12L)))
+      q.processAllAvailable()
+      input.addData(Seq(("aaa", 13L), ("ccc", 14L))) // replay across batches drops too
+      q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.table("sdedup").select("text").as[String].collect().toSeq
+    assert(got.sorted === Seq("aaa", "bbb", "ccc"))
+  }
 }
