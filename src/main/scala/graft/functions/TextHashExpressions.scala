@@ -174,7 +174,9 @@ object GraftFunctions {
   val all: Seq[(String, Seq[Expression] => Expression)] = Seq(
     "graft_minhash_signature" -> (args => MinHashSignatureExpr(args(0), args(1), args(2))),
     "graft_simhash64" -> (args => SimHash64Expr(args.head)),
-    "graft_jaccard_sorted" -> (args => JaccardSortedExpr(args(0), args(1))))
+    "graft_jaccard_sorted" -> (args => JaccardSortedExpr(args(0), args(1))),
+    "graft_dot" -> (args => DotProductExpr(args(0), args(1))),
+    "graft_lsh_bucket" -> (args => LshBucketExpr(args(0), args(1))))
 
   /** Idempotent per-session registration; call before `call_function`. */
   def register(spark: SparkSession): Unit = all.foreach { case (name, builder) =>

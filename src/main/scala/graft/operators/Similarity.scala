@@ -13,17 +13,28 @@ import org.apache.spark.sql.functions._
  *  - The query side is tiny relative to the corpus → `broadcast()` it, so
  *    the corpus scan is a single map-only pass with no shuffle of the
  *    corpus; top-k then shuffles only (query × k) candidate rows.
- *  - Dot products run through `zip_with` + `aggregate` higher-order
- *    functions — codegen'd, sequential fold in array order, no UDF. Norms
- *    are precomputed per side before the join so each pair costs one dot.
+ *  - Dot products and LSH signatures are native codegen'd Catalyst
+ *    expressions (`graft_dot` / `graft_lsh_bucket` — the `zip_with` +
+ *    `aggregate` HOF forms are CodegenFallback and cost a boxed lambda per
+ *    component; kept as `dotHof`/`lshSignatureHof` bit-parity references).
+ *    Norms are precomputed per side before the join so each pair costs one
+ *    dot.
  *  - The LSH variant buckets by a `planes`-bit random-hyperplane signature
  *    (deterministic plane vectors derived from xxhash64 seeds) and probes
  *    only same-bucket candidates: corpus shuffles once by bucket id.
  */
 object Similarity {
 
-  /** Sequential-fold dot product of two double-array columns. */
-  def dot(a: Column, b: Column): Column =
+  /** Dot product of two double-array columns — the native codegen'd
+    * expression ([[graft.functions.DotProductExpr]]; the `zip_with` +
+    * `aggregate` form is CodegenFallback, one boxed lambda per component,
+    * and the scored join evaluates it |queries| × |corpus| times). Callers
+    * go through the operator entry points, which register the function. */
+  def dot(a: Column, b: Column): Column = call_function("graft_dot", a, b)
+
+  /** The declarative fold — kept as the bit-parity reference for
+    * [[dot]] (pinned in `SimilaritySpec`). */
+  def dotHof(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, v) => acc + v)
 
   def norm2(a: Column): Column = sqrt(dot(a, a))
@@ -38,6 +49,7 @@ object Similarity {
    */
   def bruteForceTopK(df: DataFrame, idCol: String, vecCol: String,
                      queryPred: Column, k: Int): DataFrame = {
+    graft.functions.GraftFunctions.register(df.sparkSession)
     val base = df.select(col(idCol).as("id"), col(vecCol).cast("array<double>").as("v"))
       .withColumn("n", norm2(col("v")))
     val queries = base.filter(queryPred)
@@ -62,8 +74,14 @@ object Similarity {
   private def planeComponent(plane: Int, dim: Column): Column =
     (xxhash64(lit(plane), dim).cast("double") / lit(Long.MaxValue.toDouble))
 
-  /** `planes`-bit random-hyperplane signature of a double-array column. */
-  def lshSignature(v: Column, planes: Int): Column = {
+  /** `planes`-bit random-hyperplane signature of a double-array column —
+    * native codegen'd expression ([[graft.functions.LshBucketExpr]]). */
+  def lshSignature(v: Column, planes: Int): Column =
+    call_function("graft_lsh_bucket", v, lit(planes))
+
+  /** Declarative HOF form — bit-parity reference for [[lshSignature]]
+    * (pinned in `SimilaritySpec`). */
+  def lshSignatureHof(v: Column, planes: Int): Column = {
     val bits = (0 until planes).map { p =>
       val proj = aggregate(
         zip_with(v, sequence(lit(0), size(v) - 1), (x, i) => x * planeComponent(p, i)),
@@ -81,6 +99,7 @@ object Similarity {
    */
   def lshTopK(df: DataFrame, idCol: String, vecCol: String,
               queryPred: Column, k: Int, planes: Int = 8): DataFrame = {
+    graft.functions.GraftFunctions.register(df.sparkSession)
     val base = df.select(col(idCol).as("id"), col(vecCol).cast("array<double>").as("v"))
       .withColumn("n", norm2(col("v")))
       .withColumn("bucket", lshSignature(col("v"), planes))
@@ -118,6 +137,7 @@ object Similarity {
   def ivfTopK(df: DataFrame, idCol: String, vecCol: String,
               queryPred: Column, k: Int,
               nCentroids: Int = 16, nProbe: Int = 4): DataFrame = {
+    graft.functions.GraftFunctions.register(df.sparkSession)
     val base = df.select(col(idCol).as("id"), col(vecCol).cast("array<double>").as("v"))
       .withColumn("n", norm2(col("v")))
     val cents: Array[(Long, Seq[Double], Double)] =
@@ -164,6 +184,7 @@ object Similarity {
   def cosineNearDupPairs(df: DataFrame, idCol: String, vecCol: String,
                          tau: Double, leftPred: Column,
                          planes: Int = 6): DataFrame = {
+    graft.functions.GraftFunctions.register(df.sparkSession)
     val base = df.select(col(idCol).as("id"), col(vecCol).cast("array<double>").as("v"))
       .withColumn("n", norm2(col("v")))
       .withColumn("bucket", lshSignature(col("v"), planes))

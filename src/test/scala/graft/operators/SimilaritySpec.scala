@@ -41,6 +41,23 @@ class SimilaritySpec extends SparkSuite {
       s"nearest neighbor 1 must rank first among probed candidates, got $res")
   }
 
+  test("native graft_dot / graft_lsh_bucket are bit-identical to the HOF forms") {
+    graft.functions.GraftFunctions.register(spark)
+    // random-ish 16-dim vectors exercising sign mixes and magnitudes
+    val wide = spark.range(64).select(col("id"),
+      expr("transform(sequence(0, 15), i -> cast(xxhash64(id, i) as double) / 9.2e18)").as("v"))
+    val both = wide.select(
+      Similarity.dot(col("v"), col("v")).as("d_native"),
+      Similarity.dotHof(col("v"), col("v")).as("d_hof"),
+      Similarity.lshSignature(col("v"), 8).as("b_native"),
+      Similarity.lshSignatureHof(col("v"), 8).as("b_hof"))
+    val rows = both.as[(Double, Double, Long, Long)].collect()
+    rows.foreach { case (dn, dh, bn, bh) =>
+      assert(dn === dh, "dot must fold in identical order → bit-equal")
+      assert(bn === bh, "bucket bits must match the declarative signature")
+    }
+  }
+
   test("cosineNearDupPairs finds high-cosine pairs through buckets") {
     val res = Similarity.cosineNearDupPairs(vecs, "vec_id", "embedding",
         tau = 0.98, leftPred = col("id") === 0L, planes = 4)
