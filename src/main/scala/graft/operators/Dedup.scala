@@ -3,6 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
 
 /**
  * Deduplication operators for training-data pipelines: exact, MinHash+LSH,
@@ -218,31 +219,43 @@ object Dedup {
    * all distributed; converges in O(component diameter) rounds (dedup
    * graphs are short stars/cliques — the exact-dup guard already emits
    * stars — so a handful of rounds in practice, `maxIter` caps pathology).
-   * The only driver-side work per round is a 1-row convergence probe.
-   * Lineage is truncated per round via localCheckpoint (the iterative-
-   * algorithm standard; at 100 TB this is a reliable-checkpoint dir).
+   * Each round costs exactly ONE action: the new labels are cached and
+   * materialized by a full `sum(label)` probe. Min-propagation is
+   * monotone (a node's label never increases), so the label sum strictly
+   * decreases until the fixed point — sum-unchanged IS convergence, no
+   * old-vs-new comparison join needed. Decimal sum avoids overflow at
+   * any id range/corpus size. At 100 TB swap persist for a reliable
+   * checkpoint dir between rounds.
    */
   def resolveClusters(pairs: DataFrame, idA: String = "id_a",
                       idB: String = "id_b", maxIter: Int = 20): DataFrame = {
     val edges = pairs.select(col(idA).as("s"), col(idB).as("t"))
       .union(pairs.select(col(idB).as("s"), col(idA).as("t")))
-      .distinct().localCheckpoint()
-    var labels = edges.select(col("s").as("id")).distinct()
-      .withColumn("label", col("id")).localCheckpoint()
+      .distinct().persist()
+    // seed = min(self, direct neighbors) — one agg, no join; a clique
+    // anchored at its min node is already converged after this
+    var labels = edges.groupBy(col("s")).agg(min(col("t")).as("_mn"))
+      .select(col("s").as("id"), least(col("s"), col("_mn")).as("label"))
+      .persist()
+    def labelSum(df: DataFrame): java.math.BigDecimal =
+      df.agg(sum(col("label").cast(DecimalType(38, 0)))).head()
+        .getDecimal(0)
+    var prevSum = labelSum(labels)
     var converged = false
     var i = 0
     while (!converged && i < maxIter) {
       val prop = edges.join(labels, edges("t") === labels("id"))
         .select(edges("s").as("id"), col("label"))
       val next = labels.union(prop)
-        .groupBy("id").agg(min("label").as("label")).localCheckpoint()
-      val changed = next.alias("n")
-        .join(labels.alias("o"), col("n.id") === col("o.id"))
-        .filter(col("n.label") =!= col("o.label")).limit(1).count()
+        .groupBy("id").agg(min("label").as("label")).persist()
+      val s = labelSum(next) // full-scan probe also materializes the cache
+      labels.unpersist()
       labels = next
-      converged = changed == 0L
+      converged = s.compareTo(prevSum) == 0
+      prevSum = s
       i += 1
     }
+    edges.unpersist()
     labels.select(col("id").as("doc_id"), col("label").as("cluster_id"))
   }
 
