@@ -130,29 +130,20 @@ object Similarity {
    * probe side (queries × nProbe, tiny) is broadcast into the candidate
    * join, so the corpus never shuffles on the nCentroids-value key either.
    * The only exchange of candidate rows is the final top-k rank by
-   * query_id. Recall improves with nProbe; a real deployment would train
-   * centroids (k-means) instead of sampling — the operator contract
-   * (assign → probe → re-rank) is identical.
+   * query_id. Recall improves with nProbe and with `trainIters` Lloyd
+   * rounds (below); the operator contract (assign → probe → re-rank) is
+   * identical either way.
    */
   def ivfTopK(df: DataFrame, idCol: String, vecCol: String,
               queryPred: Column, k: Int,
-              nCentroids: Int = 16, nProbe: Int = 4): DataFrame = {
+              nCentroids: Int = 16, nProbe: Int = 4,
+              trainIters: Int = 0): DataFrame = {
     graft.functions.GraftFunctions.register(df.sparkSession)
     val base = df.select(col(idCol).as("id"), col(vecCol).cast("array<double>").as("v"))
       .withColumn("n", norm2(col("v")))
-    val cents: Array[(Long, Seq[Double], Double)] =
-      base.orderBy(col("id")).limit(nCentroids)
-        .select(col("id").cast("long"), col("v"), col("n"))
-        .collect()
-        .map(r => (r.getLong(0), r.getSeq[Double](1), r.getDouble(2)))
-    // Per-row scores against every centroid as one literal-backed array of
-    // (csim, -cid) structs: array_max = argmax with the (csim desc, cid asc)
-    // tie-break; sort desc + slice = the nProbe nearest for the query side.
+    val cents = trainCentroids(base, nCentroids, trainIters)
     def centScores(v: Column, n: Column): Column =
-      array(cents.map { case (cid, cv, cn) =>
-        struct((dot(v, typedlit(cv)) / (n * lit(cn))).as("csim"),
-          lit(-cid).as("negcid"))
-      }: _*)
+      centScoresFor(cents)(v, n)
     val assigned = base.withColumn("cid",
       -array_max(centScores(col("v"), col("n"))).getField("negcid"))
     val probes = base.filter(queryPred)
@@ -172,6 +163,62 @@ object Similarity {
       .orderBy(col("cos").desc, col("neighbor_id").asc)
     cand.withColumn("rn", row_number().over(w)).filter(col("rn") <= k)
       .select(col("query_id"), col("neighbor_id"), col("cos"), col("rn"))
+  }
+
+  /** Per-row scores against every centroid as one literal-backed array of
+    * (csim, -cid) structs: array_max = argmax with the (csim desc, cid asc)
+    * tie-break; sort desc + slice = the nProbe nearest for the query side. */
+  private def centScoresFor(cents: Array[(Long, Seq[Double], Double)])(
+      v: Column, n: Column): Column =
+    array(cents.map { case (cid, cv, cn) =>
+      struct((dot(v, typedlit(cv)) / (n * lit(cn))).as("csim"),
+        lit(-cid).as("negcid"))
+    }: _*)
+
+  /**
+   * Coarse quantizer for [[ivfTopK]]: `nCentroids` deterministic sample
+   * vectors (lowest ids — seedless, reproducible), optionally refined by
+   * `iters` Lloyd rounds. Each round is scale-shaped:
+   *  - assignment: the same map-side argmax expression the query path uses
+   *    (zero corpus shuffle);
+   *  - update: `posexplode` + avg per (cid, dim) — partial aggregation
+   *    combines map-side, so the exchange carries |centroids × dim|
+   *    partials per partition, never corpus rows;
+   *  - the ≤ centroids×dim means are collected (bounded model parameters)
+   *    and reassembled driver-side; empty clusters keep their previous
+   *    centroid. Centroid ids stay the initial sample ids so results are
+   *    reproducible run-to-run.
+   */
+  def trainCentroids(base: DataFrame, nCentroids: Int,
+                     iters: Int): Array[(Long, Seq[Double], Double)] = {
+    var cents: Array[(Long, Seq[Double], Double)] =
+      base.orderBy(col("id")).limit(nCentroids)
+        .select(col("id").cast("long"), col("v"), col("n"))
+        .collect()
+        .map(r => (r.getLong(0), r.getSeq[Double](1), r.getDouble(2)))
+    var it = 0
+    while (it < iters) {
+      val assigned = base.withColumn("cid",
+        -array_max(centScoresFor(cents)(col("v"), col("n"))).getField("negcid"))
+      val means = assigned
+        .select(col("cid"), posexplode(col("v")))
+        .groupBy(col("cid"), col("pos")).agg(avg(col("col")).as("m"))
+        .collect()
+        .groupBy(_.getLong(0))
+        .map { case (cid, rows) =>
+          cid -> rows.sortBy(_.getInt(1)).map(_.getDouble(2)).toSeq
+        }
+      cents = cents.map { case (cid, cv, cn) =>
+        means.get(cid) match {
+          case Some(m) =>
+            val norm = math.sqrt(m.map(x => x * x).sum)
+            if (norm > 0) (cid, m, norm) else (cid, cv, cn)
+          case None => (cid, cv, cn) // empty cluster keeps its centroid
+        }
+      }
+      it += 1
+    }
+    cents
   }
 
   /** Embedding-cosine near-duplicate pairs above a threshold; id_a < id_b.

@@ -139,6 +139,13 @@ object PipelineCatalog {
     Similarity.ivfTopK(Tables.embeddings(s, dir), "vec_id", "embedding",
       col("id") % 100 === 0, k = 5, nCentroids = 16, nProbe = 4)
 
+  /** IVF with a Lloyd-trained quantizer (2 rounds) — rows-only; the
+    * training rounds are the map-side-assign + partial-agg-mean loop. */
+  val simIvfTrained: Q = (s, dir) =>
+    Similarity.ivfTopK(Tables.embeddings(s, dir), "vec_id", "embedding",
+      col("id") % 100 === 0, k = 5, nCentroids = 16, nProbe = 4,
+      trainIters = 2)
+
   /** LSH-bucketed embedding near-dup pairs — rows-only. Thresholds tuned to
     * the synthetic embeddings (max sample-pair cosine ≈ 0.44): tau 0.3 with
     * 3 planes keeps recall high enough to emit rows at sf0.01. */
@@ -273,6 +280,7 @@ object PipelineCatalog {
     "sim_bruteforce_topk" -> simBruteForce,
     "sim_lsh_topk" -> simLsh,
     "sim_ivf_topk" -> simIvf,
+    "sim_ivf_trained" -> simIvfTrained,
     "sim_near_dup" -> simNearDup,
     "text_tokens" -> textTokens,
     "text_quality" -> textQuality,

@@ -41,6 +41,34 @@ class SimilaritySpec extends SparkSuite {
       s"nearest neighbor 1 must rank first among probed candidates, got $res")
   }
 
+  test("trainCentroids refines the sampled quantizer and keeps ivf recall") {
+    graft.functions.GraftFunctions.register(spark)
+    // 3 well-separated groups of 20 vectors each; centroids start as the
+    // 3 lowest ids (all in group 0) and must migrate toward the groups
+    val grouped = spark.range(60).select(col("id"),
+      expr("""transform(sequence(0, 7), i ->
+        cast(if(i = id % 3, 10.0, 0.0) as double) +
+        cast(xxhash64(id, i) as double) / 9.2e18)""").as("v"))
+      .withColumn("n", expr("sqrt(aggregate(transform(v, x -> x * x), 0.0D, (a, x) -> a + x))"))
+    val init = Similarity.trainCentroids(grouped, 3, iters = 0)
+    val trained = Similarity.trainCentroids(grouped, 3, iters = 2)
+    assert(trained.map(_._1).toSeq === init.map(_._1).toSeq,
+      "centroid ids stay the reproducible sample ids")
+    assert(trained.zip(init).exists { case ((_, tv, _), (_, iv, _)) => tv != iv },
+      "training must move at least one centroid")
+    // trained quantizer separates the planted groups: assign each row to
+    // its nearest trained centroid and check group purity via ivfTopK
+    val res = Similarity.ivfTopK(
+        grouped.select(col("id").as("vec_id"), col("v").cast("array<float>").as("embedding")),
+        "vec_id", "embedding", col("id") < 3, k = 3, nCentroids = 3,
+        nProbe = 1, trainIters = 2)
+    val neighbors = res.select("query_id", "neighbor_id")
+      .as[(Long, Long)].collect()
+    assert(neighbors.nonEmpty)
+    assert(neighbors.forall { case (q, n) => q % 3 == n % 3 },
+      s"1-probe neighbors must come from the query's own planted group: ${neighbors.toSeq}")
+  }
+
   test("native graft_dot / graft_lsh_bucket are bit-identical to the HOF forms") {
     graft.functions.GraftFunctions.register(spark)
     // random-ish 16-dim vectors exercising sign mixes and magnitudes
