@@ -103,6 +103,21 @@ object StreamWindows {
       .select(keys.map(col) :+ col("window.end").cast("long").as("window_end") :+ col("cnt"): _*)
   }
 
+  /** Session windows streaming (gap-based) — the streaming twin of
+    * `Windows.sessionCount`. Append mode: a session emits once the
+    * watermark passes `gap` after its last event; Spark merges
+    * overlapping per-event sessions in the same stateful aggregation
+    * (one shuffle by key, session state bounded by the watermark). */
+  def sessionCountStream(df: DataFrame, tsCol: String, keys: Seq[String],
+                         gap: String, watermarkDelay: String): DataFrame =
+    df.withWatermark(tsCol, watermarkDelay)
+      .groupBy((session_window(col(tsCol), gap) +: keys.map(col)): _*)
+      .agg(count(lit(1)).as("cnt"))
+      .select(keys.map(col) ++ Seq(
+        col("session_window").getField("start").cast("long").as("session_start"),
+        col("session_window").getField("end").cast("long").as("session_end"),
+        col("cnt")): _*)
+
   /** A5 streaming — exact distinct per tumbling window via
     * watermark-scoped dropDuplicates (state is evicted once the window
     * falls behind the watermark; the reference buffered a HashSet per

@@ -52,4 +52,43 @@ class CheckpointRecoverySpec extends SparkSuite {
     val alarms = results.synchronized(results.toList)
     assert(alarms.map(w => (w.userId, w.firstFailTs, w.secondFailTs)) === List((7L, 100L, 101L)))
   }
+
+  test("topNPerWindowStream state table survives a restart") {
+    import org.apache.spark.sql.functions._
+    val base = Files.createTempDirectory("graft_topn_ckpt")
+    val inDir = Files.createDirectory(base.resolve("in")).toString
+    val ckpt = base.resolve("ckpt").toString
+    val statePath = base.resolve("state").toString
+
+    val emitted = scala.collection.mutable.Map[(Long, Long), (Long, Int)]()
+    def startQuery() = {
+      val src = StreamSources.csvStream(spark, inDir,
+        org.apache.spark.sql.types.StructType.fromDDL("item LONG, sec LONG"))
+        .select(col("item"), col("sec").cast("timestamp").as("ts"))
+      val counts = StreamWindows.tumblingCountStream(src, "ts", Seq("item"),
+        "60 seconds", "5 seconds")
+      StreamWindows.topNPerWindowStream(counts, Seq("window_end"), "cnt", "item", 2,
+          statePath) { (ranked: DataFrame, _: Long) =>
+          ranked.select("item", "window_end", "cnt", "rn")
+            .as[(Long, Long, Long, Int)].collect()
+            .foreach { case (i, we, c, rn) => emitted.synchronized {
+              emitted((i, we)) = (c, rn) } }
+        }.option("checkpointLocation", ckpt).start()
+    }
+
+    // phase 1: item 1 leads window 60
+    Files.writeString(Paths.get(inDir, "p1.csv"), "1,10\n1,11\n2,12\n")
+    val q1 = startQuery(); q1.processAllAvailable(); q1.stop()
+    assert(emitted.synchronized(emitted((1L, 60L))._2) === 1)
+
+    // phase 2 after restart: item 2 overtakes — rank must merge against
+    // the PERSISTED state table (item 1's count survives the restart)
+    Files.writeString(Paths.get(inDir, "p2.csv"), "2,20\n2,21\n")
+    val q2 = startQuery(); q2.processAllAvailable(); q2.stop()
+
+    val fin = emitted.synchronized(emitted.toMap)
+    assert(fin((2L, 60L)) === ((3L, 1)), s"item 2 must lead with merged count 3: $fin")
+    assert(fin((1L, 60L)) === ((2L, 2)),
+      s"item 1's pre-restart count must survive in the state table: $fin")
+  }
 }

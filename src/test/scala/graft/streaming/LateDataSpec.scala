@@ -141,6 +141,32 @@ class LateDataSpec extends SparkSuite {
     assert(ap(60L) === 3L, "HLL is exact at tiny cardinality")
   }
 
+  test("streaming session windows ≡ batch sessionCount for closed sessions") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, Long)] // (user, sec)
+    val src = input.toDS()
+      .select(col("_1").as("user_id"), col("_2").cast("timestamp").as("ts"))
+    val sessions = StreamWindows.sessionCountStream(src, "ts", Seq("user_id"),
+      gap = "30 seconds", watermarkDelay = "0 seconds")
+    val q = sessions.writeStream.format("memory").queryName("sess")
+      .outputMode("append").start()
+    // user 1: two sessions (10-20, then 100); user 2: one session
+    val data = Seq((1L, 10L), (1L, 20L), (2L, 15L), (1L, 100L))
+    try {
+      input.addData(data); q.processAllAvailable()
+      input.addData(Seq((9L, 100000L))); q.processAllAvailable() // close all
+    } finally q.stop()
+    val streamed = spark.table("sess").filter(col("user_id") =!= 9L)
+      .as[(Long, Long, Long, Long)].collect().toSet
+    val batch = graft.operators.Windows.sessionCount(
+        data.toDF("user_id", "sec")
+          .select(col("user_id"), timestamp_seconds(col("sec")).as("ts")),
+        "ts", Seq("user_id"), "30 seconds")
+      .as[(Long, Long, Long, Long)].collect().toSet
+    assert(streamed === batch)
+    assert(batch.size === 3, s"expected 3 sessions, got $batch")
+  }
+
   test("streaming slice roll-up ≡ batch sliding count for closed windows") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[(String, Long)]
