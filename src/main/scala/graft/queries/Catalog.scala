@@ -379,6 +379,62 @@ object Catalog {
        |)
        |SELECT province, window_end, count(*) AS cnt FROM w GROUP BY 1, 2""".stripMargin
 
+  /** Analytics surface: pivot — channel × behavior count matrix
+    * (MarketByChannelApp's output shape as a wide table). Explicit pivot
+    * values keep the plan single-pass (no extra distinct-scan job). */
+  val channelPivot: Q = (s, dir) => {
+    val e = events(s, dir)
+      .withColumn("channel", concat(lit("ch_"), col("user_id") % 4))
+    e.groupBy(col("channel"))
+      .pivot("event_type", Seq("view", "click", "signup", "purchase", "error"))
+      .agg(count(lit(1)))
+      .na.fill(0L)
+      .orderBy(col("channel"))
+  }
+
+  val channelPivotSql: String =
+    s"""$eventsCte, w AS (
+       |  SELECT 'ch_' || CAST(user_id % 4 AS VARCHAR) AS channel, event_type FROM e
+       |)
+       |SELECT channel,
+       |  count(*) FILTER (WHERE event_type = 'view') AS view,
+       |  count(*) FILTER (WHERE event_type = 'click') AS click,
+       |  count(*) FILTER (WHERE event_type = 'signup') AS signup,
+       |  count(*) FILTER (WHERE event_type = 'purchase') AS purchase,
+       |  count(*) FILTER (WHERE event_type = 'error') AS error
+       |FROM w GROUP BY channel ORDER BY channel""".stripMargin
+
+  /** Analytics surface: running cumulative window function — per-day event
+    * value totals with a running sum per event_type (frame = unbounded
+    * preceding..current row, one shuffle by event_type). */
+  val qRunningTotal: Q = (s, dir) => {
+    val daily = events(s, dir)
+      .groupBy(col("event_type"), window(col("ets"), "1 day"))
+      .agg(sum(col("value").cast(DecimalType(18, 2))).as("day_total"))
+      .select(col("event_type"),
+        col("window").getField("end").cast("long").as("window_end"),
+        col("day_total"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("event_type")).orderBy(col("window_end"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    daily
+      .withColumn("running_total", sum(col("day_total")).over(w).cast("double"))
+      .withColumn("day_total", col("day_total").cast("double"))
+  }
+
+  val qRunningTotalSql: String =
+    s"""$eventsCte, d AS (
+       |  SELECT event_type, ${duckTumble(86400)} AS window_end,
+       |         sum(CAST(value AS DECIMAL(18,2))) AS day_total
+       |  FROM e GROUP BY 1, 2
+       |)
+       |SELECT event_type, window_end, CAST(day_total AS DOUBLE) AS day_total,
+       |  CAST(sum(day_total) OVER (PARTITION BY event_type ORDER BY window_end
+       |       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+       |    AS running_total
+       |FROM d""".stripMargin
+
   /** F5: count-threshold blacklist per (user, item-bucket) —
     * AdClickKeyProcessFunc semantics, batch form. */
   val blacklist: Q = (s, dir) => {
@@ -643,6 +699,8 @@ object Catalog {
     "uv_exact" -> uvExact,
     "uv_approx" -> uvApprox,
     "channel_behavior" -> channelBehavior,
+    "channel_pivot" -> channelPivot,
+    "q_running_total" -> qRunningTotal,
     "ad_province" -> adProvince,
     "blacklist" -> blacklist,
     "blacklist_daily" -> blacklistDaily,
@@ -672,6 +730,8 @@ object Catalog {
     "uv_exact" -> uvExactSql,
     // uv_approx: HLL++ estimate — rows-only by design
     "channel_behavior" -> channelBehaviorSql,
+    "channel_pivot" -> channelPivotSql,
+    "q_running_total" -> qRunningTotalSql,
     "ad_province" -> adProvinceSql,
     "blacklist" -> blacklistSql,
     "blacklist_daily" -> blacklistDailySql,
