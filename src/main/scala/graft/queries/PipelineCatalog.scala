@@ -225,6 +225,22 @@ object PipelineCatalog {
        |FROM h""".stripMargin
   }
 
+  /** Text normalization — the cleanup pass upstream of every dedup/quality
+    * stage: trim, collapse runs of whitespace, lowercase; plus the md5 of
+    * the normalized form (the fingerprint exact-dedup would key on).
+    * Map-only, whole-stage codegen. */
+  val textNormalize: Q = (s, dir) => {
+    val norm = lower(regexp_replace(trim(col("text")), "\\s+", " "))
+    Tables.documents(s, dir).select(
+      col("doc_id"), norm.as("text_norm"), md5(norm).as("norm_md5"))
+  }
+
+  val textNormalizeSql: String =
+    """SELECT doc_id,
+      |  lower(regexp_replace(trim(text), '\s+', ' ', 'g')) AS text_norm,
+      |  md5(lower(regexp_replace(trim(text), '\s+', ' ', 'g'))) AS norm_md5
+      |FROM documents""".stripMargin
+
   /** Portable fingerprint (md5) — the oracle-checkable slice. */
   val textFingerprint: Q = (s, dir) =>
     TextAnalysis.withFingerprints(Tables.documents(s, dir), "text")
@@ -287,6 +303,7 @@ object PipelineCatalog {
     "text_lang_id" -> textLangId,
     "text_fingerprint" -> textFingerprint,
     "text_fingerprint_full" -> textFingerprintFull,
+    "text_normalize" -> textNormalize,
     "mm_payload_stats" -> mmPayloadStats,
     "mm_features" -> mmFeatures)
 
@@ -300,5 +317,6 @@ object PipelineCatalog {
     "text_quality" -> textQualitySql,
     "text_lang_id" -> textLangIdSql,
     "text_fingerprint" -> textFingerprintSql,
+    "text_normalize" -> textNormalizeSql,
     "mm_payload_stats" -> mmPayloadStatsSql)
 }
