@@ -184,11 +184,16 @@ object GraftFunctions {
   }
 }
 
-/** `spark.sql.extensions=graft.functions.GraftExtensions` registration. */
+/** `spark.sql.extensions=graft.functions.GraftExtensions` registration:
+  * the native function family plus the slice roll-up optimizer rule
+  * ([[graft.plans.SliceRollupRule]] — sliding-window aggregations rewrite
+  * to the shuffle-light two-level form automatically). */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
     GraftFunctions.all.foreach { case (name, builder) =>
       ext.injectFunction((FunctionIdentifier(name),
         new ExpressionInfo("graft", name), builder))
     }
+    ext.injectOptimizerRule(_ => graft.plans.SliceRollupRule)
+  }
 }

@@ -1,0 +1,207 @@
+package graft.plans
+
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.expressions.aggregate._
+import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Expand, LogicalPlan}
+import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.types._
+
+/**
+ * Optimizer rule: rewrite a sliding-window aggregation into the slice
+ * roll-up form automatically — the Catalyst-rule twin of
+ * [[graft.operators.Windows.slidingCountRollup]] (the API-level form the
+ * catalog queries already use by hand).
+ *
+ * `groupBy(window(ts, size, slide), keys).agg(...)` analyzes into
+ * `Aggregate(Expand(N projections))` with N = size/slide: EVERY INPUT ROW
+ * is replicated N× before the exchange. This rule splits it into
+ *
+ *   Aggregate(final, original output ids)
+ *     Expand(N projections)            ← fan-out of AGGREGATED slices
+ *       Aggregate(partial, by slide-width slice + keys)
+ *         originalChild
+ *
+ * so the first exchange carries |keys × slices| partial rows instead of
+ * N× the corpus — at 1 h/5 s windows a 720× shuffle-volume cut for the
+ * identical result.
+ *
+ * Fires only when provably exact:
+ *  - the Aggregate sits DIRECTLY on the Expand (when size % slide != 0,
+ *    TimeWindowing inserts a window-bounds Filter between them and the
+ *    ceil(size/slide)-way expansion over-covers — bail);
+ *  - all expand projections are identical except the window struct column,
+ *    whose variants differ in exactly two Long literals stepping by a
+ *    constant (the slide in µs, exactly as TimeWindowing emits:
+ *    start_i = aligned(ts) − i·slide, end_i = start_i + size);
+ *  - every aggregate is a filterless, non-distinct Count / Sum / Min / Max
+ *    (decomposable as sum-of-counts / sum / min / max). Sum over DECIMAL
+ *    bails (re-aggregation would widen the result type); float sums
+ *    re-associate exactly like Spark's own partial aggregation already
+ *    does.
+ *
+ * Opt-in: injected by [[graft.functions.GraftExtensions]]
+ * (`spark.sql.extensions`) — the catalog queries keep calling the explicit
+ * operator; this rule serves declarative/SQL users of the library.
+ * Disable per-query via spark.sql.optimizer.excludedRules.
+ */
+object SliceRollupRule extends Rule[LogicalPlan] {
+
+  private val MinFanout = 4 // below this the second aggregate isn't worth it
+
+  override def apply(plan: LogicalPlan): LogicalPlan = plan transformUp {
+    case agg @ Aggregate(_, _, expand: Expand, None) =>
+      rewrite(agg, expand).getOrElse(agg)
+  }
+
+  /** Pairwise tree walk collecting (left, right) values at Long-literal
+    * positions where the two expressions differ; None on structural diff. */
+  private def literalDiffs(a: Expression, b: Expression): Option[Seq[(Long, Long)]] =
+    (a, b) match {
+      case (Literal(x: Long, LongType), Literal(y: Long, LongType)) =>
+        if (x == y) Some(Nil) else Some(Seq((x, y)))
+      case _ if a.getClass == b.getClass && a.children.length == b.children.length =>
+        if (a.children.isEmpty) {
+          if (a.semanticEquals(b)) Some(Nil) else None
+        } else {
+          val parts = a.children.zip(b.children)
+            .map { case (ca, cb) => literalDiffs(ca, cb) }
+          if (parts.forall(_.isDefined)) Some(parts.flatMap(_.get)) else None
+        }
+      case _ => None
+    }
+
+  private def completeAgg(fn: AggregateFunction): AggregateExpression =
+    AggregateExpression(fn, Complete, isDistinct = false, None, NamedExpression.newExprId)
+
+  private def rewrite(agg: Aggregate, expand: Expand): Option[LogicalPlan] = {
+    val projections = expand.projections
+    if (projections.length < MinFanout) return None
+    val width = projections.head.length
+    if (projections.exists(_.length != width)) return None
+
+    // Exactly one column varies across projections — the window struct.
+    val varying = (0 until width).filter { i =>
+      projections.exists(p => !p(i).semanticEquals(projections.head(i)))
+    }
+    if (varying.length != 1) return None
+    val wIdx = varying.head
+    val windowAttr = expand.output(wIdx)
+    val tsType = windowAttr.dataType match {
+      case StructType(Array(f1, f2))
+          if f1.name == "start" && f2.name == "end" && f1.dataType == f2.dataType =>
+        f1.dataType
+      case _ => return None
+    }
+    // Passthrough columns must be plain child attributes.
+    val passIdx = (0 until width).filterNot(_ == wIdx)
+    if (passIdx.exists(i => !projections.head(i).isInstanceOf[Attribute])) return None
+
+    // Window variants: exactly two Long literals stepping by the slide.
+    val w0 = projections(0)(wIdx)
+    val diffs01 = literalDiffs(w0, projections(1)(wIdx)).getOrElse(return None)
+    if (diffs01.length != 2) return None
+    val slideUs = diffs01.head._2 - diffs01.head._1
+    if (slideUs <= 0 || diffs01.exists { case (x, y) => y - x != slideUs }) return None
+    if (!diffs01.forall(_._1 == 0L)) return None // projection 0 = offset 0
+    val stepsOk = projections.sliding(2).forall {
+      case Seq(p, q) =>
+        literalDiffs(p(wIdx), q(wIdx)).exists(d =>
+          d.length == 2 && d.forall { case (x, y) => y - x == slideUs })
+      case _ => true
+    }
+    if (!stepsOk) return None
+    val n = projections.length
+    val sizeUs = n.toLong * slideUs
+    // The size literal appears (uniquely) in projection 0's end arithmetic;
+    // narrowing it to the slide yields the slice (tumbling slide-width
+    // window) struct. Require uniqueness so the substitution is safe.
+    val sizeLitCount = w0.collect {
+      case Literal(x: Long, LongType) if x == sizeUs => x
+    }.length
+    if (sizeLitCount != 1) return None
+    val sliceStruct = w0 transformUp {
+      case Literal(x: Long, LongType) if x == sizeUs => Literal(slideUs, LongType)
+    }
+
+    // Grouping must be the window attr + passthrough attrs.
+    val groupAttrs = agg.groupingExpressions.map {
+      case a: AttributeReference => a
+      case _ => return None
+    }
+    if (!groupAttrs.exists(_.exprId == windowAttr.exprId)) return None
+    val keyAttrs = groupAttrs.filterNot(_.exprId == windowAttr.exprId)
+    val passAttrs = passIdx.map(expand.output)
+    if (keyAttrs.exists(k => !passAttrs.exists(_.exprId == k.exprId))) return None
+
+    // Decompose aggregates. Each supported output alias yields an inner
+    // partial and a builder for the outer final (reusing the ORIGINAL
+    // alias exprId so downstream references keep resolving). Aggregate-free
+    // projections of the grouping attrs (e.g. a collapsed
+    // `cast(window.end as long) AS we`) pass through to the outer
+    // aggregate unchanged — its grouping covers the same attrs.
+    final case class Piece(partial: Alias, finalFor: Attribute => NamedExpression)
+    val groupSet = AttributeSet(groupAttrs)
+    val decomposed: Seq[scala.util.Either[NamedExpression, Piece]] =
+      agg.aggregateExpressions.map {
+        case al @ Alias(AggregateExpression(fn, Complete, false, None, _), name) =>
+          val piece = fn match {
+            case c: Count =>
+              Piece(Alias(completeAgg(c), s"_rollup_$name")(),
+                ref => Alias(Coalesce(Seq(completeAgg(Sum(ref)), Literal(0L, LongType))),
+                  name)(exprId = al.exprId))
+            case s: Sum if !s.child.dataType.isInstanceOf[DecimalType] =>
+              Piece(Alias(completeAgg(s), s"_rollup_$name")(),
+                ref => Alias(completeAgg(Sum(ref)), name)(exprId = al.exprId))
+            case m: Min =>
+              Piece(Alias(completeAgg(m), s"_rollup_$name")(),
+                ref => Alias(completeAgg(Min(ref)), name)(exprId = al.exprId))
+            case m: Max =>
+              Piece(Alias(completeAgg(m), s"_rollup_$name")(),
+                ref => Alias(completeAgg(Max(ref)), name)(exprId = al.exprId))
+            case _ => return None
+          }
+          scala.util.Right(piece)
+        case ne: NamedExpression
+            if !ne.exists(_.isInstanceOf[AggregateExpression]) &&
+              ne.references.subsetOf(groupSet) =>
+          scala.util.Left(ne)
+        case _ => return None
+      }
+    val pieces = decomposed.collect { case scala.util.Right(p) => p }
+
+    // ---- inner aggregate: partials per (slice, keys) ----
+    val sliceAlias = Alias(sliceStruct, "_rollup_slice")()
+    val inner = Aggregate(
+      sliceStruct +: keyAttrs,
+      (sliceAlias +: keyAttrs) ++ pieces.map(_.partial),
+      expand.child, None)
+
+    // ---- outer expand: fan each aggregated slice to its N windows ----
+    val sliceRef = sliceAlias.toAttribute
+    val partialRefs = pieces.map(_.partial.toAttribute)
+    def windowStruct(i: Int): Expression = {
+      val startUs = Subtract(
+        PreciseTimestampConversion(
+          GetStructField(sliceRef, 0, Some("start")), tsType, LongType),
+        Literal(i.toLong * slideUs, LongType))
+      CreateNamedStruct(Seq(
+        Literal("start"), PreciseTimestampConversion(startUs, LongType, tsType),
+        Literal("end"), PreciseTimestampConversion(
+          Add(startUs, Literal(sizeUs, LongType)), LongType, tsType)))
+    }
+    val outerExpand = Expand(
+      (0 until n).map(i => windowStruct(i) +: (keyAttrs ++ partialRefs: Seq[Expression])),
+      windowAttr +: (keyAttrs ++ partialRefs),
+      inner)
+
+    // ---- outer aggregate: original grouping attrs + re-reduced partials ----
+    var pi = -1
+    val outerAggExprs: Seq[NamedExpression] = decomposed.map {
+      case scala.util.Left(a) => a
+      case scala.util.Right(piece) =>
+        pi += 1
+        piece.finalFor(partialRefs(pi))
+    }
+    Some(Aggregate(groupAttrs, outerAggExprs, outerExpand, None))
+  }
+}

@@ -1,0 +1,102 @@
+package graft.plans
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, LogicalPlan}
+import org.apache.spark.sql.functions._
+
+import graft.SparkSuite
+
+/** The automatic slice roll-up rewrite: results bit-identical to the
+  * direct sliding-window aggregation, plan provably two-level, and the
+  * rule declines every shape it can't rewrite exactly. */
+class SliceRollupRuleSpec extends SparkSuite {
+
+  import spark.implicits._
+
+  private def events: DataFrame =
+    spark.range(500).select(
+      (col("id") % 7).as("k"),
+      timestamp_seconds(col("id") * 37 % 10000).as("ts"),
+      (col("id") % 11).cast("double").as("v"))
+
+  private def aggCount(plan: LogicalPlan): Int =
+    plan.collect { case a: Aggregate => a }.length
+
+  private def withRule[T](body: => T): T = {
+    spark.experimental.extraOptimizations = Seq(SliceRollupRule)
+    try body finally spark.experimental.extraOptimizations = Nil
+  }
+
+  test("sliding count/sum/min/max rewrite to two aggregates, same result") {
+    def q = events
+      .groupBy(window(col("ts"), "10 minutes", "1 minute"), col("k"))
+      .agg(count(lit(1)).as("cnt"), sum(col("v")).as("s"),
+        min(col("v")).as("mn"), max(col("v")).as("mx"))
+      .select(col("k"), col("window.end").cast("long").as("we"),
+        col("cnt"), col("s"), col("mn"), col("mx"))
+    val baseline = q.collect().toSet
+    withRule {
+      assert(aggCount(q.queryExecution.optimizedPlan) === 2,
+        "rule must split the aggregation:\n" + q.queryExecution.optimizedPlan)
+      assert(q.collect().toSet === baseline)
+    }
+  }
+
+  test("rewrite survives downstream references (orderBy over the agg output)") {
+    def q = events
+      .groupBy(window(col("ts"), "10 minutes", "1 minute"), col("k"))
+      .agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("k"), col("window"))
+      .limit(20)
+      .select(col("k"), col("window.end").cast("long").as("we"), col("cnt"))
+    val baseline = q.collect().toSeq
+    withRule {
+      assert(aggCount(q.queryExecution.optimizedPlan) === 2)
+      assert(q.collect().toSeq === baseline)
+    }
+  }
+
+  test("declines: avg (not sum/count-decomposable at the logical level)") {
+    def q = events
+      .groupBy(window(col("ts"), "10 minutes", "1 minute"), col("k"))
+      .agg(avg(col("v")).as("a"))
+    val baseline = q.collect().toSet
+    withRule {
+      assert(aggCount(q.queryExecution.optimizedPlan) === 1, "avg must not rewrite")
+      assert(q.collect().toSet === baseline)
+    }
+  }
+
+  test("declines: size not a multiple of slide (bounds filter present)") {
+    def q = events
+      .groupBy(window(col("ts"), "10 minutes", "3 minutes"), col("k"))
+      .agg(count(lit(1)).as("cnt"))
+    val baseline = q.collect().toSet
+    withRule {
+      assert(aggCount(q.queryExecution.optimizedPlan) === 1,
+        "ceil-expansion with bounds filter must not rewrite")
+      assert(q.collect().toSet === baseline)
+    }
+  }
+
+  test("declines: decimal sum (re-aggregation would widen the type)") {
+    def q = events
+      .groupBy(window(col("ts"), "10 minutes", "1 minute"), col("k"))
+      .agg(sum(col("v").cast("decimal(18,2)")).as("s"))
+    val baseline = q.collect().toSet
+    withRule {
+      assert(aggCount(q.queryExecution.optimizedPlan) === 1)
+      assert(q.collect().toSet === baseline)
+    }
+  }
+
+  test("tumbling windows are untouched") {
+    def q = events.groupBy(window(col("ts"), "10 minutes"), col("k"))
+      .agg(count(lit(1)).as("cnt"))
+    val baseline = q.collect().toSet
+    withRule {
+      assert(aggCount(q.queryExecution.optimizedPlan) === 1)
+      assert(q.collect().toSet === baseline)
+    }
+  }
+}
