@@ -36,6 +36,9 @@ object Run {
         Catalog.all.keys.toSeq.sorted.foreach(println)
       case "sql" =>
         Tables.registerViews(spark, sfDir)
+        // declarative entry point gets the automatic sliding-window
+        // slice roll-up (catalog queries call the operator explicitly)
+        spark.experimental.extraOptimizations = Seq(graft.plans.SliceRollupRule)
         spark.sql(args(2)).show(50, truncate = false)
       case "explain" =>
         val name = args(2)
