@@ -202,13 +202,16 @@ object Catalog {
   }
 
   /** DuckDB twin: gap-based sessionization via lag + running session id.
-    * Spark merges sessions only on strict overlap, so a gap of exactly the
-    * threshold starts a NEW session (hence `>= 1800`); session end =
-    * last event + gap. */
+    * Spark session windows merge TOUCHING intervals — an event at exactly
+    * lastTs + gap joins the session (verified empirically: two events
+    * 1800 s apart with a 1800 s gap produce ONE session) — so a new
+    * session starts only when the gap is STRICTLY exceeded (`> 1800`).
+    * Caught at sf0.1, where an exactly-gap-distance pair exists; sf0.01
+    * has none. Session end = last event + gap. */
   val qSessionsSql: String =
     s"""$eventsCte, o AS (
        |  SELECT user_id, sec,
-       |         CASE WHEN sec - lag(sec) OVER (PARTITION BY user_id ORDER BY sec) >= 1800
+       |         CASE WHEN sec - lag(sec) OVER (PARTITION BY user_id ORDER BY sec) > 1800
        |              OR lag(sec) OVER (PARTITION BY user_id ORDER BY sec) IS NULL
        |              THEN 1 ELSE 0 END AS new_session
        |  FROM e
