@@ -256,6 +256,50 @@ object PipelineCatalog {
       .select(col("doc_id"), col("fp_md5"), col("fp_xxh64"), col("fp_rolling"))
 
   // ------------------------------------------------------------------
+  // Deterministic sampling (documents)
+  // ------------------------------------------------------------------
+
+  /** DuckDB twin of [[Sampling.hashBucket]]: parse the first 8 md5 hex
+    * chars positionally (no hex→int cast exists in DuckDB 1.0; the
+    * power-of-16 sum is exact in doubles for 32-bit values). */
+  private def duckHashBucket(keyExpr: String): String =
+    s"""CAST(list_sum(list_transform(range(8), i ->
+       |    (strpos('0123456789abcdef',
+       |       substr(md5(CAST($keyExpr AS VARCHAR)), CAST(i + 1 AS INT), 1)) - 1)
+       |    * power(16, 7 - i))) AS BIGINT) % 1000""".stripMargin
+
+  /** 20% deterministic sample + reproducible train/val/test assignment. */
+  val sampleDet: Q = (s, dir) =>
+    Sampling.deterministicSample(Tables.documents(s, dir), "doc_id", 0.20)
+      .select(col("doc_id"), col("lang"), col("source"),
+        Sampling.splitColumn(col("doc_id"), 0.8, 0.1).as("split"))
+
+  val sampleDetSql: String =
+    s"""WITH b AS (
+       |  SELECT doc_id, lang, source, ${duckHashBucket("doc_id")} AS bucket
+       |  FROM documents
+       |)
+       |SELECT doc_id, lang, source,
+       |       CASE WHEN bucket < 800 THEN 'train'
+       |            WHEN bucket < 900 THEN 'val'
+       |            ELSE 'test' END AS split
+       |FROM b WHERE bucket < 200""".stripMargin
+
+  /** Stratified: keep 50% of 'en', 10% of everything else. */
+  val sampleStratified: Q = (s, dir) =>
+    Sampling.stratifiedSample(Tables.documents(s, dir), "doc_id", "lang",
+        Map("en" -> 0.5), default = 0.1)
+      .select(col("doc_id"), col("lang"))
+
+  val sampleStratifiedSql: String =
+    s"""WITH b AS (
+       |  SELECT doc_id, lang, ${duckHashBucket("doc_id")} AS bucket
+       |  FROM documents
+       |)
+       |SELECT doc_id, lang FROM b
+       |WHERE bucket < CASE WHEN lang = 'en' THEN 500 ELSE 100 END""".stripMargin
+
+  // ------------------------------------------------------------------
   // Multimodal plumbing (documents.text bytes stand in for payloads)
   // ------------------------------------------------------------------
 
@@ -304,6 +348,8 @@ object PipelineCatalog {
     "text_fingerprint" -> textFingerprint,
     "text_fingerprint_full" -> textFingerprintFull,
     "text_normalize" -> textNormalize,
+    "sample_det" -> sampleDet,
+    "sample_stratified" -> sampleStratified,
     "mm_payload_stats" -> mmPayloadStats,
     "mm_features" -> mmFeatures)
 
@@ -318,5 +364,7 @@ object PipelineCatalog {
     "text_lang_id" -> textLangIdSql,
     "text_fingerprint" -> textFingerprintSql,
     "text_normalize" -> textNormalizeSql,
+    "sample_det" -> sampleDetSql,
+    "sample_stratified" -> sampleStratifiedSql,
     "mm_payload_stats" -> mmPayloadStatsSql)
 }

@@ -1,0 +1,54 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSuite
+
+/** Deterministic-sampling semantics: reproducibility, split completeness,
+  * stratified thresholds, and approximate rate. */
+class SamplingSpec extends SparkSuite {
+
+  import spark.implicits._
+
+  private lazy val rows = spark.range(10000)
+    .select(col("id"), (col("id") % 3).cast("string").as("cls"))
+
+  test("same key set on every evaluation (no RNG)") {
+    val a = Sampling.deterministicSample(rows, "id", 0.2)
+      .select("id").as[Long].collect().toSet
+    val b = Sampling.deterministicSample(rows, "id", 0.2)
+      .select("id").as[Long].collect().toSet
+    assert(a === b)
+    // uniformity: 20% ± 2 points on 10k keys
+    assert(math.abs(a.size / 10000.0 - 0.2) < 0.02, s"rate ${a.size}")
+  }
+
+  test("split column partitions every row into train/val/test at ~80/10/10") {
+    val split = rows.select(Sampling.splitColumn(col("id"), 0.8, 0.1).as("s"))
+      .groupBy("s").count().as[(String, Long)].collect().toMap
+    assert(split.keySet === Set("train", "val", "test"))
+    assert(split.values.sum === 10000L)
+    assert(math.abs(split("train") / 10000.0 - 0.8) < 0.02)
+    assert(math.abs(split("val") / 10000.0 - 0.1) < 0.01)
+  }
+
+  test("sample is split-stable: sampled rows keep their split assignment") {
+    // the core reproducibility property: bucketing by the same key means a
+    // 20% sample is exactly the first 200 buckets — a subset of train
+    val sampled = Sampling.deterministicSample(rows, "id", 0.2)
+      .select(col("id"), Sampling.splitColumn(col("id"), 0.8, 0.1).as("s"))
+      .as[(Long, String)].collect()
+    assert(sampled.forall(_._2 == "train"),
+      "keepPct below trainPct must land entirely inside the train split")
+  }
+
+  test("stratified sample applies per-class fractions") {
+    val kept = Sampling.stratifiedSample(rows, "id", "cls",
+        Map("0" -> 0.5), default = 0.1)
+      .groupBy("cls").count().as[(String, Long)].collect().toMap
+    val per = rows.groupBy("cls").count().as[(String, Long)].collect().toMap
+    assert(math.abs(kept("0").toDouble / per("0") - 0.5) < 0.05)
+    assert(math.abs(kept("1").toDouble / per("1") - 0.1) < 0.03)
+    assert(math.abs(kept("2").toDouble / per("2") - 0.1) < 0.03)
+  }
+}
