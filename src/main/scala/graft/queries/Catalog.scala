@@ -509,6 +509,38 @@ object Catalog {
        |       substring(event_type, 1, 3) AS prefix
        |FROM e""".stripMargin
 
+  /** Join surface: LEFT SEMI — customers that placed at least one
+    * high-value order (existence, no row multiplication; plans as a
+    * build-once semi hash join). */
+  val qSemiJoin: Q = (s, dir) => {
+    val c = Tables.customer(s, dir)
+    val o = Tables.orders(s, dir).filter(col("o_totalprice") > 100000.0)
+    c.join(o, col("c_custkey") === col("o_custkey"), "left_semi")
+      .select(col("c_custkey"), col("c_mktsegment"))
+  }
+
+  val qSemiJoinSql: String =
+    """SELECT c_custkey, c_mktsegment FROM customer
+      |WHERE EXISTS (SELECT 1 FROM orders
+      |              WHERE o_custkey = c_custkey AND o_totalprice > 100000.0)""".stripMargin
+
+  /** Join surface: LEFT ANTI — customers with no order above 300k (the
+    * classic absence scan; anti hash join, fact side streams. Every
+    * synthetic customer has SOME order, so the no-orders-at-all form
+    * returns 0 rows — the price threshold keeps the gate row count
+    * meaningful at both sf0.01 and sf0.1). */
+  val qAntiJoin: Q = (s, dir) => {
+    val c = Tables.customer(s, dir)
+    val o = Tables.orders(s, dir).filter(col("o_totalprice") > 300000.0)
+    c.join(o, col("c_custkey") === col("o_custkey"), "left_anti")
+      .select(col("c_custkey"), col("c_name"))
+  }
+
+  val qAntiJoinSql: String =
+    """SELECT c_custkey, c_name FROM customer
+      |WHERE NOT EXISTS (SELECT 1 FROM orders
+      |                  WHERE o_custkey = c_custkey AND o_totalprice > 300000.0)""".stripMargin
+
   // -- stateful detectors (batch forms; streaming twins in graft.streaming)
 
   /** J4/J5: two consecutive failures within 1h per user — LoginFail*. */
@@ -695,6 +727,8 @@ object Catalog {
     "q_region_rollup" -> qRegionRollup,
     "q_cube_flags" -> qCubeFlags,
     "q_sessions" -> qSessions,
+    "q_semi_join" -> qSemiJoin,
+    "q_anti_join" -> qAntiJoin,
     "hot_items" -> hotItems,
     "hot_items_sql" -> hotItemsSqlSurface,
     "hot_urls" -> hotUrls,
@@ -726,6 +760,8 @@ object Catalog {
     "q_region_rollup" -> qRegionRollupSql,
     "q_cube_flags" -> qCubeFlagsSql,
     "q_sessions" -> qSessionsSql,
+    "q_semi_join" -> qSemiJoinSql,
+    "q_anti_join" -> qAntiJoinSql,
     "hot_items" -> hotItemsSql,
     "hot_items_sql" -> hotItemsSql, // same semantics through spark.sql
     "hot_urls" -> hotUrlsSql,
