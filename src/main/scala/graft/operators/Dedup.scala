@@ -240,7 +240,10 @@ object Dedup {
     def labelSum(df: DataFrame): java.math.BigDecimal =
       df.agg(sum(col("label").cast(DecimalType(38, 0)))).head()
         .getDecimal(0)
-    var prevSum = labelSum(labels)
+    // no up-front sum of the seed: the first round's probe doubles as the
+    // baseline (one fewer action; the seed labels materialize lazily
+    // inside round 1's job)
+    var prevSum: java.math.BigDecimal = null
     var converged = false
     var i = 0
     while (!converged && i < maxIter) {
@@ -251,7 +254,7 @@ object Dedup {
       val s = labelSum(next) // full-scan probe also materializes the cache
       labels.unpersist()
       labels = next
-      converged = s.compareTo(prevSum) == 0
+      converged = prevSum != null && s.compareTo(prevSum) == 0
       prevSum = s
       i += 1
     }
