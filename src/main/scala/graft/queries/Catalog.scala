@@ -344,6 +344,19 @@ object Catalog {
     Windows.approxDistinct(pv, "ets", "user_id", "1 hour")
   }
 
+  /** A7/K3 batch parity: tumbling 1h UV via the fixed-size bitmap
+    * Aggregator (reference's Redis bitmap as Spark-managed partial-agg
+    * state). Collision undercount possible by design ⇒ rows-only gate;
+    * exactness at gate cardinality is pinned in `BitmapUvSpec`. */
+  val uvBitmap: Q = (s, dir) => {
+    val pv = events(s, dir).filter(col("event_type") === "view")
+      .select(col("ets"), col("user_id"))
+    pv.groupBy(window(col("ets"), "1 hour"))
+      .agg(BitmapUv.uv(col("user_id")).as("uv_bitmap"))
+      .select(col("window").getField("end").cast("long").as("window_end"),
+        col("uv_bitmap"))
+  }
+
   /** W2+W4: composite-key sliding window — MarketByChannelApp
     * (channel × behavior). Channel proxied by a user-hash bucket. */
   val channelBehavior: Q = (s, dir) => {
@@ -735,6 +748,7 @@ object Catalog {
     "pv_tumbling" -> pvTumbling,
     "uv_exact" -> uvExact,
     "uv_approx" -> uvApprox,
+    "uv_bitmap" -> uvBitmap,
     "channel_behavior" -> channelBehavior,
     "channel_pivot" -> channelPivot,
     "q_running_total" -> qRunningTotal,
