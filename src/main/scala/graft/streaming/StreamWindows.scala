@@ -165,16 +165,27 @@ object StreamWindows {
    * State is versioned `v0,v1,…` under `statePath` (write-new-then-delete-
    * old — a poor man's Delta MERGE; at 100 TB the same loop targets a real
    * lakehouse MERGE INTO). Windows no longer updatable (behind the
-   * watermark) stop being touched and cost nothing per batch; a production
-   * deployment would additionally partition the state by window and drop
-   * finalized partitions.
+   * watermark) stop being touched and cost nothing per batch; `retain`
+   * additionally bounds the state table itself — it filters the merged
+   * state before each write, with the current batch in scope, e.g.
+   *
+   *   retain = (state, batch) => state.filter(col("window_end") >=
+   *     lit(batch.agg(max("window_end")).head.getLong(0) - horizonSec))
+   *
+   * (the reference's timer-fired `MapState.clear`,
+   * HotUrlApp2.java:111-190, as a declarative retention predicate).
    */
   def topNPerWindowStream(counts: DataFrame, partCols: Seq[String],
                           orderCol: String, tieBreak: String, n: Int,
-                          statePath: String)(
+                          statePath: String,
+                          retain: (DataFrame, DataFrame) => DataFrame =
+                            (state, _) => state)(
       sink: (DataFrame, Long) => Unit): DataStreamWriter[org.apache.spark.sql.Row] =
     counts.writeStream.outputMode("update").foreachBatch {
       (batch: DataFrame, batchId: Long) =>
+        // update mode runs no-data batches to advance the watermark; they
+        // can't change any rank, so skip the state churn entirely
+        if (!batch.isEmpty) {
         val spark = batch.sparkSession
         val root = new org.apache.hadoop.fs.Path(statePath)
         val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -184,13 +195,14 @@ object StreamWindows {
               .filter(_.matches("v\\d+")).map(_.drop(1).toLong).sorted
           else Array.empty[Long]
         val keyCols = partCols :+ tieBreak
-        val merged = versions.lastOption match {
+        val merged0 = versions.lastOption match {
           case Some(vmax) =>
             val prev = spark.read.parquet(
               new org.apache.hadoop.fs.Path(root, s"v$vmax").toString)
             prev.join(batch, keyCols, "left_anti").unionByName(batch)
           case None => batch
         }
+        val merged = retain(merged0, batch)
         val next = new org.apache.hadoop.fs.Path(root,
           s"v${versions.lastOption.getOrElse(-1L) + 1L}")
         merged.write.mode("overwrite").parquet(next.toString)
@@ -202,6 +214,7 @@ object StreamWindows {
         sink(ranked, batchId)
         versions.foreach(v =>
           fs.delete(new org.apache.hadoop.fs.Path(root, s"v$v"), true))
+        }
     }
 
   /** Convenience: run an AvailableNow pass writing top-N per window into an

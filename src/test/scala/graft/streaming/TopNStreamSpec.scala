@@ -63,4 +63,41 @@ class TopNStreamSpec extends SparkSuite {
     assert(lastEmission === batchOracle,
       s"operator-emitted ranks $lastEmission must equal batch oracle $batchOracle")
   }
+
+  test("retain predicate bounds the state table without touching live windows") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, Long)]
+    val src = input.toDS()
+      .select(col("_1").as("item"), col("_2").cast("timestamp").as("ts"))
+    val counts = StreamWindows.tumblingCountStream(src, "ts", Seq("item"),
+      "60 seconds", "5 seconds")
+    val statePath = java.nio.file.Files.createTempDirectory("graft_topn_ret").toString
+    // keep only windows within 120s of the newest window in the batch
+    val retain = (state: org.apache.spark.sql.DataFrame,
+                  batch: org.apache.spark.sql.DataFrame) => {
+      val newest = batch.agg(max(col("window_end"))).head().getLong(0)
+      state.filter(col("window_end") >= newest - 120L)
+    }
+    val emitted = scala.collection.mutable.Map[Long, Set[(Long, Long, Long, Int)]]()
+    val q = StreamWindows.topNPerWindowStream(
+        counts, Seq("window_end"), "cnt", "item", 2, statePath, retain) {
+      (ranked, batchId) =>
+        emitted(batchId) = ranked.select("item", "window_end", "cnt", "rn")
+          .as[(Long, Long, Long, Int)].collect().toSet
+    }.start()
+    try {
+      input.addData(Seq((1L, 10L), (2L, 12L)))   // window 60
+      q.processAllAvailable()
+      input.addData(Seq((3L, 600L), (3L, 610L))) // window 660 — 60 evicts
+      q.processAllAvailable()
+    } finally q.stop()
+    // the state table holds only the live window's rows after eviction
+    val vdirs = new java.io.File(statePath).listFiles().filter(_.getName.startsWith("v"))
+    assert(vdirs.length === 1)
+    val state = spark.read.parquet(vdirs.head.toString)
+      .select("item", "window_end").as[(Long, Long)].collect().toSet
+    assert(state === Set((3L, 660L)), s"evicted state must only keep window 660: $state")
+    // and the live window's emission is still correctly ranked
+    assert(emitted.values.flatten.toSet.contains((3L, 660L, 2L, 1)))
+  }
 }
