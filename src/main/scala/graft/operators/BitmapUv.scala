@@ -27,6 +27,10 @@ import org.apache.spark.sql.functions.udaf
  */
 class BitmapUv(bitsLog2: Int) extends Aggregator[Long, Array[Byte], Long]
     with Serializable {
+  // >= 3: a sub-byte bitmap allocates zero bytes; <= 31: sizeBytes
+  // (1 << 28 max) stays a positive Int and (h & mask).toInt non-negative
+  require(bitsLog2 >= 3 && bitsLog2 <= 31,
+    s"bitsLog2 must be in [3, 31], got $bitsLog2")
   private val sizeBytes = 1 << (bitsLog2 - 3)
   private val mask = (1L << bitsLog2) - 1L
 

@@ -258,6 +258,11 @@ object Dedup {
       prevSum = s
       i += 1
     }
+    if (!converged)
+      org.slf4j.LoggerFactory.getLogger(getClass).warn(
+        s"resolveClusters: min-label propagation did not converge in $maxIter " +
+          "rounds — components with diameter > maxIter are split into " +
+          "multiple cluster_ids; raise maxIter for deep chain graphs")
     edges.unpersist()
     labels.select(col("id").as("doc_id"), col("label").as("cluster_id"))
   }

@@ -144,6 +144,10 @@ object SliceRollupRule extends Rule[LogicalPlan] {
     val decomposed: Seq[scala.util.Either[NamedExpression, Piece]] =
       agg.aggregateExpressions.map {
         case al @ Alias(AggregateExpression(fn, Complete, false, None, _), name) =>
+          // The partial lands BELOW the Expand: its function may only
+          // reference child attributes, never Expand-generated ones (e.g.
+          // max(window.end) — the window struct doesn't exist down there).
+          if (!fn.references.subsetOf(expand.child.outputSet)) return None
           val piece = fn match {
             case c: Count =>
               Piece(Alias(completeAgg(c), s"_rollup_$name")(),

@@ -67,11 +67,21 @@ object StreamWindows {
    *
    * The only driver-side state is one long (the running max event time,
    * refreshed by a single-row agg per batch) — nothing scales with data.
+   * Pass `watermarkPath` to persist that long across restarts (written
+   * atomically next to the checkpoint each batch, reloaded on start);
+   * without it a restarted query treats its first batch as all on-time,
+   * unlike Spark's persisted watermark.
    */
-  def lateRowSideOutput(stream: DataFrame, tsCol: String, delaySec: Long)(
+  def lateRowSideOutput(stream: DataFrame, tsCol: String, delaySec: Long,
+                        watermarkPath: String = null)(
       onTime: (DataFrame, Long) => Unit,
       lateSink: (DataFrame, Long) => Unit): DataStreamWriter[org.apache.spark.sql.Row] = {
-    val maxTsMicros = new java.util.concurrent.atomic.AtomicLong(Long.MinValue)
+    val wmFile = Option(watermarkPath).map(java.nio.file.Paths.get(_))
+    val initial = wmFile
+      .filter(java.nio.file.Files.exists(_))
+      .map(p => new String(java.nio.file.Files.readAllBytes(p), "UTF-8").trim.toLong)
+      .getOrElse(Long.MinValue)
+    val maxTsMicros = new java.util.concurrent.atomic.AtomicLong(initial)
     stream.writeStream.outputMode("append").foreachBatch {
       (batch: DataFrame, batchId: Long) =>
         val tsMicros = unix_micros(col(tsCol).cast("timestamp"))
@@ -87,7 +97,14 @@ object StreamWindows {
           lateSink(lateDf, batchId)
           onTime(onTimeDf, batchId)
           Option(b.agg(max(tsMicros)).head().get(0)).foreach { mx =>
-            maxTsMicros.getAndUpdate(cur => math.max(cur, mx.asInstanceOf[Long]))
+            val m = maxTsMicros.updateAndGet(cur => math.max(cur, mx.asInstanceOf[Long]))
+            wmFile.foreach { p =>
+              val tmp = p.resolveSibling(p.getFileName.toString + ".tmp")
+              java.nio.file.Files.write(tmp, m.toString.getBytes("UTF-8"))
+              java.nio.file.Files.move(tmp, p,
+                java.nio.file.StandardCopyOption.REPLACE_EXISTING,
+                java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+            }
           }
         } finally b.unpersist()
     }
@@ -189,10 +206,16 @@ object StreamWindows {
         val spark = batch.sparkSession
         val root = new org.apache.hadoop.fs.Path(statePath)
         val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        // Only committed versions count: a crash mid-write leaves a partial
+        // v{n+1} dir that sorts newest — without the _SUCCESS marker check
+        // the merge would silently read truncated state and persist the
+        // loss forward. Spark writes _SUCCESS on successful job commit.
         val versions =
           if (fs.exists(root))
-            fs.listStatus(root).map(_.getPath.getName)
-              .filter(_.matches("v\\d+")).map(_.drop(1).toLong).sorted
+            fs.listStatus(root).map(_.getPath)
+              .filter(p => p.getName.matches("v\\d+") &&
+                fs.exists(new org.apache.hadoop.fs.Path(p, "_SUCCESS")))
+              .map(_.getName.drop(1).toLong).sorted
           else Array.empty[Long]
         val keyCols = partCols :+ tieBreak
         val merged0 = versions.lastOption match {
@@ -250,6 +273,8 @@ object StreamWindows {
    */
   def perEventUv(events: DataFrame, windowSize: String,
                  watermarkDelay: String, bitsLog2: Int = 20): Dataset[UvUpdate] = {
+    require(bitsLog2 >= 3 && bitsLog2 <= 31,
+      s"bitsLog2 must be in [3, 31], got $bitsLog2")
     val spark = events.sparkSession
     import spark.implicits._
     val sizeBytes = 1 << (bitsLog2 - 3)

@@ -90,6 +90,23 @@ class SliceRollupRuleSpec extends SparkSuite {
     }
   }
 
+  test("declines: aggregate referencing the window attribute (max(window.end))") {
+    // Regression: the partial lands below the Expand where the window
+    // struct doesn't exist — rewriting max(window.end) crashed execution
+    // with INTERNAL_ERROR_ATTRIBUTE_NOT_FOUND. The rule must bail.
+    def q = events
+      .groupBy(window(col("ts"), "10 minutes", "1 minute"), col("k"))
+      .agg(count(lit(1)).as("cnt"), max(col("window.end").cast("long")).as("we"))
+    val baseline = withClue("baseline must run without the rule") {
+      q.collect().toSet
+    }
+    withRule {
+      assert(aggCount(q.queryExecution.optimizedPlan) === 1,
+        "window-referencing aggregate must not rewrite")
+      assert(q.collect().toSet === baseline)
+    }
+  }
+
   test("tumbling windows are untouched") {
     def q = events.groupBy(window(col("ts"), "10 minutes"), col("k"))
       .agg(count(lit(1)).as("cnt"))
