@@ -94,6 +94,49 @@ object TextAnalysis {
     df.withColumn("lang_pred", array_max(array(scored: _*)).getField("lang"))
   }
 
+  /** Word n-grams as space-joined strings; empty array when the document
+    * has fewer than n tokens (`sequence(1, 0)` would DESCEND, not error —
+    * the guard is mandatory). */
+  def ngrams(toks: Column, n: Int): Column =
+    when(size(toks) >= n,
+      transform(sequence(lit(1), size(toks) - (n - 1)),
+        i => concat_ws(" ", (0 until n).map(j => element_at(toks, i + j)): _*)))
+      .otherwise(array().cast("array<string>"))
+
+  /**
+   * Repetition features per document — the Gopher-repetition rule family
+   * (duplicate-n-gram fraction, top-n-gram mass) used to drop boilerplate
+   * and degenerate generations from training corpora.
+   *
+   *  - `dup_2gram_frac` / `dup_3gram_frac`: fraction of n-gram slots
+   *    occupied by a repeated n-gram (1 − distinct/total).
+   *  - `top_2gram_frac`: share of bigram slots taken by the single most
+   *    frequent bigram (count via a per-doc distinct×all filter walk —
+   *    quadratic in DISTINCT bigrams per doc, bounded by document length,
+   *    never leaves the row).
+   *
+   * Map-only: no shuffle, no UDF, scan reads only (id, text) — the same
+   * zero-exchange shape as the rest of this file at any corpus size.
+   */
+  def withRepetitionFeatures(df: DataFrame, textCol: String): DataFrame = {
+    val toks = tokens(col(textCol))
+    def dupFrac(g: Column): Column =
+      when(size(g) > 0,
+        (size(g) - size(array_distinct(g))).cast("double") / size(g).cast("double"))
+        .otherwise(lit(0.0))
+    val g2 = ngrams(toks, 2)
+    val g3 = ngrams(toks, 3)
+    df.withColumn("n_2grams", size(g2))
+      .withColumn("dup_2gram_frac", dupFrac(g2))
+      .withColumn("dup_3gram_frac", dupFrac(g3))
+      .withColumn("top_2gram_frac",
+        when(size(g2) > 0,
+          array_max(transform(array_distinct(g2),
+            b => size(filter(g2, x => x === b)))).cast("double")
+            / size(g2).cast("double"))
+          .otherwise(lit(0.0)))
+  }
+
   /** Rolling polynomial (Rabin-Karp style) content fingerprint over bytes —
     * deterministic 64-bit, expressed with Spark's `aggregate` higher-order
     * function so it stays codegen'd; plus plain md5/xxhash64 fingerprints. */

@@ -241,6 +241,96 @@ object PipelineCatalog {
       |  md5(lower(regexp_replace(trim(text), '\s+', ' ', 'g'))) AS norm_md5
       |FROM documents""".stripMargin
 
+  /** Gopher-style repetition metrics — duplicate/top n-gram fractions. */
+  val textRepetition: Q = (s, dir) =>
+    TextAnalysis.withRepetitionFeatures(Tables.documents(s, dir), "text")
+      .select(col("doc_id"), col("n_2grams"), col("dup_2gram_frac"),
+        col("dup_3gram_frac"), col("top_2gram_frac"))
+
+  val textRepetitionSql: String =
+    """WITH t AS (
+      |  SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+      |), g AS (
+      |  SELECT doc_id,
+      |    CASE WHEN len(toks) >= 2
+      |      THEN list_transform(range(1, len(toks)), i -> concat_ws(' ', toks[i], toks[i+1]))
+      |      ELSE CAST([] AS VARCHAR[]) END AS g2,
+      |    CASE WHEN len(toks) >= 3
+      |      THEN list_transform(range(1, len(toks) - 1), i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2]))
+      |      ELSE CAST([] AS VARCHAR[]) END AS g3
+      |  FROM t
+      |)
+      |SELECT doc_id,
+      |  CAST(len(g2) AS INT) AS n_2grams,
+      |  CASE WHEN len(g2) > 0
+      |    THEN CAST(len(g2) - len(list_distinct(g2)) AS DOUBLE) / CAST(len(g2) AS DOUBLE)
+      |    ELSE 0.0 END AS dup_2gram_frac,
+      |  CASE WHEN len(g3) > 0
+      |    THEN CAST(len(g3) - len(list_distinct(g3)) AS DOUBLE) / CAST(len(g3) AS DOUBLE)
+      |    ELSE 0.0 END AS dup_3gram_frac,
+      |  CASE WHEN len(g2) > 0
+      |    THEN CAST(list_max(list_transform(list_distinct(g2),
+      |           b -> len(list_filter(g2, x -> x = b)))) AS DOUBLE) / CAST(len(g2) AS DOUBLE)
+      |    ELSE 0.0 END AS top_2gram_frac
+      |FROM g""".stripMargin
+
+  /** BM25 top-5 characteristic terms per document. */
+  val bm25TopTerms: Q = (s, dir) =>
+    Relevance.bm25TopTerms(Tables.documents(s, dir), "doc_id", "text", k = 5)
+
+  val bm25TopTermsSql: String =
+    """WITH terms AS (
+      |  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+      |), tf AS (
+      |  SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf FROM terms GROUP BY doc_id, term
+      |), dl AS (
+      |  SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS dl FROM tf GROUP BY doc_id
+      |), dfreq AS (
+      |  SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY term
+      |), stats AS (
+      |  SELECT CAST(count(*) AS BIGINT) AS n_docs, AVG(CAST(dl AS DOUBLE)) AS avgdl FROM dl
+      |), scored AS (
+      |  SELECT tf.doc_id, tf.term, tf.tf, dfreq.df,
+      |    round(
+      |      ln(1.0 + (CAST(n_docs AS DOUBLE) - CAST(df AS DOUBLE) + 0.5)
+      |               / (CAST(df AS DOUBLE) + 0.5))
+      |      * (CAST(tf.tf AS DOUBLE) * 2.2)
+      |      / (CAST(tf.tf AS DOUBLE) + 1.2 * (0.25 + 0.75 * CAST(dl AS DOUBLE) / avgdl)),
+      |      6) AS bm25_r
+      |  FROM tf JOIN dl USING (doc_id) JOIN dfreq USING (term) CROSS JOIN stats
+      |)
+      |SELECT doc_id, term, tf, df, bm25_r, CAST(rn AS INT) AS rn FROM (
+      |  SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY bm25_r DESC, term) AS rn
+      |  FROM scored
+      |) WHERE rn <= 5""".stripMargin
+
+  /** LM sequence packing: concat docs in id order, cut into 512-token
+    * sequences; one row per (doc × sequence it occupies). */
+  val seqPacking: Q = (s, dir) =>
+    Packing.packSequences(
+      Tables.documents(s, dir)
+        .withColumn("n_toks", size(TextAnalysis.tokens(col("text")))),
+      "doc_id", "n_toks", capacity = 512L)
+
+  val seqPackingSql: String =
+    """WITH n AS (
+      |  SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n FROM documents
+      |), c AS (
+      |  SELECT doc_id, n,
+      |    CAST(COALESCE(SUM(n) OVER (ORDER BY doc_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS s
+      |  FROM n
+      |), e AS (
+      |  SELECT doc_id, n, s,
+      |    unnest(generate_series(s // 512, (s + n - 1) // 512)) AS seq_id
+      |  FROM c WHERE n > 0
+      |)
+      |SELECT doc_id,
+      |  CAST(seq_id AS BIGINT) AS seq_id,
+      |  CAST(greatest(s, seq_id * 512) - seq_id * 512 AS BIGINT) AS offset_in_seq,
+      |  CAST(least(s + n, (seq_id + 1) * 512) - greatest(s, seq_id * 512) AS BIGINT) AS n_in_seq
+      |FROM e""".stripMargin
+
   /** Portable fingerprint (md5) — the oracle-checkable slice. */
   val textFingerprint: Q = (s, dir) =>
     TextAnalysis.withFingerprints(Tables.documents(s, dir), "text")
@@ -348,6 +438,9 @@ object PipelineCatalog {
     "text_fingerprint" -> textFingerprint,
     "text_fingerprint_full" -> textFingerprintFull,
     "text_normalize" -> textNormalize,
+    "text_repetition" -> textRepetition,
+    "bm25_top_terms" -> bm25TopTerms,
+    "seq_packing" -> seqPacking,
     "sample_det" -> sampleDet,
     "sample_stratified" -> sampleStratified,
     "mm_payload_stats" -> mmPayloadStats,
@@ -364,6 +457,9 @@ object PipelineCatalog {
     "text_lang_id" -> textLangIdSql,
     "text_fingerprint" -> textFingerprintSql,
     "text_normalize" -> textNormalizeSql,
+    "text_repetition" -> textRepetitionSql,
+    "bm25_top_terms" -> bm25TopTermsSql,
+    "seq_packing" -> seqPackingSql,
     "sample_det" -> sampleDetSql,
     "sample_stratified" -> sampleStratifiedSql,
     "mm_payload_stats" -> mmPayloadStatsSql)

@@ -1,0 +1,56 @@
+package graft.operators
+
+import graft.SparkSuite
+
+/** BM25 / TF-IDF: hand-computed scores on a 3-doc corpus, rank
+  * determinism, and the top-k contract. */
+class RelevanceSpec extends SparkSuite {
+
+  import spark.implicits._
+
+  // corpus: "apple" only in doc 1, "banana" in docs 1+2, "the" everywhere
+  private def corpus = Seq(
+    (1L, "apple banana the the"),
+    (2L, "banana the cherry"),
+    (3L, "the cherry cherry")).toDF("doc_id", "text")
+
+  test("bm25: rare term outscores common term within a doc") {
+    val out = Relevance.bm25TopTerms(corpus, "doc_id", "text", k = 10)
+      .collect().map(r => ((r.getLong(0), r.getString(1)), r.getDouble(4))).toMap
+    // in doc 1: df(apple)=1 < df(banana)=2 < df(the)=3, tf(the)=2
+    assert(out((1L, "apple")) > out((1L, "banana")))
+    // idf(the) = ln(1 + 0.5/3.5) < idf(banana) = ln(1 + 1.5/2.5); tf can't
+    // overcome it at these lengths
+    assert(out((1L, "banana")) > out((1L, "the")))
+  }
+
+  test("bm25: hand-computed score for (doc 2, cherry)") {
+    // N=3, avgdl=(4+3+3)/3; df(cherry)=2, tf=1, dl=3
+    val n = 3.0; val avgdl = 10.0 / 3.0
+    val idf = math.log(1.0 + (n - 2.0 + 0.5) / (2.0 + 0.5))
+    val expected = BigDecimal(
+      idf * (1.0 * 2.2) / (1.0 + 1.2 * (0.25 + 0.75 * 3.0 / avgdl)))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val got = Relevance.bm25TopTerms(corpus, "doc_id", "text", k = 10)
+      .filter($"doc_id" === 2L && $"term" === "cherry")
+      .head().getDouble(4)
+    assert(got === expected)
+  }
+
+  test("bm25: k bounds output and ranks are 1..k, term-tiebroken") {
+    val out = Relevance.bm25TopTerms(corpus, "doc_id", "text", k = 2)
+      .orderBy("doc_id", "rn").collect()
+    assert(out.count(_.getLong(0) == 1L) === 2)
+    val doc1 = out.filter(_.getLong(0) == 1L).map(r => (r.getInt(5), r.getString(1)))
+    assert(doc1.map(_._1).toSeq === Seq(1, 2))
+  }
+
+  test("tfIdf: df counts docs not occurrences, and a corpus-wide term scores 0") {
+    val out = Relevance.tfIdf(corpus, "doc_id", "text").collect()
+      .map(r => ((r.getLong(0), r.getString(1)), (r.getLong(2), r.getLong(3), r.getDouble(4))))
+      .toMap
+    assert(out((3L, "cherry"))._1 === 2L) // tf: two occurrences in doc 3
+    assert(out((3L, "cherry"))._2 === 2L) // df: two docs, not three occurrences
+    assert(out((1L, "the"))._3 === 0.0)   // ln(3/3) = 0
+  }
+}

@@ -1,0 +1,51 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSuite
+
+/** n-gram construction + Gopher-style repetition metrics on crafted docs
+  * where the expected fractions are computable by hand. */
+class TextAnalysisSpec extends SparkSuite {
+
+  import spark.implicits._
+
+  private def repRow(text: String) =
+    TextAnalysis.withRepetitionFeatures(
+        Seq((1L, text)).toDF("doc_id", "text"), "text")
+      .select("n_2grams", "dup_2gram_frac", "dup_3gram_frac", "top_2gram_frac")
+      .head()
+
+  test("ngrams: space-joined windows, 1-based, guard below n") {
+    val df = Seq("a b c d", "a", "").toDF("text")
+      .select(TextAnalysis.ngrams(split(col("text"), " "), 2).as("g"))
+    val gs = df.as[Seq[String]].collect()
+    assert(gs(0) === Seq("a b", "b c", "c d"))
+    assert(gs(1) === Seq.empty) // 1 token < n — and no descending sequence()
+    assert(gs(2) === Seq.empty) // split("") yields [""], still < 2 tokens
+  }
+
+  test("no repetition: all fractions zero") {
+    val r = repRow("one two three four")
+    assert(r.getInt(0) === 3)
+    assert(r.getDouble(1) === 0.0)
+    assert(r.getDouble(2) === 0.0)
+    assert(r.getDouble(3) === 1.0 / 3.0) // every bigram ties at count 1
+  }
+
+  test("fully repeated text: high duplicate fractions") {
+    // "x y x y x y": bigrams = [x y, y x, x y, y x, x y] → 5 total, 2 distinct
+    val r = repRow("x y x y x y")
+    assert(r.getInt(0) === 5)
+    assert(r.getDouble(1) === 3.0 / 5.0)
+    // trigrams = [x y x, y x y, x y x, y x y] → 4 total, 2 distinct
+    assert(r.getDouble(2) === 2.0 / 4.0)
+    assert(r.getDouble(3) === 3.0 / 5.0) // "x y" appears 3 of 5
+  }
+
+  test("single-token and sub-n docs emit zeros, not nulls") {
+    val r = repRow("solo")
+    assert(r.getInt(0) === 0)
+    assert((1 to 3).forall(i => r.getDouble(i) === 0.0))
+  }
+}
