@@ -64,6 +64,28 @@ object Relevance {
       .select(col("doc_id"), col("term"), col("tf"), col("df"), col("bm25_r"), col("rn"))
   }
 
+  /**
+   * Corpus vocabulary top-k: global term frequencies and document
+   * frequencies, ranked by total count — the vocabulary-building /
+   * corpus-statistics pass of a data build.
+   *
+   * Scale: explode → one partial-agged exchange on term; the global top-k
+   * goes through `orderBy.limit` which Spark executes as TakeOrdered
+   * (per-partition heaps + driver merge of k rows) — no global sort
+   * materialization. The rank column is minted AFTER the limit, over k
+   * rows. Deterministic: ties break on the term string.
+   */
+  def vocabTopTerms(docs: DataFrame, idCol: String, textCol: String,
+                    k: Int = 50): DataFrame = {
+    val terms = docs.select(col(idCol).as("doc_id"),
+      explode(TextAnalysis.tokens(col(textCol))).as("term"))
+    val byTerm = terms.groupBy("term").agg(
+      count(lit(1)).as("cnt"), count_distinct(col("doc_id")).as("df"))
+    val w = Window.orderBy(col("cnt").desc, col("term").asc)
+    byTerm.orderBy(col("cnt").desc, col("term").asc).limit(k)
+      .withColumn("rn", row_number().over(w))
+  }
+
   /** Plain TF-IDF weights per (doc, term) — tf · ln(N/df), unranked; the
     * building block when the caller wants the full weighted matrix (e.g.
     * as sparse features) rather than top-k terms. */

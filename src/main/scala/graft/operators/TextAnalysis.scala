@@ -137,6 +137,27 @@ object TextAnalysis {
           .otherwise(lit(0.0)))
   }
 
+  /** PII patterns — conservative, RE2/Java-regex-portable (no lookaround,
+    * no backreferences) so the same pattern text runs in Spark and the
+    * DuckDB oracle. */
+  val emailPattern = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val urlPattern = "https?://[^\\s]+"
+
+  /**
+   * PII scrub pass — the redaction step every public-web training corpus
+   * runs before anything else: per-doc counts of detected emails/URLs and
+   * a masked text with each match replaced by a typed placeholder.
+   * Map-only regex work, zero shuffle, pure codegen'd `functions._`.
+   */
+  def withPiiScrub(df: DataFrame, textCol: String): DataFrame = {
+    val t = col(textCol)
+    df.withColumn("n_emails", size(regexp_extract_all(t, lit(emailPattern), lit(0))))
+      .withColumn("n_urls", size(regexp_extract_all(t, lit(urlPattern), lit(0))))
+      .withColumn("text_masked",
+        regexp_replace(regexp_replace(t, emailPattern, "<EMAIL>"),
+          urlPattern, "<URL>"))
+  }
+
   /** Rolling polynomial (Rabin-Karp style) content fingerprint over bytes —
     * deterministic 64-bit, expressed with Spark's `aggregate` higher-order
     * function so it stays codegen'd; plus plain md5/xxhash64 fingerprints. */

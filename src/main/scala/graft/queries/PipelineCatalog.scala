@@ -304,6 +304,33 @@ object PipelineCatalog {
       |  FROM scored
       |) WHERE rn <= 5""".stripMargin
 
+  /** Corpus vocabulary: global top-50 terms by count, with doc frequency. */
+  val vocabTopTerms: Q = (s, dir) =>
+    Relevance.vocabTopTerms(Tables.documents(s, dir), "doc_id", "text", k = 50)
+
+  val vocabTopTermsSql: String =
+    """SELECT term, cnt, df, CAST(row_number() OVER (ORDER BY cnt DESC, term) AS INT) AS rn
+      |FROM (
+      |  SELECT term, CAST(count(*) AS BIGINT) AS cnt,
+      |         CAST(count(DISTINCT doc_id) AS BIGINT) AS df
+      |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents)
+      |  GROUP BY term
+      |)
+      |ORDER BY cnt DESC, term LIMIT 50""".stripMargin
+
+  /** PII scrub: detected email/URL counts + typed-placeholder masking. */
+  val textPii: Q = (s, dir) =>
+    TextAnalysis.withPiiScrub(Tables.documents(s, dir), "text")
+      .select(col("doc_id"), col("n_emails"), col("n_urls"), col("text_masked"))
+
+  val textPiiSql: String =
+    """SELECT doc_id,
+      |  CAST(len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS INT) AS n_emails,
+      |  CAST(len(regexp_extract_all(text, 'https?://[^\s]+')) AS INT) AS n_urls,
+      |  regexp_replace(regexp_replace(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+      |                 'https?://[^\s]+', '<URL>', 'g') AS text_masked
+      |FROM documents""".stripMargin
+
   /** LM sequence packing: concat docs in id order, cut into 512-token
     * sequences; one row per (doc × sequence it occupies). */
   val seqPacking: Q = (s, dir) =>
@@ -439,7 +466,9 @@ object PipelineCatalog {
     "text_fingerprint_full" -> textFingerprintFull,
     "text_normalize" -> textNormalize,
     "text_repetition" -> textRepetition,
+    "text_pii" -> textPii,
     "bm25_top_terms" -> bm25TopTerms,
+    "vocab_top_terms" -> vocabTopTerms,
     "seq_packing" -> seqPacking,
     "sample_det" -> sampleDet,
     "sample_stratified" -> sampleStratified,
@@ -458,7 +487,9 @@ object PipelineCatalog {
     "text_fingerprint" -> textFingerprintSql,
     "text_normalize" -> textNormalizeSql,
     "text_repetition" -> textRepetitionSql,
+    "text_pii" -> textPiiSql,
     "bm25_top_terms" -> bm25TopTermsSql,
+    "vocab_top_terms" -> vocabTopTermsSql,
     "seq_packing" -> seqPackingSql,
     "sample_det" -> sampleDetSql,
     "sample_stratified" -> sampleStratifiedSql,

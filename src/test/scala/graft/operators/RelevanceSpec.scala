@@ -45,6 +45,19 @@ class RelevanceSpec extends SparkSuite {
     assert(doc1.map(_._1).toSeq === Seq(1, 2))
   }
 
+  test("vocabTopTerms: counts, doc frequency, rank, and the k cap") {
+    val out = Relevance.vocabTopTerms(corpus, "doc_id", "text", k = 2)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getInt(3)))
+    // "the" 4 occurrences / 3 docs; "cherry" 3 / 2; banana+others below
+    assert(out === Array(("the", 4L, 3L, 1), ("cherry", 3L, 2L, 2)))
+  }
+
+  test("vocabTopTerms plan: global top-k is TakeOrdered, not a full sort") {
+    val plan = Relevance.vocabTopTerms(corpus, "doc_id", "text", k = 2)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"), plan)
+  }
+
   test("tfIdf: df counts docs not occurrences, and a corpus-wide term scores 0") {
     val out = Relevance.tfIdf(corpus, "doc_id", "text").collect()
       .map(r => ((r.getLong(0), r.getString(1)), (r.getLong(2), r.getLong(3), r.getDouble(4))))

@@ -48,4 +48,20 @@ class TextAnalysisSpec extends SparkSuite {
     assert(r.getInt(0) === 0)
     assert((1 to 3).forall(i => r.getDouble(i) === 0.0))
   }
+
+  test("PII scrub: planted emails and urls are counted and masked") {
+    val out = TextAnalysis.withPiiScrub(
+        Seq(
+          (1L, "contact bob.smith+x@example.co.uk or visit https://a.example.com/p?q=1 now"),
+          (2L, "two mails a@b.io c@d.org and http://plain.example"),
+          (3L, "nothing sensitive here")).toDF("doc_id", "text"), "text")
+      .orderBy("doc_id")
+      .select("n_emails", "n_urls", "text_masked").collect()
+    assert(out(0).getInt(0) === 1 && out(0).getInt(1) === 1)
+    assert(out(0).getString(2) === "contact <EMAIL> or visit <URL> now")
+    assert(out(1).getInt(0) === 2 && out(1).getInt(1) === 1)
+    assert(out(1).getString(2) === "two mails <EMAIL> <EMAIL> and <URL>")
+    assert(out(2).getInt(0) === 0 && out(2).getInt(1) === 0)
+    assert(out(2).getString(2) === "nothing sensitive here")
+  }
 }
