@@ -243,7 +243,7 @@ object Dedup {
     // anchored at its min node is already converged after this
     var labels = edges.groupBy(col("s")).agg(min(col("t")).as("_mn"))
       .select(col("s").as("id"), least(col("s"), col("_mn")).as("label"))
-      .localCheckpoint()
+      .localCheckpoint(false) // lazy: the baseline sum probe materializes it
     def labelSum(df: DataFrame): java.math.BigDecimal =
       df.agg(sum(col("label").cast(DecimalType(38, 0)))).head()
         .getDecimal(0)
@@ -263,10 +263,10 @@ object Dedup {
       val prev = labels
       val next = labels.union(prop).union(jump)
         .groupBy("id").agg(min("label").as("label"))
-        .localCheckpoint() // eager: materializes + truncates lineage
-      prev.unpersist()
+        .localCheckpoint(false) // lazy: the sum probe below materializes it
       labels = next
-      val s = labelSum(next)
+      val s = labelSum(next) // ONE job per round: checkpoint + convergence probe
+      prev.unpersist()
       converged = s.compareTo(prevSum) == 0
       prevSum = s
       i += 1
