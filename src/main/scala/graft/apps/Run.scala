@@ -43,6 +43,16 @@ object Run {
       case "explain" =>
         val name = args(2)
         Catalog.all(name)(spark, sfDir).explain("formatted")
+      case "time" =>
+        val name = args(2)
+        Catalog.all(name)(spark, sfDir).count() // warm: codegen + footers
+        val t0 = System.nanoTime()
+        val df = Catalog.all(name)(spark, sfDir)
+        val tBuild = System.nanoTime()
+        val n = df.count()
+        val tEnd = System.nanoTime()
+        println(f"$name: $n rows, build ${(tBuild - t0) / 1e9}%.3f s, " +
+          f"exec ${(tEnd - tBuild) / 1e9}%.3f s")
       case name if Catalog.all.contains(name) =>
         Catalog.all(name)(spark, sfDir).show(20, truncate = false)
       case other =>

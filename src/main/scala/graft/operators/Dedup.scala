@@ -236,8 +236,13 @@ object Dedup {
    */
   def resolveClusters(pairs: DataFrame, idA: String = "id_a",
                       idB: String = "id_b", maxIter: Int = 20): DataFrame = {
-    val edges = pairs.select(col(idA).as("s"), col(idB).as("t"))
-      .union(pairs.select(col(idB).as("s"), col(idA).as("t")))
+    // The pair plan is usually the expensive part (a candidate join); the
+    // symmetric-closure union scans it twice. Persist + materialize first so
+    // the pair computation runs exactly once.
+    val p = pairs.select(col(idA).as("s"), col(idB).as("t")).persist()
+    p.count()
+    val edges = p
+      .union(p.select(col("t").as("s"), col("s").as("t")))
       .distinct().persist()
     // seed = min(self, direct neighbors) — one agg, no join; a clique
     // anchored at its min node is already converged after this
@@ -247,7 +252,11 @@ object Dedup {
     def labelSum(df: DataFrame): java.math.BigDecimal =
       df.agg(sum(col("label").cast(DecimalType(38, 0)))).head()
         .getDecimal(0)
+    val tSeed = System.nanoTime()
     var prevSum: java.math.BigDecimal = labelSum(labels)
+    if (sys.env.contains("GRAFT_DEBUG_ROUNDS"))
+      System.err.println(
+        f"resolveClusters seed: ${(System.nanoTime() - tSeed) / 1e9}%.2f s")
     var converged = false
     var i = 0
     while (!converged && i < maxIter) {
@@ -265,11 +274,15 @@ object Dedup {
         .groupBy("id").agg(min("label").as("label"))
         .localCheckpoint(false) // lazy: the sum probe below materializes it
       labels = next
+      val t0 = System.nanoTime()
       val s = labelSum(next) // ONE job per round: checkpoint + convergence probe
       prev.unpersist()
       converged = s.compareTo(prevSum) == 0
       prevSum = s
       i += 1
+      if (sys.env.contains("GRAFT_DEBUG_ROUNDS"))
+        System.err.println(
+          f"resolveClusters round $i: ${(System.nanoTime() - t0) / 1e9}%.2f s")
     }
     if (!converged)
       org.slf4j.LoggerFactory.getLogger(getClass).warn(
@@ -277,6 +290,7 @@ object Dedup {
           "rounds — components with diameter > maxIter are split into " +
           "multiple cluster_ids; raise maxIter for deep chain graphs")
     edges.unpersist()
+    p.unpersist()
     labels.select(col("id").as("doc_id"), col("label").as("cluster_id"))
   }
 
