@@ -40,9 +40,11 @@ object Packing {
    * non-negative integral column (e.g. `size(split(text, ' '))`);
    * zero-token docs are dropped (they occupy no sequence).
    */
-  def packSequences(docs: DataFrame, idCol: String, nTokensCol: String,
-                    capacity: Long, bucketWidth: Long = 1000L): DataFrame = {
-    require(capacity > 0, s"capacity must be positive, got $capacity")
+  /** Steps 1–3 of the two-level scan: (doc_id, n, _s = exclusive global
+    * token prefix, _total = corpus token count). Shared by the packer and
+    * the shard assigner. */
+  private def withGlobalStart(docs: DataFrame, idCol: String,
+                              nTokensCol: String, bucketWidth: Long): DataFrame = {
     require(bucketWidth > 0, s"bucketWidth must be positive, got $bucketWidth")
     val base = docs.select(col(idCol).cast("long").as("doc_id"),
         col(nTokensCol).cast("long").as("n"))
@@ -51,14 +53,24 @@ object Packing {
     val wIntra = Window.partitionBy("_bkt").orderBy("doc_id")
       .rowsBetween(Window.unboundedPreceding, -1)
     val intra = base.withColumn("_pre", coalesce(sum("n").over(wIntra), lit(0L)))
-    // 2. exclusive prefix over bucket totals (corpus/W rows)
+    // 2. exclusive prefix + grand total over bucket totals (corpus/W rows)
     val wBkt = Window.orderBy("_bkt").rowsBetween(Window.unboundedPreceding, -1)
+    val wAll = Window.orderBy("_bkt")
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
     val bucketOffsets = base.groupBy("_bkt").agg(sum("n").as("_tot"))
       .withColumn("_off", coalesce(sum("_tot").over(wBkt), lit(0L)))
-      .select("_bkt", "_off")
-    // 3. global start + map-side chunk fan-out
+      .withColumn("_total", sum("_tot").over(wAll))
+      .select("_bkt", "_off", "_total")
+    // 3. global start via broadcast of the small bucket table
     intra.join(broadcast(bucketOffsets), "_bkt")
-      .withColumn("_s", col("_off") + col("_pre"))
+      .select(col("doc_id"), col("n"),
+        (col("_off") + col("_pre")).as("_s"), col("_total"))
+  }
+
+  def packSequences(docs: DataFrame, idCol: String, nTokensCol: String,
+                    capacity: Long, bucketWidth: Long = 1000L): DataFrame = {
+    require(capacity > 0, s"capacity must be positive, got $capacity")
+    withGlobalStart(docs, idCol, nTokensCol, bucketWidth)
       .filter(col("n") > 0)
       .select(col("doc_id"), col("n"), col("_s"),
         explode(sequence(expr(s"_s div ${capacity}L"),
@@ -68,5 +80,29 @@ object Packing {
       .select(col("doc_id"), col("seq_id"),
         (col("_from") - col("seq_id") * capacity).as("offset_in_seq"),
         (col("_to") - col("_from")).as("n_in_seq"))
+  }
+
+  /**
+   * Balanced shard assignment — the fan-out step that writes a packed
+   * corpus as `nShards` training files of near-equal token mass. Documents
+   * keep their deterministic id order (reproducible curriculum) and shard
+   * boundaries fall at token-count quantiles:
+   *
+   *   shard_id = (global_token_start * nShards) div total_tokens
+   *
+   * All-integer arithmetic over the same two-level distributed prefix scan
+   * as [[packSequences]] — no single-partition window, no float rounding,
+   * bit-exact across engines. Each shard's token mass deviates from
+   * total/nShards by at most one document. Zero-token documents stay (they
+   * get the shard of their position). Downstream:
+   * `.repartition(col("shard_id"))` then write — one file per shard.
+   */
+  def shardAssign(docs: DataFrame, idCol: String, nTokensCol: String,
+                  nShards: Int, bucketWidth: Long = 1000L): DataFrame = {
+    require(nShards > 0, s"nShards must be positive, got $nShards")
+    withGlobalStart(docs, idCol, nTokensCol, bucketWidth)
+      .select(col("doc_id"),
+        expr(s"(_s * $nShards) div _total").as("shard_id"),
+        col("n").as("n_tokens"))
   }
 }

@@ -36,6 +36,33 @@ object Sampling {
       .otherwise(lit("test"))
   }
 
+  /**
+   * Temperature / domain-mixture resampling — the standard corpus-rebalance
+   * step (multilingual / multi-domain pretraining): group g with n_g rows is
+   * kept with probability p_g = (n_min / n_g)^(1-alpha), so alpha = 1 keeps
+   * the natural distribution and alpha = 0 downsamples every group to the
+   * size of the smallest. Selection is deterministic per key (same md5
+   * buckets as [[deterministicSample]]) — re-running with different alpha
+   * only moves group thresholds, never reshuffles which rows a group keeps.
+   *
+   * Scale: the group-count table is |domains| rows — both the min-count
+   * reduction and the threshold table broadcast; the corpus side is a
+   * map-only broadcast-join + filter, zero corpus shuffle.
+   */
+  def temperatureSample(df: DataFrame, keyCol: String, groupCol: String,
+                        alpha: Double): DataFrame = {
+    require(alpha >= 0.0 && alpha <= 1.0, s"alpha must be in [0,1], got $alpha")
+    val counts = df.groupBy(col(groupCol)).agg(count(lit(1)).as("_n"))
+    val thresholds = counts
+      .crossJoin(broadcast(counts.agg(min(col("_n")).as("_nmin"))))
+      .select(col(groupCol),
+        floor(pow(col("_nmin").cast("double") / col("_n").cast("double"),
+          lit(1.0 - alpha)) * Buckets).cast("long").as("_thr"))
+    df.join(broadcast(thresholds), Seq(groupCol))
+      .filter(hashBucket(col(keyCol)) < col("_thr"))
+      .drop("_thr")
+  }
+
   /** Stratified deterministic sample: per-class keep fractions (classes
     * absent from the map keep `default`). The class column only selects
     * the threshold — bucketing stays keyed on `keyCol`, so changing the

@@ -137,6 +137,63 @@ object TextAnalysis {
           .otherwise(lit(0.0)))
   }
 
+  /**
+   * Benchmark-contamination check (test-set decontamination) — the
+   * membership pass every training corpus runs against its eval suites:
+   * per corpus document, how many of its distinct word n-grams appear
+   * anywhere in the benchmark set.
+   *
+   * Emits (id, n_grams, n_contaminated, contamination_frac) for EVERY
+   * corpus doc (docs with fewer than n tokens report 0 grams / 0.0 frac);
+   * filter `contamination_frac >= tau` to drop leaked documents.
+   *
+   * Scale design: benchmarks are MBs while the corpus is TBs — the distinct
+   * benchmark n-gram set broadcasts, so the corpus-side explode + membership
+   * probe is map-only; the only exchange is the per-doc partial-agged count
+   * roll-up. Never joins corpus×corpus, never shuffles gram strings of the
+   * corpus (the broadcast hash probe happens before the aggregate).
+   */
+  def contaminationCheck(corpus: DataFrame, benchmark: DataFrame,
+                         idCol: String, textCol: String, n: Int = 3): DataFrame = {
+    def grams(t: Column): Column = array_distinct(ngrams(tokens(t), n))
+    val bench = benchmark
+      .select(explode(grams(col(textCol))).as("gram")).distinct()
+      .withColumn("_hit", lit(1))
+    corpus.select(col(idCol), explode_outer(grams(col(textCol))).as("gram"))
+      .join(broadcast(bench), Seq("gram"), "left")
+      .groupBy(col(idCol))
+      .agg(count(col("gram")).as("n_grams"),
+        count(col("_hit")).as("n_contaminated"))
+      .withColumn("contamination_frac",
+        when(col("n_grams") > 0,
+          col("n_contaminated").cast("double") / col("n_grams").cast("double"))
+          .otherwise(lit(0.0)))
+  }
+
+  /**
+   * Rule-based keep/drop filter — the decision step on top of the quality
+   * features (C4/Gopher-style): per-rule 0/1 flags plus the conjunction.
+   * Thresholds are part of the operator contract (deterministic,
+   * oracle-checkable); map-only like the feature pass it builds on.
+   */
+  def withRuleFilter(df: DataFrame, textCol: String,
+                     minTokens: Int = 10, maxTokens: Int = 100000,
+                     minMeanTokLen: Double = 2.0, maxMeanTokLen: Double = 12.0,
+                     maxPunctRatio: Double = 0.3,
+                     minAlphaRatio: Double = 0.5): DataFrame = {
+    val f = withQualityFeatures(df, textCol)
+    f.withColumn("ok_n_tokens",
+        (col("n_tokens") >= minTokens && col("n_tokens") <= maxTokens).cast("int"))
+      .withColumn("ok_mean_token_len",
+        (col("mean_token_len") >= minMeanTokLen &&
+          col("mean_token_len") <= maxMeanTokLen).cast("int"))
+      .withColumn("ok_punct", (col("punct_ratio") <= maxPunctRatio).cast("int"))
+      .withColumn("ok_alpha", (col("alpha_ratio") >= minAlphaRatio).cast("int"))
+      .withColumn("keep",
+        (col("ok_n_tokens") === 1 && col("ok_mean_token_len") === 1 &&
+          col("ok_punct") === 1 && col("ok_alpha") === 1).cast("int"))
+  }
+
   /** PII patterns — conservative, RE2/Java-regex-portable (no lookaround,
     * no backreferences) so the same pattern text runs in Spark and the
     * DuckDB oracle. */

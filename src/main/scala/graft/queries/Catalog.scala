@@ -150,6 +150,112 @@ object Catalog {
       |FROM lineitem JOIN part ON l_partkey = p_partkey
       |GROUP BY p_type""".stripMargin
 
+  /** TPC-H Q6 shape: single-table filter-aggregate whose predicates all
+    * push to the parquet scan (shipdate range + discount band + quantity
+    * cap) — the canonical pushdown/pruning probe. */
+  val q6Filter: Q = (s, dir) =>
+    Tables.lineitem(s, dir)
+      .filter(col("l_shipdate") >= lit("1997-01-01").cast("timestamp") &&
+        col("l_shipdate") < lit("1998-01-01").cast("timestamp") &&
+        col("l_discount") >= 0.05 && col("l_discount") <= 0.07 &&
+        col("l_quantity") < 24)
+      .agg(sum(col("l_extendedprice").cast(DecimalType(18, 4)) *
+        col("l_discount").cast(DecimalType(18, 4))).cast("double").as("revenue"),
+        count(lit(1)).as("n_items"))
+
+  val q6FilterSql: String =
+    """SELECT
+      |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4)) * CAST(l_discount AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
+      |  count(*) AS n_items
+      |FROM lineitem
+      |WHERE l_shipdate >= TIMESTAMP '1997-01-01' AND l_shipdate < TIMESTAMP '1998-01-01'
+      |  AND l_discount >= 0.05 AND l_discount <= 0.07 AND l_quantity < 24""".stripMargin
+
+  /** TPC-H Q10 shape: returned-item revenue by customer — fact filter,
+    * one fact shuffle (lineitem⋈orders), broadcast dims, top-20 with
+    * total-order tie-break (TakeOrdered, no global sort). */
+  val q10Returns: Q = (s, dir) => {
+    val li = Tables.lineitem(s, dir)
+    val o = Tables.orders(s, dir)
+    val c = Tables.customer(s, dir)
+    val n = Tables.nation(s, dir)
+    li.filter(col("l_returnflag") === "R")
+      .join(o, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+      .groupBy(col("c_custkey"), col("c_name"), col("n_name"))
+      .agg(sum(col("l_extendedprice").cast(DecimalType(18, 4)) *
+        (lit(1.0) - col("l_discount")).cast(DecimalType(18, 4))).cast("double").as("revenue"))
+      .orderBy(col("revenue").desc, col("c_custkey").asc)
+      .limit(20)
+  }
+
+  val q10ReturnsSql: String =
+    """SELECT c_custkey, c_name, n_name,
+      |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4)) * CAST((1.0 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+      |FROM lineitem
+      |JOIN orders ON l_orderkey = o_orderkey
+      |JOIN customer ON o_custkey = c_custkey
+      |JOIN nation ON c_nationkey = n_nationkey
+      |WHERE l_returnflag = 'R'
+      |GROUP BY c_custkey, c_name, n_name
+      |ORDER BY revenue DESC, c_custkey ASC LIMIT 20""".stripMargin
+
+  /** TPC-H Q18 shape: large-volume orders — a HAVING over the fact
+    * aggregate, re-joined to orders + customer. The having-filter runs on
+    * the aggregated (small) side before any wide join. */
+  val q18Large: Q = (s, dir) => {
+    val li = Tables.lineitem(s, dir)
+    val o = Tables.orders(s, dir)
+    val c = Tables.customer(s, dir)
+    val big = li.groupBy(col("l_orderkey"))
+      .agg(sum(col("l_quantity").cast(DecimalType(18, 2))).cast("double").as("sum_qty"))
+      .filter(col("sum_qty") > 250.0)
+    big.join(o, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+      .select(col("c_custkey"), col("c_name"), col("o_orderkey"),
+        col("o_totalprice"), col("sum_qty"))
+  }
+
+  val q18LargeSql: String =
+    """WITH big AS (
+      |  SELECT l_orderkey,
+      |    CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+      |  FROM lineitem GROUP BY l_orderkey
+      |  HAVING CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) > 250.0
+      |)
+      |SELECT c_custkey, c_name, o_orderkey, o_totalprice, sum_qty
+      |FROM big
+      |JOIN orders ON l_orderkey = o_orderkey
+      |JOIN customer ON o_custkey = c_custkey""".stripMargin
+
+  /** TPC-H Q19 shape: disjunction of conjunctive brand/size/quantity bands
+    * — an OR-of-ANDs residual predicate over a broadcast dim join. */
+  val q19Disjunct: Q = (s, dir) => {
+    val li = Tables.lineitem(s, dir)
+    val p = Tables.part(s, dir)
+    li.join(broadcast(p), col("l_partkey") === col("p_partkey"))
+      .filter(
+        (col("p_brand") === "Brand#2" && col("p_size").between(1, 15) &&
+          col("l_quantity").between(1, 20)) ||
+        (col("p_brand") === "Brand#3" && col("p_size").between(10, 30) &&
+          col("l_quantity").between(10, 35)) ||
+        (col("p_brand") === "Brand#17" && col("p_size").between(20, 50) &&
+          col("l_quantity").between(20, 50)))
+      .agg(sum(col("l_extendedprice").cast(DecimalType(18, 4)) *
+        (lit(1.0) - col("l_discount")).cast(DecimalType(18, 4))).cast("double").as("revenue"),
+        count(lit(1)).as("n_items"))
+  }
+
+  val q19DisjunctSql: String =
+    """SELECT
+      |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4)) * CAST((1.0 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
+      |  count(*) AS n_items
+      |FROM lineitem JOIN part ON l_partkey = p_partkey
+      |WHERE (p_brand = 'Brand#2' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 1 AND 20)
+      |   OR (p_brand = 'Brand#3' AND p_size BETWEEN 10 AND 30 AND l_quantity BETWEEN 10 AND 35)
+      |   OR (p_brand = 'Brand#17' AND p_size BETWEEN 20 AND 50 AND l_quantity BETWEEN 20 AND 50)""".stripMargin
+
   /** Region rollup through region→nation→customer→orders: order counts and
     * value per region — the remaining dim-chain (uses `region`). */
   val qRegionRollup: Q = (s, dir) => {
@@ -451,6 +557,28 @@ object Catalog {
        |    AS running_total
        |FROM d""".stripMargin
 
+  /** Navigation window functions per user session stream: gap to the
+    * previous event (lag) and within-user time quartile (ntile) — the
+    * lead/lag/ntile slice of the window-function surface, with a
+    * total-order tie-break (sec, event_id) per partition. */
+  val qLeadLag: Q = (s, dir) => {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id")).orderBy(col("sec"), col("event_id"))
+    events(s, dir)
+      .select(col("user_id"), col("event_id"), col("sec"))
+      .withColumn("gap_sec", col("sec") - lag(col("sec"), 1).over(w))
+      .withColumn("next_gap_sec", lead(col("sec"), 1).over(w) - col("sec"))
+      .withColumn("quartile", ntile(4).over(w).cast("long"))
+  }
+
+  val qLeadLagSql: String =
+    s"""$eventsCte
+       |SELECT user_id, event_id, sec,
+       |  sec - lag(sec) OVER (PARTITION BY user_id ORDER BY sec, event_id) AS gap_sec,
+       |  lead(sec) OVER (PARTITION BY user_id ORDER BY sec, event_id) - sec AS next_gap_sec,
+       |  ntile(4) OVER (PARTITION BY user_id ORDER BY sec, event_id) AS quartile
+       |FROM e""".stripMargin
+
   /** F5: count-threshold blacklist per (user, item-bucket) —
     * AdClickKeyProcessFunc semantics, batch form. */
   val blacklist: Q = (s, dir) => {
@@ -737,6 +865,11 @@ object Catalog {
     "q3_revenue" -> q3Revenue,
     "q5_nation" -> q5Nation,
     "q14_promo" -> q14Promo,
+    "q6_filter" -> q6Filter,
+    "q10_returns" -> q10Returns,
+    "q18_large" -> q18Large,
+    "q19_disjunct" -> q19Disjunct,
+    "q_lead_lag" -> qLeadLag,
     "q_region_rollup" -> qRegionRollup,
     "q_cube_flags" -> qCubeFlags,
     "q_sessions" -> qSessions,
@@ -771,6 +904,11 @@ object Catalog {
     "q3_revenue" -> q3RevenueSql,
     "q5_nation" -> q5NationSql,
     "q14_promo" -> q14PromoSql,
+    "q6_filter" -> q6FilterSql,
+    "q10_returns" -> q10ReturnsSql,
+    "q18_large" -> q18LargeSql,
+    "q19_disjunct" -> q19DisjunctSql,
+    "q_lead_lag" -> qLeadLagSql,
     "q_region_rollup" -> qRegionRollupSql,
     "q_cube_flags" -> qCubeFlagsSql,
     "q_sessions" -> qSessionsSql,

@@ -358,6 +358,72 @@ object PipelineCatalog {
       |  CAST(least(s + n, (seq_id + 1) * 512) - greatest(s, seq_id * 512) AS BIGINT) AS n_in_seq
       |FROM e""".stripMargin
 
+  /** Benchmark decontamination: docs from source 'src0' act as the eval
+    * suite; every other doc reports its distinct-3-gram overlap with it. */
+  val textContamination: Q = (s, dir) => {
+    val docs = Tables.documents(s, dir)
+    TextAnalysis.contaminationCheck(
+      docs.filter(col("source") =!= "src0"),
+      docs.filter(col("source") === "src0"),
+      "doc_id", "text", n = 3)
+  }
+
+  val textContaminationSql: String =
+    """WITH tk AS (
+      |  SELECT doc_id, source, string_split(text, ' ') AS t FROM documents
+      |), g AS (
+      |  SELECT doc_id, source,
+      |         CASE WHEN len(t) >= 3
+      |              THEN list_distinct(list_transform(range(1, len(t) - 1),
+      |                     i -> array_to_string(t[i:i+2], ' ')))
+      |              ELSE CAST([] AS VARCHAR[]) END AS grams
+      |  FROM tk
+      |), bench AS (
+      |  SELECT DISTINCT unnest(grams) AS gram FROM g WHERE source = 'src0'
+      |), corp AS (
+      |  SELECT doc_id, unnest(grams) AS gram FROM g WHERE source <> 'src0'
+      |), agg AS (
+      |  SELECT c.doc_id, count(*) AS n_grams, count(b.gram) AS n_contaminated
+      |  FROM corp c LEFT JOIN bench b ON c.gram = b.gram
+      |  GROUP BY c.doc_id
+      |)
+      |SELECT d.doc_id,
+      |       CAST(COALESCE(a.n_grams, 0) AS BIGINT) AS n_grams,
+      |       CAST(COALESCE(a.n_contaminated, 0) AS BIGINT) AS n_contaminated,
+      |       CASE WHEN COALESCE(a.n_grams, 0) > 0
+      |            THEN CAST(a.n_contaminated AS DOUBLE) / CAST(a.n_grams AS DOUBLE)
+      |            ELSE 0.0 END AS contamination_frac
+      |FROM (SELECT doc_id FROM documents WHERE source <> 'src0') d
+      |LEFT JOIN agg a ON d.doc_id = a.doc_id""".stripMargin
+
+  /** Rule-based keep/drop decision over the quality features. */
+  val textRuleFilter: Q = (s, dir) =>
+    TextAnalysis.withRuleFilter(Tables.documents(s, dir), "text")
+      .select(col("doc_id"), col("ok_n_tokens"), col("ok_mean_token_len"),
+        col("ok_punct"), col("ok_alpha"), col("keep"))
+
+  val textRuleFilterSql: String =
+    """WITH f AS (
+      |  SELECT doc_id,
+      |    CAST(len(string_split(text, ' ')) AS INT) AS n_tokens,
+      |    CAST(list_sum(list_transform(string_split(text, ' '), x -> length(x))) AS DOUBLE)
+      |      / CAST(len(string_split(text, ' ')) AS DOUBLE) AS mean_token_len,
+      |    CAST(length(text) - length(regexp_replace(text, '[[:punct:]]', '', 'g')) AS DOUBLE)
+      |      / CAST(length(text) AS DOUBLE) AS punct_ratio,
+      |    CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS DOUBLE)
+      |      / CAST(length(text) AS DOUBLE) AS alpha_ratio
+      |  FROM documents
+      |)
+      |SELECT doc_id,
+      |  CAST(n_tokens >= 10 AND n_tokens <= 100000 AS INT) AS ok_n_tokens,
+      |  CAST(mean_token_len >= 2.0 AND mean_token_len <= 12.0 AS INT) AS ok_mean_token_len,
+      |  CAST(punct_ratio <= 0.3 AS INT) AS ok_punct,
+      |  CAST(alpha_ratio >= 0.5 AS INT) AS ok_alpha,
+      |  CAST(n_tokens >= 10 AND n_tokens <= 100000
+      |       AND mean_token_len >= 2.0 AND mean_token_len <= 12.0
+      |       AND punct_ratio <= 0.3 AND alpha_ratio >= 0.5 AS INT) AS keep
+      |FROM f""".stripMargin
+
   /** Portable fingerprint (md5) — the oracle-checkable slice. */
   val textFingerprint: Q = (s, dir) =>
     TextAnalysis.withFingerprints(Tables.documents(s, dir), "text")
@@ -416,6 +482,50 @@ object PipelineCatalog {
        |SELECT doc_id, lang FROM b
        |WHERE bucket < CASE WHEN lang = 'en' THEN 500 ELSE 100 END""".stripMargin
 
+  /** Temperature-0.5 domain rebalance over the (skewed) lang distribution:
+    * each language kept with p = sqrt(n_min / n_lang), deterministic by
+    * doc_id. (pow with exponent 0.5 is the IEEE sqrt path on both engines,
+    * so the integer thresholds agree bit-exactly.) */
+  val sampleTemperature: Q = (s, dir) =>
+    Sampling.temperatureSample(Tables.documents(s, dir), "doc_id", "lang",
+        alpha = 0.5)
+      .select(col("doc_id"), col("lang"))
+
+  val sampleTemperatureSql: String =
+    s"""WITH n AS (
+       |  SELECT lang, count(*) AS cnt FROM documents GROUP BY lang
+       |), t AS (
+       |  SELECT lang,
+       |    CAST(floor(pow(CAST((SELECT min(cnt) FROM n) AS DOUBLE)
+       |                   / CAST(cnt AS DOUBLE), 0.5) * 1000) AS BIGINT) AS thr
+       |  FROM n
+       |), b AS (
+       |  SELECT doc_id, lang, ${duckHashBucket("doc_id")} AS bucket
+       |  FROM documents
+       |)
+       |SELECT b.doc_id, b.lang FROM b JOIN t ON b.lang = t.lang
+       |WHERE b.bucket < t.thr""".stripMargin
+
+  /** 16-way balanced training shards by token mass (all-integer two-level
+    * prefix scan — bit-exact oracle). */
+  val shardAssign: Q = (s, dir) =>
+    Packing.shardAssign(
+      Tables.documents(s, dir)
+        .withColumn("n_toks", size(TextAnalysis.tokens(col("text")))),
+      "doc_id", "n_toks", nShards = 16)
+
+  val shardAssignSql: String =
+    """WITH n AS (
+      |  SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n FROM documents
+      |), c AS (
+      |  SELECT doc_id, n,
+      |    CAST(COALESCE(SUM(n) OVER (ORDER BY doc_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS s,
+      |    CAST(SUM(n) OVER () AS BIGINT) AS total
+      |  FROM n
+      |)
+      |SELECT doc_id, (s * 16) // total AS shard_id, n AS n_tokens FROM c""".stripMargin
+
   // ------------------------------------------------------------------
   // Multimodal plumbing (documents.text bytes stand in for payloads)
   // ------------------------------------------------------------------
@@ -467,6 +577,10 @@ object PipelineCatalog {
     "text_normalize" -> textNormalize,
     "text_repetition" -> textRepetition,
     "text_pii" -> textPii,
+    "text_contamination" -> textContamination,
+    "text_rule_filter" -> textRuleFilter,
+    "sample_temperature" -> sampleTemperature,
+    "shard_assign" -> shardAssign,
     "bm25_top_terms" -> bm25TopTerms,
     "vocab_top_terms" -> vocabTopTerms,
     "seq_packing" -> seqPacking,
@@ -488,6 +602,10 @@ object PipelineCatalog {
     "text_normalize" -> textNormalizeSql,
     "text_repetition" -> textRepetitionSql,
     "text_pii" -> textPiiSql,
+    "text_contamination" -> textContaminationSql,
+    "text_rule_filter" -> textRuleFilterSql,
+    "sample_temperature" -> sampleTemperatureSql,
+    "shard_assign" -> shardAssignSql,
     "bm25_top_terms" -> bm25TopTermsSql,
     "vocab_top_terms" -> vocabTopTermsSql,
     "seq_packing" -> seqPackingSql,

@@ -60,4 +60,27 @@ class PackingSpec extends SparkSuite {
       .map(r => (r.getLong(0), r.getLong(2)))
     assert(out === Array((5L, 0L), (40L, 10L), (500L, 20L)))
   }
+
+  test("shard assignment: contiguous, complete, balanced by token mass") {
+    val sizes = (1 to 300).map(i => (i * 53 % 97).toLong)
+    val out = Packing.shardAssign(docs(sizes), "doc_id", "n_toks", nShards = 8)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(out.length === 300) // zero-token docs stay assigned
+    assert(out.forall { case (_, s, _) => s >= 0 && s < 8 })
+    // monotone in doc order: shard boundaries never interleave
+    assert(out.map(_._2).sliding(2).forall(p => p(0) <= p(1)))
+    // balance: every shard's token mass within total/8 + max doc size
+    val total = sizes.sum
+    val perShard = out.groupBy(_._2).view.mapValues(_.map(_._3).sum)
+    assert(perShard.values.forall(_ <= total / 8 + sizes.max + 1),
+      s"unbalanced: $perShard")
+  }
+
+  test("shard assignment is bucket-width independent") {
+    val sizes = (1 to 200).map(i => (i * 37 % 90).toLong)
+    val a = Packing.shardAssign(docs(sizes), "doc_id", "n_toks", 16, bucketWidth = 1000L)
+    val b = Packing.shardAssign(docs(sizes), "doc_id", "n_toks", 16, bucketWidth = 7L)
+    assert(a.collect().toSet === b.collect().toSet)
+  }
 }

@@ -51,4 +51,36 @@ class SamplingSpec extends SparkSuite {
     assert(math.abs(kept("1").toDouble / per("1") - 0.1) < 0.03)
     assert(math.abs(kept("2").toDouble / per("2") - 0.1) < 0.03)
   }
+
+  // skewed domains: 7000 / 2500 / 500 rows
+  private lazy val skewed = spark.range(10000)
+    .select(col("id"),
+      when(col("id") < 7000, "big").when(col("id") < 9500, "mid")
+        .otherwise("small").as("dom"))
+
+  test("temperature alpha=1 keeps the natural distribution (everything)") {
+    assert(Sampling.temperatureSample(skewed, "id", "dom", 1.0).count() === 10000L)
+  }
+
+  test("temperature alpha=0 equalizes group contributions to ~n_min") {
+    val kept = Sampling.temperatureSample(skewed, "id", "dom", 0.0)
+      .groupBy("dom").count().as[(String, Long)].collect().toMap
+    assert(kept("small") === 500L) // smallest group keeps all
+    // others land near n_min (hash-bucket granularity: ±5% of group size)
+    assert(math.abs(kept("big") - 500L) < 7000 * 0.05, s"big=${kept("big")}")
+    assert(math.abs(kept("mid") - 500L) < 2500 * 0.05, s"mid=${kept("mid")}")
+  }
+
+  test("temperature selection is deterministic and nested across alpha") {
+    val a = Sampling.temperatureSample(skewed, "id", "dom", 0.5)
+      .select("id").as[Long].collect().toSet
+    val b = Sampling.temperatureSample(skewed, "id", "dom", 0.5)
+      .select("id").as[Long].collect().toSet
+    assert(a === b)
+    // lower alpha = lower per-group thresholds on the SAME buckets, so the
+    // harsher sample is a strict subset of the milder one
+    val harsher = Sampling.temperatureSample(skewed, "id", "dom", 0.0)
+      .select("id").as[Long].collect().toSet
+    assert(harsher.subsetOf(a))
+  }
 }

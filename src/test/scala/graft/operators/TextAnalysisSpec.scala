@@ -64,4 +64,37 @@ class TextAnalysisSpec extends SparkSuite {
     assert(out(2).getInt(0) === 0 && out(2).getInt(1) === 0)
     assert(out(2).getString(2) === "nothing sensitive here")
   }
+
+  test("contamination check: planted benchmark 3-gram overlap") {
+    val bench = Seq((100L, "alpha beta gamma delta")).toDF("doc_id", "text")
+    val corpus = Seq(
+      (1L, "x alpha beta gamma y"),   // contains 1 of its 3 grams
+      (2L, "alpha beta gamma delta"), // fully leaked: 2/2
+      (3L, "totally clean document here"),
+      (4L, "too short")).toDF("doc_id", "text")
+    val out = TextAnalysis.contaminationCheck(corpus, bench, "doc_id", "text", 3)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(out(0) === ((1L, 3L, 1L, 1.0 / 3.0)))
+    assert(out(1) === ((2L, 2L, 2L, 1.0)))
+    assert(out(2) === ((3L, 2L, 0L, 0.0)))
+    assert(out(3) === ((4L, 0L, 0L, 0.0))) // < 3 tokens: zero grams, kept
+  }
+
+  test("rule filter: planted pass/fail per rule") {
+    val out = TextAnalysis.withRuleFilter(
+        Seq(
+          (1L, "this is a perfectly ordinary sentence with enough plain words to pass"),
+          (2L, "too short"),                                  // < 10 tokens
+          (3L, ("a " * 10).trim + (" " + "x" * 60) * 5)) // mean len (10+300)/15 = 20.7
+        .toDF("doc_id", "text"), "text")
+      .orderBy("doc_id")
+      .select("ok_n_tokens", "ok_mean_token_len", "ok_punct", "ok_alpha", "keep")
+      .collect().map(r => (r.getInt(0), r.getInt(1), r.getInt(2), r.getInt(3), r.getInt(4)))
+    assert(out(0) === ((1, 1, 1, 1, 1)))
+    assert(out(1)._1 === 0)
+    assert(out(1)._5 === 0)
+    assert(out(2)._2 === 0, "mean token length blown by the giant token")
+    assert(out(2)._5 === 0)
+  }
 }
