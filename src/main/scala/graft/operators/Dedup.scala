@@ -295,6 +295,45 @@ object Dedup {
   }
 
   /**
+   * Duplicated-span detection — exact substring dedup at n-token
+   * granularity (the distributed shape of the suffix-array method of
+   * "Deduplicating Training Data Makes Language Models Better", Lee et
+   * al. 2022): every window of `n` consecutive tokens is fingerprinted;
+   * a span whose fingerprint occurs more than once in the corpus (across
+   * docs OR repeated within one doc) is a duplicated span. Emits one row
+   * per document: (id, n_spans, n_dup_spans, dup_span_frac) — filter or
+   * trim on `dup_span_frac` downstream.
+   *
+   * Scale design: the per-position explode is inherent to substring-level
+   * dedup (the suffix-array approach also materializes every position);
+   * the exchange carries (16-byte md5, id) — never the span text — and the
+   * occurrence count partial-aggregates map-side. The >1-occurrence table
+   * is a small fraction of the corpus and joins back hash-to-hash. Memory
+   * per row stays O(n) because spans are hashed the moment they're formed.
+   */
+  def duplicatedSpans(df: DataFrame, idCol: String, textCol: String,
+                      n: Int = 12): DataFrame = {
+    val toks = split(col(textCol), " ")
+    val grams = when(size(toks) >= n,
+        transform(sequence(lit(1), size(toks) - (n - 1)),
+          i => md5(concat_ws(" ", slice(toks, i, lit(n))))))
+      .otherwise(array().cast("array<string>"))
+    val base = df.select(col(idCol).as("id"), size(grams).as("n_spans"))
+    val hashed = df.select(col(idCol).as("id"), explode(grams).as("h"))
+    val dupOcc = hashed.groupBy(col("h"))
+      .agg(count(lit(1)).as("_occ")).filter(col("_occ") > 1)
+    val dupPerDoc = hashed.join(dupOcc, "h")
+      .groupBy(col("id")).agg(count(lit(1)).as("n_dup_spans"))
+    base.join(dupPerDoc, Seq("id"), "left")
+      .select(col("id"), col("n_spans"),
+        coalesce(col("n_dup_spans"), lit(0L)).as("n_dup_spans"))
+      .withColumn("dup_span_frac",
+        when(col("n_spans") > 0,
+          col("n_dup_spans").cast("double") / col("n_spans").cast("double"))
+          .otherwise(lit(0.0)))
+  }
+
+  /**
    * n-gram (word-set) Jaccard similarity pairs within a blocking key (e.g.
    * source) — the quadratic fallback, kept shuffle-safe by requiring a
    * blocking column so the cross product never leaves a group.

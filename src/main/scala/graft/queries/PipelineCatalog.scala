@@ -95,6 +95,60 @@ object PipelineCatalog {
       |SELECT s AS doc_id, least(s, min(t)) AS cluster_id
       |FROM reach GROUP BY s""".stripMargin
 
+  /** End of the dedup story: the kept corpus — every doc that is not a
+    * non-keeper member of a near-dup component (keeper = component min id).
+    * Oracle reuses the recursive-CTE closure. */
+  val dedupKeep: Q = (s, dir) => {
+    val clusters = Dedup.resolveClusters(dedupJaccard(s, dir))
+    Tables.documents(s, dir)
+      .join(clusters.filter(col("doc_id") =!= col("cluster_id"))
+        .select(col("doc_id")), Seq("doc_id"), "left_anti")
+      .select(col("doc_id"), col("lang"), col("source"), col("n_chars"))
+  }
+
+  val dedupKeepSql: String = {
+    // same closure as dedupClustersSql, then anti-join the non-keepers
+    val closure = dedupClustersSql.substring(0, dedupClustersSql.indexOf("SELECT s AS doc_id"))
+    closure +
+      """, clusters AS (
+        |  SELECT s AS doc_id, least(s, min(t)) AS cluster_id
+        |  FROM reach GROUP BY s
+        |)
+        |SELECT d.doc_id, d.lang, d.source, d.n_chars FROM documents d
+        |WHERE d.doc_id NOT IN (
+        |  SELECT doc_id FROM clusters WHERE doc_id <> cluster_id)""".stripMargin
+  }
+
+  /** Duplicated 12-token spans (exact substring dedup, per-doc rollup). */
+  val dedupSpans: Q = (s, dir) =>
+    Dedup.duplicatedSpans(Tables.documents(s, dir), "doc_id", "text", n = 12)
+      .withColumnRenamed("id", "doc_id")
+
+  val dedupSpansSql: String =
+    """WITH tk AS (
+      |  SELECT doc_id, string_split(text, ' ') AS t FROM documents
+      |), g AS (
+      |  SELECT doc_id,
+      |         CASE WHEN len(t) >= 12
+      |              THEN list_transform(range(1, len(t) - 10),
+      |                     i -> array_to_string(t[i:i+11], ' '))
+      |              ELSE CAST([] AS VARCHAR[]) END AS grams
+      |  FROM tk
+      |), x AS (
+      |  SELECT doc_id, unnest(grams) AS gram FROM g
+      |), occ AS (
+      |  SELECT gram FROM x GROUP BY gram HAVING count(*) > 1
+      |), d AS (
+      |  SELECT x.doc_id, count(*) AS n_dup FROM x JOIN occ ON x.gram = occ.gram
+      |  GROUP BY x.doc_id
+      |)
+      |SELECT g.doc_id, CAST(len(g.grams) AS INT) AS n_spans,
+      |       CAST(COALESCE(d.n_dup, 0) AS BIGINT) AS n_dup_spans,
+      |       CASE WHEN len(g.grams) > 0
+      |            THEN CAST(COALESCE(d.n_dup, 0) AS DOUBLE) / CAST(len(g.grams) AS DOUBLE)
+      |            ELSE 0.0 END AS dup_span_frac
+      |FROM g LEFT JOIN d ON g.doc_id = d.doc_id""".stripMargin
+
   /** MinHash+LSH near-dup pairs — xxhash64 signatures, rows-only. */
   val dedupMinhash: Q = (s, dir) =>
     Dedup.minhashLshPairs(Tables.documents(s, dir), "doc_id", "text",
@@ -562,6 +616,8 @@ object PipelineCatalog {
     "dedup_exact" -> dedupExact,
     "dedup_jaccard" -> dedupJaccard,
     "dedup_clusters" -> dedupClusters,
+    "dedup_keep" -> dedupKeep,
+    "dedup_spans" -> dedupSpans,
     "dedup_minhash" -> dedupMinhash,
     "dedup_simhash" -> dedupSimhash,
     "sim_bruteforce_topk" -> simBruteForce,
@@ -594,6 +650,8 @@ object PipelineCatalog {
     "dedup_exact" -> dedupExactSql,
     "dedup_jaccard" -> dedupJaccardSql,
     "dedup_clusters" -> dedupClustersSql,
+    "dedup_keep" -> dedupKeepSql,
+    "dedup_spans" -> dedupSpansSql,
     "sim_bruteforce_topk" -> simBruteForceSql,
     "text_tokens" -> textTokensSql,
     "text_quality" -> textQualitySql,

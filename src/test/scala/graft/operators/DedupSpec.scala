@@ -99,4 +99,23 @@ class DedupSpec extends SparkSuite {
       .select("id_a", "id_b").as[(Long, Long)].collect().toSet
     assert(pairs === Set((2L, 3L))) // only the same-block near pair
   }
+
+  test("duplicatedSpans flags shared and self-repeated n-token spans") {
+    val span = (1 to 4).map(i => s"w$i").mkString(" ") // 4-token span
+    val docs = Seq(
+      (1L, s"aa bb $span cc"),            // shares `span` with doc 2
+      (2L, s"$span dd ee ff"),
+      (3L, s"$span gg $span hh"),         // also repeats it internally
+      (4L, "totally unrelated words only here"),
+      (5L, "tiny")                        // < n tokens: zero spans
+    ).toDF("doc_id", "text")
+    val out = Dedup.duplicatedSpans(docs, "doc_id", "text", n = 4)
+      .orderBy("id").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+    assert(out(0) === ((1L, 4, 1L))) // one of its 4 windows is the shared span
+    assert(out(1) === ((2L, 4, 1L)))
+    assert(out(2) === ((3L, 7, 2L))) // both internal occurrences flagged
+    assert(out(3) === ((4L, 2, 0L)))
+    assert(out(4) === ((5L, 0, 0L)))
+  }
 }
