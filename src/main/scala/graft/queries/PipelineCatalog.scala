@@ -580,6 +580,70 @@ object PipelineCatalog {
       |)
       |SELECT doc_id, (s * 16) // total AS shard_id, n AS n_tokens FROM c""".stripMargin
 
+  /**
+   * End-to-end corpus build — the composition every stage exists for:
+   * rule filter → exact dedup → temperature-0.5 lang rebalance → 8-way
+   * balanced shard assignment. One declarative plan: Catalyst pipelines
+   * the map-only filter into the dedup exchange, and the sample threshold
+   * / shard-offset tables both stay broadcast — the corpus crosses the
+   * wire twice total (dedup fingerprint shuffle, prefix-scan bucket agg)
+   * at any scale.
+   */
+  val pipelineE2e: Q = (s, dir) => {
+    val kept = TextAnalysis.withRuleFilter(Tables.documents(s, dir), "text")
+      .filter(col("keep") === 1)
+      .select("doc_id", "text", "lang", "source", "n_chars")
+    val deduped = Dedup.exactDedup(kept, "doc_id", "text")
+    val sampled = Sampling.temperatureSample(deduped, "doc_id", "lang", 0.5)
+    Packing.shardAssign(
+      sampled.withColumn("n_toks", size(TextAnalysis.tokens(col("text")))),
+      "doc_id", "n_toks", nShards = 8)
+  }
+
+  val pipelineE2eSql: String =
+    s"""WITH f AS (
+       |  SELECT doc_id,
+       |    CAST(len(string_split(text, ' ')) AS INT) AS n_tokens,
+       |    CAST(list_sum(list_transform(string_split(text, ' '), x -> length(x))) AS DOUBLE)
+       |      / CAST(len(string_split(text, ' ')) AS DOUBLE) AS mean_token_len,
+       |    CAST(length(text) - length(regexp_replace(text, '[[:punct:]]', '', 'g')) AS DOUBLE)
+       |      / CAST(length(text) AS DOUBLE) AS punct_ratio,
+       |    CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS DOUBLE)
+       |      / CAST(length(text) AS DOUBLE) AS alpha_ratio
+       |  FROM documents
+       |), kept AS (
+       |  SELECT d.doc_id, d.text, d.lang FROM documents d
+       |  JOIN f ON d.doc_id = f.doc_id
+       |  WHERE f.n_tokens >= 10 AND f.n_tokens <= 100000
+       |    AND f.mean_token_len >= 2.0 AND f.mean_token_len <= 12.0
+       |    AND f.punct_ratio <= 0.3 AND f.alpha_ratio >= 0.5
+       |), dd AS (
+       |  SELECT doc_id, text, lang FROM (
+       |    SELECT k.*, row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
+       |    FROM kept k
+       |  ) WHERE rn = 1
+       |), cnt AS (
+       |  SELECT lang, count(*) AS cnt FROM dd GROUP BY lang
+       |), thr AS (
+       |  SELECT lang,
+       |    CAST(floor(pow(CAST((SELECT min(cnt) FROM cnt) AS DOUBLE)
+       |                   / CAST(cnt AS DOUBLE), 0.5) * 1000) AS BIGINT) AS thr
+       |  FROM cnt
+       |), samp AS (
+       |  SELECT dd.doc_id, dd.text FROM dd
+       |  JOIN thr ON dd.lang = thr.lang
+       |  WHERE ${duckHashBucket("dd.doc_id")} < thr.thr
+       |), n AS (
+       |  SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n FROM samp
+       |), c AS (
+       |  SELECT doc_id, n,
+       |    CAST(COALESCE(SUM(n) OVER (ORDER BY doc_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS s,
+       |    CAST(SUM(n) OVER () AS BIGINT) AS total
+       |  FROM n
+       |)
+       |SELECT doc_id, (s * 8) // total AS shard_id, n AS n_tokens FROM c""".stripMargin
+
   // ------------------------------------------------------------------
   // Multimodal plumbing (documents.text bytes stand in for payloads)
   // ------------------------------------------------------------------
@@ -637,6 +701,7 @@ object PipelineCatalog {
     "text_rule_filter" -> textRuleFilter,
     "sample_temperature" -> sampleTemperature,
     "shard_assign" -> shardAssign,
+    "pipeline_e2e" -> pipelineE2e,
     "bm25_top_terms" -> bm25TopTerms,
     "vocab_top_terms" -> vocabTopTerms,
     "seq_packing" -> seqPacking,
@@ -664,6 +729,7 @@ object PipelineCatalog {
     "text_rule_filter" -> textRuleFilterSql,
     "sample_temperature" -> sampleTemperatureSql,
     "shard_assign" -> shardAssignSql,
+    "pipeline_e2e" -> pipelineE2eSql,
     "bm25_top_terms" -> bm25TopTermsSql,
     "vocab_top_terms" -> vocabTopTermsSql,
     "seq_packing" -> seqPackingSql,
