@@ -63,6 +63,36 @@ object TextHash {
     new GenericArrayData(sig)
   }
 
+  /** 64-bit hashes of every n-token window (positional; `distinct` = set
+    * semantics). The per-position window string is built in one reused
+    * StringBuilder and hashed immediately — nothing but the 8-byte hashes
+    * survives, so downstream explodes/shuffles carry longs, not gram
+    * strings. Fewer than n tokens → empty array. */
+  def ngramHashes(text: UTF8String, n: Int, distinct: Boolean): ArrayData = {
+    val toks = splitTokens(text.toString)
+    val count = toks.length - n + 1
+    if (count <= 0) return new GenericArrayData(Array.emptyLongArray)
+    val out = new Array[Long](count)
+    val seen = if (distinct) new java.util.HashSet[Long]() else null
+    val sb = new java.lang.StringBuilder()
+    var m = 0
+    var i = 0
+    while (i < count) {
+      sb.setLength(0)
+      var j = 0
+      while (j < n) {
+        if (j > 0) sb.append(' ')
+        sb.append(toks(i + j))
+        j += 1
+      }
+      val h = XXH64.hashUTF8String(UTF8String.fromString(sb.toString), XXHASH_DEFAULT_SEED)
+      if (seen == null) { out(m) = h; m += 1 }
+      else if (seen.add(h)) { out(m) = h; m += 1 }
+      i += 1
+    }
+    new GenericArrayData(if (m == count) out else java.util.Arrays.copyOf(out, m))
+  }
+
   /** Exact Jaccard similarity of two SORTED distinct long arrays (token /
     * shingle hashes) via a single merge walk — O(|a|+|b|), no allocation.
     * Equals string-set Jaccard up to 64-bit hash collisions (~2^-64/pair). */
@@ -133,6 +163,26 @@ case class MinHashSignatureExpr(first: Expression, second: Expression, third: Ex
     copy(first = newFirst, second = newSecond, third = newThird)
 }
 
+/** ngram_hashes(text, n, distinct) → array<bigint>. */
+case class NgramHashesExpr(first: Expression, second: Expression, third: Expression)
+    extends TernaryExpression {
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = first.nullable
+
+  override protected def nullSafeEval(text: Any, n: Any, distinct: Any): Any =
+    TextHash.ngramHashes(text.asInstanceOf[UTF8String],
+      n.asInstanceOf[Int], distinct.asInstanceOf[Boolean])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (t, n, d) =>
+      s"graft.functions.TextHash.ngramHashes($t, $n, $d)")
+
+  override protected def withNewChildrenInternal(
+      newFirst: Expression, newSecond: Expression, newThird: Expression): Expression =
+    copy(first = newFirst, second = newSecond, third = newThird)
+}
+
 /** jaccard_sorted(sortedHashesA, sortedHashesB) → double. */
 case class JaccardSortedExpr(left: Expression, right: Expression)
     extends BinaryExpression {
@@ -173,6 +223,7 @@ object GraftFunctions {
 
   val all: Seq[(String, Seq[Expression] => Expression)] = Seq(
     "graft_minhash_signature" -> (args => MinHashSignatureExpr(args(0), args(1), args(2))),
+    "graft_ngram_hashes" -> (args => NgramHashesExpr(args(0), args(1), args(2))),
     "graft_simhash64" -> (args => SimHash64Expr(args.head)),
     "graft_jaccard_sorted" -> (args => JaccardSortedExpr(args(0), args(1))),
     "graft_dot" -> (args => DotProductExpr(args(0), args(1))),

@@ -306,18 +306,20 @@ object Dedup {
    *
    * Scale design: the per-position explode is inherent to substring-level
    * dedup (the suffix-array approach also materializes every position);
-   * the exchange carries (16-byte md5, id) — never the span text — and the
-   * occurrence count partial-aggregates map-side. The >1-occurrence table
-   * is a small fraction of the corpus and joins back hash-to-hash. Memory
-   * per row stays O(n) because spans are hashed the moment they're formed.
+   * the exchange carries (8-byte xxhash64, id) — never the span text — and
+   * the occurrence count partial-aggregates map-side. The >1-occurrence
+   * table is a small fraction of the corpus and joins back hash-to-hash.
+   * Span fingerprints come from the native codegen'd `graft_ngram_hashes`
+   * (one tight loop per doc); memory per row stays O(n) because spans are
+   * hashed the moment they're formed.
    */
   def duplicatedSpans(df: DataFrame, idCol: String, textCol: String,
                       n: Int = 12): DataFrame = {
-    val toks = split(col(textCol), " ")
-    val grams = when(size(toks) >= n,
-        transform(sequence(lit(1), size(toks) - (n - 1)),
-          i => md5(concat_ws(" ", slice(toks, i, lit(n))))))
-      .otherwise(array().cast("array<string>"))
+    graft.functions.GraftFunctions.register(df.sparkSession)
+    // Native codegen'd span fingerprints: one tight loop per doc, 8-byte
+    // hashes (not gram strings) through the explode and the exchange.
+    val grams = call_function("graft_ngram_hashes",
+      col(textCol), lit(n), lit(false))
     val base = df.select(col(idCol).as("id"), size(grams).as("n_spans"))
     val hashed = df.select(col(idCol).as("id"), explode(grams).as("h"))
     val dupOcc = hashed.groupBy(col("h"))

@@ -155,7 +155,12 @@ object TextAnalysis {
    */
   def contaminationCheck(corpus: DataFrame, benchmark: DataFrame,
                          idCol: String, textCol: String, n: Int = 3): DataFrame = {
-    def grams(t: Column): Column = array_distinct(ngrams(tokens(t), n))
+    graft.functions.GraftFunctions.register(corpus.sparkSession)
+    // Distinct n-gram fingerprints via the native codegen'd expression:
+    // membership only needs hash equality, so the broadcast set and the
+    // probe both carry 8-byte longs, never gram strings.
+    def grams(t: Column): Column =
+      call_function("graft_ngram_hashes", t, lit(n), lit(true))
     val bench = benchmark
       .select(explode(grams(col(textCol))).as("gram")).distinct()
       .withColumn("_hit", lit(1))

@@ -65,6 +65,24 @@ class TextAnalysisSpec extends SparkSuite {
     assert(out(2).getString(2) === "nothing sensitive here")
   }
 
+  test("native ngram hashes are bit-identical to the declarative form") {
+    graft.functions.GraftFunctions.register(spark)
+    val docs = Seq(
+      "a b c d e", "a a a a", "x", "", "one two three",
+      "a b c a b c a b c").toDF("text")
+    val both = docs.select(
+      call_function("graft_ngram_hashes", col("text"), lit(3), lit(false)).as("native"),
+      transform(TextAnalysis.ngrams(TextAnalysis.tokens(col("text")), 3),
+        g => xxhash64(g)).as("decl"),
+      call_function("graft_ngram_hashes", col("text"), lit(3), lit(true)).as("native_d"),
+      array_distinct(transform(TextAnalysis.ngrams(TextAnalysis.tokens(col("text")), 3),
+        g => xxhash64(g))).as("decl_d")).collect()
+    both.foreach { r =>
+      assert(r.getSeq[Long](0) === r.getSeq[Long](1))
+      assert(r.getSeq[Long](2) === r.getSeq[Long](3))
+    }
+  }
+
   test("contamination check: planted benchmark 3-gram overlap") {
     val bench = Seq((100L, "alpha beta gamma delta")).toDF("doc_id", "text")
     val corpus = Seq(
