@@ -1,0 +1,68 @@
+package graft.streaming
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.operators.TextAnalysis
+
+/**
+ * Streaming forms of the training-data-pipeline operators — the ingest-time
+ * path: documents arriving as a stream are quality-filtered and
+ * decontaminated BEFORE they ever land in the corpus, instead of by a later
+ * batch sweep.
+ *
+ * Both operators are stateless map-only transforms, so they run in any
+ * output mode, add no stream state, and keep the micro-batch plan inside
+ * whole-stage codegen — the same 100 TB-shape guarantees as their batch
+ * twins ([[graft.operators.TextAnalysis]]).
+ */
+object StreamPipeline {
+
+  /**
+   * Streaming rule filter: the C4/Gopher keep/drop decision applied at
+   * ingest. Identical flags/thresholds to the batch
+   * [[TextAnalysis.withRuleFilter]] (same expressions — the stream is just
+   * a different source); `keepOnly = true` drops rejected docs in-stream.
+   */
+  def ruleFilterStream(docs: DataFrame, textCol: String,
+                       keepOnly: Boolean = true): DataFrame = {
+    val flagged = TextAnalysis.withRuleFilter(docs, textCol)
+    if (keepOnly) flagged.filter(col("keep") === 1) else flagged
+  }
+
+  /**
+   * Streaming decontamination: per-document overlap with a benchmark
+   * n-gram set. The benchmark is a bounded model input (eval suites are
+   * MBs while the corpus is unbounded), so its distinct gram fingerprints
+   * are collected ONCE at query-construction time and inlined as a literal
+   * array — the per-batch plan is then a pure projection: native
+   * `graft_ngram_hashes` per doc + one sorted-membership intersection.
+   * No stream-static join, no per-batch re-plan of the benchmark side, no
+   * state. (Same bounded-collect pattern as the IVF centroid literals —
+   * model parameters may drive to the driver; data never does.)
+   *
+   * Emits every input column plus (n_grams, n_contaminated,
+   * contamination_frac); filter on the frac downstream to quarantine leaks.
+   */
+  def decontaminateStream(docs: DataFrame, textCol: String,
+                          benchmark: DataFrame, benchTextCol: String,
+                          n: Int = 3): DataFrame = {
+    graft.functions.GraftFunctions.register(docs.sparkSession)
+    val benchGrams: Array[Long] = benchmark
+      .select(explode(call_function("graft_ngram_hashes",
+        col(benchTextCol), lit(n), lit(true))).as("g"))
+      .distinct().orderBy("g")
+      .collect().map(_.getLong(0))
+    val grams = call_function("graft_ngram_hashes", col(textCol), lit(n), lit(true))
+    docs
+      .withColumn("_grams", grams)
+      .withColumn("n_grams", size(col("_grams")).cast("long"))
+      .withColumn("n_contaminated",
+        size(array_intersect(col("_grams"), typedLit(benchGrams))).cast("long"))
+      .drop("_grams")
+      .withColumn("contamination_frac",
+        when(col("n_grams") > 0,
+          col("n_contaminated").cast("double") / col("n_grams").cast("double"))
+          .otherwise(lit(0.0)))
+  }
+}
