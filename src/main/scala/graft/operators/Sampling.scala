@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /**
@@ -61,6 +62,31 @@ object Sampling {
     df.join(broadcast(thresholds), Seq(groupCol))
       .filter(hashBucket(col(keyCol)) < col("_thr"))
       .drop("_thr")
+  }
+
+  /**
+   * Fixed-size deterministic uniform sample per group: the k rows whose
+   * md5(key) sorts first within their group. Rate-based gates
+   * ([[deterministicSample]]) keep a *fraction*; this keeps an exact
+   * *count* — min(k, |group|) rows — the distributed stand-in for
+   * per-group reservoir sampling, with the RNG replaced by a hash order
+   * so the same k rows win on any engine, any partitioning, any run.
+   * Emits the input columns plus `sample_rank` (1-based position in the
+   * group's hash order — a stable sub-sample key: rank ≤ j is the
+   * deterministic j-subset of the k-sample).
+   *
+   * Scale: rank-then-filter with rn ≤ k plans as WindowGroupLimit — each
+   * map task pre-trims to k rows per group BEFORE the exchange, so the
+   * shuffle carries O(groups × k) per partition, never the corpus (same
+   * plan shape as the top-N operators).
+   */
+  def bottomKSample(df: DataFrame, keyCol: String, groupCol: String,
+                    k: Int): DataFrame = {
+    require(k > 0, s"k must be positive, got $k")
+    val w = Window.partitionBy(col(groupCol))
+      .orderBy(md5(col(keyCol).cast("string")), col(keyCol))
+    df.withColumn("sample_rank", row_number().over(w))
+      .filter(col("sample_rank") <= k)
   }
 
   /** Stratified deterministic sample: per-class keep fractions (classes

@@ -496,14 +496,21 @@ object PipelineCatalog {
   // Deterministic sampling (documents)
   // ------------------------------------------------------------------
 
-  /** DuckDB twin of [[Sampling.hashBucket]]: parse the first 8 md5 hex
-    * chars positionally (no hex→int cast exists in DuckDB 1.0; the
-    * power-of-16 sum is exact in doubles for 32-bit values). */
-  private def duckHashBucket(keyExpr: String): String =
+  /** DuckDB twin of [[Sampling.hashBucket]] / [[Importance.featBucket]]:
+    * parse the first 8 md5 hex chars positionally (no hex→int cast exists
+    * in DuckDB 1.0; the power-of-16 sum is exact in doubles for 32-bit
+    * values). `cast` wraps the key for non-string keys. */
+  private def duckHashBucketMod(keyExpr: String, mod: Int,
+                                cast: Boolean = true): String = {
+    val k = if (cast) s"CAST($keyExpr AS VARCHAR)" else keyExpr
     s"""CAST(list_sum(list_transform(range(8), i ->
        |    (strpos('0123456789abcdef',
-       |       substr(md5(CAST($keyExpr AS VARCHAR)), CAST(i + 1 AS INT), 1)) - 1)
-       |    * power(16, 7 - i))) AS BIGINT) % 1000""".stripMargin
+       |       substr(md5($k), CAST(i + 1 AS INT), 1)) - 1)
+       |    * power(16, 7 - i))) AS BIGINT) % $mod""".stripMargin
+  }
+
+  private def duckHashBucket(keyExpr: String): String =
+    duckHashBucketMod(keyExpr, 1000)
 
   /** 20% deterministic sample + reproducible train/val/test assignment. */
   val sampleDet: Q = (s, dir) =>
@@ -559,6 +566,95 @@ object PipelineCatalog {
        |)
        |SELECT b.doc_id, b.lang FROM b JOIN t ON b.lang = t.lang
        |WHERE b.bucket < t.thr""".stripMargin
+
+  /** Fixed-size per-language sample: the 20 docs per lang whose md5 sorts
+    * first — exact oracle including the in-group hash order. */
+  val sampleBottomK: Q = (s, dir) =>
+    Sampling.bottomKSample(Tables.documents(s, dir), "doc_id", "lang", k = 20)
+      .select(col("doc_id"), col("lang"), col("sample_rank"))
+
+  val sampleBottomKSql: String =
+    """SELECT doc_id, lang, CAST(rn AS INT) AS sample_rank FROM (
+      |  SELECT doc_id, lang,
+      |         row_number() OVER (PARTITION BY lang
+      |           ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
+      |  FROM documents
+      |) WHERE rn <= 20""".stripMargin
+
+  /** Global quality-score ordering of the corpus (curriculum / corpus-cut
+    * primitive) via the two-level bucketed rank — no single-partition
+    * sort. Scores round to 6 digits BEFORE ranking so the order (and the
+    * rank) is engine-stable; bucket = floor((1-score)*16) is monotone
+    * along (score DESC). Oracle = plain ROW_NUMBER over the same order. */
+  val globalRankQ: Q = (s, dir) => {
+    val scored = TextAnalysis.qualityScore(Tables.documents(s, dir), "text")
+      .select(col("doc_id"), round(col("quality_score"), 6).as("score_r"))
+    Ranking.globalRank(scored,
+      bucket = floor((lit(1.0) - col("score_r")) * 16),
+      order = Seq(col("score_r").desc, col("doc_id")))
+  }
+
+  val globalRankSql: String =
+    """WITH f AS (
+      |  SELECT doc_id,
+      |    CAST(len(string_split(text, ' ')) AS INT) AS n_tokens,
+      |    CAST(length(text) - length(regexp_replace(text, '[[:punct:]]', '', 'g')) AS DOUBLE)
+      |      / CAST(length(text) AS DOUBLE) AS punct_ratio,
+      |    CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS DOUBLE)
+      |      / CAST(length(text) AS DOUBLE) AS alpha_ratio
+      |  FROM documents
+      |), q AS (
+      |  SELECT doc_id,
+      |    round(greatest(0.0, least(1.0,
+      |      0.4 * least(CAST(n_tokens AS DOUBLE) / 64.0, 1.0)
+      |      + 0.3 * (1.0 - punct_ratio)
+      |      + 0.3 * alpha_ratio)), 6) AS score_r
+      |  FROM f
+      |)
+      |SELECT doc_id, score_r,
+      |       row_number() OVER (ORDER BY score_r DESC, doc_id) AS global_rank
+      |FROM q""".stripMargin
+
+  /** DSIR importance weights: raw pool (source<>'src0') scored against the
+    * target slice (source='src0') on hashed unigram+bigram features. */
+  val importanceW: Q = (s, dir) => {
+    val docs = Tables.documents(s, dir)
+    Importance.importanceWeights(
+      docs.filter(col("source") =!= "src0"),
+      docs.filter(col("source") === "src0"),
+      "doc_id", "text")
+  }
+
+  val importanceWSql: String =
+    s"""WITH tk AS (
+       |  SELECT doc_id, source, string_split(text, ' ') AS t FROM documents
+       |), g AS (
+       |  SELECT doc_id, source,
+       |         list_concat(t, list_transform(range(1, len(t)),
+       |           i -> t[i] || ' ' || t[i+1])) AS feats
+       |  FROM tk
+       |), x AS (
+       |  SELECT doc_id, source, unnest(feats) AS f FROM g
+       |), xb AS (
+       |  SELECT doc_id, source, ${duckHashBucketMod("f", 1024, cast = false)} AS b
+       |  FROM x
+       |), tc AS (
+       |  SELECT b, count(*) AS tc FROM xb WHERE source = 'src0' GROUP BY b
+       |), rc AS (
+       |  SELECT b, count(*) AS rc FROM xb WHERE source <> 'src0' GROUP BY b
+       |), tot AS (
+       |  SELECT (SELECT count(*) FROM xb WHERE source = 'src0') AS ttot,
+       |         (SELECT count(*) FROM xb WHERE source <> 'src0') AS rtot
+       |), w AS (
+       |  SELECT rc.b,
+       |         ln(CAST(COALESCE(tc.tc, 0) + 1 AS DOUBLE) / CAST(ttot + 1024 AS DOUBLE))
+       |       - ln(CAST(rc.rc + 1 AS DOUBLE) / CAST(rtot + 1024 AS DOUBLE)) AS w
+       |  FROM rc LEFT JOIN tc USING (b) CROSS JOIN tot
+       |)
+       |SELECT xb.doc_id, CAST(count(*) AS BIGINT) AS n_feats,
+       |       SUM(w.w) AS log_ratio
+       |FROM xb JOIN w USING (b) WHERE xb.source <> 'src0'
+       |GROUP BY xb.doc_id""".stripMargin
 
   /** 16-way balanced training shards by token mass (all-integer two-level
     * prefix scan — bit-exact oracle). */
@@ -700,6 +796,9 @@ object PipelineCatalog {
     "text_contamination" -> textContamination,
     "text_rule_filter" -> textRuleFilter,
     "sample_temperature" -> sampleTemperature,
+    "sample_bottomk" -> sampleBottomK,
+    "global_rank" -> globalRankQ,
+    "importance_weights" -> importanceW,
     "shard_assign" -> shardAssign,
     "pipeline_e2e" -> pipelineE2e,
     "bm25_top_terms" -> bm25TopTerms,
@@ -728,6 +827,9 @@ object PipelineCatalog {
     "text_contamination" -> textContaminationSql,
     "text_rule_filter" -> textRuleFilterSql,
     "sample_temperature" -> sampleTemperatureSql,
+    "sample_bottomk" -> sampleBottomKSql,
+    "global_rank" -> globalRankSql,
+    "importance_weights" -> importanceWSql,
     "shard_assign" -> shardAssignSql,
     "pipeline_e2e" -> pipelineE2eSql,
     "bm25_top_terms" -> bm25TopTermsSql,

@@ -83,4 +83,33 @@ class SamplingSpec extends SparkSuite {
       .select("id").as[Long].collect().toSet
     assert(harsher.subsetOf(a))
   }
+
+  test("bottom-k sample keeps exactly min(k, group size) rows per group") {
+    val kept = Sampling.bottomKSample(skewed, "id", "dom", 100)
+      .groupBy("dom").count().as[(String, Long)].collect().toMap
+    assert(kept === Map("big" -> 100L, "mid" -> 100L, "small" -> 100L))
+    val tiny = skewed.filter(col("dom") === "small").limit(30)
+    assert(Sampling.bottomKSample(tiny, "id", "dom", 100).count() === 30L)
+  }
+
+  test("bottom-k sample is deterministic and nested in k") {
+    val k50 = Sampling.bottomKSample(skewed, "id", "dom", 50)
+      .select("id").as[Long].collect().toSet
+    val k100 = Sampling.bottomKSample(skewed, "id", "dom", 100)
+      .select("id").as[Long].collect().toSet
+    assert(k50.subsetOf(k100), "smaller k must be a prefix of larger k")
+    val again = Sampling.bottomKSample(skewed, "id", "dom", 50)
+      .select("id").as[Long].collect().toSet
+    assert(again === k50)
+    // sub-sample key: rank <= 50 within the k=100 sample IS the k=50 sample
+    val viaRank = Sampling.bottomKSample(skewed, "id", "dom", 100)
+      .filter(col("sample_rank") <= 50).select("id").as[Long].collect().toSet
+    assert(viaRank === k50)
+  }
+
+  test("bottom-k plans as WindowGroupLimit (map-side pre-trim)") {
+    val plan = Sampling.bottomKSample(skewed, "id", "dom", 10)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("WindowGroupLimit"), plan)
+  }
 }
