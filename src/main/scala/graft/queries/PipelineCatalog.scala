@@ -372,6 +372,12 @@ object PipelineCatalog {
       |)
       |ORDER BY cnt DESC, term LIMIT 50""".stripMargin
 
+  /** Misra–Gries heavy-terms sketch (k=64) — the bounded-state twin of
+    * `vocab_top_terms`. Estimates are merge-order dependent (rows-only);
+    * the n/(k+1) guarantee vs exact counts is pinned in FreqSketchSpec. */
+  val vocabSketch: Q = (s, dir) =>
+    FreqSketch.sketchTerms(Tables.documents(s, dir), "text", k = 64)
+
   /** PII scrub: detected email/URL counts + typed-placeholder masking. */
   val textPii: Q = (s, dir) =>
     TextAnalysis.withPiiScrub(Tables.documents(s, dir), "text")
@@ -803,6 +809,7 @@ object PipelineCatalog {
     "pipeline_e2e" -> pipelineE2e,
     "bm25_top_terms" -> bm25TopTerms,
     "vocab_top_terms" -> vocabTopTerms,
+    "vocab_sketch" -> vocabSketch,
     "seq_packing" -> seqPacking,
     "sample_det" -> sampleDet,
     "sample_stratified" -> sampleStratified,
