@@ -221,6 +221,152 @@ object Similarity {
     cents
   }
 
+  // ------------------------------------------------------------------
+  // Product quantization (IVF-PQ) — the compressed-index scale path
+  // ------------------------------------------------------------------
+
+  /**
+   * PQ codebooks: the vector space is split into `m` contiguous
+   * subspaces of `ds` dims; each subspace gets `kSub` codewords.
+   * `books(j)(c)` = codeword c of subspace j. Initialization is the same
+   * deterministic lowest-id sample as [[trainCentroids]]; `iters` Lloyd
+   * rounds refine all subspaces JOINTLY in one distributed pass each:
+   * encode map-side, then avg per (subspace, code, dim-in-subspace) —
+   * partial aggregation bounds the exchange to m×kSub×ds rows, and only
+   * those means (bounded model parameters, not data) reach the driver.
+   */
+  def trainPqBooks(base: DataFrame, m: Int, kSub: Int,
+                   iters: Int): Array[Array[Seq[Double]]] = {
+    val d = base.select(size(col("v"))).head().getInt(0)
+    require(d % m == 0, s"dim $d must divide into $m subspaces")
+    val ds = d / m
+    val samples = base.orderBy(col("id")).limit(kSub)
+      .select(col("v")).collect().map(_.getSeq[Double](0))
+    var books: Array[Array[Seq[Double]]] =
+      Array.tabulate(m)(j => samples.map(s => s.slice(j * ds, (j + 1) * ds)))
+    var it = 0
+    while (it < iters) {
+      val rows = base.withColumn("codes", pqCodesFor(books, ds)(col("v")))
+        .select(col("codes"), posexplode(col("v")))
+        .select(expr(s"pos div $ds").cast("int").as("j"),
+          element_at(col("codes"), expr(s"pos div $ds").cast("int") + 1).as("c"),
+          (col("pos") % ds).cast("int").as("p"), col("col").as("x"))
+        .groupBy(col("j"), col("c"), col("p")).agg(avg(col("x")).as("mn"))
+        .collect()
+      val means = rows.groupBy(r => (r.getInt(0), r.getInt(1))).map {
+        case (jc, rs) => jc -> rs.sortBy(_.getInt(2)).map(_.getDouble(3)).toSeq
+      }
+      books = Array.tabulate(m)(j => books(j).zipWithIndex.map {
+        case (cw, c) => means.getOrElse((j, c), cw) // empty cell keeps codeword
+      })
+      it += 1
+    }
+    books
+  }
+
+  /** Map-side PQ encoding: per subspace, argmin ‖sub − cw‖² via the
+    * max-of-structs trick (2·sub·cw − ‖cw‖² maximized; smallest code wins
+    * ties). One int array per row — the compressed representation. */
+  private def pqCodesFor(books: Array[Array[Seq[Double]]], ds: Int)(
+      v: Column): Column =
+    array(books.indices.map { j =>
+      val sub = slice(v, j * ds + 1, ds)
+      val scored = array(books(j).zipWithIndex.map { case (cw, c) =>
+        val n2 = cw.map(x => x * x).sum
+        struct((dot(sub, typedlit(cw)) * 2 - lit(n2)).as("score"),
+          lit(-c).as("negc"))
+      }: _*)
+      (-array_max(scored).getField("negc")).cast("int")
+    }: _*)
+
+  /** ‖reconstruction‖² from the codes — literal per-codeword norms. */
+  private def pqReconNorm2For(books: Array[Array[Seq[Double]]])(
+      codes: Column): Column =
+    books.indices.map { j =>
+      element_at(typedlit(books(j).map(cw => cw.map(x => x * x).sum).toSeq),
+        element_at(codes, j + 1) + 1)
+    }.reduce(_ + _)
+
+  /** Per-query ADC lookup tables: luts(j)(c) = query_sub_j · codeword_c —
+    * computed ONCE per query row (the tiny side), so the per-candidate
+    * score is m array lookups instead of d multiplies. */
+  private def pqLutsFor(books: Array[Array[Seq[Double]]], ds: Int)(
+      qv: Column): Column =
+    array(books.indices.map { j =>
+      val sub = slice(qv, j * ds + 1, ds)
+      array(books(j).map(cw => dot(sub, typedlit(cw))): _*)
+    }: _*)
+
+  /**
+   * IVF-PQ approximate top-k — the compressed-index path for corpora
+   * whose full vectors cannot ride the candidate join. The corpus is
+   * held as (id, coarse list, m-byte PQ code, recon norm): assignment
+   * and encoding are one map-only pass (literal codebooks, zero
+   * shuffle); probing scores candidates with asymmetric distance
+   * computation (ADC — m table lookups per pair, tables precomputed per
+   * query on the broadcast side); the `rerankFactor × k` ADC shortlist
+   * is then re-ranked exactly in a second map-only corpus pass against
+   * the broadcast shortlist. Recall is tunable by nProbe / kSub /
+   * rerankFactor; precision of the final ranking is exact (full-vector
+   * cosine, same rounding contract as the other ANN paths).
+   *
+   * At 100 TB: two corpus map passes and one candidate-set exchange —
+   * in production the encoded index (id, cid, codes) is written once
+   * and reused across query batches, amortizing the first pass away.
+   */
+  def ivfPqTopK(df: DataFrame, idCol: String, vecCol: String,
+                queryPred: Column, k: Int,
+                nCentroids: Int = 16, nProbe: Int = 4,
+                m: Int = 8, kSub: Int = 16,
+                trainIters: Int = 0, pqIters: Int = 1,
+                rerankFactor: Int = 4): DataFrame = {
+    graft.functions.GraftFunctions.register(df.sparkSession)
+    val base = df.select(col(idCol).as("id"), col(vecCol).cast("array<double>").as("v"))
+      .withColumn("n", norm2(col("v")))
+    val d = base.select(size(col("v"))).head().getInt(0)
+    require(d % m == 0, s"dim $d must divide into $m subspaces")
+    val ds = d / m
+    val cents = trainCentroids(base, nCentroids, trainIters)
+    val books = trainPqBooks(base, m, kSub, pqIters)
+    // Compressed index: full vectors are NOT carried past this point.
+    val index = base
+      .withColumn("cid",
+        -array_max(centScoresFor(cents)(col("v"), col("n"))).getField("negcid"))
+      .withColumn("codes", pqCodesFor(books, ds)(col("v")))
+      .withColumn("rn2", pqReconNorm2For(books)(col("codes")))
+      .select(col("id"), col("cid"), col("codes"), col("rn2"))
+    val queries = base.filter(queryPred)
+    val probes = queries
+      .withColumn("c",
+        explode(slice(sort_array(centScoresFor(cents)(col("v"), col("n")), asc = false),
+          1, nProbe)))
+      .select(col("id").as("query_id"), (-col("c.negcid")).as("cid"),
+        col("n").as("qn"), pqLutsFor(books, ds)(col("v")).as("luts"))
+    val adc = books.indices.map { j =>
+      element_at(element_at(col("luts"), j + 1), element_at(col("codes"), j + 1) + 1)
+    }.reduce(_ + _)
+    val candApprox = index.join(broadcast(probes), "cid")
+      .filter(col("query_id") =!= col("id"))
+      .select(col("query_id"), col("id").as("neighbor_id"),
+        (adc / (col("qn") * sqrt(col("rn2")))).as("acos"))
+    val wA = Window.partitionBy(col("query_id"))
+      .orderBy(col("acos").desc, col("neighbor_id").asc)
+    val shortlist = candApprox.withColumn("arn", row_number().over(wA))
+      .filter(col("arn") <= k.toLong * rerankFactor)
+      .select(col("query_id"), col("neighbor_id"))
+    // Exact re-rank: map-only corpus pass against the broadcast shortlist.
+    val q2 = queries.select(col("id").as("query_id"),
+      col("v").as("qv"), col("n").as("qn"))
+    val rer = base.join(broadcast(shortlist), col("id") === col("neighbor_id"))
+      .join(broadcast(q2), "query_id")
+      .select(col("query_id"), col("neighbor_id"),
+        round(dot(col("qv"), col("v")) / (col("qn") * col("n")), 6).as("cos"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("neighbor_id").asc)
+    rer.withColumn("rn", row_number().over(w)).filter(col("rn") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("cos"), col("rn"))
+  }
+
   /** Embedding-cosine near-duplicate pairs above a threshold; id_a < id_b.
     * Candidates come from hyperplane-LSH buckets (same signature family as
     * [[lshTopK]]) so the join is an equi-join on the bucket id — never an

@@ -200,6 +200,13 @@ object PipelineCatalog {
       col("id") % 100 === 0, k = 5, nCentroids = 16, nProbe = 4,
       trainIters = 2)
 
+  /** IVF-PQ: compressed-index ANN (8×16 codebooks, ADC shortlist, exact
+    * re-rank) — rows-only; recall pinned in SimilaritySpec. */
+  val simIvfPq: Q = (s, dir) =>
+    Similarity.ivfPqTopK(Tables.embeddings(s, dir), "vec_id", "embedding",
+      col("id") % 100 === 0, k = 5, nCentroids = 16, nProbe = 4,
+      m = 8, kSub = 16, pqIters = 1)
+
   /** LSH-bucketed embedding near-dup pairs — rows-only. Thresholds tuned to
     * the synthetic embeddings (max sample-pair cosine ≈ 0.44): tau 0.3 with
     * 3 planes keeps recall high enough to emit rows at sf0.01. */
@@ -790,6 +797,7 @@ object PipelineCatalog {
     "sim_lsh_topk" -> simLsh,
     "sim_ivf_topk" -> simIvf,
     "sim_ivf_trained" -> simIvfTrained,
+    "sim_ivfpq_topk" -> simIvfPq,
     "sim_near_dup" -> simNearDup,
     "text_tokens" -> textTokens,
     "text_quality" -> textQuality,

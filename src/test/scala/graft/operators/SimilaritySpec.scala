@@ -93,4 +93,42 @@ class SimilaritySpec extends SparkSuite {
     assert(res.contains((0L, 1L)))
     assert(!res.exists(p => p._2 == 3L), "negated vector is never a near-dup")
   }
+
+  test("ivfPqTopK exact re-rank recovers the nearest neighbor on the toy corpus") {
+    val res = Similarity.ivfPqTopK(vecs, "vec_id", "embedding",
+        col("id") === 0L, k = 3, nCentroids = 3, nProbe = 2,
+        m = 2, kSub = 4, pqIters = 0)
+      .orderBy("rn").select("neighbor_id").as[Long].collect().toSeq
+    assert(res.headOption === Some(1L),
+      s"nearest neighbor 1 must rank first after ADC shortlist + exact re-rank, got $res")
+  }
+
+  test("ivfPq codes stay in range and recall holds on planted groups") {
+    graft.functions.GraftFunctions.register(spark)
+    // 3 well-separated groups of 20 vectors, 8-dim (2 subspaces × 4 dims)
+    val grouped = spark.range(60).select(col("id").as("vec_id"),
+      expr("""transform(sequence(0, 7), i ->
+        cast(cast(if(i = vec_id % 3, 10.0, 0.0) as double) +
+        cast(xxhash64(vec_id, i) as double) / 9.2e18 as float)""" + ")").as("embedding"))
+    val res = Similarity.ivfPqTopK(grouped, "vec_id", "embedding",
+        col("id") < 3, k = 3, nCentroids = 3, nProbe = 1,
+        m = 2, kSub = 8, trainIters = 2, pqIters = 2)
+    val neighbors = res.select("query_id", "neighbor_id")
+      .as[(Long, Long)].collect()
+    assert(neighbors.nonEmpty)
+    assert(neighbors.forall { case (q, n) => q % 3 == n % 3 },
+      s"1-probe PQ neighbors must come from the query's planted group: ${neighbors.toSeq}")
+    // exact-re-rank contract: emitted cos equals the true rounded cosine
+    val bf = Similarity.bruteForceTopK(grouped, "vec_id", "embedding",
+        col("id") === 0L, k = 3)
+      .select("neighbor_id", "cos").as[(Long, Double)].collect().toMap
+    val pq = Similarity.ivfPqTopK(grouped, "vec_id", "embedding",
+        col("id") === 0L, k = 3, nCentroids = 3, nProbe = 1,
+        m = 2, kSub = 8, trainIters = 2, pqIters = 2)
+      .select("neighbor_id", "cos").as[(Long, Double)].collect().toMap
+    pq.foreach { case (n, c) =>
+      assert(bf.get(n).forall(_ === c),
+        s"re-ranked cosine for $n must equal the exact cosine")
+    }
+  }
 }
