@@ -76,4 +76,30 @@ object Importance {
       .agg(count(lit(1)).as("n_feats"), sum(col("_w")).as("log_ratio"))
       .select(col("_id").as(idCol), col("n_feats"), col("log_ratio"))
   }
+
+  /**
+   * Dense bucket→weight array for map-only scoring (the streaming-ingest
+   * form [[graft.streaming.StreamPipeline.importanceGateStream]] inlines
+   * it as a literal). Buckets unseen in either pool get the smoothed
+   * floor weight. The collect is bounded by `buckets` (a model
+   * parameter, not data) — same driver-side budget as the IVF centroid
+   * literals.
+   */
+  def bucketWeightArray(raw: DataFrame, target: DataFrame,
+                        textCol: String, buckets: Int = 1024): Array[Double] = {
+    require(buckets > 0, s"buckets must be positive, got $buckets")
+    def counts(df: DataFrame): Map[Long, Long] =
+      df.select(explode(ngramFeatures(col(textCol))).as("_f"))
+        .select(featBucket(col("_f"), buckets).as("_b"))
+        .groupBy(col("_b")).agg(count(lit(1)).as("_c"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val rc = counts(raw)
+    val tc = counts(target)
+    val rtot = rc.values.sum.toDouble
+    val ttot = tc.values.sum.toDouble
+    Array.tabulate(buckets) { b =>
+      math.log((tc.getOrElse(b.toLong, 0L) + 1.0) / (ttot + buckets)) -
+        math.log((rc.getOrElse(b.toLong, 0L) + 1.0) / (rtot + buckets))
+    }
+  }
 }

@@ -367,6 +367,26 @@ object Similarity {
       .select(col("query_id"), col("neighbor_id"), col("cos"), col("rn"))
   }
 
+  /**
+   * Scalar int8 quantization of an embedding column — the 4× memory cut
+   * for vector indexes (and the storage format ANN serving stacks
+   * expect). Per-vector symmetric scale = max|x|/127;
+   * q_i = round(x_i/scale) ∈ [−127, 127]; dequantize as q_i·scale with
+   * per-component error ≤ scale/2. Map-only, zero shuffle, engine-exact
+   * (integer output + IEEE divide/round) — all-zero vectors quantize to
+   * zeros with scale 0.
+   */
+  def quantizeInt8(df: DataFrame, idCol: String, vecCol: String): DataFrame =
+    df.select(col(idCol).as("id"), col(vecCol).cast("array<double>").as("_v"))
+      .withColumn("scale", array_max(transform(col("_v"), x => abs(x))) / 127.0)
+      .withColumn("qvec",
+        when(col("scale") > 0,
+          transform(col("_v"), x =>
+            greatest(lit(-127.0), least(lit(127.0), round(x / col("scale"))))
+              .cast("int")))
+        .otherwise(transform(col("_v"), _ => lit(0))))
+      .select(col("id"), col("scale"), col("qvec"))
+
   /** Embedding-cosine near-duplicate pairs above a threshold; id_a < id_b.
     * Candidates come from hyperplane-LSH buckets (same signature family as
     * [[lshTopK]]) so the join is an equi-join on the bucket id — never an

@@ -207,6 +207,34 @@ object PipelineCatalog {
       col("id") % 100 === 0, k = 5, nCentroids = 16, nProbe = 4,
       m = 8, kSub = 16, pqIters = 1)
 
+  /** Int8 scalar quantization — gate projects scalar digests of the code
+    * vector (array columns crash the driver's pandas compare; the full
+    * qvec stays spec-covered). Exact oracle: integer codes + IEEE scale. */
+  val simQuantize: Q = (s, dir) =>
+    Similarity.quantizeInt8(Tables.embeddings(s, dir), "vec_id", "embedding")
+      .select(col("id").as("vec_id"), col("scale"),
+        aggregate(col("qvec"), lit(0L), (a, x) => a + x.cast("long")).as("q_sum"),
+        aggregate(col("qvec"), lit(0L), (a, x) => a + abs(x.cast("long"))).as("q_l1"))
+
+  val simQuantizeSql: String =
+    """WITH b AS (
+      |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+      |), s AS (
+      |  SELECT vec_id, v,
+      |         list_max(list_transform(v, x -> abs(x))) / 127.0 AS scale
+      |  FROM b
+      |), q AS (
+      |  SELECT vec_id, scale,
+      |         list_transform(v, x -> CASE WHEN scale > 0
+      |           THEN CAST(greatest(-127.0, least(127.0, round(x / scale))) AS BIGINT)
+      |           ELSE 0 END) AS qv
+      |  FROM s
+      |)
+      |SELECT vec_id, scale,
+      |       CAST(list_sum(qv) AS BIGINT) AS q_sum,
+      |       CAST(list_sum(list_transform(qv, x -> abs(x))) AS BIGINT) AS q_l1
+      |FROM q""".stripMargin
+
   /** LSH-bucketed embedding near-dup pairs — rows-only. Thresholds tuned to
     * the synthetic embeddings (max sample-pair cosine ≈ 0.44): tau 0.3 with
     * 3 planes keeps recall high enough to emit rows at sf0.01. */
@@ -798,6 +826,7 @@ object PipelineCatalog {
     "sim_ivf_topk" -> simIvf,
     "sim_ivf_trained" -> simIvfTrained,
     "sim_ivfpq_topk" -> simIvfPq,
+    "sim_quantize_int8" -> simQuantize,
     "sim_near_dup" -> simNearDup,
     "text_tokens" -> textTokens,
     "text_quality" -> textQuality,
@@ -832,6 +861,7 @@ object PipelineCatalog {
     "dedup_keep" -> dedupKeepSql,
     "dedup_spans" -> dedupSpansSql,
     "sim_bruteforce_topk" -> simBruteForceSql,
+    "sim_quantize_int8" -> simQuantizeSql,
     "text_tokens" -> textTokensSql,
     "text_quality" -> textQualitySql,
     "text_lang_id" -> textLangIdSql,

@@ -3,7 +3,7 @@ package graft.streaming
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
-import graft.operators.TextAnalysis
+import graft.operators.{Importance, TextAnalysis}
 
 /**
  * Streaming forms of the training-data-pipeline operators — the ingest-time
@@ -64,5 +64,38 @@ object StreamPipeline {
         when(col("n_grams") > 0,
           col("n_contaminated").cast("double") / col("n_grams").cast("double"))
           .otherwise(lit(0.0)))
+  }
+
+  /**
+   * Streaming DSIR gate: score arriving documents by target-likeness
+   * using a weight model fit ONCE on static raw/target pools
+   * ([[Importance.bucketWeightArray]] — a ≤`buckets`-entry model
+   * parameter, inlined as a literal array). The per-batch plan is a pure
+   * projection — hash each unigram/bigram, look its bucket weight up in
+   * the literal, sum — no stream-static join, no state, any output mode.
+   * `minLogRatio` drops below-threshold docs in-stream (the
+   * importance-resampling keep decision at ingest).
+   *
+   * Emits every input column plus (n_feats, log_ratio). The batch twin
+   * for the same scores is [[Importance.importanceWeights]] (equivalence
+   * pinned in `StreamPipelineSpec` — same buckets, same smoothing).
+   */
+  def importanceGateStream(docs: DataFrame, textCol: String,
+                           raw: DataFrame, target: DataFrame,
+                           staticTextCol: String,
+                           buckets: Int = 1024,
+                           minLogRatio: Option[Double] = None): DataFrame = {
+    val w = Importance.bucketWeightArray(raw, target, staticTextCol, buckets)
+    val feats = Importance.ngramFeatures(col(textCol))
+    val scored = docs
+      .withColumn("n_feats", size(feats).cast("long"))
+      .withColumn("log_ratio",
+        aggregate(
+          transform(feats, f =>
+            element_at(typedLit(w.toSeq),
+              (conv(substring(md5(f), 1, 8), 16, 10).cast("long") % buckets)
+                .cast("int") + 1)),
+          lit(0.0), (acc, x) => acc + x))
+    minLogRatio.fold(scored)(t => scored.filter(col("log_ratio") >= t))
   }
 }

@@ -94,6 +94,33 @@ class SimilaritySpec extends SparkSuite {
     assert(!res.exists(p => p._2 == 3L), "negated vector is never a near-dup")
   }
 
+  test("quantizeInt8: codes in range, dequantization error bounded by scale/2") {
+    val q = Similarity.quantizeInt8(vecs, "vec_id", "embedding")
+    val rows = q.join(
+        vecs.select(col("vec_id").as("id"),
+          col("embedding").cast("array<double>").as("v")), "id")
+      .select("id", "scale", "qvec", "v")
+      .as[(Long, Double, Seq[Int], Seq[Double])].collect()
+    assert(rows.length === 5)
+    rows.foreach { case (id, scale, qv, v) =>
+      assert(qv.length === v.length)
+      assert(qv.forall(c => c >= -127 && c <= 127), s"code out of range for $id")
+      if (scale > 0) {
+        v.zip(qv).foreach { case (x, c) =>
+          assert(math.abs(x - c * scale) <= scale / 2 + 1e-12,
+            s"dequant error above scale/2 for $id")
+        }
+        assert(qv.map(math.abs).max === 127,
+          "the max-magnitude component must map to ±127")
+      }
+    }
+    // all-zero vector: scale 0, all-zero codes
+    val z = Seq((9L, Array(0.0f, 0.0f, 0.0f, 0.0f))).toDF("vec_id", "embedding")
+    val zr = Similarity.quantizeInt8(z, "vec_id", "embedding")
+      .select("scale", "qvec").as[(Double, Seq[Int])].head()
+    assert(zr._1 === 0.0 && zr._2.forall(_ === 0))
+  }
+
   test("ivfPqTopK exact re-rank recovers the nearest neighbor on the toy corpus") {
     val res = Similarity.ivfPqTopK(vecs, "vec_id", "embedding",
         col("id") === 0L, k = 3, nCentroids = 3, nProbe = 2,

@@ -66,4 +66,58 @@ class StreamPipelineSpec extends SparkSuite {
       "fixture must exercise both keep and drop")
     assert(streamed === batchKeepers)
   }
+
+  test("importanceGateStream scores ≡ batch importanceWeights") {
+    import graft.operators.Importance
+    val target = benchDocs.toDF("doc_id", "text")
+    val raw = corpusDocs.toDF("doc_id", "text")
+    val batch = Importance.importanceWeights(raw, target, "doc_id", "text", buckets = 256)
+      .as[(Long, Long, Double)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[(Long, String)]
+    val out = StreamPipeline.importanceGateStream(
+      in.toDF().toDF("doc_id", "text"), "text", raw, target, "text", buckets = 256)
+    val q = out.writeStream.format("memory").queryName("imp")
+      .outputMode("append").start()
+    try {
+      in.addData(corpusDocs)
+      q.processAllAvailable()
+    } finally q.stop()
+    val streamed = spark.table("imp")
+      .select("doc_id", "n_feats", "log_ratio")
+      .as[(Long, Long, Double)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+
+    assert(streamed.keySet === batch.keySet)
+    streamed.foreach { case (id, (nf, lr)) =>
+      assert(nf === batch(id)._1, s"n_feats mismatch for $id")
+      assert(math.abs(lr - batch(id)._2) < 1e-9,
+        s"log_ratio mismatch for $id: stream $lr vs batch ${batch(id)._2}")
+    }
+  }
+
+  test("importanceGateStream threshold drops below-minimum docs in-stream") {
+    val target = benchDocs.toDF("doc_id", "text")
+    val raw = corpusDocs.toDF("doc_id", "text")
+    val all = StreamPipeline.importanceGateStream(
+      raw, "text", raw, target, "text", buckets = 256)
+      .select("doc_id", "log_ratio")
+      .as[(Long, Double)].collect().toMap // batch DataFrame drive of the same op
+    val cut = all.values.toSeq.sorted.apply(all.size / 2)
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[(Long, String)]
+    val out = StreamPipeline.importanceGateStream(
+      in.toDF().toDF("doc_id", "text"), "text", raw, target, "text",
+      buckets = 256, minLogRatio = Some(cut))
+    val q = out.writeStream.format("memory").queryName("impcut")
+      .outputMode("append").start()
+    try {
+      in.addData(corpusDocs)
+      q.processAllAvailable()
+    } finally q.stop()
+    val kept = spark.table("impcut").select("doc_id").as[Long].collect().toSet
+    assert(kept === all.filter(_._2 >= cut).keySet)
+  }
 }
