@@ -93,6 +93,53 @@ object TextHash {
     new GenericArrayData(if (m == count) out else java.util.Arrays.copyOf(out, m))
   }
 
+  private val md5Local = new ThreadLocal[java.security.MessageDigest] {
+    override def initialValue(): java.security.MessageDigest =
+      java.security.MessageDigest.getInstance("MD5")
+  }
+
+  /** md5-based feature buckets of all 1..nMax-gram windows (positional,
+    * non-distinct), one tight loop — bit-identical to
+    * `conv(substring(md5(gram),1,8),16,10) % buckets` over
+    * `Importance.ngramFeatures` (the first 32 md5 bits as an unsigned
+    * int, mod buckets), which as a HOF pipeline is CodegenFallback and
+    * ~10× slower. md5 (not xxhash64) so the DuckDB oracle can replay the
+    * bucketing exactly. */
+  def featBuckets(text: UTF8String, nMax: Int, buckets: Int): ArrayData = {
+    val toks = splitTokens(text.toString)
+    val len = toks.length
+    var total = 0
+    var n = 1
+    while (n <= nMax) { total += math.max(len - n + 1, 0); n += 1 }
+    val out = new Array[Int](total)
+    val md = md5Local.get()
+    val sb = new java.lang.StringBuilder()
+    var m = 0
+    n = 1
+    while (n <= nMax) {
+      val cnt = len - n + 1
+      var i = 0
+      while (i < cnt) {
+        sb.setLength(0)
+        var j = 0
+        while (j < n) {
+          if (j > 0) sb.append(' ')
+          sb.append(toks(i + j))
+          j += 1
+        }
+        md.reset()
+        val d = md.digest(sb.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        val v = ((d(0) & 0xFFL) << 24) | ((d(1) & 0xFFL) << 16) |
+          ((d(2) & 0xFFL) << 8) | (d(3) & 0xFFL)
+        out(m) = (v % buckets).toInt
+        m += 1
+        i += 1
+      }
+      n += 1
+    }
+    new GenericArrayData(out)
+  }
+
   /** Exact Jaccard similarity of two SORTED distinct long arrays (token /
     * shingle hashes) via a single merge walk — O(|a|+|b|), no allocation.
     * Equals string-set Jaccard up to 64-bit hash collisions (~2^-64/pair). */
@@ -183,6 +230,26 @@ case class NgramHashesExpr(first: Expression, second: Expression, third: Express
     copy(first = newFirst, second = newSecond, third = newThird)
 }
 
+/** feat_buckets(text, nMax, buckets) → array<int>. */
+case class FeatBucketsExpr(first: Expression, second: Expression, third: Expression)
+    extends TernaryExpression {
+
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override def nullable: Boolean = first.nullable
+
+  override protected def nullSafeEval(text: Any, nMax: Any, buckets: Any): Any =
+    TextHash.featBuckets(text.asInstanceOf[UTF8String],
+      nMax.asInstanceOf[Int], buckets.asInstanceOf[Int])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (t, n, b) =>
+      s"graft.functions.TextHash.featBuckets($t, $n, $b)")
+
+  override protected def withNewChildrenInternal(
+      newFirst: Expression, newSecond: Expression, newThird: Expression): Expression =
+    copy(first = newFirst, second = newSecond, third = newThird)
+}
+
 /** jaccard_sorted(sortedHashesA, sortedHashesB) → double. */
 case class JaccardSortedExpr(left: Expression, right: Expression)
     extends BinaryExpression {
@@ -224,6 +291,7 @@ object GraftFunctions {
   val all: Seq[(String, Seq[Expression] => Expression)] = Seq(
     "graft_minhash_signature" -> (args => MinHashSignatureExpr(args(0), args(1), args(2))),
     "graft_ngram_hashes" -> (args => NgramHashesExpr(args(0), args(1), args(2))),
+    "graft_feat_buckets" -> (args => FeatBucketsExpr(args(0), args(1), args(2))),
     "graft_simhash64" -> (args => SimHash64Expr(args.head)),
     "graft_jaccard_sorted" -> (args => JaccardSortedExpr(args(0), args(1))),
     "graft_dot" -> (args => DotProductExpr(args(0), args(1))),

@@ -29,7 +29,9 @@ import org.apache.spark.sql.functions._
 object Importance {
 
   /** Unigram + bigram feature strings of a whitespace-tokenized text
-    * (the DSIR paper's hashed n-gram feature space, n ≤ 2). */
+    * (the DSIR paper's hashed n-gram feature space, n ≤ 2). HOF form —
+    * CodegenFallback; kept as the bit-parity reference for
+    * [[featBuckets]], which the operators use. */
   def ngramFeatures(text: Column): Column = {
     val toks = split(text, " ")
     val bigrams = when(size(toks) >= 2,
@@ -43,6 +45,14 @@ object Importance {
   def featBucket(f: Column, buckets: Int): Column =
     conv(substring(md5(f), 1, 8), 16, 10).cast("long") % buckets
 
+  /** All unigram+bigram buckets of a doc in one native codegen'd pass
+    * ([[graft.functions.FeatBucketsExpr]]) — bit-identical to
+    * `ngramFeatures` + `featBucket` (spec-pinned), ~10× faster (the HOF
+    * bigram build is CodegenFallback). Callers must have registered
+    * [[graft.functions.GraftFunctions]]. */
+  def featBuckets(text: Column, buckets: Int): Column =
+    call_function("graft_feat_buckets", text, lit(2), lit(buckets))
+
   /**
    * Per-document importance weights of `raw` against `target`. Emits one
    * row per raw doc: (idCol, n_feats, log_ratio) — log_ratio is the
@@ -52,12 +62,12 @@ object Importance {
                         idCol: String, textCol: String,
                         buckets: Int = 1024): DataFrame = {
     require(buckets > 0, s"buckets must be positive, got $buckets")
+    graft.functions.GraftFunctions.register(raw.sparkSession)
     val rawF = raw
-      .select(col(idCol).as("_id"), explode(ngramFeatures(col(textCol))).as("_f"))
-      .select(col("_id"), featBucket(col("_f"), buckets).as("_b"))
+      .select(col(idCol).as("_id"),
+        explode(featBuckets(col(textCol), buckets)).as("_b"))
     val tgtF = target
-      .select(explode(ngramFeatures(col(textCol))).as("_f"))
-      .select(featBucket(col("_f"), buckets).as("_b"))
+      .select(explode(featBuckets(col(textCol), buckets)).as("_b"))
     val tCnt = tgtF.groupBy(col("_b")).agg(count(lit(1)).as("_tc"))
     val rCnt = rawF.groupBy(col("_b")).agg(count(lit(1)).as("_rc"))
     val totals = rCnt.agg(sum(col("_rc")).as("_rtot"))
@@ -88,18 +98,18 @@ object Importance {
   def bucketWeightArray(raw: DataFrame, target: DataFrame,
                         textCol: String, buckets: Int = 1024): Array[Double] = {
     require(buckets > 0, s"buckets must be positive, got $buckets")
-    def counts(df: DataFrame): Map[Long, Long] =
-      df.select(explode(ngramFeatures(col(textCol))).as("_f"))
-        .select(featBucket(col("_f"), buckets).as("_b"))
+    graft.functions.GraftFunctions.register(raw.sparkSession)
+    def counts(df: DataFrame): Map[Int, Long] =
+      df.select(explode(featBuckets(col(textCol), buckets)).as("_b"))
         .groupBy(col("_b")).agg(count(lit(1)).as("_c"))
-        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+        .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
     val rc = counts(raw)
     val tc = counts(target)
     val rtot = rc.values.sum.toDouble
     val ttot = tc.values.sum.toDouble
     Array.tabulate(buckets) { b =>
-      math.log((tc.getOrElse(b.toLong, 0L) + 1.0) / (ttot + buckets)) -
-        math.log((rc.getOrElse(b.toLong, 0L) + 1.0) / (rtot + buckets))
+      math.log((tc.getOrElse(b, 0L) + 1.0) / (ttot + buckets)) -
+        math.log((rc.getOrElse(b, 0L) + 1.0) / (rtot + buckets))
     }
   }
 }

@@ -18,6 +18,37 @@ object TextAnalysis {
     * space matches DuckDB's `string_split(text, ' ')` for oracle parity. */
   def tokens(text: Column): Column = split(text, " ")
 
+  /**
+   * Context-window chunking: split each document into fixed-size token
+   * windows with `overlap` tokens of left context carried between
+   * consecutive chunks (stride = chunkTokens − overlap) — the
+   * long-document preprocessing step upstream of embedding / sequence
+   * models with bounded input length. Emits one row per chunk:
+   * (id, chunk_id, chunk_text, n_chunk_tokens); a doc shorter than one
+   * window yields exactly one chunk. Map-side `sequence` explode — a doc
+   * emits ceil((n−overlap)/stride) rows, output is corpus-proportional,
+   * zero shuffle.
+   */
+  def chunkDocuments(df: DataFrame, idCol: String, textCol: String,
+                     chunkTokens: Int, overlap: Int = 0): DataFrame = {
+    require(chunkTokens > 0, s"chunkTokens must be positive, got $chunkTokens")
+    require(overlap >= 0 && overlap < chunkTokens,
+      s"overlap must be in [0, chunkTokens), got $overlap")
+    val stride = chunkTokens - overlap
+    df.select(col(idCol).as("id"), tokens(col(textCol)).as("_t"))
+      .withColumn("_n", size(col("_t")))
+      // chunk starts: 0, stride, 2·stride, … while start < max(n − overlap, 1)
+      .withColumn("chunk_id",
+        explode(sequence(lit(0),
+          expr(s"(greatest(_n - $overlap, 1) - 1) div $stride"))))
+      .select(col("id"), col("chunk_id").cast("int").as("chunk_id"),
+        concat_ws(" ",
+          slice(col("_t"), (col("chunk_id") * stride + 1).cast("int"), lit(chunkTokens)))
+          .as("chunk_text"),
+        least(lit(chunkTokens), col("_n") - col("chunk_id") * stride)
+          .cast("int").as("n_chunk_tokens"))
+  }
+
   /** BPE-ish subword proxy: word-boundary chunks of letters / digits /
     * single punctuation, the usual pre-tokenizer shape. */
   def bpeIshTokenCount(text: Column): Column =

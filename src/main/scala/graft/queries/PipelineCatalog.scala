@@ -491,6 +491,25 @@ object PipelineCatalog {
       |FROM (SELECT doc_id FROM documents WHERE source <> 'src0') d
       |LEFT JOIN agg a ON d.doc_id = a.doc_id""".stripMargin
 
+  /** Context-window chunking: 64-token windows, 8-token overlap. */
+  val textChunks: Q = (s, dir) =>
+    TextAnalysis.chunkDocuments(Tables.documents(s, dir), "doc_id", "text",
+        chunkTokens = 64, overlap = 8)
+      .withColumnRenamed("id", "doc_id")
+
+  val textChunksSql: String =
+    """WITH tk AS (
+      |  SELECT doc_id, string_split(text, ' ') AS t FROM documents
+      |), c AS (
+      |  SELECT doc_id, t, len(t) AS n,
+      |         unnest(generate_series(0, (greatest(len(t) - 8, 1) - 1) // 56)) AS chunk_id
+      |  FROM tk
+      |)
+      |SELECT doc_id, CAST(chunk_id AS INT) AS chunk_id,
+      |       array_to_string(t[chunk_id * 56 + 1 : chunk_id * 56 + 64], ' ') AS chunk_text,
+      |       CAST(least(64, n - chunk_id * 56) AS INT) AS n_chunk_tokens
+      |FROM c""".stripMargin
+
   /** Rule-based keep/drop decision over the quality features. */
   val textRuleFilter: Q = (s, dir) =>
     TextAnalysis.withRuleFilter(Tables.documents(s, dir), "text")
@@ -838,6 +857,7 @@ object PipelineCatalog {
     "text_pii" -> textPii,
     "text_contamination" -> textContamination,
     "text_rule_filter" -> textRuleFilter,
+    "text_chunks" -> textChunks,
     "sample_temperature" -> sampleTemperature,
     "sample_bottomk" -> sampleBottomK,
     "global_rank" -> globalRankQ,
@@ -871,6 +891,7 @@ object PipelineCatalog {
     "text_pii" -> textPiiSql,
     "text_contamination" -> textContaminationSql,
     "text_rule_filter" -> textRuleFilterSql,
+    "text_chunks" -> textChunksSql,
     "sample_temperature" -> sampleTemperatureSql,
     "sample_bottomk" -> sampleBottomKSql,
     "global_rank" -> globalRankSql,

@@ -85,16 +85,14 @@ object StreamPipeline {
                            staticTextCol: String,
                            buckets: Int = 1024,
                            minLogRatio: Option[Double] = None): DataFrame = {
+    graft.functions.GraftFunctions.register(docs.sparkSession)
     val w = Importance.bucketWeightArray(raw, target, staticTextCol, buckets)
-    val feats = Importance.ngramFeatures(col(textCol))
+    val bks = Importance.featBuckets(col(textCol), buckets)
     val scored = docs
-      .withColumn("n_feats", size(feats).cast("long"))
+      .withColumn("n_feats", size(bks).cast("long"))
       .withColumn("log_ratio",
         aggregate(
-          transform(feats, f =>
-            element_at(typedLit(w.toSeq),
-              (conv(substring(md5(f), 1, 8), 16, 10).cast("long") % buckets)
-                .cast("int") + 1)),
+          transform(bks, b => element_at(typedLit(w.toSeq), b + 1)),
           lit(0.0), (acc, x) => acc + x))
     minLogRatio.fold(scored)(t => scored.filter(col("log_ratio") >= t))
   }

@@ -48,6 +48,20 @@ class ImportanceSpec extends SparkSuite {
     assert(a === b)
   }
 
+  test("native graft_feat_buckets ≡ ngramFeatures + featBucket (bit parity)") {
+    graft.functions.GraftFunctions.register(spark)
+    val texts = (raw.select(col("text")) union target.select(col("text")))
+      .union(Seq("x", "", "a  b", "tok1 tok2 tok3 tok4").toDF("text"))
+    val hof = texts
+      .select(explode(Importance.ngramFeatures(col("text"))).as("f"))
+      .select(Importance.featBucket(col("f"), 256).cast("int").as("b"))
+      .groupBy("b").count().as[(Int, Long)].collect().toMap
+    val native = texts
+      .select(explode(Importance.featBuckets(col("text"), 256)).as("b"))
+      .groupBy("b").count().as[(Int, Long)].collect().toMap
+    assert(native === hof, "bucket multisets must be identical")
+  }
+
   test("ngramFeatures of a single-token doc is just the unigram") {
     val f = Seq(("x")).toDF("text")
       .select(Importance.ngramFeatures(col("text")).as("f"))

@@ -115,4 +115,31 @@ class TextAnalysisSpec extends SparkSuite {
     assert(out(2)._2 === 0, "mean token length blown by the giant token")
     assert(out(2)._5 === 0)
   }
+
+  test("chunkDocuments: coverage, overlap, and short-doc single chunk") {
+    val toks = (1 to 10).map(i => s"w$i").mkString(" ") // 10 tokens
+    val df = Seq((1L, toks), (2L, "a b"), (3L, "solo")).toDF("doc_id", "text")
+    val chunks = TextAnalysis.chunkDocuments(df, "doc_id", "text",
+        chunkTokens = 4, overlap = 1)
+      .orderBy("id", "chunk_id")
+      .as[(Long, Int, String, Int)].collect()
+    val doc1 = chunks.filter(_._1 == 1L)
+    // stride 3: starts 0,3,6 -> [w1..w4],[w4..w7],[w7..w10]
+    assert(doc1.map(_._3).toSeq === Seq("w1 w2 w3 w4", "w4 w5 w6 w7", "w7 w8 w9 w10"))
+    assert(doc1.map(_._4).toSeq === Seq(4, 4, 4))
+    // consecutive chunks share exactly `overlap` tokens
+    doc1.sliding(2).foreach {
+      case Array(a, b) =>
+        assert(a._3.split(" ").takeRight(1).toSeq === b._3.split(" ").take(1).toSeq)
+      case _ =>
+    }
+    // dropping the first `overlap` tokens of every chunk after the first
+    // reconstructs the doc exactly (full coverage, no duplication)
+    val rebuilt = (doc1.head._3.split(" ") ++
+      doc1.tail.flatMap(_._3.split(" ").drop(1))).mkString(" ")
+    assert(rebuilt === toks)
+    // short docs yield exactly one chunk with all their tokens
+    assert(chunks.filter(_._1 == 2L).toSeq === Seq((2L, 0, "a b", 2)))
+    assert(chunks.filter(_._1 == 3L).toSeq === Seq((3L, 0, "solo", 1)))
+  }
 }
