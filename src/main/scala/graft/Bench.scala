@@ -19,8 +19,10 @@ object Bench {
     // One representative per plan family so no timed query pays first-use
     // JIT/codegen cost for a whole infrastructure path: windowed agg
     // (hot_items), gram explode + broadcast probe (text_contamination),
-    // relevance explode+join (bm25).
-    Seq("hot_items", "text_contamination", "bm25_top_terms").foreach { q =>
+    // relevance explode+join (bm25), native feature bucketing
+    // (importance_weights), PQ encode/ADC expressions (sim_ivfpq_topk).
+    Seq("hot_items", "text_contamination", "bm25_top_terms",
+        "importance_weights", "sim_ivfpq_topk").foreach { q =>
       try SparkEntry.queries.get(q).foreach(_(spark, sfDir).count())
       catch { case _: Throwable => }
     }

@@ -98,6 +98,27 @@ class StreamPipelineSpec extends SparkSuite {
     }
   }
 
+  test("chunkDocuments is stream-safe: stream chunks ≡ batch chunks") {
+    import graft.operators.TextAnalysis
+    val corpus = corpusDocs.toDF("doc_id", "text")
+    val batch = TextAnalysis.chunkDocuments(corpus, "doc_id", "text", 4, 1)
+      .as[(Long, Int, String, Int)].collect().toSet
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[(Long, String)]
+    val out = TextAnalysis.chunkDocuments(
+      in.toDF().toDF("doc_id", "text"), "doc_id", "text", 4, 1)
+    val q = out.writeStream.format("memory").queryName("chunks")
+      .outputMode("append").start()
+    try {
+      in.addData(corpusDocs)
+      q.processAllAvailable()
+    } finally q.stop()
+    val streamed = spark.table("chunks")
+      .as[(Long, Int, String, Int)].collect().toSet
+    assert(batch.exists(_._2 > 0), "fixture must produce a multi-chunk doc")
+    assert(streamed === batch)
+  }
+
   test("importanceGateStream threshold drops below-minimum docs in-stream") {
     val target = benchDocs.toDF("doc_id", "text")
     val raw = corpusDocs.toDF("doc_id", "text")
