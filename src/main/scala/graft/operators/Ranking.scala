@@ -36,6 +36,27 @@ import org.apache.spark.sql.functions._
 object Ranking {
 
   /**
+   * Derive a monotone bucket column from data quantiles — for score
+   * distributions where no fixed arithmetic bucketing is known. The
+   * `nBuckets−1` approx-percentile boundaries are collected once
+   * (bounded: a model parameter, not data; same driver budget as the
+   * IVF centroid literals) and inlined; bucket = #boundaries ≤ score,
+   * flipped when `ascending = false` so it stays non-decreasing along
+   * a DESC sort. Approximation only skews bucket *sizes*, never the
+   * rank (globalRank is exact for any monotone bucket).
+   */
+  def quantileBucket(df: DataFrame, score: Column, nBuckets: Int,
+                     ascending: Boolean = true): Column = {
+    require(nBuckets > 1, s"nBuckets must be > 1, got $nBuckets")
+    val probs = (1 until nBuckets).map(_.toDouble / nBuckets)
+    val bounds = df.select(
+        percentile_approx(score, typedlit(probs), lit(10000)).as("q"))
+      .head().getSeq[Double](0)
+    val asc = size(filter(typedlit(bounds), b => b <= score))
+    if (ascending) asc else lit(bounds.length) - asc
+  }
+
+  /**
    * Append `rankCol` = 1-based global rank of the row under `order`
    * (lexicographic over the given sort columns). `bucket` must be an
    * integral column monotone non-decreasing along that order.

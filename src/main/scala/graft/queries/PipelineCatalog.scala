@@ -675,6 +675,43 @@ object PipelineCatalog {
       |       row_number() OVER (ORDER BY score_r DESC, doc_id) AS global_rank
       |FROM q""".stripMargin
 
+  /** Curriculum export — the ranking composition: corpus globally ordered
+    * by quality (desc) and cut into 8 equal-count phases by rank
+    * (easy-to-hard schedule). The only additions over global_rank are a
+    * broadcast single-row total and integer phase arithmetic. */
+  val curriculumQ: Q = (s, dir) => {
+    val ranked = globalRankQ(s, dir)
+    val tot = broadcast(Tables.documents(s, dir).agg(count(lit(1)).as("_tot")))
+    ranked.crossJoin(tot)
+      .select(col("doc_id"), col("score_r"), col("global_rank"),
+        expr("((global_rank - 1) * 8) div _tot").as("phase"))
+  }
+
+  val curriculumSql: String =
+    """WITH f AS (
+      |  SELECT doc_id,
+      |    CAST(len(string_split(text, ' ')) AS INT) AS n_tokens,
+      |    CAST(length(text) - length(regexp_replace(text, '[[:punct:]]', '', 'g')) AS DOUBLE)
+      |      / CAST(length(text) AS DOUBLE) AS punct_ratio,
+      |    CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS DOUBLE)
+      |      / CAST(length(text) AS DOUBLE) AS alpha_ratio
+      |  FROM documents
+      |), q AS (
+      |  SELECT doc_id,
+      |    round(greatest(0.0, least(1.0,
+      |      0.4 * least(CAST(n_tokens AS DOUBLE) / 64.0, 1.0)
+      |      + 0.3 * (1.0 - punct_ratio)
+      |      + 0.3 * alpha_ratio)), 6) AS score_r
+      |  FROM f
+      |), r AS (
+      |  SELECT doc_id, score_r,
+      |         row_number() OVER (ORDER BY score_r DESC, doc_id) AS global_rank
+      |  FROM q
+      |)
+      |SELECT doc_id, score_r, global_rank,
+      |       ((global_rank - 1) * 8) // (SELECT count(*) FROM documents) AS phase
+      |FROM r""".stripMargin
+
   /** DSIR importance weights: raw pool (source<>'src0') scored against the
     * target slice (source='src0') on hashed unigram+bigram features. */
   val importanceW: Q = (s, dir) => {
@@ -861,6 +898,7 @@ object PipelineCatalog {
     "sample_temperature" -> sampleTemperature,
     "sample_bottomk" -> sampleBottomK,
     "global_rank" -> globalRankQ,
+    "curriculum_phases" -> curriculumQ,
     "importance_weights" -> importanceW,
     "shard_assign" -> shardAssign,
     "pipeline_e2e" -> pipelineE2e,
@@ -895,6 +933,7 @@ object PipelineCatalog {
     "sample_temperature" -> sampleTemperatureSql,
     "sample_bottomk" -> sampleBottomKSql,
     "global_rank" -> globalRankSql,
+    "curriculum_phases" -> curriculumSql,
     "importance_weights" -> importanceWSql,
     "shard_assign" -> shardAssignSql,
     "pipeline_e2e" -> pipelineE2eSql,

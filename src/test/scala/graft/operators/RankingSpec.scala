@@ -50,6 +50,28 @@ class RankingSpec extends SparkSuite {
     assert(got.toSeq === (1L to 5000L))
   }
 
+  test("quantileBucket derives a monotone bucket for arbitrary distributions") {
+    // heavy-tailed scores where fixed-width buckets would all collapse
+    val skewedScores = spark.range(4000)
+      .select(col("id"),
+        (pow(lit(10.0), ((col("id") * 2654435761L) % 1000L) / lit(250.0)))
+          .as("score"))
+    Seq(true, false).foreach { asc =>
+      val ord = if (asc) Seq(col("score"), col("id"))
+                else Seq(col("score").desc, col("id"))
+      val ranked = Ranking.globalRank(skewedScores,
+          bucket = Ranking.quantileBucket(skewedScores, col("score"), 32, asc),
+          order = ord)
+        .select(col("id"), col("global_rank"))
+      val naive = skewedScores.withColumn("rn",
+          row_number().over(Window.orderBy(ord: _*)).cast("long"))
+        .select(col("id"), col("rn"))
+      val diff = ranked.join(naive, "id")
+        .filter(col("global_rank") =!= col("rn")).count()
+      assert(diff === 0L, s"ascending=$asc")
+    }
+  }
+
   test("corpus-side plan has no empty-frame global window") {
     // The single global Window must run over the bucket table only; the
     // corpus side is partitioned by bucket. Assert by row-count of the
