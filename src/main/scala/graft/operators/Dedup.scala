@@ -38,6 +38,23 @@ object Dedup {
     df.withColumn("_rn", row_number().over(w)).filter(col("_rn") === 1).drop("_rn")
   }
 
+  /**
+   * Incremental exact dedup — the corpus-update path: keep only rows of
+   * `incoming` that are (a) the min-id keeper of their content within the
+   * batch and (b) not already present in `corpus`. At 100 TB the standing
+   * corpus never re-dedups: its side reduces to DISTINCT 16-byte
+   * fingerprints before the anti-join, so the exchange carries
+   * fingerprints only — never bodies — and with the fingerprint set
+   * persisted/bucketed between ingests the corpus scan amortizes away
+   * entirely (store fingerprints, not text, as the dedup index).
+   */
+  def incrementalDedup(incoming: DataFrame, corpus: DataFrame,
+                       idCol: String, textCol: String): DataFrame = {
+    val seen = corpus.select(md5(col(textCol)).as("_fp")).distinct()
+    exactDedup(incoming, idCol, textCol)
+      .join(seen, md5(col(textCol)) === col("_fp"), "left_anti")
+  }
+
   /** Word k-shingles of a document as an array column (codegen'd — no UDF).
     * k-shingle i = tokens[i..i+k) joined by a single space. */
   def shingles(text: Column, k: Int): Column = {

@@ -119,6 +119,29 @@ object PipelineCatalog {
         |  SELECT doc_id FROM clusters WHERE doc_id <> cluster_id)""".stripMargin
   }
 
+  /** Incremental ingest dedup: docs from 'src1' arriving against the
+    * standing corpus (everything else) — in-batch keepers that are not
+    * already in the corpus. */
+  val dedupIncremental: Q = (s, dir) => {
+    val docs = Tables.documents(s, dir)
+    Dedup.incrementalDedup(
+      docs.filter(col("source") === "src1"),
+      docs.filter(col("source") =!= "src1"),
+      "doc_id", "text")
+      .select(col("doc_id"), col("lang"), col("n_chars"))
+  }
+
+  val dedupIncrementalSql: String =
+    """WITH keepers AS (
+      |  SELECT doc_id, lang, n_chars, text FROM (
+      |    SELECT *, row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
+      |    FROM documents WHERE source = 'src1'
+      |  ) WHERE rn = 1
+      |)
+      |SELECT doc_id, lang, n_chars FROM keepers
+      |WHERE md5(text) NOT IN (
+      |  SELECT DISTINCT md5(text) FROM documents WHERE source <> 'src1')""".stripMargin
+
   /** Duplicated 12-token spans (exact substring dedup, per-doc rollup). */
   val dedupSpans: Q = (s, dir) =>
     Dedup.duplicatedSpans(Tables.documents(s, dir), "doc_id", "text", n = 12)
@@ -875,6 +898,7 @@ object PipelineCatalog {
     "dedup_clusters" -> dedupClusters,
     "dedup_keep" -> dedupKeep,
     "dedup_spans" -> dedupSpans,
+    "dedup_incremental" -> dedupIncremental,
     "dedup_minhash" -> dedupMinhash,
     "dedup_simhash" -> dedupSimhash,
     "sim_bruteforce_topk" -> simBruteForce,
@@ -918,6 +942,7 @@ object PipelineCatalog {
     "dedup_clusters" -> dedupClustersSql,
     "dedup_keep" -> dedupKeepSql,
     "dedup_spans" -> dedupSpansSql,
+    "dedup_incremental" -> dedupIncrementalSql,
     "sim_bruteforce_topk" -> simBruteForceSql,
     "sim_quantize_int8" -> simQuantizeSql,
     "text_tokens" -> textTokensSql,

@@ -118,4 +118,23 @@ class DedupSpec extends SparkSuite {
     assert(out(3) === ((4L, 2, 0L)))
     assert(out(4) === ((5L, 0, 0L)))
   }
+
+  test("incrementalDedup keeps batch keepers absent from the corpus") {
+    val corpus = Seq(
+      (1L, "already in the corpus"),
+      (2L, "another standing doc")).toDF("doc_id", "text")
+    val incoming = Seq(
+      (10L, "brand new content"),          // genuinely new -> kept
+      (11L, "brand new content"),          // in-batch dup of 10 -> dropped
+      (12L, "already in the corpus"),      // cross-corpus dup -> dropped
+      (13L, "also new and unique")         // kept
+    ).toDF("doc_id", "text")
+    val kept = Dedup.incrementalDedup(incoming, corpus, "doc_id", "text")
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept === Set(10L, 13L))
+    // idempotence: re-ingesting the kept batch against corpus+kept = empty
+    val merged = corpus.unionByName(
+      incoming.filter(col("doc_id").isin(10L, 13L)))
+    assert(Dedup.incrementalDedup(incoming, merged, "doc_id", "text").count() === 0L)
+  }
 }
