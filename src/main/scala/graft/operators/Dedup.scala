@@ -266,9 +266,13 @@ object Dedup {
     var labels = edges.groupBy(col("s")).agg(min(col("t")).as("_mn"))
       .select(col("s").as("id"), least(col("s"), col("_mn")).as("label"))
       .localCheckpoint(false) // lazy: the baseline sum probe materializes it
-    def labelSum(df: DataFrame): java.math.BigDecimal =
-      df.agg(sum(col("label").cast(DecimalType(38, 0)))).head()
+    def labelSum(df: DataFrame): java.math.BigDecimal = {
+      // sum over zero rows is NULL — coalesce so an empty pair set (a
+      // corpus with no near-dups) converges instead of NPE-ing
+      val s = df.agg(sum(col("label").cast(DecimalType(38, 0)))).head()
         .getDecimal(0)
+      if (s == null) java.math.BigDecimal.ZERO else s
+    }
     val tSeed = System.nanoTime()
     var prevSum: java.math.BigDecimal = labelSum(labels)
     if (sys.env.contains("GRAFT_DEBUG_ROUNDS"))
