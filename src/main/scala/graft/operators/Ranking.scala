@@ -49,11 +49,15 @@ object Ranking {
                      ascending: Boolean = true): Column = {
     require(nBuckets > 1, s"nBuckets must be > 1, got $nBuckets")
     val probs = (1 until nBuckets).map(_.toDouble / nBuckets)
-    val bounds = df.select(
-        percentile_approx(score, typedlit(probs), lit(10000)).as("q"))
-      .head().getSeq[Double](0)
-    val asc = size(filter(typedlit(bounds), b => b <= score))
-    if (ascending) asc else lit(bounds.length) - asc
+    val bounds = Option(
+      df.select(percentile_approx(score, typedlit(probs), lit(10000)).as("q"))
+        .head().getSeq[Double](0))
+      .getOrElse(Seq.empty) // empty input: single bucket (rank is empty too)
+    if (bounds.isEmpty) lit(0L)
+    else {
+      val asc = size(filter(typedlit(bounds), b => b <= score))
+      if (ascending) asc else lit(bounds.length) - asc
+    }
   }
 
   /**

@@ -142,6 +142,7 @@ object Similarity {
     val base = df.select(col(idCol).as("id"), col(vecCol).cast("array<double>").as("v"))
       .withColumn("n", norm2(col("v")))
     val cents = trainCentroids(base, nCentroids, trainIters)
+    if (cents.isEmpty) return emptyTopK(base) // empty corpus: no quantizer
     def centScores(v: Column, n: Column): Column =
       centScoresFor(cents)(v, n)
     val assigned = base.withColumn("cid",
@@ -164,6 +165,14 @@ object Similarity {
     cand.withColumn("rn", row_number().over(w)).filter(col("rn") <= k)
       .select(col("query_id"), col("neighbor_id"), col("cos"), col("rn"))
   }
+
+  /** Zero-row (query_id, neighbor_id, cos, rn) frame in the top-k output
+    * schema — the empty-corpus result of the literal-quantizer paths
+    * (an empty literal array would not even analyze). */
+  private def emptyTopK(base: DataFrame): DataFrame =
+    base.filter(lit(false))
+      .select(col("id").as("query_id"), col("id").as("neighbor_id"),
+        lit(0.0).as("cos"), lit(1).as("rn"))
 
   /** Per-row scores against every centroid as one literal-backed array of
     * (csim, -cid) structs: array_max = argmax with the (csim desc, cid asc)
@@ -237,11 +246,12 @@ object Similarity {
    */
   def trainPqBooks(base: DataFrame, m: Int, kSub: Int,
                    iters: Int): Array[Array[Seq[Double]]] = {
-    val d = base.select(size(col("v"))).head().getInt(0)
-    require(d % m == 0, s"dim $d must divide into $m subspaces")
-    val ds = d / m
     val samples = base.orderBy(col("id")).limit(kSub)
       .select(col("v")).collect().map(_.getSeq[Double](0))
+    if (samples.isEmpty) return Array.fill(m)(Array.empty)
+    val d = samples.head.length
+    require(d % m == 0, s"dim $d must divide into $m subspaces")
+    val ds = d / m
     var books: Array[Array[Seq[Double]]] =
       Array.tabulate(m)(j => samples.map(s => s.slice(j * ds, (j + 1) * ds)))
     var it = 0
@@ -323,11 +333,11 @@ object Similarity {
     graft.functions.GraftFunctions.register(df.sparkSession)
     val base = df.select(col(idCol).as("id"), col(vecCol).cast("array<double>").as("v"))
       .withColumn("n", norm2(col("v")))
-    val d = base.select(size(col("v"))).head().getInt(0)
-    require(d % m == 0, s"dim $d must divide into $m subspaces")
-    val ds = d / m
     val cents = trainCentroids(base, nCentroids, trainIters)
     val books = trainPqBooks(base, m, kSub, pqIters)
+    if (cents.isEmpty || books.exists(_.isEmpty)) return emptyTopK(base)
+    val d = books.map(_.head.length).sum
+    val ds = d / m
     // Compressed index: full vectors are NOT carried past this point.
     val index = base
       .withColumn("cid",

@@ -53,6 +53,22 @@ class EdgeCasesSpec extends SparkSuite {
     assert(FreqSketch.sketchTerms(emptyDocs, "text", 8).count() === 0L)
   }
 
+  test("similarity literal-quantizer paths: empty corpus → empty top-k") {
+    val emptyVecs = Seq.empty[(Long, Array[Float])].toDF("vec_id", "embedding")
+    assert(Similarity.ivfTopK(emptyVecs, "vec_id", "embedding",
+      col("id") === 0L, k = 3).count() === 0L)
+    assert(Similarity.ivfPqTopK(emptyVecs, "vec_id", "embedding",
+      col("id") === 0L, k = 3, m = 2, kSub = 4).count() === 0L)
+    assert(Similarity.lshTopK(emptyVecs, "vec_id", "embedding",
+      col("id") === 0L, k = 3).count() === 0L)
+    assert(Similarity.quantizeInt8(emptyVecs, "vec_id", "embedding").count() === 0L)
+  }
+
+  test("quantileBucket on empty input degrades to a single bucket") {
+    val b = Ranking.quantileBucket(emptyDocs, col("doc_id"), 8)
+    assert(Ranking.globalRank(emptyDocs, b, Seq(col("doc_id"))).count() === 0L)
+  }
+
   test("chunkDocuments property: chunks cover the doc exactly, bounded size") {
     val genDoc: Gen[(Int, Int, Int)] = for {
       n <- Gen.choose(1, 60)
