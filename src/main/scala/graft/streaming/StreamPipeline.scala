@@ -96,4 +96,28 @@ object StreamPipeline {
           lit(0.0), (acc, x) => acc + x))
     minLogRatio.fold(scored)(t => scored.filter(col("log_ratio") >= t))
   }
+
+  /**
+   * Streaming incremental dedup — the ingest twin of
+   * [[graft.operators.Dedup.incrementalDedup]]: arriving documents are
+   * dropped when their content fingerprint (a) already exists in the
+   * standing corpus, or (b) was already seen in the stream within the
+   * watermark horizon. (a) is a stream-static LEFT ANTI join against the
+   * corpus's DISTINCT 16-byte fingerprints (append-mode-safe, re-planned
+   * per micro-batch so a refreshed corpus table is picked up); (b) is
+   * watermark-bounded `dropDuplicatesWithinWatermark` state keyed on the
+   * fingerprint — bodies never enter the state store or any exchange.
+   */
+  def incrementalDedupStream(stream: DataFrame, tsCol: String,
+                             textCol: String, watermarkDelay: String,
+                             corpus: DataFrame,
+                             corpusTextCol: String): DataFrame = {
+    val seen = corpus.select(md5(col(corpusTextCol)).as("_corpus_fp")).distinct()
+    stream
+      .withColumn("_fp", md5(col(textCol)))
+      .withWatermark(tsCol, watermarkDelay)
+      .dropDuplicatesWithinWatermark("_fp")
+      .join(seen, col("_fp") === col("_corpus_fp"), "left_anti")
+      .drop("_fp")
+  }
 }

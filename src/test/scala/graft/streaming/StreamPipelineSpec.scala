@@ -119,6 +119,34 @@ class StreamPipelineSpec extends SparkSuite {
     assert(streamed === batch)
   }
 
+  test("incrementalDedupStream drops corpus dups and in-stream dups") {
+    import java.sql.Timestamp
+    val corpus = Seq((1L, "already in the corpus")).toDF("doc_id", "text")
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[(Long, Timestamp, String)]
+    val out = StreamPipeline.incrementalDedupStream(
+      in.toDF().toDF("doc_id", "ts", "text"), "ts", "text", "10 seconds",
+      corpus, "text")
+    val q = out.writeStream.format("memory").queryName("incdedup")
+      .outputMode("append").start()
+    try {
+      val t0 = new Timestamp(1000000L)
+      in.addData(Seq(
+        (10L, t0, "brand new content"),
+        (11L, t0, "brand new content"),     // in-stream dup -> dropped
+        (12L, t0, "already in the corpus"), // corpus dup -> dropped
+        (13L, t0, "also new and unique")))
+      q.processAllAvailable()
+    } finally q.stop()
+    val kept = spark.table("incdedup").select("doc_id").as[Long].collect().toSet
+    // dropDuplicatesWithinWatermark keeps the FIRST-seen row per fp; both
+    // outcomes are valid dedup keeps, so assert one-of per content
+    assert(kept.intersect(Set(10L, 11L)).size === 1)
+    assert(kept.contains(13L))
+    assert(!kept.contains(12L), "corpus duplicate must not pass the gate")
+    assert(kept.size === 2)
+  }
+
   test("importanceGateStream threshold drops below-minimum docs in-stream") {
     val target = benchDocs.toDF("doc_id", "text")
     val raw = corpusDocs.toDF("doc_id", "text")
