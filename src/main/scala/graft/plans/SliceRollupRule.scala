@@ -33,9 +33,10 @@ import org.apache.spark.sql.types._
  *    whose variants differ in exactly two Long literals stepping by a
  *    constant (the slide in µs, exactly as TimeWindowing emits:
  *    start_i = aligned(ts) − i·slide, end_i = start_i + size);
- *  - every aggregate is a filterless, non-distinct Count / Sum / Min / Max
- *    (decomposable as sum-of-counts / sum / min / max). Sum over DECIMAL
- *    bails (re-aggregation would widen the result type); float sums
+ *  - every aggregate is a filterless, non-distinct Count / Sum / Min /
+ *    Max / Average (decomposable as sum-of-counts / sum / min / max /
+ *    sum-of-sums ÷ sum-of-counts). Sum/Average over DECIMAL bail
+ *    (re-aggregation would widen the result type); float sums
  *    re-associate exactly like Spark's own partial aggregation already
  *    does.
  *
@@ -133,13 +134,14 @@ object SliceRollupRule extends Rule[LogicalPlan] {
     val passAttrs = passIdx.map(expand.output)
     if (keyAttrs.exists(k => !passAttrs.exists(_.exprId == k.exprId))) return None
 
-    // Decompose aggregates. Each supported output alias yields an inner
-    // partial and a builder for the outer final (reusing the ORIGINAL
-    // alias exprId so downstream references keep resolving). Aggregate-free
-    // projections of the grouping attrs (e.g. a collapsed
+    // Decompose aggregates. Each supported output alias yields one or
+    // more inner partials and a builder for the outer final (reusing the
+    // ORIGINAL alias exprId so downstream references keep resolving).
+    // Aggregate-free projections of the grouping attrs (e.g. a collapsed
     // `cast(window.end as long) AS we`) pass through to the outer
     // aggregate unchanged — its grouping covers the same attrs.
-    final case class Piece(partial: Alias, finalFor: Attribute => NamedExpression)
+    final case class Piece(partials: Seq[Alias],
+                           finalFor: Seq[Attribute] => NamedExpression)
     val groupSet = AttributeSet(groupAttrs)
     val decomposed: Seq[scala.util.Either[NamedExpression, Piece]] =
       agg.aggregateExpressions.map {
@@ -148,20 +150,30 @@ object SliceRollupRule extends Rule[LogicalPlan] {
           // reference child attributes, never Expand-generated ones (e.g.
           // max(window.end) — the window struct doesn't exist down there).
           if (!fn.references.subsetOf(expand.child.outputSet)) return None
+          def one(partial: AggregateFunction,
+                  fin: Attribute => Expression): Piece =
+            Piece(Seq(Alias(completeAgg(partial), s"_rollup_$name")()),
+              refs => Alias(fin(refs.head), name)(exprId = al.exprId))
           val piece = fn match {
             case c: Count =>
-              Piece(Alias(completeAgg(c), s"_rollup_$name")(),
-                ref => Alias(Coalesce(Seq(completeAgg(Sum(ref)), Literal(0L, LongType))),
-                  name)(exprId = al.exprId))
+              one(c, ref => Coalesce(Seq(completeAgg(Sum(ref)), Literal(0L, LongType))))
             case s: Sum if !s.child.dataType.isInstanceOf[DecimalType] =>
-              Piece(Alias(completeAgg(s), s"_rollup_$name")(),
-                ref => Alias(completeAgg(Sum(ref)), name)(exprId = al.exprId))
-            case m: Min =>
-              Piece(Alias(completeAgg(m), s"_rollup_$name")(),
-                ref => Alias(completeAgg(Min(ref)), name)(exprId = al.exprId))
-            case m: Max =>
-              Piece(Alias(completeAgg(m), s"_rollup_$name")(),
-                ref => Alias(completeAgg(Max(ref)), name)(exprId = al.exprId))
+              one(s, ref => completeAgg(Sum(ref)))
+            case m: Min => one(m, ref => completeAgg(Min(ref)))
+            case m: Max => one(m, ref => completeAgg(Max(ref)))
+            case a: Average if !a.child.dataType.isInstanceOf[DecimalType] =>
+              // avg = Σ slice sums / Σ slice non-null counts — exactly
+              // Spark's own partial-average decomposition, re-associated
+              // once more. All-null groups: sum is null → division null,
+              // matching Average. Decimal bails (result-type widening).
+              Piece(
+                Seq(Alias(completeAgg(Sum(a.child)), s"_rollup_sum_$name")(),
+                  Alias(completeAgg(Count(Seq(a.child))), s"_rollup_cnt_$name")()),
+                refs => Alias(
+                  Divide(
+                    Cast(completeAgg(Sum(refs(0))), DoubleType),
+                    Cast(completeAgg(Sum(refs(1))), DoubleType)),
+                  name)(exprId = al.exprId))
             case _ => return None
           }
           scala.util.Right(piece)
@@ -177,12 +189,13 @@ object SliceRollupRule extends Rule[LogicalPlan] {
     val sliceAlias = Alias(sliceStruct, "_rollup_slice")()
     val inner = Aggregate(
       sliceStruct +: keyAttrs,
-      (sliceAlias +: keyAttrs) ++ pieces.map(_.partial),
+      (sliceAlias +: keyAttrs) ++ pieces.flatMap(_.partials),
       expand.child, None)
 
     // ---- outer expand: fan each aggregated slice to its N windows ----
     val sliceRef = sliceAlias.toAttribute
-    val partialRefs = pieces.map(_.partial.toAttribute)
+    val pieceRefs: Seq[Seq[Attribute]] = pieces.map(_.partials.map(_.toAttribute))
+    val partialRefs = pieceRefs.flatten
     def windowStruct(i: Int): Expression = {
       val startUs = Subtract(
         PreciseTimestampConversion(
@@ -204,7 +217,7 @@ object SliceRollupRule extends Rule[LogicalPlan] {
       case scala.util.Left(a) => a
       case scala.util.Right(piece) =>
         pi += 1
-        piece.finalFor(partialRefs(pi))
+        piece.finalFor(pieceRefs(pi))
     }
     Some(Aggregate(groupAttrs, outerAggExprs, outerExpand, None))
   }

@@ -56,13 +56,31 @@ class SliceRollupRuleSpec extends SparkSuite {
     }
   }
 
-  test("declines: avg (not sum/count-decomposable at the logical level)") {
+  test("avg rewrites via sum+count partials, same result (incl. null groups)") {
     def q = events
+      // nulls exercise Average's ignore-null semantics through the split
+      .withColumn("v", when(col("k") === 3, lit(null)).otherwise(col("v")))
       .groupBy(window(col("ts"), "10 minutes", "1 minute"), col("k"))
-      .agg(avg(col("v")).as("a"))
+      .agg(avg(col("v")).as("a"), count(col("v")).as("c"))
+      .select(col("k"), col("window.end").cast("long").as("we"),
+        col("a"), col("c"))
     val baseline = q.collect().toSet
     withRule {
-      assert(aggCount(q.queryExecution.optimizedPlan) === 1, "avg must not rewrite")
+      assert(aggCount(q.queryExecution.optimizedPlan) === 2,
+        "avg must rewrite:\n" + q.queryExecution.optimizedPlan)
+      assert(q.collect().toSet === baseline)
+    }
+  }
+
+  test("declines: decimal avg (re-aggregation would widen the type)") {
+    def q = events
+      .withColumn("d", col("v").cast("decimal(10,2)"))
+      .groupBy(window(col("ts"), "10 minutes", "1 minute"), col("k"))
+      .agg(avg(col("d")).as("a"))
+    val baseline = q.collect().toSet
+    withRule {
+      assert(aggCount(q.queryExecution.optimizedPlan) === 1,
+        "decimal avg must not rewrite")
       assert(q.collect().toSet === baseline)
     }
   }
