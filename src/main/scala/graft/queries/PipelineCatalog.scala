@@ -864,6 +864,28 @@ object PipelineCatalog {
   // Multimodal plumbing (documents.text bytes stand in for payloads)
   // ------------------------------------------------------------------
 
+  /** Cross-modal referential-integrity audit: documents vs embeddings by
+    * id, counted per match status — the data-quality gate run before any
+    * multimodal training join. Full-outer on ids only (16 bytes/row
+    * through the exchange); output is ≤3 rows. */
+  val mmAudit: Q = (s, dir) => {
+    val d = Tables.documents(s, dir).select(col("doc_id").as("id"), lit(1).as("_d"))
+    val e = Tables.embeddings(s, dir).select(col("vec_id").as("id"), lit(1).as("_e"))
+    d.join(e, Seq("id"), "full_outer")
+      .select(when(col("_d").isNotNull && col("_e").isNotNull, "matched")
+        .when(col("_d").isNotNull, "doc_only")
+        .otherwise("embedding_only").as("status"))
+      .groupBy(col("status")).agg(count(lit(1)).as("n"))
+  }
+
+  val mmAuditSql: String =
+    """SELECT CASE WHEN d.doc_id IS NOT NULL AND e.vec_id IS NOT NULL THEN 'matched'
+      |            WHEN d.doc_id IS NOT NULL THEN 'doc_only'
+      |            ELSE 'embedding_only' END AS status,
+      |       CAST(count(*) AS BIGINT) AS n
+      |FROM documents d FULL OUTER JOIN embeddings e ON d.doc_id = e.vec_id
+      |GROUP BY 1""".stripMargin
+
   val mmPayloadStats: Q = (s, dir) =>
     Multimodal.payloadStats(Tables.documents(s, dir), "doc_id", "text")
 
@@ -933,6 +955,7 @@ object PipelineCatalog {
     "sample_det" -> sampleDet,
     "sample_stratified" -> sampleStratified,
     "mm_payload_stats" -> mmPayloadStats,
+    "mm_audit" -> mmAudit,
     "mm_features" -> mmFeatures)
 
   val oracles: Map[String, String] = Map(
@@ -967,5 +990,6 @@ object PipelineCatalog {
     "seq_packing" -> seqPackingSql,
     "sample_det" -> sampleDetSql,
     "sample_stratified" -> sampleStratifiedSql,
-    "mm_payload_stats" -> mmPayloadStatsSql)
+    "mm_payload_stats" -> mmPayloadStatsSql,
+    "mm_audit" -> mmAuditSql)
 }
