@@ -3,7 +3,7 @@ package graft.streaming
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
-import graft.operators.{Importance, TextAnalysis}
+import graft.operators.{FreqSketch, Importance, TextAnalysis}
 
 /**
  * Streaming forms of the training-data-pipeline operators — the ingest-time
@@ -96,6 +96,27 @@ object StreamPipeline {
           lit(0.0), (acc, x) => acc + x))
     minLogRatio.fold(scored)(t => scored.filter(col("log_ratio") >= t))
   }
+
+  /**
+   * Streaming heavy-terms: the Misra–Gries sketch as WINDOWED STREAM
+   * STATE — per event-time window, the aggregation state is one
+   * ≤k-entry map (bounded regardless of vocabulary growth), updated
+   * incrementally per micro-batch exactly like any algebraic aggregate
+   * (the Aggregator's merge is the state-combine). Emits one row per
+   * (window, term) from the sketch; update output mode re-emits a
+   * window's current sketch as batches arrive. The n/(k+1)
+   * heavy-hitter guarantee holds across micro-batch merge order
+   * (FreqSketchSpec pins it for arbitrary merge trees).
+   */
+  def heavyTermsStream(docs: DataFrame, tsCol: String, textCol: String,
+                       watermarkDelay: String, windowSize: String,
+                       k: Int): DataFrame =
+    docs
+      .withWatermark(tsCol, watermarkDelay)
+      .select(col(tsCol), explode(split(col(textCol), " ")).as("term"))
+      .groupBy(window(col(tsCol), windowSize))
+      .agg(FreqSketch.sketch(col("term"), k).as("_sk"))
+      .select(col("window"), explode(col("_sk")).as(Seq("term", "est")))
 
   /**
    * Streaming incremental dedup — the ingest twin of

@@ -119,6 +119,41 @@ class StreamPipelineSpec extends SparkSuite {
     assert(streamed === batch)
   }
 
+  test("heavyTermsStream: windowed MG sketch state upholds the guarantee") {
+    import java.sql.Timestamp
+    implicit val sqlCtx = spark.sqlContext
+    // zipf-ish: term t_i appears ~60/i times, all inside one 1-minute window
+    val words = (1 to 12).flatMap(i => Seq.fill(60 / i)(s"t$i"))
+    val rows = words.zipWithIndex.map { case (w, j) =>
+      (new Timestamp(1000000L + j), w)
+    }
+    val in = MemoryStream[(Timestamp, String)]
+    val out = StreamPipeline.heavyTermsStream(
+      in.toDF().toDF("ts", "text"), "ts", "text", "10 seconds", "1 minute", k = 5)
+    val q = out.writeStream.format("memory").queryName("heavy")
+      .outputMode("update").start()
+    try {
+      // two micro-batches exercise the state-merge path
+      in.addData(rows.take(rows.size / 2))
+      q.processAllAvailable()
+      in.addData(rows.drop(rows.size / 2))
+      q.processAllAvailable()
+    } finally q.stop()
+    // latest emission per term = current sketch of the (single) window
+    val est = spark.table("heavy")
+      .groupBy("term").agg(max("est").as("est"))
+      .as[(String, Long)].collect().toMap
+    val truth = words.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val n = words.size
+    val eps = n.toDouble / 6 // k+1 = 6
+    truth.foreach { case (t, c) =>
+      if (c > eps) assert(est.contains(t), s"heavy term $t (count $c) missing")
+    }
+    est.foreach { case (t, e) =>
+      assert(e <= truth(t) && truth(t) - e <= eps + 1e-9, s"bound broken for $t")
+    }
+  }
+
   test("incrementalDedupStream drops corpus dups and in-stream dups") {
     import java.sql.Timestamp
     val corpus = Seq((1L, "already in the corpus")).toDF("doc_id", "text")
