@@ -526,6 +526,67 @@ object Catalog {
        |  count(*) FILTER (WHERE event_type = 'error') AS error
        |FROM w GROUP BY channel ORDER BY channel""".stripMargin
 
+  /** Correlated-subquery shape (TPC-H-style "above this customer's
+    * average"): orders priced above their own customer's mean order
+    * value, decorrelated as aggregate + equi-join. The comparison runs
+    * in exact DECIMAL arithmetic (price × count > total) so the row
+    * membership is engine-exact — a float average would flip boundary
+    * rows on summation order. */
+  val qAboveAvg: Q = (s, dir) => {
+    val o = Tables.orders(s, dir)
+    val stats = o.groupBy(col("o_custkey")).agg(
+      sum(col("o_totalprice").cast(DecimalType(18, 2))).as("_tot"),
+      count(lit(1)).as("_cnt"))
+    o.join(stats, "o_custkey")
+      .filter(col("o_totalprice").cast(DecimalType(18, 2)) * col("_cnt") > col("_tot"))
+      .select(col("o_orderkey"), col("o_custkey"),
+        col("o_totalprice").cast("double").as("price"))
+  }
+
+  val qAboveAvgSql: String =
+    """WITH s AS (
+      |  SELECT o_custkey, sum(CAST(o_totalprice AS DECIMAL(18,2))) AS tot,
+      |         count(*) AS cnt
+      |  FROM orders GROUP BY 1
+      |)
+      |SELECT o.o_orderkey, o.o_custkey, CAST(o.o_totalprice AS DOUBLE) AS price
+      |FROM orders o JOIN s USING (o_custkey)
+      |WHERE CAST(o.o_totalprice AS DECIMAL(18,2)) * cnt > tot""".stripMargin
+
+  /** Bounded-frame window function: 7-day moving sum of daily order value
+    * per order priority (frame = 6 preceding..current row). DECIMAL sums
+    * keep the frame arithmetic exact; days_in_frame exposes the ramp-up
+    * edge. One shuffle by priority. */
+  val qMovingWindow: Q = (s, dir) => {
+    val daily = Tables.orders(s, dir)
+      .groupBy(col("o_orderpriority"),
+        date_trunc("day", col("o_orderdate")).as("day"))
+      .agg(sum(col("o_totalprice").cast(DecimalType(18, 2))).as("day_total"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("o_orderpriority")).orderBy(col("day"))
+      .rowsBetween(-6, org.apache.spark.sql.expressions.Window.currentRow)
+    daily
+      .withColumn("moving_sum_7", sum(col("day_total")).over(w).cast("double"))
+      .withColumn("days_in_frame", count(lit(1)).over(w))
+      .select(col("o_orderpriority"), col("day").cast("date").as("day"),
+        col("day_total").cast("double").as("day_total"),
+        col("moving_sum_7"), col("days_in_frame"))
+  }
+
+  val qMovingWindowSql: String =
+    """WITH d AS (
+      |  SELECT o_orderpriority, CAST(o_orderdate AS DATE) AS day,
+      |         sum(CAST(o_totalprice AS DECIMAL(18,2))) AS day_total
+      |  FROM orders GROUP BY 1, 2
+      |)
+      |SELECT o_orderpriority, day,
+      |  CAST(day_total AS DOUBLE) AS day_total,
+      |  CAST(sum(day_total) OVER (PARTITION BY o_orderpriority ORDER BY day
+      |       ROWS BETWEEN 6 PRECEDING AND CURRENT ROW) AS DOUBLE) AS moving_sum_7,
+      |  count(*) OVER (PARTITION BY o_orderpriority ORDER BY day
+      |       ROWS BETWEEN 6 PRECEDING AND CURRENT ROW) AS days_in_frame
+      |FROM d""".stripMargin
+
   /** Analytics surface: running cumulative window function — per-day event
     * value totals with a running sum per event_type (frame = unbounded
     * preceding..current row, one shuffle by event_type). */
@@ -885,6 +946,8 @@ object Catalog {
     "channel_behavior" -> channelBehavior,
     "channel_pivot" -> channelPivot,
     "q_running_total" -> qRunningTotal,
+    "q_above_avg" -> qAboveAvg,
+    "q_moving_window" -> qMovingWindow,
     "ad_province" -> adProvince,
     "blacklist" -> blacklist,
     "blacklist_daily" -> blacklistDaily,
@@ -923,6 +986,8 @@ object Catalog {
     "channel_behavior" -> channelBehaviorSql,
     "channel_pivot" -> channelPivotSql,
     "q_running_total" -> qRunningTotalSql,
+    "q_above_avg" -> qAboveAvgSql,
+    "q_moving_window" -> qMovingWindowSql,
     "ad_province" -> adProvinceSql,
     "blacklist" -> blacklistSql,
     "blacklist_daily" -> blacklistDailySql,
