@@ -1,0 +1,86 @@
+package graft.queries
+
+import org.apache.spark.sql.DataFrame
+
+import graft.SparkSuite
+
+/** PLANS.md's invariants, enforced: the physical-plan properties the
+  * 100 TB design depends on are asserted here so a regression (a lost
+  * pushdown, a surprise nested-loop join, a new exchange on a map-only
+  * path) fails CI instead of surfacing in a bench report. Plans are
+  * inspected pre-execution at sf0.001 — plan SHAPE does not depend on
+  * the scale factor. */
+class PlanInvariantsSpec extends SparkSuite {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  private def plan(name: String): String = {
+    val df: DataFrame = Catalog.all(name)(spark, dir)
+    df.queryExecution.executedPlan.toString
+  }
+
+  private def exchanges(p: String): Int =
+    "(?<!Broadcast)Exchange ".r.findAllIn(p).length
+
+  test("map-only queries have zero shuffle exchanges") {
+    Seq("text_quality", "text_tokens", "text_lang_id", "text_normalize",
+        "text_pii", "text_repetition", "text_fingerprint", "text_chunks",
+        "mm_payload_stats", "sim_quantize_int8", "sample_det",
+        "sample_stratified").foreach { q =>
+      val p = plan(q)
+      assert(exchanges(p) === 0, s"$q must be map-only:\n$p")
+    }
+  }
+
+  test("no nested-loop/cartesian joins outside the documented exception") {
+    // importance_weights / sample_temperature are excluded: their plans
+    // contain a 1-row × 1-row cross join of aggregate totals (bounded by
+    // construction), not an all-pairs join over data.
+    Seq("q3_revenue", "q5_nation", "q10_returns", "hot_items", "dedup_jaccard",
+        "sim_lsh_topk", "sim_ivf_topk", "sim_near_dup", "dedup_minhash",
+        "dedup_simhash").foreach { q =>
+      val p = plan(q)
+      assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+        s"$q must not plan an all-pairs join:\n$p")
+    }
+    // the one deliberate exception: the exact-recall oracle
+    assert(plan("sim_bruteforce_topk").contains("BroadcastNestedLoopJoin"),
+      "brute force is documented as the BNLJ exception — if this changed, update PLANS.md")
+  }
+
+  test("q6 predicates reach the parquet scan as pushed filters") {
+    // toString truncates the filter list — use the formatted explain
+    val p = Catalog.all("q6_filter")(spark, dir).queryExecution
+      .explainString(org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    assert(p.contains("PushedFilters: [IsNotNull"), s"q6 lost its pushdown:\n$p")
+    assert(p.contains("GreaterThanOrEqual(l_discount,0.05)"),
+      s"q6 discount band not pushed:\n$p")
+  }
+
+  test("column pruning: scans read only referenced columns") {
+    val p = plan("q3_revenue")
+    // lineitem has 16 columns; the query needs 4
+    val read = "ReadSchema: struct<([^>]*)>".r.findFirstMatchIn(p).map(_.group(1))
+    assert(read.exists(_.split(",").length <= 5), s"q3 lineitem scan over-reads:\n$p")
+  }
+
+  test("windowed top-N keeps the slice-rollup three-exchange shape") {
+    // slice partial agg → window final agg → per-window rank: the rollup
+    // deliberately adds one exchange of AGGREGATED slices to cut the
+    // first exchange's volume 12× (PLANS.md) — 3 is the contract.
+    val p = plan("hot_items")
+    assert(exchanges(p) <= 3, s"hot_items grew extra exchanges:\n$p")
+  }
+
+  test("dims broadcast in the relational family") {
+    Seq("q3_revenue", "q5_nation", "q14_promo").foreach { q =>
+      assert(plan(q).contains("BroadcastHashJoin"), s"$q lost its broadcast dims")
+    }
+  }
+
+  test("top-k paths pre-trim map-side (WindowGroupLimit)") {
+    Seq("hot_items", "sample_bottomk", "bm25_top_terms").foreach { q =>
+      assert(plan(q).contains("WindowGroupLimit"), s"$q lost the group-limit pushdown")
+    }
+  }
+}
