@@ -307,52 +307,75 @@ object Similarity {
       array(books(j).map(cw => dot(sub, typedlit(cw))): _*)
     }: _*)
 
+  /** A trained IVF-PQ model: coarse quantizer + per-subspace codebooks —
+    * bounded driver-side parameters, serializable, reusable across query
+    * batches (and persistable next to the encoded index). */
+  final case class PqModel(cents: Array[(Long, Seq[Double], Double)],
+                           books: Array[Array[Seq[Double]]]) {
+    def isEmpty: Boolean = cents.isEmpty || books.exists(_.isEmpty)
+    def dim: Int = books.map(b => if (b.isEmpty) 0 else b.head.length).sum
+  }
+
   /**
-   * IVF-PQ approximate top-k — the compressed-index path for corpora
-   * whose full vectors cannot ride the candidate join. The corpus is
-   * held as (id, coarse list, m-byte PQ code, recon norm): assignment
-   * and encoding are one map-only pass (literal codebooks, zero
-   * shuffle); probing scores candidates with asymmetric distance
-   * computation (ADC — m table lookups per pair, tables precomputed per
-   * query on the broadcast side); the `rerankFactor × k` ADC shortlist
-   * is then re-ranked exactly in a second map-only corpus pass against
-   * the broadcast shortlist. Recall is tunable by nProbe / kSub /
-   * rerankFactor; precision of the final ranking is exact (full-vector
-   * cosine, same rounding contract as the other ANN paths).
-   *
-   * At 100 TB: two corpus map passes and one candidate-set exchange —
-   * in production the encoded index (id, cid, codes) is written once
-   * and reused across query batches, amortizing the first pass away.
+   * Build the IVF-PQ index ONCE: train the coarse quantizer and the PQ
+   * codebooks, then encode the corpus in one map-only pass (literal
+   * codebooks, zero shuffle). Returns the model and the compressed
+   * index (id, cid, codes, rn2) — full vectors are not carried. In
+   * production, write the index DataFrame (bucketed by cid) and keep
+   * the model with it; every later query batch starts from
+   * [[searchPqIndex]] and never rescans or retrains.
    */
-  def ivfPqTopK(df: DataFrame, idCol: String, vecCol: String,
-                queryPred: Column, k: Int,
-                nCentroids: Int = 16, nProbe: Int = 4,
-                m: Int = 8, kSub: Int = 16,
-                trainIters: Int = 0, pqIters: Int = 1,
-                rerankFactor: Int = 4): DataFrame = {
+  def buildPqIndex(df: DataFrame, idCol: String, vecCol: String,
+                   nCentroids: Int = 16, m: Int = 8, kSub: Int = 16,
+                   trainIters: Int = 0, pqIters: Int = 1): (PqModel, DataFrame) = {
     graft.functions.GraftFunctions.register(df.sparkSession)
     val base = df.select(col(idCol).as("id"), col(vecCol).cast("array<double>").as("v"))
       .withColumn("n", norm2(col("v")))
-    val cents = trainCentroids(base, nCentroids, trainIters)
-    val books = trainPqBooks(base, m, kSub, pqIters)
-    if (cents.isEmpty || books.exists(_.isEmpty)) return emptyTopK(base)
-    val d = books.map(_.head.length).sum
-    val ds = d / m
-    // Compressed index: full vectors are NOT carried past this point.
+    val model = PqModel(
+      trainCentroids(base, nCentroids, trainIters),
+      trainPqBooks(base, m, kSub, pqIters))
+    if (model.isEmpty) return (model, base.limit(0)
+      .select(col("id"), lit(0L).as("cid"),
+        typedlit(Seq.empty[Int]).as("codes"), lit(0.0).as("rn2")))
+    val ds = model.dim / m
     val index = base
       .withColumn("cid",
-        -array_max(centScoresFor(cents)(col("v"), col("n"))).getField("negcid"))
-      .withColumn("codes", pqCodesFor(books, ds)(col("v")))
-      .withColumn("rn2", pqReconNorm2For(books)(col("codes")))
+        -array_max(centScoresFor(model.cents)(col("v"), col("n"))).getField("negcid"))
+      .withColumn("codes", pqCodesFor(model.books, ds)(col("v")))
+      .withColumn("rn2", pqReconNorm2For(model.books)(col("codes")))
       .select(col("id"), col("cid"), col("codes"), col("rn2"))
+    (model, index)
+  }
+
+  /**
+   * Query a prebuilt IVF-PQ index: probe the `nProbe` nearest coarse
+   * lists, score candidates with asymmetric distance computation (ADC —
+   * m table lookups per pair; the lookup tables are computed once per
+   * query on the broadcast side), then re-rank the `rerankFactor × k`
+   * ADC shortlist exactly against `fullVectors` in one map-only pass.
+   * Recall is tunable by nProbe / kSub / rerankFactor; the final
+   * ranking is exact (full-vector cosine, same rounding contract as the
+   * other ANN paths).
+   */
+  def searchPqIndex(model: PqModel, index: DataFrame,
+                    fullVectors: DataFrame, idCol: String, vecCol: String,
+                    queryPred: Column, k: Int,
+                    nProbe: Int = 4, rerankFactor: Int = 4): DataFrame = {
+    graft.functions.GraftFunctions.register(index.sparkSession)
+    val base = fullVectors
+      .select(col(idCol).as("id"), col(vecCol).cast("array<double>").as("v"))
+      .withColumn("n", norm2(col("v")))
+    if (model.isEmpty) return emptyTopK(base)
+    val m = model.books.length
+    val ds = model.dim / m
     val queries = base.filter(queryPred)
     val probes = queries
       .withColumn("c",
-        explode(slice(sort_array(centScoresFor(cents)(col("v"), col("n")), asc = false),
-          1, nProbe)))
+        explode(slice(sort_array(centScoresFor(model.cents)(col("v"), col("n")),
+          asc = false), 1, nProbe)))
       .select(col("id").as("query_id"), (-col("c.negcid")).as("cid"),
-        col("n").as("qn"), pqLutsFor(books, ds)(col("v")).as("luts"))
-    val adc = books.indices.map { j =>
+        col("n").as("qn"), pqLutsFor(model.books, ds)(col("v")).as("luts"))
+    val adc = model.books.indices.map { j =>
       element_at(element_at(col("luts"), j + 1), element_at(col("codes"), j + 1) + 1)
     }.reduce(_ + _)
     val candApprox = index.join(broadcast(probes), "cid")
@@ -375,6 +398,25 @@ object Similarity {
       .orderBy(col("cos").desc, col("neighbor_id").asc)
     rer.withColumn("rn", row_number().over(w)).filter(col("rn") <= k)
       .select(col("query_id"), col("neighbor_id"), col("cos"), col("rn"))
+  }
+
+  /**
+   * IVF-PQ approximate top-k, single-call form: [[buildPqIndex]] +
+   * [[searchPqIndex]]. The split exists because the expensive part —
+   * training + the encode pass — is per-CORPUS, not per-query-batch;
+   * production builds once, persists (id, cid, codes, rn2), and amortizes
+   * this call's first half away entirely.
+   */
+  def ivfPqTopK(df: DataFrame, idCol: String, vecCol: String,
+                queryPred: Column, k: Int,
+                nCentroids: Int = 16, nProbe: Int = 4,
+                m: Int = 8, kSub: Int = 16,
+                trainIters: Int = 0, pqIters: Int = 1,
+                rerankFactor: Int = 4): DataFrame = {
+    val (model, index) = buildPqIndex(df, idCol, vecCol,
+      nCentroids, m, kSub, trainIters, pqIters)
+    searchPqIndex(model, index, df, idCol, vecCol, queryPred, k,
+      nProbe, rerankFactor)
   }
 
   /**

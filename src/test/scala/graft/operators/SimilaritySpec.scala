@@ -130,6 +130,30 @@ class SimilaritySpec extends SparkSuite {
       s"nearest neighbor 1 must rank first after ADC shortlist + exact re-rank, got $res")
   }
 
+  test("prebuilt PQ index: build once, search many — identical to single-call") {
+    graft.functions.GraftFunctions.register(spark)
+    val grouped = spark.range(60).select(col("id").as("vec_id"),
+      expr("""transform(sequence(0, 7), i ->
+        cast(cast(if(i = vec_id % 3, 10.0, 0.0) as double) +
+        cast(xxhash64(vec_id, i) as double) / 9.2e18 as float)""" + ")").as("embedding"))
+    val (model, index) = Similarity.buildPqIndex(grouped, "vec_id", "embedding",
+      nCentroids = 3, m = 2, kSub = 8, trainIters = 1, pqIters = 1)
+    val single = Similarity.ivfPqTopK(grouped, "vec_id", "embedding",
+        col("id") === 0L, k = 3, nCentroids = 3, nProbe = 1, m = 2, kSub = 8,
+        trainIters = 1, pqIters = 1)
+      .collect().map(_.toSeq).toSet
+    val viaIndex = Similarity.searchPqIndex(model, index, grouped,
+        "vec_id", "embedding", col("id") === 0L, k = 3, nProbe = 1)
+      .collect().map(_.toSeq).toSet
+    // a SECOND query batch over the same prebuilt index — no retraining
+    val batch2 = Similarity.searchPqIndex(model, index, grouped,
+        "vec_id", "embedding", col("id") === 1L, k = 3, nProbe = 1)
+      .collect().map(_.toSeq)
+    assert(viaIndex === single,
+      "search over the prebuilt index must equal the single-call form")
+    assert(batch2.nonEmpty && batch2.forall(r => r.head == 1L))
+  }
+
   test("ivfPq codes stay in range and recall holds on planted groups") {
     graft.functions.GraftFunctions.register(spark)
     // 3 well-separated groups of 20 vectors, 8-dim (2 subspaces × 4 dims)
