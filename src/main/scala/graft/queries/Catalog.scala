@@ -256,6 +256,132 @@ object Catalog {
       |   OR (p_brand = 'Brand#3' AND p_size BETWEEN 10 AND 30 AND l_quantity BETWEEN 10 AND 35)
       |   OR (p_brand = 'Brand#17' AND p_size BETWEEN 20 AND 50 AND l_quantity BETWEEN 20 AND 50)""".stripMargin
 
+  /** TPC-H Q13 shape: customer order-count distribution — LEFT OUTER
+    * customer⋈orders (zero-order customers kept), per-customer count, then
+    * a tiny second aggregate over the counts. One fact shuffle on custkey;
+    * the histogram aggregate runs over |customers| rows, not the fact. */
+  val q13Custdist: Q = (s, dir) => {
+    val c = Tables.customer(s, dir)
+    val o = Tables.orders(s, dir)
+    c.join(o, col("c_custkey") === col("o_custkey"), "left_outer")
+      .groupBy(col("c_custkey"))
+      .agg(count(col("o_orderkey")).as("c_count"))
+      .groupBy(col("c_count"))
+      .agg(count(lit(1)).as("custdist"))
+  }
+
+  val q13CustdistSql: String =
+    """WITH per_cust AS (
+      |  SELECT c_custkey, count(o_orderkey) AS c_count
+      |  FROM customer LEFT OUTER JOIN orders ON c_custkey = o_custkey
+      |  GROUP BY c_custkey
+      |)
+      |SELECT c_count, count(*) AS custdist FROM per_cust GROUP BY c_count""".stripMargin
+
+  /** TPC-H Q22 shape: positive-balance customers above the global average
+    * balance with NO orders — a broadcast scalar subquery feeding a filter,
+    * then a left-anti join against the fact. The average is computed as
+    * exact-DECIMAL sum ÷ count so both engines derive the identical double
+    * threshold (a float avg would round differently at the boundary). */
+  val q22Balance: Q = (s, dir) => {
+    val c = Tables.customer(s, dir)
+    val o = Tables.orders(s, dir)
+    val avgBal = c.filter(col("c_acctbal") > 0.0)
+      .agg((sum(col("c_acctbal").cast(DecimalType(18, 2))).cast("double") /
+        count(lit(1))).as("avg_bal"))
+    c.join(broadcast(avgBal))
+      .filter(col("c_acctbal") > col("avg_bal"))
+      .join(o, col("c_custkey") === col("o_custkey"), "left_anti")
+      .groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).as("numcust"),
+        sum(col("c_acctbal").cast(DecimalType(18, 2))).cast("double").as("totacctbal"))
+  }
+
+  val q22BalanceSql: String =
+    """WITH avg_bal AS (
+      |  SELECT CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS avg_bal
+      |  FROM customer WHERE c_acctbal > 0.0
+      |)
+      |SELECT c_mktsegment, count(*) AS numcust,
+      |  CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS totacctbal
+      |FROM customer, avg_bal
+      |WHERE c_acctbal > avg_bal
+      |  AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+      |GROUP BY c_mktsegment""".stripMargin
+
+  /** Multi-distinct aggregate: several count(DISTINCT ·) columns plus a
+    * plain count in one Aggregate — plans through Catalyst's Expand-based
+    * multi-distinct rewrite (one shuffle total, not one per distinct). */
+  val qMultiDistinct: Q = (s, dir) =>
+    events(s, dir)
+      .groupBy(col("event_type"))
+      .agg(countDistinct(col("user_id")).as("users"),
+        countDistinct(col("item_id")).as("items"),
+        count(lit(1)).as("n"))
+
+  val qMultiDistinctSql: String =
+    s"""$eventsCte
+       |SELECT event_type, count(DISTINCT user_id) AS users,
+       |       count(DISTINCT item_id) AS items, count(*) AS n
+       |FROM e GROUP BY event_type""".stripMargin
+
+  /** Set operations (INTERSECT / EXCEPT): urgent-priority customers vs
+    * high-value customers, labelled by membership. Both inputs aggregate
+    * to distinct keys before the set ops, so the set ops run over the
+    * small deduplicated key sets (hash-partitioned equi-shape, not the
+    * fact). */
+  val qSetOps: Q = (s, dir) => {
+    val o = Tables.orders(s, dir)
+    val urgent = o.filter(col("o_orderpriority") === "1-URGENT")
+      .select(col("o_custkey").as("custkey")).distinct()
+    val highVal = o.filter(col("o_totalprice") > 400000.0)
+      .select(col("o_custkey").as("custkey")).distinct()
+    urgent.intersect(highVal).withColumn("op", lit("both"))
+      .unionByName(urgent.except(highVal).withColumn("op", lit("urgent_only")))
+      .unionByName(highVal.except(urgent).withColumn("op", lit("highval_only")))
+  }
+
+  val qSetOpsSql: String =
+    """WITH urgent AS (
+      |  SELECT DISTINCT o_custkey AS custkey FROM orders WHERE o_orderpriority = '1-URGENT'
+      |), highval AS (
+      |  SELECT DISTINCT o_custkey AS custkey FROM orders WHERE o_totalprice > 400000.0
+      |)
+      |SELECT custkey, 'both' AS op FROM (SELECT custkey FROM urgent INTERSECT SELECT custkey FROM highval)
+      |UNION ALL
+      |SELECT custkey, 'urgent_only' AS op FROM (SELECT custkey FROM urgent EXCEPT SELECT custkey FROM highval)
+      |UNION ALL
+      |SELECT custkey, 'highval_only' AS op FROM (SELECT custkey FROM highval EXCEPT SELECT custkey FROM urgent)""".stripMargin
+
+  /** Partition-extremum + rank-distribution window functions: first/last
+    * value over the full frame, percent_rank and cume_dist over a total
+    * order (event_id tie-break → no ties, so both engines agree bitwise;
+    * the rank ratios are integer-derived doubles). */
+  val qFirstLast: Q = (s, dir) => {
+    val wOrd = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id")).orderBy(col("sec"), col("event_id"))
+    val wFull = wOrd.rowsBetween(
+      org.apache.spark.sql.expressions.Window.unboundedPreceding,
+      org.apache.spark.sql.expressions.Window.unboundedFollowing)
+    events(s, dir)
+      .select(col("user_id"), col("event_id"), col("sec"))
+      .withColumn("first_ev", first(col("event_id")).over(wFull))
+      .withColumn("last_ev", last(col("event_id")).over(wFull))
+      .withColumn("pr", percent_rank().over(wOrd))
+      .withColumn("cd", cume_dist().over(wOrd))
+  }
+
+  val qFirstLastSql: String =
+    s"""$eventsCte
+       |SELECT user_id, event_id, sec,
+       |  first_value(event_id) OVER (PARTITION BY user_id ORDER BY sec, event_id
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS first_ev,
+       |  last_value(event_id) OVER (PARTITION BY user_id ORDER BY sec, event_id
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS last_ev,
+       |  percent_rank() OVER (PARTITION BY user_id ORDER BY sec, event_id) AS pr,
+       |  cume_dist() OVER (PARTITION BY user_id ORDER BY sec, event_id) AS cd
+       |FROM e""".stripMargin
+
   /** Region rollup through region→nation→customer→orders: order counts and
     * value per region — the remaining dim-chain (uses `region`). */
   val qRegionRollup: Q = (s, dir) => {
@@ -568,7 +694,11 @@ object Catalog {
     daily
       .withColumn("moving_sum_7", sum(col("day_total")).over(w).cast("double"))
       .withColumn("days_in_frame", count(lit(1)).over(w))
-      .select(col("o_orderpriority"), col("day").cast("date").as("day"),
+      // day as epoch-day bigint, not DATE: the catalog's integer-label
+      // convention (a DATE column round-trips as python date objects on one
+      // side and datetime64 on the other in the driver's pandas compare).
+      .select(col("o_orderpriority"),
+        unix_date(col("day").cast("date")).cast("long").as("day"),
         col("day_total").cast("double").as("day_total"),
         col("moving_sum_7"), col("days_in_frame"))
   }
@@ -579,7 +709,7 @@ object Catalog {
       |         sum(CAST(o_totalprice AS DECIMAL(18,2))) AS day_total
       |  FROM orders GROUP BY 1, 2
       |)
-      |SELECT o_orderpriority, day,
+      |SELECT o_orderpriority, CAST(day - DATE '1970-01-01' AS BIGINT) AS day,
       |  CAST(day_total AS DOUBLE) AS day_total,
       |  CAST(sum(day_total) OVER (PARTITION BY o_orderpriority ORDER BY day
       |       ROWS BETWEEN 6 PRECEDING AND CURRENT ROW) AS DOUBLE) AS moving_sum_7,
@@ -930,6 +1060,11 @@ object Catalog {
     "q10_returns" -> q10Returns,
     "q18_large" -> q18Large,
     "q19_disjunct" -> q19Disjunct,
+    "q13_custdist" -> q13Custdist,
+    "q22_balance" -> q22Balance,
+    "q_multi_distinct" -> qMultiDistinct,
+    "q_set_ops" -> qSetOps,
+    "q_first_last" -> qFirstLast,
     "q_lead_lag" -> qLeadLag,
     "q_region_rollup" -> qRegionRollup,
     "q_cube_flags" -> qCubeFlags,
@@ -971,6 +1106,11 @@ object Catalog {
     "q10_returns" -> q10ReturnsSql,
     "q18_large" -> q18LargeSql,
     "q19_disjunct" -> q19DisjunctSql,
+    "q13_custdist" -> q13CustdistSql,
+    "q22_balance" -> q22BalanceSql,
+    "q_multi_distinct" -> qMultiDistinctSql,
+    "q_set_ops" -> qSetOpsSql,
+    "q_first_last" -> qFirstLastSql,
     "q_lead_lag" -> qLeadLagSql,
     "q_region_rollup" -> qRegionRollupSql,
     "q_cube_flags" -> qCubeFlagsSql,
