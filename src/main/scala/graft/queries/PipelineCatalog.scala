@@ -230,6 +230,31 @@ object PipelineCatalog {
       col("id") % 100 === 0, k = 5, nCentroids = 16, nProbe = 4,
       m = 8, kSub = 16, pqIters = 1)
 
+  /** Session-lifetime IVF-PQ index cache keyed by (application, sfDir):
+    * the build half of [[Similarity.ivfPqTopK]] runs ONCE per corpus and
+    * the encoded index is persisted; every later call pays search cost
+    * only. This is the production shape made literal — persist
+    * (id, cid, codes, rn2) next to the model, amortize training away —
+    * and it's what `sim_ivfpq_search` measures in the bench (vs
+    * `sim_ivfpq_topk`, which deliberately re-pays the build every call). */
+  private val pqIndexCache =
+    new java.util.concurrent.ConcurrentHashMap[String, (Similarity.PqModel, org.apache.spark.sql.DataFrame)]()
+
+  val simIvfPqSearch: Q = (s, dir) => {
+    val key = s.sparkContext.applicationId + "|" + dir
+    val (model, index) = pqIndexCache.computeIfAbsent(key, _ => {
+      val (m, idx) = Similarity.buildPqIndex(Tables.embeddings(s, dir),
+        "vec_id", "embedding", nCentroids = 16, m = 8, kSub = 16,
+        trainIters = 0, pqIters = 1)
+      val persisted = idx.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      persisted.count() // materialize once; later calls read the cached index
+      (m, persisted)
+    })
+    Similarity.searchPqIndex(model, index, Tables.embeddings(s, dir),
+      "vec_id", "embedding", col("id") % 100 === 0, k = 5,
+      nProbe = 4, rerankFactor = 4)
+  }
+
   /** Int8 scalar quantization — gate projects scalar digests of the code
     * vector (array columns crash the driver's pandas compare; the full
     * qvec stays spec-covered). Exact oracle: integer codes + IEEE scale. */
@@ -928,6 +953,7 @@ object PipelineCatalog {
     "sim_ivf_topk" -> simIvf,
     "sim_ivf_trained" -> simIvfTrained,
     "sim_ivfpq_topk" -> simIvfPq,
+    "sim_ivfpq_search" -> simIvfPqSearch,
     "sim_quantize_int8" -> simQuantize,
     "sim_near_dup" -> simNearDup,
     "text_tokens" -> textTokens,

@@ -154,6 +154,18 @@ class SimilaritySpec extends SparkSuite {
     assert(batch2.nonEmpty && batch2.forall(r => r.head == 1L))
   }
 
+  test("sim_ivfpq_search (cached index binding) equals the one-shot gate query") {
+    val dir = "/root/testdata/sf0.001"
+    val oneShot = graft.queries.PipelineCatalog.simIvfPq(spark, dir)
+      .collect().map(_.toSeq).toSet
+    val cached1 = graft.queries.PipelineCatalog.simIvfPqSearch(spark, dir)
+      .collect().map(_.toSeq).toSet
+    val cached2 = graft.queries.PipelineCatalog.simIvfPqSearch(spark, dir)
+      .collect().map(_.toSeq).toSet
+    assert(cached1 === oneShot, "cached-index search must equal build+search")
+    assert(cached2 === oneShot, "second call (cache hit) must be identical")
+  }
+
   test("ivfPq codes stay in range and recall holds on planted groups") {
     graft.functions.GraftFunctions.register(spark)
     // 3 well-separated groups of 20 vectors, 8-dim (2 subspaces × 4 dims)
