@@ -42,6 +42,37 @@ object StreamJoins {
   }
 
   /**
+   * J1/J2 hybrid — LEFT OUTER stream-stream interval join: matched pairs
+   * emit like the inner form; an unmatched pay emits with null receipt
+   * columns once BOTH watermarks pass its join horizon (Spark proves no
+   * future receipt can match before emitting the null row — the same
+   * guarantee the reference built with a per-key "wait then side-output"
+   * timer, here from the declarative watermark bound alone). State
+   * retention is identical to the inner join: each side is dropped as
+   * soon as the watermark clears its horizon.
+   */
+  def intervalJoinOuterStream(pays: Dataset[OrderEvent], receipts: Dataset[ReceiptEvent],
+                              lowerSec: Long, upperSec: Long,
+                              watermarkDelay: String = "2 seconds"): DataFrame = {
+    val l = pays.filter(col("txId") =!= "")
+      .select(col("txId"), col("orderId"),
+        timestamp_seconds(col("eventTime")).as("payTime"))
+      .withWatermark("payTime", watermarkDelay)
+    val r = receipts
+      .select(col("txId").as("rTxId"), col("payChannel"),
+        timestamp_seconds(col("timestamp")).as("receiptTime"))
+      .withWatermark("receiptTime", watermarkDelay)
+    l.join(r,
+      col("txId") === col("rTxId") &&
+        col("receiptTime") >= col("payTime") - expr(s"INTERVAL $lowerSec SECONDS") &&
+        col("receiptTime") <= col("payTime") + expr(s"INTERVAL $upperSec SECONDS"),
+      "left_outer")
+      .select(col("txId"), col("orderId"), col("payChannel"),
+        col("payTime").cast("long").as("pay_sec"),
+        col("receiptTime").cast("long").as("receipt_sec"))
+  }
+
+  /**
    * Stream-static dimension enrichment: a streaming fact joined to a
    * bounded dim table. The static side is marked `broadcast()`, so every
    * micro-batch plans a BroadcastHashJoin — the stream never shuffles and

@@ -81,4 +81,32 @@ class StreamJoinsSpec extends SparkSuite {
     val got = spark.table("sdedup").select("text").as[String].collect().toSeq
     assert(got.sorted === Seq("aaa", "bbb", "ccc"))
   }
+
+  test("intervalJoinOuterStream: unmatched pay emits null receipt after watermark") {
+    implicit val sqlCtx = spark.sqlContext
+    val payIn = MemoryStream[OrderEvent]
+    val rcptIn = MemoryStream[ReceiptEvent]
+    val joined = StreamJoins.intervalJoinOuterStream(payIn.toDS(), rcptIn.toDS(), 3L, 5L)
+    val q = joined.writeStream.format("memory").queryName("ssjo").outputMode("append").start()
+    try {
+      // tx1 matches inside [-3s,+5s]; tx2 has no receipt ever
+      payIn.addData(OrderEvent(1L, "pay", "tx1", 100L), OrderEvent(2L, "pay", "tx2", 101L))
+      rcptIn.addData(ReceiptEvent("tx1", "wechat", 103L))
+      q.processAllAvailable()
+      // push both watermarks far past tx2's horizon, then one more batch
+      // so the null row for tx2 can be finalized and emitted
+      payIn.addData(OrderEvent(9L, "pay", "tx9", 1000L))
+      rcptIn.addData(ReceiptEvent("tx9", "cash", 1001L))
+      q.processAllAvailable()
+      payIn.addData(OrderEvent(10L, "pay", "tx10", 2000L))
+      rcptIn.addData(ReceiptEvent("tx10", "cash", 2001L))
+      q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.table("ssjo")
+      .select("txId", "payChannel")
+      .as[(String, Option[String])].collect().toMap
+    assert(got("tx1") === Some("wechat"), "matched pair keeps its receipt")
+    assert(got.contains("tx2") && got("tx2").isEmpty,
+      "unmatched pay must emit with null receipt once the watermark passes")
+  }
 }
