@@ -105,4 +105,32 @@ object Packing {
         expr(s"(_s * $nShards) div _total").as("shard_id"),
         col("n").as("n_tokens"))
   }
+
+  /**
+   * Physically lay the sharded corpus out on disk — the last step of a
+   * training-data build. Joins the [[shardAssign]] result back to the
+   * documents, clusters rows by shard, and writes one directory per shard
+   * (`shard_id=N/`) with the documents in deterministic `idCol` order
+   * inside each file.
+   *
+   * Scale design: `repartition(shard_id)` puts every row of a shard in
+   * exactly one task (a shard never straddles files), so each
+   * `shard_id=N/` directory holds one file per shard — training loaders
+   * stream a shard as ONE sequential read, no small-file storm.
+   * `sortWithinPartitions(shard_id, id)` makes file contents byte-stable
+   * across runs (same plan → same order → same parquet). At 100 TB raise
+   * `nShards` so each shard fits a task comfortably (the token-balanced
+   * assignment already equalizes shard BYTES, which is what makes this
+   * safe) and set `maxRecordsPerFile` as a belt-and-braces cap.
+   */
+  def writeShards(docs: DataFrame, idCol: String, nTokensCol: String,
+                  nShards: Int, outDir: String,
+                  bucketWidth: Long = 1000L): Unit = {
+    val assign = shardAssign(docs, idCol, nTokensCol, nShards, bucketWidth)
+      .select(col("doc_id").as("_aid"), col("shard_id"))
+    docs.join(assign, col(idCol) === col("_aid")).drop("_aid")
+      .repartition(col("shard_id"))
+      .sortWithinPartitions(col("shard_id"), col(idCol))
+      .write.partitionBy("shard_id").mode("overwrite").parquet(outDir)
+  }
 }

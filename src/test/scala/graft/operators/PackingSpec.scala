@@ -83,4 +83,35 @@ class PackingSpec extends SparkSuite {
     val b = Packing.shardAssign(docs(sizes), "doc_id", "n_toks", 16, bucketWidth = 7L)
     assert(a.collect().toSet === b.collect().toSet)
   }
+
+  test("writeShards: one file per shard, lossless, id-ordered within files") {
+    val sizes = (1 to 120).map(i => (i * 53 % 80 + 1).toLong)
+    val in = docs(sizes)
+    val out = java.nio.file.Files.createTempDirectory("graft_shards").toString
+    try {
+      Packing.writeShards(in, "doc_id", "n_toks", 4, out)
+      val dirs = new java.io.File(out).listFiles()
+        .filter(f => f.isDirectory && f.getName.startsWith("shard_id=")).sortBy(_.getName)
+      assert(dirs.length === 4, s"expected 4 shard dirs, got ${dirs.map(_.getName).toSeq}")
+      // one data file per shard: a shard never straddles tasks
+      dirs.foreach { d =>
+        val files = d.listFiles().filter(_.getName.endsWith(".parquet"))
+        assert(files.length === 1, s"${d.getName}: ${files.length} files")
+        // in-file order is doc_id ascending (byte-stable layout)
+        val ids = spark.read.parquet(files.head.getPath)
+          .select("doc_id").collect().map(_.getLong(0)).toSeq
+        assert(ids === ids.sorted, s"${d.getName} not id-ordered")
+      }
+      // lossless round-trip
+      val back = spark.read.parquet(out)
+      assert(back.count() === 120)
+      assert(back.select("doc_id").as[Long].collect().toSet ===
+        in.select("doc_id").as[Long].collect().toSet)
+    } finally {
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) f.listFiles().foreach(rm); f.delete()
+      }
+      rm(new java.io.File(out))
+    }
+  }
 }
