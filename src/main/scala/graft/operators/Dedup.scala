@@ -256,8 +256,13 @@ object Dedup {
     // The pair plan is usually the expensive part (a candidate join); the
     // symmetric-closure union scans it twice. Persist + materialize first so
     // the pair computation runs exactly once.
+    val tEnter = System.nanoTime()
     val p = pairs.select(col(idA).as("s"), col(idB).as("t")).persist()
+    val tPairs = System.nanoTime()
     p.count()
+    if (sys.env.contains("GRAFT_DEBUG_ROUNDS"))
+      System.err.println(
+        f"resolveClusters pairs: ${(System.nanoTime() - tPairs) / 1e9}%.2f s")
     val edges = p
       .union(p.select(col("t").as("s"), col("s").as("t")))
       .distinct().persist()
@@ -312,6 +317,9 @@ object Dedup {
           "multiple cluster_ids; raise maxIter for deep chain graphs")
     edges.unpersist()
     p.unpersist()
+    if (sys.env.contains("GRAFT_DEBUG_ROUNDS"))
+      System.err.println(
+        f"resolveClusters total: ${(System.nanoTime() - tEnter) / 1e9}%.2f s")
     labels.select(col("id").as("doc_id"), col("label").as("cluster_id"))
   }
 
