@@ -309,6 +309,290 @@ object Catalog {
       |  AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
       |GROUP BY c_mktsegment""".stripMargin
 
+  /** TPC-H Q4 shape: order-priority checking — orders having at least one
+    * lineitem shipped >60 days after the order date (EXISTS → left-semi;
+    * the tables lack l_commitdate/l_receiptdate, so "late" is
+    * shipdate-vs-orderdate). One fact shuffle: the semi-join on orderkey;
+    * the extra date predicate rides the same join. */
+  val q4Priority: Q = (s, dir) => {
+    val o = Tables.orders(s, dir)
+    val li = Tables.lineitem(s, dir)
+    o.join(li,
+        col("o_orderkey") === col("l_orderkey") &&
+          col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 60 DAYS"),
+        "left_semi")
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("order_count"))
+  }
+
+  val q4PrioritySql: String =
+    """SELECT o_orderpriority, count(*) AS order_count
+      |FROM orders
+      |WHERE EXISTS (
+      |  SELECT 1 FROM lineitem
+      |  WHERE l_orderkey = o_orderkey
+      |    AND l_shipdate > o_orderdate + INTERVAL 60 DAY)
+      |GROUP BY o_orderpriority""".stripMargin
+
+  /** TPC-H Q7 shape: bilateral trade volume — revenue shipped between two
+    * specific (supplier nation, customer nation) pairs by year. One fact
+    * shuffle (lineitem⋈orders); supplier/customer/nation dims broadcast
+    * twice under different aliases. */
+  val q7Volume: Q = (s, dir) => {
+    val li = Tables.lineitem(s, dir)
+    val o = Tables.orders(s, dir)
+    val c = Tables.customer(s, dir)
+    val su = Tables.supplier(s, dir)
+    val n = Tables.nation(s, dir)
+    val n1 = n.select(col("n_nationkey").as("sn_key"), col("n_name").as("supp_nation"))
+    val n2 = n.select(col("n_nationkey").as("cn_key"), col("n_name").as("cust_nation"))
+    li.join(o, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(su), col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(n1), col("s_nationkey") === col("sn_key"))
+      .join(broadcast(n2), col("c_nationkey") === col("cn_key"))
+      .filter((col("supp_nation") === "NATION_1" && col("cust_nation") === "NATION_2") ||
+        (col("supp_nation") === "NATION_2" && col("cust_nation") === "NATION_1"))
+      .groupBy(col("supp_nation"), col("cust_nation"),
+        year(col("l_shipdate")).as("l_year"))
+      .agg(sum(col("l_extendedprice").cast(DecimalType(18, 4)) *
+        (lit(1.0) - col("l_discount")).cast(DecimalType(18, 4))).cast("double").as("revenue"))
+  }
+
+  val q7VolumeSql: String =
+    """SELECT supp_nation, cust_nation, l_year,
+      |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4)) * CAST((1.0 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+      |FROM (
+      |  SELECT ns.n_name AS supp_nation, nc.n_name AS cust_nation,
+      |         year(l_shipdate) AS l_year, l_extendedprice, l_discount
+      |  FROM lineitem
+      |  JOIN orders ON l_orderkey = o_orderkey
+      |  JOIN customer ON o_custkey = c_custkey
+      |  JOIN supplier ON l_suppkey = s_suppkey
+      |  JOIN nation ns ON s_nationkey = ns.n_nationkey
+      |  JOIN nation nc ON c_nationkey = nc.n_nationkey
+      |  WHERE (ns.n_name = 'NATION_1' AND nc.n_name = 'NATION_2')
+      |     OR (ns.n_name = 'NATION_2' AND nc.n_name = 'NATION_1'))
+      |GROUP BY supp_nation, cust_nation, l_year""".stripMargin
+
+  /** TPC-H Q8 shape: market share — the fraction of ASIA customers' revenue
+    * supplied from NATION_3, by order year. Conditional aggregation over
+    * the multi-dim join; customers restricted to one region via
+    * nation→region (both broadcast). */
+  val q8Share: Q = (s, dir) => {
+    val li = Tables.lineitem(s, dir)
+    val o = Tables.orders(s, dir)
+    val c = Tables.customer(s, dir)
+    val su = Tables.supplier(s, dir)
+    val n = Tables.nation(s, dir)
+    val r = Tables.region(s, dir)
+    val custNation = n.join(r, col("n_regionkey") === col("r_regionkey"))
+      .filter(col("r_name") === "ASIA")
+      .select(col("n_nationkey").as("cn_key"))
+    val suppNation = n.select(col("n_nationkey").as("sn_key"),
+      col("n_name").as("supp_nation"))
+    val vol = col("l_extendedprice").cast(DecimalType(18, 4)) *
+      (lit(1.0) - col("l_discount")).cast(DecimalType(18, 4))
+    li.join(o, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(custNation), col("c_nationkey") === col("cn_key"))
+      .join(broadcast(su), col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(suppNation), col("s_nationkey") === col("sn_key"))
+      .groupBy(year(col("o_orderdate")).as("o_year"))
+      .agg(
+        (sum(when(col("supp_nation") === "NATION_3", vol)
+          .otherwise(lit(0.0).cast(DecimalType(18, 4)))).cast("double") /
+          sum(vol).cast("double")).as("mkt_share"),
+        count(lit(1)).as("n_items"))
+  }
+
+  val q8ShareSql: String =
+    """SELECT year(o_orderdate) AS o_year,
+      |  CAST(sum(CASE WHEN ns.n_name = 'NATION_3'
+      |        THEN CAST(l_extendedprice AS DECIMAL(18,4)) * CAST((1.0 - l_discount) AS DECIMAL(18,4))
+      |        ELSE CAST(0.0 AS DECIMAL(18,4)) END) AS DOUBLE) /
+      |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4)) * CAST((1.0 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS mkt_share,
+      |  count(*) AS n_items
+      |FROM lineitem
+      |JOIN orders ON l_orderkey = o_orderkey
+      |JOIN customer ON o_custkey = c_custkey
+      |JOIN nation nc ON c_nationkey = nc.n_nationkey
+      |JOIN region ON nc.n_regionkey = r_regionkey AND r_name = 'ASIA'
+      |JOIN supplier ON l_suppkey = s_suppkey
+      |JOIN nation ns ON s_nationkey = ns.n_nationkey
+      |GROUP BY year(o_orderdate)""".stripMargin
+
+  /** TPC-H Q9 shape: profit by supplier nation and year. The tables lack
+    * partsupp, so cost is proxied as p_retailprice·quantity·0.6 — the
+    * plan shape (fact⋈orders shuffle, part/supplier/nation broadcast,
+    * two-level group) is what's exercised, not TPC-H's exact formula. */
+  val q9Profit: Q = (s, dir) => {
+    val li = Tables.lineitem(s, dir)
+    val o = Tables.orders(s, dir)
+    val p = Tables.part(s, dir)
+    val su = Tables.supplier(s, dir)
+    val n = Tables.nation(s, dir)
+    li.join(o, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(p), col("l_partkey") === col("p_partkey"))
+      .join(broadcast(su), col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(n), col("s_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_name").as("nation"), year(col("o_orderdate")).as("o_year"))
+      .agg(sum(
+        col("l_extendedprice").cast(DecimalType(18, 4)) *
+          (lit(1.0) - col("l_discount")).cast(DecimalType(18, 4)) -
+          col("p_retailprice").cast(DecimalType(18, 4)) *
+            col("l_quantity").cast(DecimalType(18, 4)) *
+            lit(0.6).cast(DecimalType(18, 4)))
+        .cast("double").as("profit"))
+  }
+
+  val q9ProfitSql: String =
+    """SELECT n_name AS nation, year(o_orderdate) AS o_year,
+      |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4)) * CAST((1.0 - l_discount) AS DECIMAL(18,4)) -
+      |           CAST(p_retailprice AS DECIMAL(18,4)) * CAST(l_quantity AS DECIMAL(18,4)) * CAST(0.6 AS DECIMAL(18,4))) AS DOUBLE) AS profit
+      |FROM lineitem
+      |JOIN orders ON l_orderkey = o_orderkey
+      |JOIN part ON l_partkey = p_partkey
+      |JOIN supplier ON l_suppkey = s_suppkey
+      |JOIN nation ON s_nationkey = n_nationkey
+      |GROUP BY n_name, year(o_orderdate)""".stripMargin
+
+  /** TPC-H Q12 shape: shipping-delay split — per return flag (standing in
+    * for the absent l_shipmode), count high- vs lower-priority orders among
+    * lineitems shipped within 30 days of the order date. Single fact
+    * shuffle + conditional aggregation. */
+  val q12Priority: Q = (s, dir) => {
+    val li = Tables.lineitem(s, dir)
+    val o = Tables.orders(s, dir)
+    li.join(o, col("l_orderkey") === col("o_orderkey"))
+      .filter(col("l_shipdate") >= col("o_orderdate") &&
+        col("l_shipdate") < col("o_orderdate") + expr("INTERVAL 30 DAYS"))
+      .groupBy(col("l_returnflag"))
+      .agg(
+        sum(when(col("o_orderpriority") === "1-URGENT" ||
+          col("o_orderpriority") === "2-HIGH", 1L).otherwise(0L)).as("high_line_count"),
+        sum(when(col("o_orderpriority") =!= "1-URGENT" &&
+          col("o_orderpriority") =!= "2-HIGH", 1L).otherwise(0L)).as("low_line_count"))
+  }
+
+  val q12PrioritySql: String =
+    """SELECT l_returnflag,
+      |  sum(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH') THEN 1 ELSE 0 END) AS high_line_count,
+      |  sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT','2-HIGH') THEN 1 ELSE 0 END) AS low_line_count
+      |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      |WHERE l_shipdate >= o_orderdate AND l_shipdate < o_orderdate + INTERVAL 30 DAY
+      |GROUP BY l_returnflag""".stripMargin
+
+  /** TPC-H Q15 shape: top supplier — suppliers whose 1997H1 revenue equals
+    * the maximum. The per-supplier aggregate is one shuffle over the
+    * filtered fact (predicate pushes to the scan); the single-row max and
+    * the supplier dim both broadcast, so nothing re-shuffles. */
+  val q15TopSupplier: Q = (s, dir) => {
+    val li = Tables.lineitem(s, dir)
+    val su = Tables.supplier(s, dir)
+    val rev = li
+      .filter(col("l_shipdate") >= lit("1997-01-01").cast("timestamp") &&
+        col("l_shipdate") < lit("1997-07-01").cast("timestamp"))
+      .groupBy(col("l_suppkey"))
+      .agg(sum(col("l_extendedprice").cast(DecimalType(18, 4)) *
+        (lit(1.0) - col("l_discount")).cast(DecimalType(18, 4))).cast("double")
+        .as("total_revenue"))
+    val mx = rev.agg(max(col("total_revenue")).as("mx"))
+    rev.join(broadcast(mx), col("total_revenue") === col("mx"))
+      .join(broadcast(su), col("l_suppkey") === col("s_suppkey"))
+      .select(col("s_suppkey"), col("s_name"), col("total_revenue"))
+  }
+
+  val q15TopSupplierSql: String =
+    """WITH revenue AS (
+      |  SELECT l_suppkey,
+      |    CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4)) * CAST((1.0 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS total_revenue
+      |  FROM lineitem
+      |  WHERE l_shipdate >= TIMESTAMP '1997-01-01' AND l_shipdate < TIMESTAMP '1997-07-01'
+      |  GROUP BY l_suppkey
+      |)
+      |SELECT s_suppkey, s_name, total_revenue
+      |FROM supplier JOIN revenue ON s_suppkey = l_suppkey
+      |WHERE total_revenue = (SELECT max(total_revenue) FROM revenue)""".stripMargin
+
+  /** TPC-H Q17 shape: small-quantity revenue — lineitems of one brand's
+    * parts with quantity below 0.2× that part's average quantity. The
+    * per-part average is |parts|-sized, so it broadcasts back: the fact
+    * table NEVER shuffles — both joins are broadcast, the filter and final
+    * agg are map-side. */
+  val q17SmallQty: Q = (s, dir) => {
+    val li = Tables.lineitem(s, dir)
+    val p = Tables.part(s, dir).filter(col("p_brand") === "BRAND_1")
+      .select(col("p_partkey"))
+    val perPart = li.join(broadcast(p), col("l_partkey") === col("p_partkey"))
+      .groupBy(col("p_partkey").as("ap_key"))
+      .agg(avg(col("l_quantity")).as("avg_qty"))
+    li.join(broadcast(p), col("l_partkey") === col("p_partkey"))
+      .join(broadcast(perPart), col("l_partkey") === col("ap_key"))
+      .filter(col("l_quantity") < lit(0.2) * col("avg_qty"))
+      .agg(sum(col("l_extendedprice").cast(DecimalType(18, 2))).cast("double")
+        .as("small_qty_revenue"),
+        count(lit(1)).as("n_items"))
+  }
+
+  val q17SmallQtySql: String =
+    """WITH brand_parts AS (
+      |  SELECT p_partkey FROM part WHERE p_brand = 'BRAND_1'
+      |), per_part AS (
+      |  SELECT l_partkey AS ap_key, avg(l_quantity) AS avg_qty
+      |  FROM lineitem JOIN brand_parts ON l_partkey = p_partkey
+      |  GROUP BY l_partkey
+      |)
+      |SELECT CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS small_qty_revenue,
+      |       count(*) AS n_items
+      |FROM lineitem
+      |JOIN brand_parts ON l_partkey = p_partkey
+      |JOIN per_part ON l_partkey = ap_key
+      |WHERE l_quantity < 0.2 * avg_qty""".stripMargin
+
+  /** TPC-H Q21 shape: suppliers who alone held up a multi-supplier order —
+    * finished orders with >1 distinct supplier where exactly one supplier
+    * shipped late (>60 days after order date). Instead of Q21's double
+    * correlated EXISTS/NOT EXISTS self-joins, the per-order supplier
+    * profile is ONE conditional aggregation over the single fact shuffle
+    * (orderkey); the offender extraction and supplier name join are
+    * broadcast-sized. */
+  val q21Waiting: Q = (s, dir) => {
+    val li = Tables.lineitem(s, dir)
+    val o = Tables.orders(s, dir).filter(col("o_orderstatus") === "F")
+    val su = Tables.supplier(s, dir)
+    val late = col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 60 DAYS")
+    val perOrder = li.join(o, col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("l_orderkey"))
+      .agg(
+        countDistinct(col("l_suppkey")).as("n_supp"),
+        countDistinct(when(late, col("l_suppkey"))).as("n_late_supp"),
+        max(when(late, col("l_suppkey"))).as("late_supp"))
+    perOrder.filter(col("n_supp") > 1 && col("n_late_supp") === 1)
+      .groupBy(col("late_supp"))
+      .agg(count(lit(1)).as("numwait"))
+      .join(broadcast(su), col("late_supp") === col("s_suppkey"))
+      .select(col("s_name"), col("numwait"))
+      .orderBy(col("numwait").desc, col("s_name").asc)
+      .limit(20)
+  }
+
+  val q21WaitingSql: String =
+    """WITH per_order AS (
+      |  SELECT l_orderkey,
+      |    count(DISTINCT l_suppkey) AS n_supp,
+      |    count(DISTINCT CASE WHEN l_shipdate > o_orderdate + INTERVAL 60 DAY THEN l_suppkey END) AS n_late_supp,
+      |    max(CASE WHEN l_shipdate > o_orderdate + INTERVAL 60 DAY THEN l_suppkey END) AS late_supp
+      |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      |  WHERE o_orderstatus = 'F'
+      |  GROUP BY l_orderkey
+      |)
+      |SELECT s_name, count(*) AS numwait
+      |FROM per_order JOIN supplier ON late_supp = s_suppkey
+      |WHERE n_supp > 1 AND n_late_supp = 1
+      |GROUP BY s_name
+      |ORDER BY numwait DESC, s_name ASC LIMIT 20""".stripMargin
+
   /** Multi-distinct aggregate: several count(DISTINCT ·) columns plus a
     * plain count in one Aggregate — plans through Catalyst's Expand-based
     * multi-distinct rewrite (one shuffle total, not one per distinct). */
@@ -1062,6 +1346,14 @@ object Catalog {
     "q19_disjunct" -> q19Disjunct,
     "q13_custdist" -> q13Custdist,
     "q22_balance" -> q22Balance,
+    "q4_priority" -> q4Priority,
+    "q7_volume" -> q7Volume,
+    "q8_share" -> q8Share,
+    "q9_profit" -> q9Profit,
+    "q12_priority" -> q12Priority,
+    "q15_top_supplier" -> q15TopSupplier,
+    "q17_small_qty" -> q17SmallQty,
+    "q21_waiting" -> q21Waiting,
     "q_multi_distinct" -> qMultiDistinct,
     "q_set_ops" -> qSetOps,
     "q_first_last" -> qFirstLast,
@@ -1108,6 +1400,14 @@ object Catalog {
     "q19_disjunct" -> q19DisjunctSql,
     "q13_custdist" -> q13CustdistSql,
     "q22_balance" -> q22BalanceSql,
+    "q4_priority" -> q4PrioritySql,
+    "q7_volume" -> q7VolumeSql,
+    "q8_share" -> q8ShareSql,
+    "q9_profit" -> q9ProfitSql,
+    "q12_priority" -> q12PrioritySql,
+    "q15_top_supplier" -> q15TopSupplierSql,
+    "q17_small_qty" -> q17SmallQtySql,
+    "q21_waiting" -> q21WaitingSql,
     "q_multi_distinct" -> qMultiDistinctSql,
     "q_set_ops" -> qSetOpsSql,
     "q_first_last" -> qFirstLastSql,

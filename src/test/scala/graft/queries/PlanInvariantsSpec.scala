@@ -83,4 +83,24 @@ class PlanInvariantsSpec extends SparkSuite {
       assert(plan(q).contains("WindowGroupLimit"), s"$q lost the group-limit pushdown")
     }
   }
+
+  test("TPC-H wave 2: broadcast dims, no cartesian, bounded exchanges") {
+    Seq("q4_priority", "q7_volume", "q8_share", "q9_profit", "q12_priority",
+        "q15_top_supplier", "q17_small_qty", "q21_waiting").foreach { q =>
+      val p = plan(q)
+      assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+        s"$q must not plan an all-pairs join:\n$p")
+      assert(p.contains("BroadcastHashJoin"), s"$q lost its broadcast dims:\n$p")
+    }
+    // q4 is a semi-join, never a full join + distinct
+    assert(plan("q4_priority").contains("LeftSemi"),
+      "q4_priority must stay a semi-join")
+    // q17's main fact pass is broadcast-only: the only shuffles are the
+    // partial-aggregated per-part average and the global final agg
+    assert(exchanges(plan("q17_small_qty")) <= 2,
+      s"q17 fact pass must stay broadcast-only:\n${plan("q17_small_qty")}")
+    // q21 ends in TakeOrdered (no global sort materialization)
+    assert(plan("q21_waiting").contains("TakeOrderedAndProject"),
+      "q21 must top-k via TakeOrdered, not a global sort")
+  }
 }
