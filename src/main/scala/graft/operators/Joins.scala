@@ -80,6 +80,47 @@ object Joins {
   }
 
   /**
+   * Native as-of join — identical semantics and output columns to
+   * [[asofJoin]], executed by the custom whole-operator plan
+   * ([[graft.plans.AsOfJoinNode]] → [[graft.plans.AsOfJoinExec]]): each
+   * side is clustered by its own key and sorted (key, time), then merged
+   * in one streaming pass per partition. Unlike the window form, the two
+   * sides never union: each crosses the wire once in its own width, and
+   * the per-partition state is ONE buffered right row instead of a
+   * window frame — the shape that wins when both sides are large.
+   *
+   * Keys and times must be non-null; times must be (castable to) long
+   * epoch-microseconds. Right value column names must not collide with
+   * left columns (same contract as [[asofJoin]]).
+   */
+  def asofJoinNative(left: DataFrame, right: DataFrame, key: String,
+                     leftUsec: String, rightUsec: String, rVals: Seq[String],
+                     toleranceUsec: Option[Long] = None): DataFrame = {
+    val spark = left.sparkSession
+    graft.plans.AsOfJoinStrategy.install(spark)
+    val l = left.withColumn(leftUsec, col(leftUsec).cast("long"))
+    // Fresh aliases on EVERY right column: both sides often derive from
+    // the same scan, and duplicate attribute ids across the two children
+    // of a custom binary node confuse resolution the way a raw self-join
+    // would. An Alias mints a new id per column.
+    val r = right.select(
+      (col(key).as("_r_key") +: col(rightUsec).cast("long").as(rightUsec) +:
+        rVals.map(c => col(c).as(c))): _*)
+    val lPlan = l.queryExecution.analyzed
+    val rPlan = r.queryExecution.analyzed
+    def attr(p: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan,
+             name: String) =
+      p.output.find(_.name == name).getOrElse(
+        throw new IllegalArgumentException(s"column '$name' not found"))
+    val node = graft.plans.AsOfJoinNode(
+      lPlan, rPlan,
+      attr(lPlan, key), attr(rPlan, "_r_key"),
+      attr(lPlan, leftUsec), attr(rPlan, rightUsec), toleranceUsec)
+    org.apache.spark.sql.graft.GraftDatasetShim.ofRows(spark, node)
+      .drop("_r_key")
+  }
+
+  /**
    * Skew-salted equi-join: the join-side analog of `Windows.saltedCount`
    * for the case AQE's runtime skew split can't reach (e.g. a first-stage
    * shuffle where one key holds a double-digit share of the fact side).

@@ -1238,6 +1238,20 @@ object Catalog {
       .select(col("user_id"), col("pay_usec"), col("view_usec"), col("view_value"))
   }
 
+  /** Same query through the custom whole-operator plan (AsOfJoinExec) —
+    * the native twin shares the window-form's oracle verbatim. */
+  val asofJoinNativeQ: Q = (s, dir) => {
+    val e = events(s, dir)
+    val pays = e.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("usec").as("pay_usec"))
+    val views = e.filter(col("event_type") === "view")
+      .groupBy(col("user_id"), col("usec").as("view_usec"))
+      .agg(max(col("value")).as("view_value"))
+    Joins.asofJoinNative(pays, views, "user_id", "pay_usec", "view_usec",
+        Seq("view_value"))
+      .select(col("user_id"), col("pay_usec"), col("view_usec"), col("view_value"))
+  }
+
   val asofJoinSql: String =
     s"""$eventsCte, p AS (SELECT user_id, usec AS pay_usec FROM e WHERE event_type = 'purchase'),
        |v AS (SELECT user_id, usec AS view_usec, max(value) AS view_value
@@ -1384,6 +1398,7 @@ object Catalog {
     "order_timeout" -> orderTimeout,
     "interval_join" -> intervalJoin,
     "asof_join" -> asofJoinQ,
+    "asof_join_native" -> asofJoinNativeQ,
     "reconcile" -> reconcile,
     "value_sum_daily" -> valueSumDaily,
     "value_percentiles" -> valuePercentiles,
@@ -1437,6 +1452,7 @@ object Catalog {
     "order_timeout" -> orderTimeoutSql,
     "interval_join" -> intervalJoinSql,
     "asof_join" -> asofJoinSql,
+    "asof_join_native" -> asofJoinSql,
     "reconcile" -> reconcileSql,
     "value_sum_daily" -> valueSumDailySql,
     // value_percentiles_approx: sketch estimate — rows-only by design

@@ -49,6 +49,54 @@ class JoinsSpec extends SparkSuite {
     assert(loose === ((Some(10L), Some(1.0))))
   }
 
+  test("asofJoinNative: fixed cases match the window form exactly") {
+    val l = Seq((1L, 10L), (1L, 20L), (1L, 8L), (2L, 5L)).toDF("k", "lu")
+    val r = Seq((1L, 8L, 1.5), (1L, 15L, 2.5), (2L, 9L, 9.0)).toDF("k", "ru", "v")
+    val res = Joins.asofJoinNative(l, r, "k", "lu", "ru", Seq("v"))
+      .select("k", "lu", "ru", "v")
+      .as[(Long, Long, Option[Long], Option[Double])].collect().toSet
+    assert(res === Set(
+      (1L, 10L, Some(8L), Some(1.5)),
+      (1L, 20L, Some(15L), Some(2.5)),
+      (1L, 8L, Some(8L), Some(1.5)),
+      (2L, 5L, None, None)))
+    val strict = Joins.asofJoinNative(
+        Seq((1L, 100L)).toDF("k", "lu"),
+        Seq((1L, 10L, 1.0)).toDF("k", "ru", "v"),
+        "k", "lu", "ru", Seq("v"), toleranceUsec = Some(50L))
+      .select("ru", "v").as[(Option[Long], Option[Double])].collect().head
+    assert(strict === ((None, None)), "match older than tolerance is nulled")
+  }
+
+  test("asofJoinNative ≡ asofJoin on randomized many-key data") {
+    // deterministic pseudo-random: lots of keys, time ties, left times
+    // both before and after every right time, sides from the SAME parent
+    // frame (exercises the duplicate-attribute-id hazard of a self-join)
+    val base = spark.range(4000).selectExpr(
+      "id % 97 as k",
+      "(id * 2654435761) % 1000 as t",
+      "cast(id % 13 as double) as v")
+    val l = base.filter("id % 3 != 0").select($"k", $"t".as("lu"))
+    val r = base.filter("id % 3 = 0")
+      .groupBy($"k", $"t".as("ru")).agg(max($"v").as("v"))
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.select("k", "lu", "ru", "v")
+        .as[(Long, Long, Option[Long], Option[Double])].collect().sorted.toSeq
+    val window = canon(Joins.asofJoin(l, r, "k", "lu", "ru", Seq("v")))
+    val native = canon(Joins.asofJoinNative(l, r, "k", "lu", "ru", Seq("v")))
+    assert(native === window)
+    assert(native.nonEmpty && native.exists(_._3.isDefined) &&
+      native.exists(_._3.isEmpty), "mix of matched and unmatched rows")
+    // and with a tolerance
+    val windowT = canon(Joins.asofJoin(l, r, "k", "lu", "ru", Seq("v"),
+      toleranceUsec = Some(40L)))
+    val nativeT = canon(Joins.asofJoinNative(l, r, "k", "lu", "ru", Seq("v"),
+      toleranceUsec = Some(40L)))
+    assert(nativeT === windowT)
+    assert(nativeT.count(_._3.isDefined) < native.count(_._3.isDefined),
+      "tolerance must null some stale matches")
+  }
+
   test("intervalJoin: boundary inclusivity on both ends") {
     val l = Seq((1L, 1000L * 1000000L)).toDF("k", "lu")
     val r = Seq(

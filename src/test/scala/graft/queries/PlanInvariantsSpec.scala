@@ -84,6 +84,14 @@ class PlanInvariantsSpec extends SparkSuite {
     }
   }
 
+  test("native as-of join: custom exec, one exchange+sort per side") {
+    val p = plan("asof_join_native")
+    assert(p.contains("AsOfJoin"), s"asof_join_native lost the custom exec:\n$p")
+    assert(exchanges(p) <= 3, // one per side + the upstream view pre-agg
+      s"asof_join_native grew extra exchanges:\n$p")
+    assert(!p.contains("Window"), "native form must not fall back to the window plan")
+  }
+
   test("TPC-H wave 2: broadcast dims, no cartesian, bounded exchanges") {
     Seq("q4_priority", "q7_volume", "q8_share", "q9_profit", "q12_priority",
         "q15_top_supplier", "q17_small_qty", "q21_waiting").foreach { q =>
