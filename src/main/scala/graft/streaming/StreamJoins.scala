@@ -2,6 +2,7 @@ package graft.streaming
 
 import org.apache.spark.sql.{DataFrame, Dataset}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 
 import graft.model.{OrderEvent, ReceiptEvent}
 
@@ -100,4 +101,89 @@ object StreamJoins {
       .withWatermark(tsCol, watermarkDelay)
       .dropDuplicatesWithinWatermark("_fp")
       .drop("_fp")
+
+  /** One tagged event of either as-of side (the connect-style union). */
+  final case class AsofTagged(key: Long, side: String, ts: Long, value: Double)
+  /** Per-key state: buffered right rows (latest at-or-before the
+    * watermark + every in-flight newer one) and pending left times. */
+  final case class AsofRight(ts: Long, value: Double)
+  final case class AsofStreamState(rights: List[AsofRight], pending: List[Long])
+  final case class AsofStreamResult(key: Long, left_sec: Long,
+                                    right_sec: Option[Long],
+                                    right_value: Option[Double])
+
+  /**
+   * Streaming as-of join — the continuous twin of
+   * [[graft.operators.Joins.asofJoin]] / `asofJoinNative`: every left row
+   * is enriched with the LATEST right row at-or-before its event time on
+   * the same key, and emitted exactly once, when the watermark passes its
+   * event time (so no earlier-timestamped right row can still arrive —
+   * event-time-correct, replay-order-independent).
+   *
+   * Built as the reference's connect pattern (union tagged sides → one
+   * keyed state machine; OrderReceiptAppWithConnect.java:56-58): a
+   * stream-stream OUTER join can't express "latest preceding" (it would
+   * emit every right row in a range), and the window form needs a global
+   * per-key sort no stream can do. State per key stays O(out-of-orderness):
+   * pending lefts ahead of the watermark, in-flight rights newer than the
+   * watermark, plus exactly ONE right at-or-before it (the match floor for
+   * any future left) — rights older than that are pruned every firing.
+   *
+   * `left`: (key, leftSec) epoch-second events; `right`: (key, rightSec,
+   * value). Right should be unique per (key, ts) — same determinism
+   * contract as the batch forms. `toleranceSec` nulls matches older than
+   * `left.ts − tolerance` like the batch operator.
+   */
+  def asofJoinStream(left: DataFrame, right: DataFrame,
+                     key: String, leftSec: String, rightSec: String,
+                     rightVal: String, watermarkDelay: String = "2 seconds",
+                     toleranceSec: Option[Long] = None): Dataset[AsofStreamResult] = {
+    val spark = left.sparkSession
+    import spark.implicits._
+    val l = left.select(col(key).cast("long").as("key"), lit("l").as("side"),
+      col(leftSec).cast("long").as("ts"), lit(0.0).as("value"))
+    val r = right.select(col(key).cast("long").as("key"), lit("r").as("side"),
+      col(rightSec).cast("long").as("ts"), col(rightVal).cast("double").as("value"))
+    l.unionByName(r)
+      .withColumn("eventTime", timestamp_seconds(col("ts")))
+      .withWatermark("eventTime", watermarkDelay)
+      .as[AsofTagged]
+      .groupByKey(_.key)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (k: Long, rows: Iterator[AsofTagged], state: GroupState[AsofStreamState]) =>
+          val wmMs = state.getCurrentWatermarkMs()
+          val st = state.getOption.getOrElse(AsofStreamState(Nil, Nil))
+          // merge arrivals (empty on a pure timeout firing)
+          val arrived = rows.toSeq
+          val rights = (st.rights ++ arrived.collect {
+            case e if e.side == "r" => AsofRight(e.ts, e.value)
+          }).sortBy(_.ts)
+          val pending = (st.pending ++ arrived.collect {
+            case e if e.side == "l" => e.ts
+          }).sorted
+          // emit every left the watermark has STRICTLY passed (a right row
+          // timestamped exactly at the watermark can still arrive — the
+          // watermark filter drops only strictly-older rows)
+          val (ready, stillPending) = pending.partition(_ * 1000L < wmMs)
+          val out = ready.map { lt =>
+            val m = rights.takeWhile(_.ts <= lt).lastOption
+              .filter(mr => toleranceSec.forall(t => mr.ts >= lt - t))
+            AsofStreamResult(k, lt, m.map(_.ts), m.map(_.value))
+          }
+          // prune: any future left has ts >= watermark (older rows are
+          // dropped by the watermark filter), so one right at-or-before
+          // min(watermark, oldest pending) is the floor any of them needs
+          val cutSec = (stillPending.headOption.toList :+ (wmMs / 1000L)).min
+          val (old, fresh) = rights.partition(_.ts <= cutSec)
+          val kept = old.lastOption.toList ++ fresh
+          if (stillPending.isEmpty && kept.isEmpty) state.remove()
+          else {
+            state.update(AsofStreamState(kept, stillPending))
+            stillPending.headOption.foreach { lt =>
+              state.setTimeoutTimestamp(math.max(lt * 1000L + 1L, wmMs + 1L))
+            }
+          }
+          out.iterator
+      }
+  }
 }

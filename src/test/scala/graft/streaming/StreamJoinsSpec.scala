@@ -109,4 +109,59 @@ class StreamJoinsSpec extends SparkSuite {
     assert(got.contains("tx2") && got("tx2").isEmpty,
       "unmatched pay must emit with null receipt once the watermark passes")
   }
+
+  test("asofJoinStream ≡ batch asofJoin, multi-batch replay with out-of-order rights") {
+    // deterministic many-key data; rights unique per (key, ts)
+    val lefts = (0 until 300).map(i => (i % 7L, 100L + (i * 37) % 400))
+    val rights = (0 until 150).map(i => (i % 7L, 90L + (i * 53) % 420, i / 10.0))
+      .groupBy(t => (t._1, t._2)).map(_._2.head).toSeq // unique (key, ts)
+
+    val batchL = lefts.toDF("k", "lu")
+      .select($"k", ($"lu" * 1000000L).as("lu")) // batch form takes usec
+    val batchR = rights.toDF("k", "ru", "v")
+      .select($"k", ($"ru" * 1000000L).as("ru"), $"v")
+    val batch = graft.operators.Joins
+      .asofJoin(batchL, batchR, "k", "lu", "ru", Seq("v"))
+      .select($"k", ($"lu" / 1000000L).cast("long"),
+        ($"ru" / 1000000L).cast("long"), $"v")
+      .as[(Long, Long, Option[Long], Option[Double])].collect()
+      .groupBy(identity).view.mapValues(_.length).toMap
+
+    implicit val sqlCtx = spark.sqlContext
+    val lIn = MemoryStream[(Long, Long)]
+    val rIn = MemoryStream[(Long, Long, Double)]
+    val joined = StreamJoins.asofJoinStream(
+      lIn.toDS().toDF("k", "ls"), rIn.toDS().toDF("k", "rs", "v"),
+      "k", "ls", "rs", "v", watermarkDelay = "30 seconds")
+    val q = joined.writeStream.format("memory").queryName("asof_s")
+      .outputMode("append").start()
+    try {
+      // replay in TIME order, chunked into sequential micro-batches — the
+      // out-of-orderness is the shuffle WITHIN a chunk, which stays inside
+      // the 30 s watermark delay; a replay more disordered than the
+      // declared delay would (correctly) drop rights as late. A far-future
+      // flush batch then pushes every pending left across the watermark.
+      val tagged =
+        lefts.map(e => ("l", e._1, e._2, 0.0)) ++
+          rights.map(e => ("r", e._1, e._2, e._3))
+      tagged.sortBy(_._3).grouped(90).foreach { chunk =>
+        val (lch, rch) = chunk.partition(_._1 == "l")
+        if (lch.nonEmpty) lIn.addData(lch.map(e => (e._2, e._3)))
+        if (rch.nonEmpty) rIn.addData(rch.map(e => (e._2, e._3, e._4)))
+        q.processAllAvailable()
+      }
+      lIn.addData(Seq((999L, 100000L)))
+      q.processAllAvailable()
+      lIn.addData(Seq((999L, 200000L))) // push watermark past the flush row
+      q.processAllAvailable()
+    } finally q.stop()
+    val streamed = spark.table("asof_s")
+      .filter($"key" =!= 999L)
+      .select("key", "left_sec", "right_sec", "right_value")
+      .as[(Long, Long, Option[Long], Option[Double])].collect()
+      .groupBy(identity).view.mapValues(_.length).toMap
+    assert(streamed === batch, "stream must equal batch as-of per-row multiset")
+    assert(batch.keys.exists(_._3.isDefined) && batch.keys.exists(_._3.isEmpty),
+      "fixture exercises both matched and unmatched lefts")
+  }
 }
