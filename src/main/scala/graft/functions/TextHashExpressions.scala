@@ -295,7 +295,18 @@ object GraftFunctions {
     "graft_simhash64" -> (args => SimHash64Expr(args.head)),
     "graft_jaccard_sorted" -> (args => JaccardSortedExpr(args(0), args(1))),
     "graft_dot" -> (args => DotProductExpr(args(0), args(1))),
-    "graft_lsh_bucket" -> (args => LshBucketExpr(args(0), args(1))))
+    "graft_lsh_bucket" -> (args => LshBucketExpr(args(0), args(1))),
+    // Spark's own runtime-filter bloom expressions, exposed as callable
+    // functions so the library can build EXPLICIT sketch-pruned joins
+    // (Joins.bloomSemiJoin) rather than waiting for InjectRuntimeFilter's
+    // heuristics: distributed build (TypedImperativeAggregate, partial
+    // merge), codegen'd membership probe.
+    "graft_bloom_agg" -> (args =>
+      new org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate(
+        args(0), args(1), args(2))),
+    "graft_bloom_contains" -> (args =>
+      org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain(
+        args(0), args(1))))
 
   /** Idempotent per-session registration; call before `call_function`. */
   def register(spark: SparkSession): Unit = all.foreach { case (name, builder) =>

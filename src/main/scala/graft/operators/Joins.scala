@@ -121,6 +121,62 @@ object Joins {
   }
 
   /**
+   * Bloom-pruned semi join — the 100 TB shape for "fact ⋉ big dim" when
+   * the dim's KEY SET no longer broadcasts as a hash table but a bloom
+   * filter of it does (a 100 M-key dim is a multi-GB hashed relation but
+   * a ~100 MB bloom at 1% fpp): build the bloom distributedly over the
+   * dim keys (partial sketches merge associatively — Spark's own
+   * `BloomFilterAggregate`), broadcast the one-row sketch, drop
+   * non-members map-side BEFORE the shuffle, and run the exact semi join
+   * only over the survivors (≈ matches + fpp·|fact|). The result is
+   * EXACTLY the semi join — the bloom only prunes shuffle volume, false
+   * positives are re-checked — which is why the gate can hold an exact
+   * EXISTS oracle. Spark's `InjectRuntimeFilter` applies the same idea
+   * heuristically; this operator is the explicit, caller-controlled form.
+   */
+  def bloomSemiJoin(fact: DataFrame, factKey: String,
+                    dim: DataFrame, dimKey: String,
+                    expectedItems: Long, numBits: Long): DataFrame = {
+    graft.functions.GraftFunctions.register(fact.sparkSession)
+    // Scalar subquery, not a join: might_contain requires a constant/
+    // scalar-subquery sketch, and this is exactly how Spark's own
+    // InjectRuntimeFilter shapes it — the one-row aggregate computes once
+    // and ships with the task binaries.
+    val bloom = dim.agg(call_function("graft_bloom_agg",
+      xxhash64(col(dimKey)), lit(expectedItems), lit(numBits)).as("_bf")).scalar()
+    fact
+      .filter(call_function("graft_bloom_contains", bloom,
+        xxhash64(col(factKey))))
+      .join(dim.select(col(dimKey).as("_dk")).distinct(),
+        col(factKey) === col("_dk"), "left_semi")
+  }
+
+  /**
+   * Bucketed range join — point-in-interval without the nested loop Spark
+   * plans for a pure non-equi condition: intervals explode to the
+   * fixed-width buckets they overlap, points map to their single bucket,
+   * and the join becomes an EQUI join on bucket id with the exact range
+   * predicate as a residual filter. Shuffle carries |points| +
+   * Σ(interval width ÷ bucketWidth + 1) rows — choose `bucketWidth` near
+   * the typical interval width so each interval lands in O(1) buckets.
+   * Buckets only generate candidates; the residual keeps the result
+   * exact (bit-identical to the BETWEEN join an oracle runs).
+   */
+  def bucketedRangeJoin(points: DataFrame, pointCol: String,
+                        intervals: DataFrame, loCol: String, hiCol: String,
+                        bucketWidth: Double): DataFrame = {
+    require(bucketWidth > 0, "bucketWidth must be positive")
+    val p = points.withColumn("_pb",
+      floor(col(pointCol) / lit(bucketWidth)).cast("long"))
+    val iv = intervals.withColumn("_ib", explode(sequence(
+      floor(col(loCol) / lit(bucketWidth)).cast("long"),
+      floor(col(hiCol) / lit(bucketWidth)).cast("long"))))
+    p.join(iv, col("_pb") === col("_ib") &&
+        col(pointCol) >= col(loCol) && col(pointCol) <= col(hiCol))
+      .drop("_pb", "_ib")
+  }
+
+  /**
    * Skew-salted equi-join: the join-side analog of `Windows.saltedCount`
    * for the case AQE's runtime skew split can't reach (e.g. a first-stage
    * shuffle where one key holds a double-digit share of the fact side).

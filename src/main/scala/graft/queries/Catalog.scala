@@ -593,6 +593,49 @@ object Catalog {
       |GROUP BY s_name
       |ORDER BY numwait DESC, s_name ASC LIMIT 20""".stripMargin
 
+  /** Bloom-pruned semi join (exact result, sketch-pruned shuffle): lineitems
+    * of urgent orders via a distributed bloom of the urgent orderkeys +
+    * exact semi join over survivors. Oracle is the plain EXISTS — the
+    * bloom must be invisible in the result. */
+  val qBloomSemi: Q = (s, dir) => {
+    val li = Tables.lineitem(s, dir)
+    val urgent = Tables.orders(s, dir)
+      .filter(col("o_orderpriority") === "1-URGENT")
+    Joins.bloomSemiJoin(li, "l_orderkey", urgent, "o_orderkey",
+        expectedItems = 4000L, numBits = 1L << 18)
+      .groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("n_items"),
+        sum(col("l_quantity").cast(DecimalType(18, 2))).cast("double").as("sum_qty"))
+  }
+
+  val qBloomSemiSql: String =
+    """SELECT l_returnflag, count(*) AS n_items,
+      |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+      |FROM lineitem
+      |WHERE EXISTS (SELECT 1 FROM orders
+      |              WHERE o_orderkey = l_orderkey AND o_orderpriority = '1-URGENT')
+      |GROUP BY l_returnflag""".stripMargin
+
+  /** Bucketed range join (point-in-interval as an equi join on bucket id +
+    * exact residual): customers whose balance falls within ±5 of a
+    * supplier's. Oracle is the plain BETWEEN join. */
+  val qRangeJoin: Q = (s, dir) => {
+    val c = Tables.customer(s, dir)
+    val su = Tables.supplier(s, dir)
+      .select(col("s_suppkey"),
+        (col("s_acctbal") - 5.0).as("lo"), (col("s_acctbal") + 5.0).as("hi"))
+    Joins.bucketedRangeJoin(c, "c_acctbal", su, "lo", "hi", bucketWidth = 10.0)
+      .groupBy(col("s_suppkey"))
+      .agg(count(lit(1)).as("n_close"),
+        sum(col("c_custkey")).as("custkey_sum"))
+  }
+
+  val qRangeJoinSql: String =
+    """SELECT s_suppkey, count(*) AS n_close, sum(c_custkey) AS custkey_sum
+      |FROM customer JOIN supplier
+      |  ON c_acctbal >= s_acctbal - 5 AND c_acctbal <= s_acctbal + 5
+      |GROUP BY s_suppkey""".stripMargin
+
   /** Multi-distinct aggregate: several count(DISTINCT ·) columns plus a
     * plain count in one Aggregate — plans through Catalyst's Expand-based
     * multi-distinct rewrite (one shuffle total, not one per distinct). */
@@ -1368,6 +1411,8 @@ object Catalog {
     "q15_top_supplier" -> q15TopSupplier,
     "q17_small_qty" -> q17SmallQty,
     "q21_waiting" -> q21Waiting,
+    "q_bloom_semi" -> qBloomSemi,
+    "q_range_join" -> qRangeJoin,
     "q_multi_distinct" -> qMultiDistinct,
     "q_set_ops" -> qSetOps,
     "q_first_last" -> qFirstLast,
@@ -1423,6 +1468,8 @@ object Catalog {
     "q15_top_supplier" -> q15TopSupplierSql,
     "q17_small_qty" -> q17SmallQtySql,
     "q21_waiting" -> q21WaitingSql,
+    "q_bloom_semi" -> qBloomSemiSql,
+    "q_range_join" -> qRangeJoinSql,
     "q_multi_distinct" -> qMultiDistinctSql,
     "q_set_ops" -> qSetOpsSql,
     "q_first_last" -> qFirstLastSql,

@@ -97,6 +97,39 @@ class JoinsSpec extends SparkSuite {
       "tolerance must null some stale matches")
   }
 
+  test("bloomSemiJoin ≡ exact semi join (sketch must be invisible in the result)") {
+    val fact = spark.range(5000).selectExpr("id % 700 as k", "id as v")
+    val dim = spark.range(200).selectExpr("id * 3 as dk") // 0,3,...,597
+    val exact = fact.join(dim, $"k" === $"dk", "left_semi")
+      .as[(Long, Long)].collect().toSet
+    // tiny sketch (high fpp) on purpose: false positives MUST be re-checked
+    val pruned = Joins.bloomSemiJoin(fact, "k", dim, "dk",
+        expectedItems = 200L, numBits = 1L << 10)
+      .as[(Long, Long)].collect().toSet
+    assert(pruned === exact)
+    assert(exact.nonEmpty && exact.size < 5000)
+  }
+
+  test("bucketedRangeJoin ≡ exact BETWEEN join incl. negatives and wide intervals") {
+    val points = Seq(-25.0, -10.0, -0.01, 0.0, 4.99, 5.0, 5.01, 49.9, 120.0)
+      .zipWithIndex.map { case (p, i) => (i.toLong, p) }.toDF("pid", "p")
+    val intervals = Seq(
+      (1L, -20.0, -5.0),  // negative range
+      (2L, 0.0, 5.0),     // boundaries inclusive both ends
+      (3L, 4.0, 130.0),   // spans many buckets
+      (4L, 60.0, 70.0))   // matches nothing
+      .toDF("iid", "lo", "hi")
+    val exact = points.join(intervals, $"p" >= $"lo" && $"p" <= $"hi")
+      .select("pid", "iid").as[(Long, Long)].collect().toSet
+    val bucketed = Joins.bucketedRangeJoin(points, "p", intervals, "lo", "hi",
+        bucketWidth = 7.0)
+      .select("pid", "iid").as[(Long, Long)].collect().toSet
+    assert(bucketed === exact)
+    assert(exact.contains((3L, 2L)) && exact.contains((5L, 2L)),
+      "inclusive boundaries present") // p=0.0 and p=5.0 both inside [0,5]
+    assert(exact.exists(_._2 == 3L) && !exact.exists(_._2 == 4L))
+  }
+
   test("intervalJoin: boundary inclusivity on both ends") {
     val l = Seq((1L, 1000L * 1000000L)).toDF("k", "lu")
     val r = Seq(

@@ -92,6 +92,15 @@ class PlanInvariantsSpec extends SparkSuite {
     assert(!p.contains("Window"), "native form must not fall back to the window plan")
   }
 
+  test("bloom semi join probes map-side; range join stays an equi join") {
+    val pb = plan("q_bloom_semi")
+    assert(pb.contains("might_contain"), s"bloom probe missing:\n$pb")
+    assert(pb.contains("LeftSemi"), s"exact semi pass missing:\n$pb")
+    val pr = plan("q_range_join")
+    assert(!pr.contains("BroadcastNestedLoopJoin") && !pr.contains("CartesianProduct"),
+      s"range join must bucket to an equi join, not loop:\n$pr")
+  }
+
   test("TPC-H wave 2: broadcast dims, no cartesian, bounded exchanges") {
     Seq("q4_priority", "q7_volume", "q8_share", "q9_profit", "q12_priority",
         "q15_top_supplier", "q17_small_qty", "q21_waiting").foreach { q =>
