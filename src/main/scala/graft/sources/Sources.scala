@@ -132,6 +132,31 @@ object CsvSources {
   def receipts(spark: SparkSession, path: String): DataFrame =
     withEventTime(read(spark, path, receiptSchema), "timestamp")
 
+  /**
+   * Tolerant CSV read with a malformed-row branch — the reference's
+   * positional parsers THROW on any malformed line (SURVEY.md §1.2: "a
+   * malformed row throws", e.g. HotItemApp.java:37-44's bare
+   * Long.parseLong); at 100 TB a single bad row must not kill the job.
+   * PERMISSIVE mode + `columnNameOfCorruptRecord` keeps every input row:
+   * `good` carries the typed rows, `bad` the raw text of rows that failed
+   * to parse (the batch shape of the reference's side-output pattern K2 —
+   * route, don't crash). `spark.read.csv` can't put the corrupt column
+   * non-last, so the schema is extended, then split.
+   */
+  def readWithCorruptBranch(spark: SparkSession, path: String,
+                            schema: StructType): (DataFrame, DataFrame) = {
+    val extended = schema.add(StructField("_corrupt", StringType, nullable = true))
+    val all = spark.read.schema(extended)
+      .option("header", "false")
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", "_corrupt")
+      .csv(path)
+      .cache() // one scan feeds both branches
+    val good = all.filter(col("_corrupt").isNull).drop("_corrupt")
+    val bad = all.filter(col("_corrupt").isNotNull).select(col("_corrupt").as("raw"))
+    (good, bad)
+  }
+
   /** Apache access log: space-delimited text, date field parsed with the
     * reference's format (HotUrlApp.java:40-44 → dd/MM/yyyy:HH:mm:ss). */
   def apacheLog(spark: SparkSession, path: String): DataFrame = {

@@ -1,0 +1,34 @@
+package graft.sources
+
+import java.nio.file.Files
+
+import graft.SparkSuite
+
+/** Malformed-input tolerance: the reference's positional parsers throw on
+  * any bad line (SURVEY.md §1.2); the library routes bad rows to a branch
+  * instead — no row lost, no job killed. */
+class CorruptBranchSpec extends SparkSuite {
+
+  import spark.implicits._
+
+  test("readWithCorruptBranch splits typed rows from malformed raw lines") {
+    val dir = Files.createTempDirectory("corrupt_csv")
+    val f = dir.resolve("login.csv")
+    Files.write(f, java.util.Arrays.asList(
+      "1,86.226.15.75,success,1558430815",
+      "not,a,valid,row",          // ip ok but userId/ts unparseable
+      "2,83.149.11.115,fail,1558430826",
+      "3,83.149.11.115,fail",     // missing column
+      "garbage line"))
+    val (good, bad) = CsvSources.readWithCorruptBranch(
+      spark, f.toString, CsvSources.loginSchema)
+    assert(good.count() === 2)
+    assert(good.select("userId").as[Long].collect().sorted === Array(1L, 2L))
+    val raws = bad.as[String].collect()
+    assert(raws.length === 3)
+    assert(raws.contains("garbage line"))
+    assert(raws.contains("not,a,valid,row"))
+    // every input row is in exactly one branch
+    assert(good.count() + bad.count() === 5)
+  }
+}
