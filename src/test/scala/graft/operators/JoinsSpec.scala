@@ -97,6 +97,40 @@ class JoinsSpec extends SparkSuite {
       "tolerance must null some stale matches")
   }
 
+  test("asofJoinNative survives AQE coalescing and multi-partition shuffles") {
+    // zipPartitions requires BOTH children to end up with the same
+    // partition count after EnsureRequirements and AQE coalescing — pin
+    // that under (a) coalescing on, (b) coalescing off with a prime
+    // partition count, (c) asymmetric side sizes.
+    val base = spark.range(60000).selectExpr(
+      "id % 503 as k", "(id * 2654435761) % 100000 as t",
+      "cast(id % 17 as double) as v")
+    val l = base.filter("id % 5 != 0").select($"k", $"t".as("lu"))
+    val r = base.filter("id % 5 = 0")
+      .groupBy($"k", $"t".as("ru")).agg(max($"v").as("v"))
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.select("k", "lu", "ru", "v")
+        .as[(Long, Long, Option[Long], Option[Double])].collect().sorted.toSeq
+    val expected = canon(Joins.asofJoin(l, r, "k", "lu", "ru", Seq("v")))
+    val confs = Seq(
+      ("true", "true"), ("true", "false"), ("false", "true"))
+    confs.foreach { case (adaptive, coalesce) =>
+      val prevP = spark.conf.get("spark.sql.shuffle.partitions")
+      spark.conf.set("spark.sql.adaptive.enabled", adaptive)
+      spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", coalesce)
+      spark.conf.set("spark.sql.shuffle.partitions", "7")
+      try {
+        val native = canon(Joins.asofJoinNative(l, r, "k", "lu", "ru", Seq("v")))
+        assert(native === expected,
+          s"mismatch under adaptive=$adaptive coalesce=$coalesce")
+      } finally {
+        spark.conf.set("spark.sql.adaptive.enabled", "true")
+        spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        spark.conf.set("spark.sql.shuffle.partitions", prevP)
+      }
+    }
+  }
+
   test("bloomSemiJoin ≡ exact semi join (sketch must be invisible in the result)") {
     val fact = spark.range(5000).selectExpr("id % 700 as k", "id as v")
     val dim = spark.range(200).selectExpr("id * 3 as dk") // 0,3,...,597
