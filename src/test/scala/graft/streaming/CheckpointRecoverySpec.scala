@@ -91,4 +91,49 @@ class CheckpointRecoverySpec extends SparkSuite {
     assert(fin((1L, 60L)) === ((2L, 2)),
       s"item 1's pre-restart count must survive in the state table: $fin")
   }
+
+  test("asofJoinStream resumes from checkpoint: floor right survives restart") {
+    val base = Files.createTempDirectory("graft_asof_ckpt")
+    val inDir = Files.createDirectory(base.resolve("in")).toString
+    val ckpt = base.resolve("ckpt").toString
+    // one union-source CSV stream: side,key,ts,value
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("side", org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("k", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("ts", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("v", org.apache.spark.sql.types.DoubleType)))
+    val results = ListBuffer.empty[(Long, Long, Option[Long], Option[Double])]
+    def startQuery() = {
+      val src = StreamSources.csvStream(spark, inDir, schema)
+      val l = src.filter($"side" === "l").select($"k", $"ts".as("ls"))
+      val r = src.filter($"side" === "r").select($"k", $"ts".as("rs"), $"v")
+      StreamJoins.asofJoinStream(l, r, "k", "ls", "rs", "v",
+          watermarkDelay = "5 seconds")
+        .writeStream
+        .option("checkpointLocation", ckpt)
+        .foreachBatch { (batch: Dataset[StreamJoins.AsofStreamResult], _: Long) =>
+          results.synchronized {
+            results ++= batch.collect().map(x =>
+              (x.key, x.left_sec, x.right_sec, x.right_value))
+          }
+          ()
+        }
+        .start()
+    }
+    // batch 1: a right at t=100 (the future floor) and a left at t=300
+    // that cannot emit yet (watermark ~ 295)
+    Files.writeString(Paths.get(inDir, "p1.csv"), "r,1,100,7.5\nl,1,300,0\n")
+    val q1 = startQuery()
+    q1.processAllAvailable(); q1.stop()
+    // batch 2 after restart: a far-future left pushes the watermark; the
+    // pending left AND the buffered floor right must both have survived
+    Files.writeString(Paths.get(inDir, "p2.csv"), "l,1,5000,0\nl,1,9000,0\n")
+    val q2 = startQuery()
+    q2.processAllAvailable(); q2.stop()
+    val got = results.synchronized(results.toList).sortBy(_._2)
+    assert(got.take(2) === List(
+      (1L, 300L, Some(100L), Some(7.5)),
+      (1L, 5000L, Some(100L), Some(7.5))),
+      s"state must survive restart; got $got")
+  }
 }
