@@ -387,4 +387,53 @@ object Dedup {
       .filter(col("jaccard") >= tau)
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"), col("jaccard"))
   }
+
+  /**
+   * Duplicated-span SCRUBBING — the completion of [[duplicatedSpans]]
+   * (which only measures): rebuild each document with every token that
+   * falls inside a corpus-duplicated n-token span removed — the actual
+   * "train on deduplicated text" output of the substring-dedup method
+   * (Lee et al. 2022), not just its diagnostics.
+   *
+   * Scale shape: spans are fingerprinted by the native codegen'd
+   * `graft_ngram_hashes` the instant they're formed, so the occurrence
+   * count and the cover join both carry (8-byte hash | id, position) —
+   * never span text. The rebuild is one groupBy(id) over (token,
+   * position) pairs with an in-group sort; token text crosses the wire
+   * once, which is inherent to emitting rewritten documents. Duplicate
+   * detection is corpus-global (an n-gram repeated within ONE doc counts
+   * too, same as [[duplicatedSpans]]).
+   *
+   * Output: (id, kept_tokens, scrubbed) — one row per input doc; a doc
+   * whose every token is covered scrubs to the empty string.
+   */
+  def scrubSpans(df: DataFrame, idCol: String, textCol: String,
+                 n: Int = 12): DataFrame = {
+    graft.functions.GraftFunctions.register(df.sparkSession)
+    val grams = call_function("graft_ngram_hashes",
+      col(textCol), lit(n), lit(false))
+    val hashed = df.select(col(idCol).as("id"), posexplode(grams))
+      .withColumnRenamed("pos", "p").withColumnRenamed("col", "h")
+    val dup = hashed.groupBy(col("h"))
+      .agg(count(lit(1)).as("_occ")).filter(col("_occ") > 1).select(col("h"))
+    val covered = hashed.join(dup, "h")
+      .select(col("id"),
+        explode(sequence(col("p"), col("p") + lit(n - 1))).as("cp"))
+      .distinct()
+    val toks = df.select(col(idCol).as("id"),
+        posexplode(split(col(textCol), " ")))
+      .withColumnRenamed("pos", "tp").withColumnRenamed("col", "tok")
+    val kept = toks.alias("t").join(covered.alias("c"),
+      col("t.id") === col("c.id") && col("t.tp") === col("c.cp"), "left_anti")
+    val rebuilt = kept.groupBy(col("id"))
+      .agg(count(lit(1)).as("kept_tokens"),
+        concat_ws(" ", transform(
+          array_sort(collect_list(struct(col("tp"), col("tok")))),
+          x => x.getField("tok"))).as("scrubbed"))
+    df.select(col(idCol).as("id"))
+      .join(rebuilt, Seq("id"), "left")
+      .select(col("id"),
+        coalesce(col("kept_tokens"), lit(0L)).as("kept_tokens"),
+        coalesce(col("scrubbed"), lit("")).as("scrubbed"))
+  }
 }

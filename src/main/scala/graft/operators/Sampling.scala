@@ -89,6 +89,39 @@ object Sampling {
       .filter(col("sample_rank") <= k)
   }
 
+  /**
+   * Token-budget domain mixing — the pretraining-mixture knob: given a
+   * target TOKEN budget and per-domain mixture weights, each domain d is
+   * down-sampled at rate min(1, budget·w_d / tokens_d), so the expected
+   * kept tokens land on budget·w_d per domain (domains smaller than their
+   * allocation pass whole — the standard behavior; redistributing their
+   * slack is a policy layered on top). Differs from [[temperatureSample]]
+   * in being TOKEN-weighted and budget-absolute, not row-count-relative.
+   *
+   * Selection reuses the md5 buckets, so raising the budget only widens
+   * each domain's threshold — rows already kept stay kept (monotone
+   * growth, the property curriculum re-cuts rely on). Scale: the
+   * per-domain token table is |domains| rows → broadcast; the corpus
+   * side is one partial-aggregated count pass + a map-only filter.
+   */
+  def budgetMixSample(df: DataFrame, keyCol: String, groupCol: String,
+                      tokensCol: String, weights: Map[String, Double],
+                      defaultWeight: Double, budgetTokens: Long): DataFrame = {
+    require(budgetTokens > 0, s"budgetTokens must be positive")
+    val wCol = weights.foldLeft(lit(defaultWeight)) { case (acc, (g, w)) =>
+      when(col(groupCol) === g, lit(w)).otherwise(acc)
+    }
+    val thr = df.groupBy(col(groupCol))
+      .agg(sum(col(tokensCol)).as("_gtok"))
+      .select(col(groupCol),
+        least(lit(Buckets.toLong), floor(
+          lit(budgetTokens.toDouble) * wCol / col("_gtok").cast("double") *
+            Buckets)).cast("long").as("_thr"))
+    df.join(broadcast(thr), Seq(groupCol))
+      .filter(hashBucket(col(keyCol)) < col("_thr"))
+      .drop("_thr")
+  }
+
   /** Stratified deterministic sample: per-class keep fractions (classes
     * absent from the map keep `default`). The class column only selects
     * the threshold — bucketing stays keyed on `keyCol`, so changing the

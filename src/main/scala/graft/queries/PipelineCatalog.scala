@@ -675,6 +675,77 @@ object PipelineCatalog {
        |SELECT b.doc_id, b.lang FROM b JOIN t ON b.lang = t.lang
        |WHERE b.bucket < t.thr""".stripMargin
 
+  /** Token-budget domain mix: 8000-token target, src1 over-weighted (caps
+    * at keep-all), src0 under-weighted, everything else at the default —
+    * exercises both the capped and proportional regimes. */
+  val mixBudget: Q = (s, dir) =>
+    Sampling.budgetMixSample(
+        Tables.documents(s, dir)
+          .withColumn("n_tokens", size(split(col("text"), " "))),
+        "doc_id", "source", "n_tokens",
+        weights = Map("src0" -> 0.05, "src1" -> 0.30),
+        defaultWeight = 0.65 / 18.0, budgetTokens = 8000L)
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_kept"), sum(col("n_tokens")).as("tokens_kept"))
+
+  val mixBudgetSql: String =
+    s"""WITH d AS (
+       |  SELECT doc_id, source, len(string_split(text, ' ')) AS n_tokens
+       |  FROM documents
+       |), g AS (
+       |  SELECT source, sum(n_tokens) AS gtok FROM d GROUP BY source
+       |), t AS (
+       |  SELECT source, least(1000, CAST(floor(
+       |    8000.0 * (CASE WHEN source = 'src0' THEN 0.05
+       |                   WHEN source = 'src1' THEN 0.30
+       |                   ELSE 0.65 / 18.0 END)
+       |    / CAST(gtok AS DOUBLE) * 1000) AS BIGINT)) AS thr
+       |  FROM g
+       |), b AS (
+       |  SELECT doc_id, source, n_tokens, ${duckHashBucket("doc_id")} AS bucket
+       |  FROM d
+       |)
+       |SELECT b.source, count(*) AS n_kept, sum(b.n_tokens) AS tokens_kept
+       |FROM b JOIN t ON b.source = t.source
+       |WHERE b.bucket < t.thr
+       |GROUP BY b.source""".stripMargin
+
+  /** Duplicated-span scrubbing: the rewritten corpus with every token of a
+    * corpus-duplicated 12-gram removed (dedup_spans measures; this emits
+    * the deduplicated text itself). */
+  val textScrub: Q = (s, dir) =>
+    Dedup.scrubSpans(Tables.documents(s, dir), "doc_id", "text", n = 12)
+      .withColumnRenamed("id", "doc_id")
+
+  val textScrubSql: String =
+    """WITH t AS (
+      |  SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+      |), g AS (
+      |  SELECT doc_id, u.p AS p, u.gram AS gram FROM (
+      |    SELECT doc_id, unnest(list_transform(range(1, len(toks) - 10),
+      |      i -> struct_pack(p := i, gram := array_to_string(toks[i:i+11], ' ')))) AS u
+      |    FROM t)
+      |), dup AS (
+      |  SELECT gram FROM g GROUP BY gram HAVING count(*) > 1
+      |), cov AS (
+      |  SELECT DISTINCT doc_id, unnest(range(g.p, g.p + 12)) AS cp
+      |  FROM g JOIN dup USING (gram)
+      |), tok AS (
+      |  SELECT doc_id, unnest(toks) AS tok, unnest(range(1, len(toks) + 1)) AS ord
+      |  FROM t
+      |), kept AS (
+      |  SELECT k.doc_id, k.tok, k.ord FROM tok k
+      |  WHERE NOT EXISTS (SELECT 1 FROM cov
+      |                    WHERE cov.doc_id = k.doc_id AND cov.cp = k.ord)
+      |)
+      |SELECT d.doc_id,
+      |       coalesce(kc.kept_tokens, 0) AS kept_tokens,
+      |       coalesce(kc.scrubbed, '') AS scrubbed
+      |FROM documents d LEFT JOIN (
+      |  SELECT doc_id, count(*) AS kept_tokens,
+      |         string_agg(tok, ' ' ORDER BY ord) AS scrubbed
+      |  FROM kept GROUP BY doc_id) kc USING (doc_id)""".stripMargin
+
   /** Fixed-size per-language sample: the 20 docs per lang whose md5 sorts
     * first — exact oracle including the in-group hash order. */
   val sampleBottomK: Q = (s, dir) =>
@@ -968,6 +1039,8 @@ object PipelineCatalog {
     "text_rule_filter" -> textRuleFilter,
     "text_chunks" -> textChunks,
     "sample_temperature" -> sampleTemperature,
+    "mix_budget" -> mixBudget,
+    "text_scrub" -> textScrub,
     "sample_bottomk" -> sampleBottomK,
     "global_rank" -> globalRankQ,
     "curriculum_phases" -> curriculumQ,
@@ -1005,6 +1078,8 @@ object PipelineCatalog {
     "text_rule_filter" -> textRuleFilterSql,
     "text_chunks" -> textChunksSql,
     "sample_temperature" -> sampleTemperatureSql,
+    "mix_budget" -> mixBudgetSql,
+    "text_scrub" -> textScrubSql,
     "sample_bottomk" -> sampleBottomKSql,
     "global_rank" -> globalRankSql,
     "curriculum_phases" -> curriculumSql,

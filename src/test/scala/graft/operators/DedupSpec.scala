@@ -137,4 +137,26 @@ class DedupSpec extends SparkSuite {
       incoming.filter(col("doc_id").isin(10L, 13L)))
     assert(Dedup.incrementalDedup(incoming, merged, "doc_id", "text").count() === 0L)
   }
+
+  test("scrubSpans removes exactly the corpus-duplicated n-gram positions") {
+    // doc 1 and 2 share a 4-token span; doc 3 is clean; doc 4 repeats a
+    // span internally; doc 5 is entirely one duplicated span
+    val docs = Seq(
+      (1L, "a b c d x y z"),        // "a b c d" duplicated with doc 2
+      (2L, "p q a b c d r"),
+      (3L, "unique tokens only here"),
+      (4L, "m n o p k m n o p k"),  // "m n o p" repeats internally? n=4 spans
+      (5L, "a b c d")               // the whole doc is the shared span
+    ).toDF("doc_id", "text")
+    val out = Dedup.scrubSpans(docs, "doc_id", "text", n = 4)
+      .orderBy("id").as[(Long, Long, String)].collect()
+    val byId = out.map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(byId(1L) === ((3L, "x y z")), s"got ${byId(1L)}")
+    assert(byId(2L) === ((3L, "p q r")), s"got ${byId(2L)}")
+    assert(byId(3L) === ((4L, "unique tokens only here")))
+    // doc 4: "m n o p k" occurs at positions 0..4 and 5..9; every window of
+    // 4 within the repetition that occurs twice gets covered
+    assert(byId(4L)._1 < 10L, "internal repetition must scrub something")
+    assert(byId(5L) === ((0L, "")), "fully-duplicated doc scrubs to empty")
+  }
 }

@@ -112,4 +112,23 @@ class SamplingSpec extends SparkSuite {
       .queryExecution.executedPlan.toString
     assert(plan.contains("WindowGroupLimit"), plan)
   }
+
+  test("budgetMixSample: monotone in budget, capped domains keep all") {
+    val docs = (0 until 400).map { i =>
+      (i.toLong, s"d${i % 4}", 10L + i % 7)
+    }.toDF("id", "dom", "ntok")
+    val small = Sampling.budgetMixSample(docs, "id", "dom", "ntok",
+      Map("d0" -> 0.9), defaultWeight = 0.03, budgetTokens = 2000L)
+    val large = Sampling.budgetMixSample(docs, "id", "dom", "ntok",
+      Map("d0" -> 0.9), defaultWeight = 0.03, budgetTokens = 8000L)
+    val smallIds = small.select("id").as[Long].collect().toSet
+    val largeIds = large.select("id").as[Long].collect().toSet
+    assert(smallIds.subsetOf(largeIds), "raising the budget must only add rows")
+    // d0 allocation 1800 tokens vs ~1300 available -> capped, keeps all
+    val d0All = docs.filter($"dom" === "d0").count()
+    assert(small.filter($"dom" === "d0").count() === d0All)
+    // other domains keep roughly budget*w tokens
+    val d1tok = small.filter($"dom" === "d1").agg(sum($"ntok")).as[Long].head()
+    assert(d1tok < 200L, s"d1 must be down-sampled hard, kept $d1tok tokens")
+  }
 }
