@@ -1,6 +1,6 @@
 package graft.sources
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -67,6 +67,53 @@ object BucketedTables {
     * (zero I/O for untouched partitions) at any scale. */
   def writePartitioned(df: DataFrame, path: String, partitionCols: String*): Unit =
     df.write.mode("overwrite").partitionBy(partitionCols: _*).parquet(path)
+
+  /** Spread a 16-bit value's bits to even positions (Morton interleave
+    * half): pure shift/mask arithmetic — whole-stage codegen'd. */
+  private def spreadBits16(c: Column): Column = {
+    val s1 = c.bitwiseOR(shiftleft(c, 8)).bitwiseAND(lit(0x00FF00FFL))
+    val s2 = s1.bitwiseOR(shiftleft(s1, 4)).bitwiseAND(lit(0x0F0F0F0FL))
+    val s3 = s2.bitwiseOR(shiftleft(s2, 2)).bitwiseAND(lit(0x33333333L))
+    s3.bitwiseOR(shiftleft(s3, 1)).bitwiseAND(lit(0x55555555L))
+  }
+
+  /**
+   * Z-order (Morton-curve) clustered write — multi-dimensional data
+   * layout for the 100 TB scan path: rows are range-partitioned and
+   * sorted by the bit-interleave of the two columns' normalized 16-bit
+   * positions, so every output file covers a small RECTANGLE of the
+   * (a, b) value space instead of a thin stripe of one column. Parquet
+   * row-group min/max stats then prune scans filtered on EITHER column
+   * (or both) — the layout answer to "partition by which column?" being
+   * the wrong question when queries filter on two.
+   *
+   * Cost model: one (min, max) aggregate per column (broadcast — no
+   * quantile sketch needed for the curve, only for balance, which the
+   * range partitioner on the z-value provides), one range exchange, one
+   * in-partition sort — the same pay-once shape as [[writeBucketed]].
+   * Value skew degrades rectangle balance, not correctness; for heavy
+   * skew pre-rank the columns before calling.
+   */
+  def writeZOrdered(df: DataFrame, path: String, colA: String, colB: String,
+                    numFiles: Int): Unit = {
+    require(numFiles > 0, "numFiles must be positive")
+    val bounds = df.agg(
+      min(col(colA)).cast("double").as("_minA"), max(col(colA)).cast("double").as("_maxA"),
+      min(col(colB)).cast("double").as("_minB"), max(col(colB)).cast("double").as("_maxB"))
+    def norm16(c: Column, lo: Column, hi: Column): Column =
+      when(hi > lo, floor((c.cast("double") - lo) / (hi - lo) * 65535.0))
+        .otherwise(lit(0.0)).cast("long")
+    val z = df.join(broadcast(bounds))
+      .withColumn("_z",
+        spreadBits16(norm16(col(colA), col("_minA"), col("_maxA")))
+          .bitwiseOR(shiftleft(
+            spreadBits16(norm16(col(colB), col("_minB"), col("_maxB"))), 1)))
+      .drop("_minA", "_maxA", "_minB", "_maxB")
+    z.repartitionByRange(numFiles, col("_z"))
+      .sortWithinPartitions(col("_z"))
+      .drop("_z")
+      .write.mode("overwrite").parquet(path)
+  }
 }
 
 /**
