@@ -164,4 +164,57 @@ class StreamJoinsSpec extends SparkSuite {
     assert(batch.keys.exists(_._3.isDefined) && batch.keys.exists(_._3.isEmpty),
       "fixture exercises both matched and unmatched lefts")
   }
+
+  test("asofJoinStream ≡ batch under randomized shapes (seeded scenarios)") {
+    // five seeded random corpora × random chunk sizes; disorder stays
+    // inside the declared watermark delay by chunking in time order
+    (1 to 5).foreach { seed =>
+      val rnd = new scala.util.Random(seed * 7919)
+      val nKeys = 1 + rnd.nextInt(9)
+      val lefts = (0 until 120 + rnd.nextInt(200)).map(_ =>
+        (rnd.nextInt(nKeys).toLong, 50L + rnd.nextInt(3000).toLong))
+      val rights = (0 until 40 + rnd.nextInt(120)).map(_ =>
+        (rnd.nextInt(nKeys).toLong, 40L + rnd.nextInt(3100).toLong,
+          rnd.nextInt(100) / 10.0))
+        .groupBy(t => (t._1, t._2)).map(_._2.head).toSeq
+      val tol = if (rnd.nextBoolean()) Some(100L + rnd.nextInt(500).toLong) else None
+
+      val batch = graft.operators.Joins.asofJoin(
+          lefts.toDF("k", "lu").select($"k", ($"lu" * 1000000L).as("lu")),
+          rights.toDF("k", "ru", "v").select($"k", ($"ru" * 1000000L).as("ru"), $"v"),
+          "k", "lu", "ru", Seq("v"), toleranceUsec = tol.map(_ * 1000000L))
+        .select($"k", ($"lu" / 1000000L).cast("long"),
+          ($"ru" / 1000000L).cast("long"), $"v")
+        .as[(Long, Long, Option[Long], Option[Double])].collect()
+        .groupBy(identity).view.mapValues(_.length).toMap
+
+      implicit val sqlCtx = spark.sqlContext
+      val lIn = MemoryStream[(Long, Long)]
+      val rIn = MemoryStream[(Long, Long, Double)]
+      val joined = StreamJoins.asofJoinStream(
+        lIn.toDS().toDF("k", "ls"), rIn.toDS().toDF("k", "rs", "v"),
+        "k", "ls", "rs", "v", watermarkDelay = "20 seconds",
+        toleranceSec = tol)
+      val qn = s"asof_rand_$seed"
+      val q = joined.writeStream.format("memory").queryName(qn)
+        .outputMode("append").start()
+      try {
+        val tagged = lefts.map(e => ("l", e._1, e._2, 0.0)) ++
+          rights.map(e => ("r", e._1, e._2, e._3))
+        tagged.sortBy(_._3).grouped(40 + rnd.nextInt(120)).foreach { chunk =>
+          val (lch, rch) = chunk.partition(_._1 == "l")
+          if (lch.nonEmpty) lIn.addData(lch.map(e => (e._2, e._3)))
+          if (rch.nonEmpty) rIn.addData(rch.map(e => (e._2, e._3, e._4)))
+          q.processAllAvailable()
+        }
+        lIn.addData(Seq((999L, 500000L))); q.processAllAvailable()
+        lIn.addData(Seq((999L, 900000L))); q.processAllAvailable()
+      } finally q.stop()
+      val streamed = spark.table(qn).filter($"key" =!= 999L)
+        .select("key", "left_sec", "right_sec", "right_value")
+        .as[(Long, Long, Option[Long], Option[Double])].collect()
+        .groupBy(identity).view.mapValues(_.length).toMap
+      assert(streamed === batch, s"seed $seed (tol=$tol) diverged")
+    }
+  }
 }
