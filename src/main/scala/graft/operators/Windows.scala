@@ -95,6 +95,39 @@ object Windows {
       .agg(approx_count_distinct(col(distinctCol), rsd).as(name))
       .select(windowEndSec(col("window")).as("window_end"), col(name))
 
+  /**
+   * Mergeable distinct-count SKETCH COLUMNS (DataSketches HLL): build one
+   * sketch per (keys, fine window), then ROLL THEM UP to any coarser
+   * window by unioning the sketch binaries — re-aggregation without
+   * re-scanning the raw data. This is the sketch-column pattern that
+   * makes distinct counts tractable at 100 TB: the hourly sketch table is
+   * |keys × hours| rows of ~KB sketches; daily/weekly/monthly distincts
+   * derive from it with a sketch-width shuffle instead of another pass
+   * over the corpus (`approx_count_distinct` alone gives a NUMBER — it
+   * can't be re-aggregated; sketches can, losslessly for the union).
+   */
+  def distinctSketches(df: DataFrame, tsCol: String, distinctCol: String,
+                       size: String, keys: Seq[String] = Nil,
+                       lgK: Int = 12): DataFrame =
+    df.groupBy((window(col(tsCol), size) +: keys.map(col)): _*)
+      .agg(hll_sketch_agg(col(distinctCol), lit(lgK)).as("uv_sketch"))
+      .select(keys.map(col) ++ Seq(
+        windowEndSec(col("window")).as("window_end"), col("uv_sketch")): _*)
+
+  /** Roll fine-window sketches up to `bucketSec`-wide windows: union the
+    * sketches, then estimate. `window_end` of the coarse bucket follows the
+    * same end-labeled convention as every window operator here. */
+  def rollupSketches(sketches: DataFrame, bucketSec: Long,
+                     keys: Seq[String] = Nil,
+                     name: String = "uv_est"): DataFrame =
+    sketches
+      .withColumn("bucket_end",
+        (ceil(col("window_end").cast("double") / bucketSec) * bucketSec).cast("long"))
+      .groupBy((col("bucket_end") +: keys.map(col)): _*)
+      .agg(hll_union_agg(col("uv_sketch"), lit(true)).as("_merged"))
+      .select(keys.map(col) ++ Seq(col("bucket_end"),
+        hll_sketch_estimate(col("_merged")).as(name)): _*)
+
   /** Top-N rows per window/partition by a measure (A6 — replaces the
     * reference's ListState-buffer + timer + ArrayList.sort per windowEnd,
     * HotItemApp.java:107-179). `tieBreak` makes rank deterministic. */

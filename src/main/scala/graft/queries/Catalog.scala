@@ -903,6 +903,18 @@ object Catalog {
     Windows.approxDistinct(pv, "ets", "user_id", "1 hour")
   }
 
+  /** Mergeable-sketch rollup: hourly HLL sketch columns unioned into daily
+    * distinct estimates — re-aggregation without re-scanning the corpus.
+    * Approximate by nature ⇒ rows-only gate; the ≤few-% error and the
+    * hourly→daily ≡ direct-daily merge property are pinned in WindowsSpec. */
+  val uvSketchDaily: Q = (s, dir) => {
+    val pv = events(s, dir).filter(col("event_type") === "view")
+      .select(col("ets"), col("user_id"))
+    val hourly = Windows.distinctSketches(pv, "ets", "user_id", "1 hour")
+    Windows.rollupSketches(hourly, 86400L)
+      .withColumn("uv_est", col("uv_est").cast("long"))
+  }
+
   /** A7/K3 batch parity: tumbling 1h UV via the fixed-size bitmap
     * Aggregator (reference's Redis bitmap as Spark-managed partial-agg
     * state). Collision undercount possible by design ⇒ rows-only gate;
@@ -1428,6 +1440,7 @@ object Catalog {
     "pv_tumbling" -> pvTumbling,
     "uv_exact" -> uvExact,
     "uv_approx" -> uvApprox,
+    "uv_sketch_daily" -> uvSketchDaily,
     "uv_bitmap" -> uvBitmap,
     "channel_behavior" -> channelBehavior,
     "channel_pivot" -> channelPivot,

@@ -64,4 +64,33 @@ class WindowsSpec extends SparkSuite {
       .as[(String, Long)].collect().toSet
     assert(salted === Set(("a", 3L), ("b", 1L)))
   }
+
+  test("HLL sketch rollup: hourly union ≈ exact daily; merge ≡ direct daily sketch") {
+    val df = spark.range(20000).selectExpr(
+      "timestamp_seconds(1000000 + (id % 200000) * 2) as ts",
+      "(id * 2654435761) % 7000 as uid")
+    val hourly = Windows.distinctSketches(df, "ts", "uid", "1 hour")
+    val daily = Windows.rollupSketches(hourly, 86400L)
+    val exact = df
+      .withColumn("bucket_end",
+        (ceil((col("ts").cast("long") + 0.0) / 86400) * 86400).cast("long"))
+      .groupBy("bucket_end").agg(countDistinct("uid").as("exact_uv"))
+    val joined = daily.join(exact, "bucket_end")
+      .select($"bucket_end", $"uv_est", $"exact_uv")
+      .as[(Long, Double, Long)].collect()
+    assert(joined.nonEmpty)
+    joined.foreach { case (b, est, ex) =>
+      assert(math.abs(est - ex) / ex.toDouble < 0.05,
+        s"bucket $b: est $est vs exact $ex")
+    }
+    // mergeability: union of hourly sketches estimates like a direct daily sketch
+    val direct = Windows.distinctSketches(df, "ts", "uid", "1 day")
+      .select($"window_end".as("bucket_end"),
+        hll_sketch_estimate($"uv_sketch").as("direct_est"))
+    val cmp = daily.join(direct, "bucket_end")
+      .select($"uv_est", $"direct_est").as[(Double, Double)].collect()
+    cmp.foreach { case (u, d) =>
+      assert(math.abs(u - d) / d < 0.02, s"union $u vs direct $d")
+    }
+  }
 }
