@@ -250,19 +250,30 @@ object Dedup {
    * increases), so the decimal label sum strictly decreases until the fixed
    * point — sum-unchanged IS convergence, no old-vs-new comparison join
    * needed. Decimal sum avoids overflow at any id range/corpus size.
+   *
+   * Small-graph fast path: the pair count is already materialized (the
+   * persist above), so when it fits comfortably in driver memory
+   * (`localEdgeThreshold`, default 4M edges ≈ a few hundred MB boxed) the
+   * component resolution runs as driver union-find — the same
+   * threshold-switch design as broadcast joins. Near-dup edge sets are
+   * typically ~0.1% of corpus rows, so even multi-TB corpora often take
+   * this path; beyond it the distributed pointer-doubling loop runs.
+   * Both paths produce identical labels (test-pinned).
    */
   def resolveClusters(pairs: DataFrame, idA: String = "id_a",
-                      idB: String = "id_b", maxIter: Int = 20): DataFrame = {
+                      idB: String = "id_b", maxIter: Int = 20,
+                      localEdgeThreshold: Long = 4000000L): DataFrame = {
     // The pair plan is usually the expensive part (a candidate join); the
     // symmetric-closure union scans it twice. Persist + materialize first so
     // the pair computation runs exactly once.
     val tEnter = System.nanoTime()
     val p = pairs.select(col(idA).as("s"), col(idB).as("t")).persist()
     val tPairs = System.nanoTime()
-    p.count()
+    val nPairs = p.count()
     if (sys.env.contains("GRAFT_DEBUG_ROUNDS"))
       System.err.println(
         f"resolveClusters pairs: ${(System.nanoTime() - tPairs) / 1e9}%.2f s")
+    if (nPairs <= localEdgeThreshold) return resolveClustersLocal(p)
     val edges = p
       .union(p.select(col("t").as("s"), col("s").as("t")))
       .distinct().persist()
@@ -321,6 +332,66 @@ object Dedup {
       System.err.println(
         f"resolveClusters total: ${(System.nanoTime() - tEnter) / 1e9}%.2f s")
     labels.select(col("id").as("doc_id"), col("label").as("cluster_id"))
+  }
+
+  /** Driver union-find over a materialized (s, t) pair frame that fits in
+    * driver memory. Path-halving + union-by-size; the per-component min-id
+    * label is computed in Spark (one tiny shuffle) so the id type stays
+    * generic — the caller's doc_id type is preserved exactly as in the
+    * distributed path. */
+  private def resolveClustersLocal(p: DataFrame): DataFrame = {
+    val spark = p.sparkSession
+    val outSchema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("doc_id", p.schema("s").dataType),
+      org.apache.spark.sql.types.StructField("_root",
+        org.apache.spark.sql.types.IntegerType, nullable = false)))
+    val rows = p.collect()
+    p.unpersist()
+    val index = new java.util.HashMap[Any, Integer](rows.length * 2)
+    val ids = new scala.collection.mutable.ArrayBuffer[Any](rows.length)
+    var parent = new Array[Int](math.max(16, rows.length))
+    var size = new Array[Int](parent.length)
+    def intern(v: Any): Int = {
+      val seen = index.get(v)
+      if (seen != null) seen.intValue()
+      else {
+        val i = ids.length
+        ids += v
+        if (i >= parent.length) {
+          parent = java.util.Arrays.copyOf(parent, parent.length * 2)
+          size = java.util.Arrays.copyOf(size, size.length * 2)
+        }
+        parent(i) = i; size(i) = 1
+        index.put(v, Integer.valueOf(i))
+        i
+      }
+    }
+    def find(x0: Int): Int = { // path halving: no recursion, amortized α(n)
+      var x = x0
+      while (parent(x) != x) { parent(x) = parent(parent(x)); x = parent(x) }
+      x
+    }
+    rows.foreach { r =>
+      if (!r.isNullAt(0) && !r.isNullAt(1)) {
+        val a = find(intern(r.get(0)))
+        val b = find(intern(r.get(1)))
+        if (a != b) {
+          if (size(a) >= size(b)) { parent(b) = a; size(a) += size(b) }
+          else { parent(a) = b; size(b) += size(a) }
+        }
+      }
+    }
+    val out = ids.indices.map { i =>
+      org.apache.spark.sql.Row(ids(i), find(i))
+    }
+    val df = spark.createDataFrame(
+      spark.sparkContext.parallelize(out,
+        math.max(1, out.length / 500000)), outSchema)
+    // per-component min id in Spark: keeps the label comparison identical to
+    // the distributed path's least()/min() for any id type
+    val mins = df.groupBy(col("_root"))
+      .agg(min(col("doc_id")).as("cluster_id"))
+    df.join(mins, "_root").select(col("doc_id"), col("cluster_id"))
   }
 
   /**

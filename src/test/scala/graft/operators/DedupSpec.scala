@@ -90,6 +90,20 @@ class DedupSpec extends SparkSuite {
       (10L, 10L), (11L, 10L)))
   }
 
+  test("resolveClusters local and distributed paths agree on a random graph") {
+    val rnd = new scala.util.Random(42)
+    // 300 edges over 120 nodes: long chains + merges + self-loops
+    val pairs = (1 to 300)
+      .map(_ => (rnd.nextInt(120).toLong, rnd.nextInt(120).toLong))
+      .toDF("id_a", "id_b")
+    val local = Dedup.resolveClusters(pairs) // ≤ threshold → union-find
+      .as[(Long, Long)].collect().toSet
+    val dist = Dedup.resolveClusters(pairs, localEdgeThreshold = -1L)
+      .as[(Long, Long)].collect().toSet
+    assert(local === dist)
+    assert(local.nonEmpty)
+  }
+
   test("jaccardPairs respects the blocking column") {
     val blocked = Seq(
       (1L, base, "s1"), (2L, nearDup, "s2"), // same content family, different blocks
