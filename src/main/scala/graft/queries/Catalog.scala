@@ -593,6 +593,170 @@ object Catalog {
       |GROUP BY s_name
       |ORDER BY numwait DESC, s_name ASC LIMIT 20""".stripMargin
 
+  /** TPC-H Q2 shape (min-cost supplier per part), adapted: no partsupp
+    * table, so the part↔supplier relation derives from lineitem with
+    * min unit price as the cost proxy. One wide shuffle (the (part, supp)
+    * aggregate — partial-agg'd); part filter and the supplier⋈nation⋈region
+    * chain broadcast; per-part winner via row_number with a total-order
+    * tie-break (TPC-H's correlated-min can emit ties). */
+  val q2Mincost: Q = (s, dir) => {
+    val ps = Tables.lineitem(s, dir)
+      .groupBy(col("l_partkey"), col("l_suppkey"))
+      .agg(min(col("l_extendedprice").cast(DecimalType(18, 2))).as("cost"))
+    val pr = Tables.part(s, dir).filter(col("p_size") === 15)
+    val su = Tables.supplier(s, dir)
+      .join(broadcast(Tables.nation(s, dir)),
+        col("s_nationkey") === col("n_nationkey"))
+      .join(broadcast(Tables.region(s, dir)
+        .filter(col("r_name") === "EUROPE")),
+        col("n_regionkey") === col("r_regionkey"))
+      .select(col("s_suppkey"), col("s_name"), col("s_acctbal"), col("n_name"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("p_partkey"))
+      .orderBy(col("cost").asc, col("l_suppkey").asc)
+    ps.join(broadcast(pr), col("l_partkey") === col("p_partkey"))
+      .join(broadcast(su), col("l_suppkey") === col("s_suppkey"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("s_acctbal"), col("s_name"), col("n_name"),
+        col("p_partkey"), col("p_name"), col("cost").cast("double").as("cost"))
+      .orderBy(col("s_acctbal").desc, col("n_name").asc, col("s_name").asc,
+        col("p_partkey").asc)
+      .limit(100)
+  }
+
+  val q2MincostSql: String =
+    """WITH ps AS (
+      |  SELECT l_partkey, l_suppkey,
+      |         min(CAST(l_extendedprice AS DECIMAL(18,2))) AS cost
+      |  FROM lineitem GROUP BY l_partkey, l_suppkey
+      |), cand AS (
+      |  SELECT s_acctbal, s_name, n_name, p_partkey, p_name,
+      |         CAST(cost AS DOUBLE) AS cost,
+      |         row_number() OVER (PARTITION BY p_partkey
+      |                            ORDER BY cost ASC, l_suppkey ASC) AS rn
+      |  FROM ps
+      |  JOIN part ON l_partkey = p_partkey AND p_size = 15
+      |  JOIN supplier ON l_suppkey = s_suppkey
+      |  JOIN nation ON s_nationkey = n_nationkey
+      |  JOIN region ON n_regionkey = r_regionkey AND r_name = 'EUROPE'
+      |)
+      |SELECT s_acctbal, s_name, n_name, p_partkey, p_name, cost
+      |FROM cand WHERE rn = 1
+      |ORDER BY s_acctbal DESC, n_name, s_name, p_partkey LIMIT 100""".stripMargin
+
+  /** TPC-H Q11 shape (important stock), adapted: per-part revenue from one
+    * region's suppliers, kept when above 2× the mean part value — the
+    * scalar-subquery-threshold shape, made scale-free so the filter
+    * stays meaningful at every SF. The per-part aggregate is the one
+    * shuffle; the global (count, sum) reduces from it and broadcasts
+    * back via a 1-row cross join. */
+  val q11Important: Q = (s, dir) => {
+    val su = Tables.supplier(s, dir)
+      .join(broadcast(Tables.nation(s, dir)),
+        col("s_nationkey") === col("n_nationkey"))
+      .join(broadcast(Tables.region(s, dir)
+        .filter(col("r_name") === "ASIA")),
+        col("n_regionkey") === col("r_regionkey"))
+      .select(col("s_suppkey"))
+    val v = Tables.lineitem(s, dir)
+      .join(broadcast(su), col("l_suppkey") === col("s_suppkey"))
+      .groupBy(col("l_partkey"))
+      .agg(sum(col("l_extendedprice").cast(DecimalType(18, 4)) *
+        (lit(1.0) - col("l_discount")).cast(DecimalType(18, 4))).as("value"))
+    val tot = v.agg(count(lit(1)).as("_n"),
+      sum(col("value")).as("_tot"))
+    v.crossJoin(broadcast(tot))
+      .filter(col("value") * col("_n") > col("_tot") * 2)
+      .select(col("l_partkey"), col("value").cast("double").as("value"))
+      .orderBy(col("value").desc, col("l_partkey").asc)
+  }
+
+  val q11ImportantSql: String =
+    """WITH v AS (
+      |  SELECT l_partkey,
+      |         sum(CAST(l_extendedprice AS DECIMAL(18,4)) *
+      |             CAST(1.0 - l_discount AS DECIMAL(18,4))) AS value
+      |  FROM lineitem
+      |  JOIN supplier ON l_suppkey = s_suppkey
+      |  JOIN nation ON s_nationkey = n_nationkey
+      |  JOIN region ON n_regionkey = r_regionkey AND r_name = 'ASIA'
+      |  GROUP BY l_partkey
+      |)
+      |SELECT l_partkey, CAST(value AS DOUBLE) AS value
+      |FROM v
+      |WHERE value * (SELECT count(*) FROM v) > 2 * (SELECT sum(value) FROM v)
+      |ORDER BY value DESC, l_partkey""".stripMargin
+
+  /** TPC-H Q16 shape (supplier count per part attribute), adapted:
+    * distinct (part, supplier) pairs from lineitem, negative-balance
+    * suppliers excluded by anti join (the NOT IN subquery — no NULL
+    * hazard, s_acctbal is non-null). The distinct-pair shuffle carries
+    * two longs; part attrs broadcast. */
+  val q16Suppcnt: Q = (s, dir) => {
+    val ps = Tables.lineitem(s, dir)
+      .select(col("l_partkey"), col("l_suppkey")).distinct()
+    val bad = Tables.supplier(s, dir)
+      .filter(col("s_acctbal") < 0).select(col("s_suppkey"))
+    val pr = Tables.part(s, dir)
+      .filter(col("p_brand") =!= "Brand#45" && col("p_type") =!= "MEDIUM" &&
+        col("p_size").isin(1, 4, 7, 10, 14, 19, 23, 36))
+    ps.join(broadcast(bad), col("l_suppkey") === col("s_suppkey"), "left_anti")
+      .join(broadcast(pr), col("l_partkey") === col("p_partkey"))
+      .groupBy(col("p_brand"), col("p_type"), col("p_size"))
+      .agg(countDistinct(col("l_suppkey")).as("supplier_cnt"))
+      .orderBy(col("supplier_cnt").desc, col("p_brand").asc,
+        col("p_type").asc, col("p_size").asc)
+  }
+
+  val q16SuppcntSql: String =
+    """SELECT p_brand, p_type, p_size, count(DISTINCT l_suppkey) AS supplier_cnt
+      |FROM (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem) ps
+      |JOIN part ON l_partkey = p_partkey
+      |WHERE p_brand <> 'Brand#45' AND p_type <> 'MEDIUM'
+      |  AND p_size IN (1, 4, 7, 10, 14, 19, 23, 36)
+      |  AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+      |GROUP BY p_brand, p_type, p_size
+      |ORDER BY supplier_cnt DESC, p_brand, p_type, p_size""".stripMargin
+
+  /** TPC-H Q20 shape (suppliers with excess stock), adapted: suppliers in
+    * one nation who shipped > 50 units of some gear part in 1996 — the
+    * nested semi-join chain. The (supp, part) quantity aggregate is the
+    * shuffle; gear parts broadcast into it; the surviving supplier-key
+    * set semi-joins the (broadcast-sized) supplier dim. */
+  val q20Excess: Q = (s, dir) => {
+    val gear = Tables.part(s, dir)
+      .filter(col("p_name").like("%gear%")).select(col("p_partkey"))
+    val qty = Tables.lineitem(s, dir)
+      .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+        col("l_shipdate") < lit("1997-01-01").cast("timestamp"))
+      .join(broadcast(gear), col("l_partkey") === col("p_partkey"))
+      .groupBy(col("l_suppkey"), col("l_partkey"))
+      .agg(sum(col("l_quantity").cast(DecimalType(18, 2))).as("qty"))
+      .filter(col("qty") > 50)
+      .select(col("l_suppkey")).distinct()
+    Tables.supplier(s, dir)
+      .join(broadcast(Tables.nation(s, dir)
+        .filter(col("n_name") === "NATION_3")),
+        col("s_nationkey") === col("n_nationkey"))
+      .join(qty, col("s_suppkey") === col("l_suppkey"), "left_semi")
+      .select(col("s_name"), col("s_acctbal"))
+      .orderBy(col("s_name").asc)
+  }
+
+  val q20ExcessSql: String =
+    """SELECT s_name, s_acctbal
+      |FROM supplier
+      |JOIN nation ON s_nationkey = n_nationkey AND n_name = 'NATION_3'
+      |WHERE s_suppkey IN (
+      |  SELECT l_suppkey FROM lineitem
+      |  JOIN part ON l_partkey = p_partkey AND p_name LIKE '%gear%'
+      |  WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+      |    AND l_shipdate < TIMESTAMP '1997-01-01'
+      |  GROUP BY l_suppkey, l_partkey
+      |  HAVING sum(CAST(l_quantity AS DECIMAL(18,2))) > 50)
+      |ORDER BY s_name""".stripMargin
+
   /** Bloom-pruned semi join (exact result, sketch-pruned shuffle): lineitems
     * of urgent orders via a distributed bloom of the urgent orderkeys +
     * exact semi join over survivors. Oracle is the plain EXISTS — the
@@ -1423,6 +1587,10 @@ object Catalog {
     "q15_top_supplier" -> q15TopSupplier,
     "q17_small_qty" -> q17SmallQty,
     "q21_waiting" -> q21Waiting,
+    "q2_mincost" -> q2Mincost,
+    "q11_important" -> q11Important,
+    "q16_suppcnt" -> q16Suppcnt,
+    "q20_excess" -> q20Excess,
     "q_bloom_semi" -> qBloomSemi,
     "q_range_join" -> qRangeJoin,
     "q_multi_distinct" -> qMultiDistinct,
@@ -1481,6 +1649,10 @@ object Catalog {
     "q15_top_supplier" -> q15TopSupplierSql,
     "q17_small_qty" -> q17SmallQtySql,
     "q21_waiting" -> q21WaitingSql,
+    "q2_mincost" -> q2MincostSql,
+    "q11_important" -> q11ImportantSql,
+    "q16_suppcnt" -> q16SuppcntSql,
+    "q20_excess" -> q20ExcessSql,
     "q_bloom_semi" -> qBloomSemiSql,
     "q_range_join" -> qRangeJoinSql,
     "q_multi_distinct" -> qMultiDistinctSql,

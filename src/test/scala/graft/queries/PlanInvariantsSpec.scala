@@ -120,4 +120,25 @@ class PlanInvariantsSpec extends SparkSuite {
     assert(plan("q21_waiting").contains("TakeOrderedAndProject"),
       "q21 must top-k via TakeOrdered, not a global sort")
   }
+
+  test("TPC-H wave 3 (Q2/Q11/Q16/Q20): broadcast dims, bounded shuffles") {
+    Seq("q2_mincost", "q11_important", "q16_suppcnt", "q20_excess").foreach { q =>
+      val p = plan(q)
+      assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct") ||
+        q == "q11_important", // 1-row × N scalar-threshold cross join is bounded
+        s"$q must not plan an all-pairs join:\n$p")
+      assert(p.contains("BroadcastHashJoin"), s"$q lost its broadcast dims:\n$p")
+    }
+    // q2: per-part rank pre-trims map-side and ends in TakeOrdered
+    val q2 = plan("q2_mincost")
+    assert(q2.contains("WindowGroupLimit"), s"q2 lost the group-limit pushdown:\n$q2")
+    assert(q2.contains("TakeOrderedAndProject"), s"q2 must top-k via TakeOrdered:\n$q2")
+    // q16: the distinct-pair + count-distinct pipeline keeps a bounded
+    // exchange count (pairs, distinct rewrite, final agg + sort)
+    assert(exchanges(plan("q16_suppcnt")) <= 4,
+      s"q16 grew extra exchanges:\n${plan("q16_suppcnt")}")
+    // q20: supplier filter stays a semi join
+    assert(plan("q20_excess").contains("LeftSemi"),
+      "q20 must keep the semi-join chain")
+  }
 }
