@@ -145,10 +145,21 @@ object SliceRollupRule extends Rule[LogicalPlan] {
     val groupSet = AttributeSet(groupAttrs)
     val decomposed: Seq[scala.util.Either[NamedExpression, Piece]] =
       agg.aggregateExpressions.map {
+        case al @ Alias(AggregateExpression(fn @ (_: Min | _: Max), Complete, false, None, _), name)
+            if fn.references.nonEmpty && fn.references.subsetOf(groupSet) =>
+          // Group-constant aggregate: min/max of an expression built only
+          // from grouping attributes (e.g. max(window.end)) equals the
+          // expression itself on every (non-empty) group — emit it as a
+          // plain outer projection with no partial. This is the shape
+          // declarative users write to label windows.
+          val piece = Piece(Nil,
+            _ => Alias(fn.children.head, name)(exprId = al.exprId))
+          scala.util.Right(piece)
         case al @ Alias(AggregateExpression(fn, Complete, false, None, _), name) =>
           // The partial lands BELOW the Expand: its function may only
           // reference child attributes, never Expand-generated ones (e.g.
-          // max(window.end) — the window struct doesn't exist down there).
+          // sum(v + window.end) — the window struct doesn't exist down
+          // there, and the value isn't group-constant either).
           if (!fn.references.subsetOf(expand.child.outputSet)) return None
           def one(partial: AggregateFunction,
                   fin: Attribute => Expression): Piece =

@@ -90,6 +90,49 @@ class DedupSpec extends SparkSuite {
       (10L, 10L), (11L, 10L)))
   }
 
+  test("resolveClusters ≡ brute-force components on random graphs (property)") {
+    import org.scalacheck.{Gen, Prop}
+    import org.scalacheck.Prop.propBoolean
+    // Brute-force oracle: repeated relaxation over an in-memory edge list.
+    def bruteComponents(edges: Seq[(Long, Long)]): Map[Long, Long] = {
+      val label = scala.collection.mutable.Map.empty[Long, Long]
+      edges.foreach { case (a, b) =>
+        label.getOrElseUpdate(a, a); label.getOrElseUpdate(b, b)
+      }
+      var changed = true
+      while (changed) {
+        changed = false
+        edges.foreach { case (a, b) =>
+          val m = math.min(label(a), label(b))
+          if (label(a) != m) { label(a) = m; changed = true }
+          if (label(b) != m) { label(b) = m; changed = true }
+        }
+      }
+      // propagate to fixpoint through label chains
+      label.keys.toSeq.foreach { k =>
+        var v = label(k)
+        while (label(v) != v) v = label(v)
+        label(k) = v
+      }
+      label.toMap
+    }
+    val graphGen: Gen[List[(Long, Long)]] = for {
+      n <- Gen.choose(0, 60)
+      edges <- Gen.listOfN(n, for {
+        a <- Gen.choose(0L, 30L); b <- Gen.choose(0L, 30L)
+      } yield (a, b))
+    } yield edges
+    val prop = Prop.forAll(graphGen) { edges =>
+      val df = edges.toDF("id_a", "id_b")
+      val got = Dedup.resolveClusters(df).as[(Long, Long)].collect().toMap
+      val want = bruteComponents(edges)
+      (got == want) :| s"got=$got want=$want edges=$edges"
+    }
+    val res = org.scalacheck.Test.check(
+      org.scalacheck.Test.Parameters.default.withMinSuccessfulTests(25), prop)
+    assert(res.passed, res.status.toString)
+  }
+
   test("resolveClusters local and distributed paths agree on a random graph") {
     val rnd = new scala.util.Random(42)
     // 300 edges over 120 nodes: long chains + merges + self-loops

@@ -108,10 +108,12 @@ class SliceRollupRuleSpec extends SparkSuite {
     }
   }
 
-  test("declines: aggregate referencing the window attribute (max(window.end))") {
-    // Regression: the partial lands below the Expand where the window
-    // struct doesn't exist — rewriting max(window.end) crashed execution
-    // with INTERNAL_ERROR_ATTRIBUTE_NOT_FOUND. The rule must bail.
+  test("max(window.end) is group-constant: rewrites as an outer projection") {
+    // Regression history: rewriting max(window.end) once crashed execution
+    // with INTERNAL_ERROR_ATTRIBUTE_NOT_FOUND (the partial landed below
+    // the Expand where the window struct doesn't exist). Now the rule
+    // recognizes the aggregate as group-constant and emits the expression
+    // itself in the outer aggregate — the rewrite still fires.
     def q = events
       .groupBy(window(col("ts"), "10 minutes", "1 minute"), col("k"))
       .agg(count(lit(1)).as("cnt"), max(col("window.end").cast("long")).as("we"))
@@ -119,8 +121,26 @@ class SliceRollupRuleSpec extends SparkSuite {
       q.collect().toSet
     }
     withRule {
+      assert(aggCount(q.queryExecution.optimizedPlan) === 2,
+        "group-constant max must not block the rewrite:\n" +
+          q.queryExecution.optimizedPlan)
+      assert(q.collect().toSet === baseline)
+    }
+  }
+
+  test("declines: aggregate mixing window and value references") {
+    // sum(v + window.end) is neither decomposable below the Expand (the
+    // window struct doesn't exist there) nor group-constant — must bail.
+    def q = events
+      .groupBy(window(col("ts"), "10 minutes", "1 minute"), col("k"))
+      .agg(count(lit(1)).as("cnt"),
+        sum(col("v") + col("window.end").cast("long")).as("s"))
+    val baseline = withClue("baseline must run without the rule") {
+      q.collect().toSet
+    }
+    withRule {
       assert(aggCount(q.queryExecution.optimizedPlan) === 1,
-        "window-referencing aggregate must not rewrite")
+        "mixed-reference aggregate must not rewrite")
       assert(q.collect().toSet === baseline)
     }
   }
