@@ -1344,6 +1344,30 @@ object Catalog {
        |       substring(event_type, 1, 3) AS prefix
        |FROM e""".stripMargin
 
+  /** Typed JSON extraction: `from_json` with an explicit struct schema
+    * over the events props column — the structured, codegen'd twin of the
+    * ad-hoc `get_json_object` path used elsewhere. At scale the explicit
+    * schema matters: one parse per row into typed fields, no per-field
+    * re-parse, no inference scan. Map-side parse + one aggregate shuffle. */
+  val jsonTyped: Q = (s, dir) => {
+    val propsSchema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("k",
+        org.apache.spark.sql.types.LongType)))
+    Tables.events(s, dir)
+      .select(from_json(col("props"), propsSchema).getField("k").as("item_id"),
+        col("value"), col("user_id"))
+      .groupBy(col("item_id"))
+      .agg(count(lit(1)).as("cnt"),
+        sum(col("value").cast(DecimalType(18, 4))).cast("double").as("value_sum"),
+        countDistinct(col("user_id")).as("n_users"))
+  }
+
+  val jsonTypedSql: String =
+    """SELECT CAST(props->>'k' AS BIGINT) AS item_id, count(*) AS cnt,
+      |  CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS value_sum,
+      |  count(DISTINCT user_id) AS n_users
+      |FROM events GROUP BY 1""".stripMargin
+
   /** Join surface: LEFT SEMI — customers that placed at least one
     * high-value order (existence, no row multiplication; plans as a
     * build-once semi hash join). */
@@ -1620,6 +1644,7 @@ object Catalog {
     "blacklist_daily" -> blacklistDaily,
     "salted_pv" -> saltedPv,
     "scalar_funcs" -> scalarFuncs,
+    "json_typed" -> jsonTyped,
     "login_fail" -> loginFail,
     "order_timeout" -> orderTimeout,
     "interval_join" -> intervalJoin,
@@ -1680,6 +1705,7 @@ object Catalog {
     "blacklist_daily" -> blacklistDailySql,
     "salted_pv" -> saltedPvSql,
     "scalar_funcs" -> scalarFuncsSql,
+    "json_typed" -> jsonTypedSql,
     "login_fail" -> loginFailSql,
     "order_timeout" -> orderTimeoutSql,
     "interval_join" -> intervalJoinSql,

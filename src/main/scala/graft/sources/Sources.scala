@@ -204,6 +204,29 @@ object CsvSources {
     (good, bad)
   }
 
+  /**
+   * Schema-explicit JSONL read (one JSON object per line) — the ingestion
+   * format most large text-corpus pipelines exchange. Schema is always
+   * explicit: at 100 TB, `inferSchema` means an extra full scan and a
+   * schema that drifts with the sampled files. Same malformed-row
+   * discipline as [[readWithCorruptBranch]]: PERMISSIVE mode keeps every
+   * input line, `good` carries typed rows, `bad` the raw text of lines
+   * that failed to parse (missing required fields parse as nulls — JSON
+   * is self-describing, absence is not corruption).
+   */
+  def readJsonlWithCorruptBranch(spark: SparkSession, path: String,
+                                 schema: StructType): (DataFrame, DataFrame) = {
+    val extended = schema.add(StructField("_corrupt", StringType, nullable = true))
+    val all = spark.read.schema(extended)
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", "_corrupt")
+      .json(path)
+      .cache() // one scan feeds both branches
+    val good = all.filter(col("_corrupt").isNull).drop("_corrupt")
+    val bad = all.filter(col("_corrupt").isNotNull).select(col("_corrupt").as("raw"))
+    (good, bad)
+  }
+
   /** Apache access log: space-delimited text, date field parsed with the
     * reference's format (HotUrlApp.java:40-44 → dd/MM/yyyy:HH:mm:ss). */
   def apacheLog(spark: SparkSession, path: String): DataFrame = {

@@ -31,4 +31,30 @@ class CorruptBranchSpec extends SparkSuite {
     // every input row is in exactly one branch
     assert(good.count() + bad.count() === 5)
   }
+
+  test("readJsonlWithCorruptBranch splits typed rows from malformed lines") {
+    import org.apache.spark.sql.types._
+    val dir = Files.createTempDirectory("corrupt_jsonl")
+    val f = dir.resolve("docs.jsonl")
+    Files.write(f, java.util.Arrays.asList(
+      """{"doc_id": 1, "text": "hello world", "lang": "en"}""",
+      """{"doc_id": 2, "text": "bonjour"}""",      // missing field -> null, still good
+      """{"doc_id": "x", "text": "bad id type"}""", // type mismatch -> corrupt
+      """not json at all""",
+      """{"doc_id": 3, "text": "ok", "lang": "de"}"""))
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType),
+      StructField("text", StringType),
+      StructField("lang", StringType)))
+    val (good, bad) = CsvSources.readJsonlWithCorruptBranch(
+      spark, f.toString, schema)
+    assert(good.count() === 3)
+    assert(good.select("doc_id").as[Long].collect().sorted === Array(1L, 2L, 3L))
+    assert(good.filter("doc_id = 2").select("lang").first().isNullAt(0),
+      "absent JSON field must read as null, not corruption")
+    val raws = bad.as[String].collect()
+    assert(raws.length === 2)
+    assert(raws.contains("not json at all"))
+    assert(good.count() + bad.count() === 5)
+  }
 }
