@@ -976,6 +976,30 @@ object Catalog {
        |  FROM c
        |) WHERE rn <= 5""".stripMargin
 
+  /** §2.5 SQL surface, naive declarative form: the sliding window written
+    * exactly as a SQL user would (`window(ets, '1 hour', '5 minutes')`,
+    * 12× row replication as analyzed) with [[graft.plans.SliceRollupRule]]
+    * enabled — the optimizer rewrites it into the slice roll-up plan
+    * automatically. This is the rule's reason to exist: declarative users
+    * get the hand-optimized twin's shuffle shape for free. Rewrite-fired
+    * is pinned in PlanInvariantsSpec; result parity by the shared oracle. */
+  val hotItemsSqlAuto: Q = (s, dir) => {
+    events(s, dir).createOrReplaceTempView("graft_events")
+    if (!s.experimental.extraOptimizations.contains(graft.plans.SliceRollupRule))
+      s.experimental.extraOptimizations =
+        s.experimental.extraOptimizations :+ graft.plans.SliceRollupRule
+    s.sql(
+      """WITH c AS (
+        |  SELECT item_id, CAST(window.end AS LONG) AS window_end, count(*) AS cnt
+        |  FROM graft_events WHERE event_type = 'view'
+        |  GROUP BY item_id, window(ets, '1 hour', '5 minutes')
+        |)
+        |SELECT item_id, window_end, cnt, rn FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY window_end ORDER BY cnt DESC, item_id ASC) AS rn
+        |  FROM c
+        |) WHERE rn <= 5""".stripMargin)
+  }
+
   /** §2.5 SQL surface: the same query as [[hotItems]] expressed as SQL text
     * through `spark.sql` over a registered view (HotItemsWithSQLApp parity:
     * HOP window → window(); ROW_NUMBER rank verbatim). The SQL uses the
@@ -1628,6 +1652,7 @@ object Catalog {
     "q_anti_join" -> qAntiJoin,
     "hot_items" -> hotItems,
     "hot_items_sql" -> hotItemsSqlSurface,
+    "hot_items_sql_auto" -> hotItemsSqlAuto,
     "hot_urls" -> hotUrls,
     "pv_tumbling" -> pvTumbling,
     "uv_exact" -> uvExact,
@@ -1690,6 +1715,7 @@ object Catalog {
     "q_semi_join" -> qSemiJoinSql,
     "q_anti_join" -> qAntiJoinSql,
     "hot_items" -> hotItemsSql,
+    "hot_items_sql_auto" -> hotItemsSql,
     "hot_items_sql" -> hotItemsSql, // same semantics through spark.sql
     "hot_urls" -> hotUrlsSql,
     "pv_tumbling" -> pvTumblingSql,

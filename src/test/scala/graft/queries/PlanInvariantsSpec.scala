@@ -121,6 +121,18 @@ class PlanInvariantsSpec extends SparkSuite {
       "q21 must top-k via TakeOrdered, not a global sort")
   }
 
+  test("naive declarative sliding window gets the slice rollup automatically") {
+    // hot_items_sql_auto writes window(ets,'1 hour','5 minutes') as-is;
+    // SliceRollupRule must split the aggregation into partial-by-slice +
+    // final-by-window (2 logical Aggregates) instead of the 12×-replicating
+    // single-level plan (1).
+    val df = Catalog.all("hot_items_sql_auto")(spark, dir)
+    val aggs = df.queryExecution.optimizedPlan.collect {
+      case a: org.apache.spark.sql.catalyst.plans.logical.Aggregate => a
+    }.length
+    assert(aggs === 2, s"rule did not fire:\n${df.queryExecution.optimizedPlan}")
+  }
+
   test("TPC-H wave 3 (Q2/Q11/Q16/Q20): broadcast dims, bounded shuffles") {
     Seq("q2_mincost", "q11_important", "q16_suppcnt", "q20_excess").foreach { q =>
       val p = plan(q)
