@@ -114,6 +114,38 @@ object BucketedTables {
       .drop("_z")
       .write.mode("overwrite").parquet(path)
   }
+
+  /**
+   * Small-file compaction — the maintenance op every long-lived table
+   * needs: streaming sinks, incremental appends, and fine-grained
+   * partitioned writes accumulate kilobyte files whose per-file open /
+   * footer-read / task-schedule overhead comes to dominate the scan.
+   * Sizes the rewrite from the ACTUAL on-disk bytes (filesystem content
+   * summary, not a row-count guess) to `ceil(bytes / targetBytes)`
+   * output files. `sortCol` optionally restores clustering while the
+   * data is being rewritten anyway — compaction is the cheapest moment
+   * to re-sort, and the range partition makes every output file a
+   * disjoint key range (parquet min/max pruning works again). The
+   * rewrite is exactly one exchange either way. Returns the output file
+   * count.
+   */
+  def compact(spark: SparkSession, srcPath: String, dstPath: String,
+              targetBytes: Long = 128L << 20,
+              sortCol: Option[String] = None): Int = {
+    require(targetBytes > 0, "targetBytes must be positive")
+    val hPath = new org.apache.hadoop.fs.Path(srcPath)
+    val fs = hPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val bytes = fs.getContentSummary(hPath).getLength
+    val nFiles = math.max(1, math.ceil(bytes.toDouble / targetBytes).toInt)
+    val df = spark.read.parquet(srcPath)
+    val out = sortCol match {
+      case Some(c) =>
+        df.repartitionByRange(nFiles, col(c)).sortWithinPartitions(col(c))
+      case None => df.repartition(nFiles)
+    }
+    out.write.mode("overwrite").parquet(dstPath)
+    nFiles
+  }
 }
 
 /**
