@@ -892,6 +892,26 @@ object PipelineCatalog {
       |)
       |SELECT doc_id, (s * 16) // total AS shard_id, n AS n_tokens FROM c""".stripMargin
 
+  /** One-pass table profile over the documents corpus: per column null
+    * count, exact distinct cardinality, min/max — the data-quality gate
+    * run on every new corpus drop. Single Aggregate (multi-distinct via
+    * Catalyst's Expand rewrite), stack to long format driver-side.
+    * Doubles excluded from the bound columns: their string rendering
+    * differs across engines. */
+  val tableProfile: Q = (s, dir) =>
+    Profiling.profile(Tables.documents(s, dir),
+      Seq("doc_id", "lang", "source", "n_chars"))
+
+  val tableProfileSql: String = Seq("doc_id", "lang", "source", "n_chars")
+    .map { c =>
+      s"""SELECT '$c' AS "column", count(*) AS n_rows,
+         |  count(*) - count($c) AS n_nulls,
+         |  count(DISTINCT $c) AS n_distinct,
+         |  CAST(min($c) AS VARCHAR) AS min_value,
+         |  CAST(max($c) AS VARCHAR) AS max_value
+         |FROM documents""".stripMargin
+    }.mkString("\nUNION ALL\n")
+
   /**
    * End-to-end corpus build — the composition every stage exists for:
    * rule filter → exact dedup → temperature-0.5 lang rebalance → 8-way
@@ -1047,6 +1067,7 @@ object PipelineCatalog {
     "importance_weights" -> importanceW,
     "shard_assign" -> shardAssign,
     "pipeline_e2e" -> pipelineE2e,
+    "table_profile" -> tableProfile,
     "bm25_top_terms" -> bm25TopTerms,
     "vocab_top_terms" -> vocabTopTerms,
     "vocab_sketch" -> vocabSketch,
@@ -1086,6 +1107,7 @@ object PipelineCatalog {
     "importance_weights" -> importanceWSql,
     "shard_assign" -> shardAssignSql,
     "pipeline_e2e" -> pipelineE2eSql,
+    "table_profile" -> tableProfileSql,
     "bm25_top_terms" -> bm25TopTermsSql,
     "vocab_top_terms" -> vocabTopTermsSql,
     "seq_packing" -> seqPackingSql,
