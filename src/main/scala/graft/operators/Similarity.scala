@@ -337,15 +337,43 @@ object Similarity {
     if (model.isEmpty) return (model, base.limit(0)
       .select(col("id"), lit(0L).as("cid"),
         typedlit(Seq.empty[Int]).as("codes"), lit(0.0).as("rn2")))
-    val ds = model.dim / m
-    val index = base
+    (model, encodePqIndex(model, df, idCol, vecCol))
+  }
+
+  /**
+   * Encode vectors against a FROZEN model: assign the coarse list and PQ
+   * codes with literal codebooks — map-only, zero shuffle, usable for
+   * the initial corpus and for every later increment alike.
+   */
+  def encodePqIndex(model: PqModel, df: DataFrame,
+                    idCol: String, vecCol: String): DataFrame = {
+    graft.functions.GraftFunctions.register(df.sparkSession)
+    require(!model.isEmpty, "cannot encode against an empty model")
+    val ds = model.dim / model.books.length
+    df.select(col(idCol).as("id"), col(vecCol).cast("array<double>").as("v"))
+      .withColumn("n", norm2(col("v")))
       .withColumn("cid",
         -array_max(centScoresFor(model.cents)(col("v"), col("n"))).getField("negcid"))
       .withColumn("codes", pqCodesFor(model.books, ds)(col("v")))
       .withColumn("rn2", pqReconNorm2For(model.books)(col("codes")))
       .select(col("id"), col("cid"), col("codes"), col("rn2"))
-    (model, index)
   }
+
+  /**
+   * Incremental index maintenance: encode NEW vectors against the frozen
+   * model (map-only) and append them to the standing index — no retrain,
+   * no rescan of the old corpus. This is how a growing corpus stays
+   * searchable between rebuilds: the append is O(increment), and
+   * [[searchPqIndex]] over the union is exact in its re-rank stage
+   * regardless of when rows were encoded. The trade-off is quantizer
+   * drift — centroids trained on the original distribution gradually
+   * mis-balance the lists as the corpus shifts; production rebuilds on a
+   * cadence (or when list-size skew crosses a bound), exactly like any
+   * IVF deployment.
+   */
+  def appendToPqIndex(model: PqModel, index: DataFrame, newDf: DataFrame,
+                      idCol: String, vecCol: String): DataFrame =
+    index.unionByName(encodePqIndex(model, newDf, idCol, vecCol))
 
   /**
    * Query a prebuilt IVF-PQ index: probe the `nProbe` nearest coarse

@@ -255,6 +255,24 @@ object PipelineCatalog {
       nProbe = 4, rerankFactor = 4)
   }
 
+  /** Incremental IVF-PQ maintenance: the index is built (trained +
+    * encoded) on the FIRST HALF of the corpus only, the second half is
+    * appended against the frozen model (map-only encode, no retrain, no
+    * rescan), and the probe set searches the union — the growing-corpus
+    * shape between index rebuilds. Rows-only; model-equivalence of the
+    * append path is pinned exactly in SimilaritySpec. */
+  val simIvfPqAppend: Q = (s, dir) => {
+    val emb = Tables.embeddings(s, dir)
+    val half = emb.agg(expr("percentile(vec_id, 0.5)")).head().getDouble(0)
+    val (model, idx) = Similarity.buildPqIndex(
+      emb.filter(col("vec_id") <= half), "vec_id", "embedding",
+      nCentroids = 16, m = 8, kSub = 16, trainIters = 0, pqIters = 1)
+    val full = Similarity.appendToPqIndex(
+      model, idx, emb.filter(col("vec_id") > half), "vec_id", "embedding")
+    Similarity.searchPqIndex(model, full, emb, "vec_id", "embedding",
+      col("id") % 100 === 0, k = 5, nProbe = 4, rerankFactor = 4)
+  }
+
   /** Int8 scalar quantization — gate projects scalar digests of the code
     * vector (array columns crash the driver's pandas compare; the full
     * qvec stays spec-covered). Exact oracle: integer codes + IEEE scale. */
@@ -1045,6 +1063,7 @@ object PipelineCatalog {
     "sim_ivf_trained" -> simIvfTrained,
     "sim_ivfpq_topk" -> simIvfPq,
     "sim_ivfpq_search" -> simIvfPqSearch,
+    "sim_ivfpq_append" -> simIvfPqAppend,
     "sim_quantize_int8" -> simQuantize,
     "sim_near_dup" -> simNearDup,
     "text_tokens" -> textTokens,

@@ -154,6 +154,29 @@ class SimilaritySpec extends SparkSuite {
     assert(batch2.nonEmpty && batch2.forall(r => r.head == 1L))
   }
 
+  test("appendToPqIndex: incremental encode equals encoding everything at once") {
+    graft.functions.GraftFunctions.register(spark)
+    val corpus = spark.range(80).select(col("id").as("vec_id"),
+      expr("""transform(sequence(0, 7), i ->
+        cast(cast(if(i = vec_id % 4, 8.0, 0.0) as double) +
+        cast(xxhash64(vec_id, i) as double) / 9.2e18 as float)""" + ")").as("embedding"))
+    val first = corpus.filter(col("vec_id") < 40)
+    val rest = corpus.filter(col("vec_id") >= 40)
+    val (model, idx) = Similarity.buildPqIndex(first, "vec_id", "embedding",
+      nCentroids = 3, m = 2, kSub = 8, trainIters = 1, pqIters = 1)
+    val appended = Similarity.appendToPqIndex(model, idx, rest, "vec_id", "embedding")
+    // same frozen model encoding the whole corpus in one pass
+    val direct = Similarity.encodePqIndex(model, corpus, "vec_id", "embedding")
+    assert(appended.collect().map(_.toSeq).toSet ===
+      direct.collect().map(_.toSeq).toSet,
+      "append path must equal one-pass encode under the same model")
+    // and search over the appended index still answers from BOTH halves
+    val res = Similarity.searchPqIndex(model, appended, corpus,
+        "vec_id", "embedding", col("id") === 44L, k = 3, nProbe = 3)
+      .select("neighbor_id").as[Long].collect()
+    assert(res.nonEmpty)
+  }
+
   test("sim_ivfpq_search (cached index binding) equals the one-shot gate query") {
     val dir = "/root/testdata/sf0.001"
     val oneShot = graft.queries.PipelineCatalog.simIvfPq(spark, dir)
