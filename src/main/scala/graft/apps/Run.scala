@@ -43,6 +43,13 @@ object Run {
       case "explain" =>
         val name = args(2)
         Catalog.all(name)(spark, sfDir).explain("formatted")
+      case "profile" =>
+        // one-pass data-quality profile of a registered table (or all)
+        Tables.registerViews(spark, sfDir)
+        val table = args(2)
+        val df = spark.table(table)
+        graft.operators.Profiling.profile(df, df.columns.toSeq)
+          .show(100, truncate = false)
       case "time" =>
         val name = args(2)
         Catalog.all(name)(spark, sfDir).count() // warm: codegen + footers

@@ -3,7 +3,7 @@ package graft.streaming
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{DataStreamWriter, StreamingQuery, Trigger}
-import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.types.{StringType, StructField, StructType}
 
 import graft.model.MarketUserBehavior
 
@@ -21,6 +21,20 @@ object StreamSources {
     * HotItemApp.java:36). `maxFilesPerTrigger=1` keeps replay ordered. */
   def csvStream(spark: SparkSession, dir: String, schema: StructType): DataFrame =
     spark.readStream.schema(schema).option("maxFilesPerTrigger", "1").csv(dir)
+
+  /** JSONL file-arrival stream — the streaming twin of
+    * [[graft.sources.CsvSources.readJsonlWithCorruptBranch]]: explicit
+    * schema (no inference), PERMISSIVE parse with the corrupt column kept
+    * inline so a downstream filter splits good/bad rows from ONE scan
+    * (two readStream branches of the same dir would double-read it). */
+  def jsonlStream(spark: SparkSession, dir: String,
+                  schema: StructType): DataFrame =
+    spark.readStream
+      .schema(schema.add(StructField("_corrupt", StringType, nullable = true)))
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", "_corrupt")
+      .option("maxFilesPerTrigger", "1")
+      .json(dir)
 
   /** S2 — socket text source (HotUrlApp.java:38,
     * OrderTimeoutAppWithState.java:27). */

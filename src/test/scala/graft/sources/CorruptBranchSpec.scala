@@ -2,6 +2,8 @@ package graft.sources
 
 import java.nio.file.Files
 
+import org.apache.spark.sql.functions.col
+
 import graft.SparkSuite
 
 /** Malformed-input tolerance: the reference's positional parsers throw on
@@ -56,5 +58,26 @@ class CorruptBranchSpec extends SparkSuite {
     assert(raws.length === 2)
     assert(raws.contains("not json at all"))
     assert(good.count() + bad.count() === 5)
+  }
+
+  test("jsonlStream delivers typed rows with the corrupt column inline") {
+    import org.apache.spark.sql.types._
+    val dir = Files.createTempDirectory("stream_jsonl")
+    Files.write(dir.resolve("a.jsonl"), java.util.Arrays.asList(
+      """{"doc_id": 1, "text": "streamed"}""",
+      """broken line""",
+      """{"doc_id": 2, "text": "also streamed"}"""))
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("text", StringType)))
+    val stream = graft.streaming.StreamSources.jsonlStream(
+      spark, dir.toString, schema)
+    val q = graft.streaming.StreamSources.memorySink(
+      stream, "jsonl_stream_test")
+    q.awaitTermination()
+    val rows = spark.table("jsonl_stream_test")
+    assert(rows.count() === 3)
+    assert(rows.filter(col("_corrupt").isNull).count() === 2)
+    assert(rows.filter(col("_corrupt").isNotNull)
+      .select("_corrupt").as[String].collect() === Array("broken line"))
   }
 }
