@@ -1,0 +1,66 @@
+package graft.sources
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSuite
+
+/** Versioned upsert table: MERGE semantics, commit-marker gating, time
+  * travel, vacuum. */
+class VersionedTableSpec extends SparkSuite {
+
+  import spark.implicits._
+
+  test("upsert replaces by key, carries others, and versions are readable") {
+    val path = Files.createTempDirectory("vt").toString
+    assert(VersionedTable.read(spark, path).isEmpty)
+
+    val v1 = VersionedTable.upsert(spark, path,
+      Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("id", "x"), Seq("id"))
+    assert(v1 === 1L)
+    val v2 = VersionedTable.upsert(spark, path,
+      Seq((2L, "B"), (4L, "d")).toDF("id", "x"), Seq("id"))
+    assert(v2 === 2L)
+
+    val now = VersionedTable.read(spark, path).get
+      .as[(Long, String)].collect().toSet
+    assert(now === Set((1L, "a"), (2L, "B"), (3L, "c"), (4L, "d")))
+    // time travel: v1 still intact
+    assert(spark.read.parquet(s"$path/v1").as[(Long, String)].collect().toSet ===
+      Set((1L, "a"), (2L, "b"), (3L, "c")))
+  }
+
+  test("uncommitted version directories are invisible to readers") {
+    val path = Files.createTempDirectory("vt_commit").toString
+    VersionedTable.upsert(spark, path,
+      Seq((1L, "a")).toDF("id", "x"), Seq("id"))
+    // simulate a crash mid-write of v99: data present, no _SUCCESS
+    val bad = new java.io.File(s"$path/v99"); bad.mkdirs()
+    Seq((9L, "junk")).toDF("id", "x").write.mode("overwrite")
+      .parquet(s"$path/v99_tmp")
+    new java.io.File(s"$path/v99_tmp").listFiles()
+      .filter(_.getName.endsWith(".parquet"))
+      .foreach(f => Files.move(f.toPath, new java.io.File(bad, f.getName).toPath))
+    assert(VersionedTable.versions(spark, path) === Seq(1L),
+      "v99 without _SUCCESS must not be a committed version")
+    assert(VersionedTable.read(spark, path).get
+      .as[(Long, String)].collect().toSet === Set((1L, "a")))
+    // the next upsert writes v100 (above the debris), not v2 under it
+    val next = VersionedTable.upsert(spark, path,
+      Seq((2L, "b")).toDF("id", "x"), Seq("id"))
+    assert(next === 2L, "uncommitted debris must not advance the version counter")
+  }
+
+  test("vacuum keeps the newest versions only") {
+    val path = Files.createTempDirectory("vt_vac").toString
+    (1 to 4).foreach { i =>
+      VersionedTable.upsert(spark, path,
+        Seq((i.toLong, s"x$i")).toDF("id", "x"), Seq("id"))
+    }
+    assert(VersionedTable.versions(spark, path) === Seq(1L, 2L, 3L, 4L))
+    VersionedTable.vacuum(spark, path, keep = 2)
+    assert(VersionedTable.versions(spark, path) === Seq(3L, 4L))
+    assert(VersionedTable.read(spark, path).get.count() === 4L)
+  }
+}
