@@ -75,6 +75,12 @@ object SliceRollupRule extends Rule[LogicalPlan] {
     AggregateExpression(fn, Complete, isDistinct = false, None, NamedExpression.newExprId)
 
   private def rewrite(agg: Aggregate, expand: Expand): Option[LogicalPlan] = {
+    // Batch-only: on a streaming plan the outer aggregate's reconstructed
+    // window struct no longer carries the event-time/watermark metadata,
+    // so the rewritten query fails Spark's unsupported-operation check
+    // (append aggregation without watermark). Streaming callers get the
+    // equivalent shape explicitly via StreamWindows.slidingCountRollupStream.
+    if (expand.child.isStreaming) return None
     val projections = expand.projections
     if (projections.length < MinFanout) return None
     val width = projections.head.length

@@ -145,6 +145,31 @@ class SliceRollupRuleSpec extends SparkSuite {
     }
   }
 
+  test("declines: streaming plans (watermark metadata would be lost)") {
+    // Regression: with the rule enabled session-wide (hot_items_sql_auto
+    // adds it), a STREAMING sliding-window aggregation must not be
+    // rewritten — the outer aggregate's rebuilt window struct drops the
+    // event-time metadata and the query fails Spark's append-mode
+    // watermark check at start. The rule must decline on isStreaming.
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val mem = MemoryStream[(Long, Double)]
+    mem.addData((1L, 1.0), (2L, 2.0))
+    val q = mem.toDF()
+      .select(timestamp_seconds(col("_1") * 60).as("ts"), col("_2").as("v"))
+      .withWatermark("ts", "0 seconds")
+      .groupBy(window(col("ts"), "10 minutes", "1 minute"))
+      .agg(count(lit(1)).as("cnt"))
+    withRule {
+      val query = q.writeStream.format("memory").outputMode("append")
+        .queryName("rollup_stream_decline")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      query.awaitTermination() // throws STREAM_FAILED if the rule rewrote it
+      assert(spark.table("rollup_stream_decline").columns.contains("cnt"))
+    }
+  }
+
   test("tumbling windows are untouched") {
     def q = events.groupBy(window(col("ts"), "10 minutes"), col("k"))
       .agg(count(lit(1)).as("cnt"))
