@@ -263,12 +263,13 @@ object PipelineCatalog {
     * append path is pinned exactly in SimilaritySpec. */
   val simIvfPqAppend: Q = (s, dir) => {
     val emb = Tables.embeddings(s, dir)
-    val half = emb.agg(expr("percentile(vec_id, 0.5)")).head().getDouble(0)
+    // deterministic even/odd split — no extra job to find a median;
+    // both halves are full-size samples of the same distribution
     val (model, idx) = Similarity.buildPqIndex(
-      emb.filter(col("vec_id") <= half), "vec_id", "embedding",
+      emb.filter(col("vec_id") % 2 === 0), "vec_id", "embedding",
       nCentroids = 16, m = 8, kSub = 16, trainIters = 0, pqIters = 1)
     val full = Similarity.appendToPqIndex(
-      model, idx, emb.filter(col("vec_id") > half), "vec_id", "embedding")
+      model, idx, emb.filter(col("vec_id") % 2 =!= 0), "vec_id", "embedding")
     Similarity.searchPqIndex(model, full, emb, "vec_id", "embedding",
       col("id") % 100 === 0, k = 5, nProbe = 4, rerankFactor = 4)
   }
