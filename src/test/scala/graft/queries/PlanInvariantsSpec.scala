@@ -121,6 +121,15 @@ class PlanInvariantsSpec extends SparkSuite {
       "q21 must top-k via TakeOrdered, not a global sort")
   }
 
+  test("registry consistency: every oracle has a query; names well-formed") {
+    val qs = Catalog.all.keySet
+    val os = Catalog.oracles.keySet
+    assert((os -- qs).isEmpty,
+      s"oracle entries without a query binding: ${os -- qs}")
+    val badNames = qs.filterNot(_.matches("[a-z0-9_]+"))
+    assert(badNames.isEmpty, s"non-snake-case query names: $badNames")
+  }
+
   test("naive declarative sliding window gets the slice rollup automatically") {
     // hot_items_sql_auto writes window(ets,'1 hour','5 minutes') as-is;
     // SliceRollupRule must split the aggregation into partial-by-slice +
