@@ -20,6 +20,11 @@ import org.apache.spark.sql.functions._
  * into drops accordingly, or partition the table and upsert only touched
  * partitions. Old versions stay readable until [[vacuum]] — free time
  * travel for audits and rollback.
+ *
+ * Single-writer: version numbers are assigned by listing, so concurrent
+ * upserts to one table can race to the same v{n}. Serialize writers per
+ * table (the normal shape for a maintenance job); readers are always
+ * safe — they only ever see committed versions.
  */
 object VersionedTable {
 
