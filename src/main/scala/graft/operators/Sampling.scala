@@ -3,6 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
 
 /**
  * Deterministic (hash-based) sampling — the split primitive of training
@@ -103,20 +104,30 @@ object Sampling {
    * growth, the property curriculum re-cuts rely on). Scale: the
    * per-domain token table is |domains| rows → broadcast; the corpus
    * side is one partial-aggregated count pass + a map-only filter.
+   *
+   * Weights are taken at parts-per-billion resolution
+   * (`round(w × 10⁹)`) and the keep threshold is computed with exact
+   * integral arithmetic — `floor` over a double quotient flips at
+   * representation boundaries depending on the engine's evaluation
+   * order, an integral division of exact integers never does, so the
+   * keep set is bit-identical across engines.
    */
   def budgetMixSample(df: DataFrame, keyCol: String, groupCol: String,
                       tokensCol: String, weights: Map[String, Double],
                       defaultWeight: Double, budgetTokens: Long): DataFrame = {
     require(budgetTokens > 0, s"budgetTokens must be positive")
-    val wCol = weights.foldLeft(lit(defaultWeight)) { case (acc, (g, w)) =>
-      when(col(groupCol) === g, lit(w)).otherwise(acc)
+    val wPpb = weights.foldLeft(lit(math.round(defaultWeight * 1e9))) {
+      case (acc, (g, w)) =>
+        when(col(groupCol) === g, lit(math.round(w * 1e9))).otherwise(acc)
     }
+    val dec = DecimalType(38, 0)
     val thr = df.groupBy(col(groupCol))
       .agg(sum(col(tokensCol)).as("_gtok"))
+      .withColumn("_num",
+        lit(budgetTokens).cast(dec) * wPpb.cast(dec) * lit(Buckets.toLong))
+      .withColumn("_den", lit(1000000000L).cast(dec) * col("_gtok").cast(dec))
       .select(col(groupCol),
-        least(lit(Buckets.toLong), floor(
-          lit(budgetTokens.toDouble) * wCol / col("_gtok").cast("double") *
-            Buckets)).cast("long").as("_thr"))
+        least(lit(Buckets.toLong), expr("_num div _den")).as("_thr"))
     df.join(broadcast(thr), Seq(groupCol))
       .filter(hashBucket(col(keyCol)) < col("_thr"))
       .drop("_thr")

@@ -459,14 +459,17 @@ object Catalog {
 
   /** TPC-H Q12 shape: shipping-delay split — per return flag (standing in
     * for the absent l_shipmode), count high- vs lower-priority orders among
-    * lineitems shipped within 30 days of the order date. Single fact
-    * shuffle + conditional aggregation. */
+    * lineitems shipped within 30 CALENDAR days of the order date. The
+    * predicate is an integer day-diff over DATE-truncated timestamps —
+    * timestamp-plus-interval boundary semantics differ across engines,
+    * integer day arithmetic does not. Single fact shuffle + conditional
+    * aggregation. */
   val q12Priority: Q = (s, dir) => {
     val li = Tables.lineitem(s, dir)
     val o = Tables.orders(s, dir)
     li.join(o, col("l_orderkey") === col("o_orderkey"))
-      .filter(col("l_shipdate") >= col("o_orderdate") &&
-        col("l_shipdate") < col("o_orderdate") + expr("INTERVAL 30 DAYS"))
+      .filter(datediff(col("l_shipdate").cast("date"),
+        col("o_orderdate").cast("date")).between(0, 29))
       .groupBy(col("l_returnflag"))
       .agg(
         sum(when(col("o_orderpriority") === "1-URGENT" ||
@@ -480,7 +483,8 @@ object Catalog {
       |  sum(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH') THEN 1 ELSE 0 END) AS high_line_count,
       |  sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT','2-HIGH') THEN 1 ELSE 0 END) AS low_line_count
       |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
-      |WHERE l_shipdate >= o_orderdate AND l_shipdate < o_orderdate + INTERVAL 30 DAY
+      |WHERE datediff('day', CAST(o_orderdate AS DATE), CAST(l_shipdate AS DATE))
+      |      BETWEEN 0 AND 29
       |GROUP BY l_returnflag""".stripMargin
 
   /** TPC-H Q15 shape: top supplier — suppliers whose 1997H1 revenue equals
@@ -782,22 +786,32 @@ object Catalog {
 
   /** Bucketed range join (point-in-interval as an equi join on bucket id +
     * exact residual): customers whose balance falls within ±5 of a
-    * supplier's. Oracle is the plain BETWEEN join. */
+    * supplier's. The ±5 bounds and the residual compare run in
+    * DECIMAL(18,2) — engines rewrite double comparisons like
+    * `x >= y - 5` with constant motion that flips boundary rows;
+    * decimal cents arithmetic is exact in both. Oracle is the plain
+    * BETWEEN join over the same decimal casts. */
   val qRangeJoin: Q = (s, dir) => {
+    val bal = DecimalType(18, 2)
     val c = Tables.customer(s, dir)
+      .withColumn("c_bal", col("c_acctbal").cast(bal))
     val su = Tables.supplier(s, dir)
       .select(col("s_suppkey"),
-        (col("s_acctbal") - 5.0).as("lo"), (col("s_acctbal") + 5.0).as("hi"))
-    Joins.bucketedRangeJoin(c, "c_acctbal", su, "lo", "hi", bucketWidth = 10.0)
+        (col("s_acctbal").cast(bal) - 5).as("lo"),
+        (col("s_acctbal").cast(bal) + 5).as("hi"))
+    Joins.bucketedRangeJoin(c, "c_bal", su, "lo", "hi", bucketWidth = 10.0)
       .groupBy(col("s_suppkey"))
       .agg(count(lit(1)).as("n_close"),
         sum(col("c_custkey")).as("custkey_sum"))
   }
 
   val qRangeJoinSql: String =
-    """SELECT s_suppkey, count(*) AS n_close, sum(c_custkey) AS custkey_sum
-      |FROM customer JOIN supplier
-      |  ON c_acctbal >= s_acctbal - 5 AND c_acctbal <= s_acctbal + 5
+    """WITH c AS (SELECT c_custkey, CAST(c_acctbal AS DECIMAL(18,2)) AS bal
+      |           FROM customer),
+      |     s AS (SELECT s_suppkey, CAST(s_acctbal AS DECIMAL(18,2)) AS sbal
+      |           FROM supplier)
+      |SELECT s_suppkey, count(*) AS n_close, sum(c_custkey) AS custkey_sum
+      |FROM c JOIN s ON bal >= sbal - 5 AND bal <= sbal + 5
       |GROUP BY s_suppkey""".stripMargin
 
   /** Multi-distinct aggregate: several count(DISTINCT ·) columns plus a

@@ -707,6 +707,10 @@ object PipelineCatalog {
       .groupBy(col("source"))
       .agg(count(lit(1)).as("n_kept"), sum(col("n_tokens")).as("tokens_kept"))
 
+  // Thresholds in exact integral arithmetic (weights at ppb resolution,
+  // HUGEINT division) — mirrors budgetMixSample's engine-exact contract.
+  // The ppb literals are computed here with the SAME JVM doubles the
+  // Spark side rounds, so both engines see identical integers.
   val mixBudgetSql: String =
     s"""WITH d AS (
        |  SELECT doc_id, source, len(string_split(text, ' ')) AS n_tokens
@@ -714,11 +718,12 @@ object PipelineCatalog {
        |), g AS (
        |  SELECT source, sum(n_tokens) AS gtok FROM d GROUP BY source
        |), t AS (
-       |  SELECT source, least(1000, CAST(floor(
-       |    8000.0 * (CASE WHEN source = 'src0' THEN 0.05
-       |                   WHEN source = 'src1' THEN 0.30
-       |                   ELSE 0.65 / 18.0 END)
-       |    / CAST(gtok AS DOUBLE) * 1000) AS BIGINT)) AS thr
+       |  SELECT source, least(1000, CAST(
+       |    (CAST(8000 AS HUGEINT) *
+       |     (CASE WHEN source = 'src0' THEN ${math.round(0.05 * 1e9)}
+       |           WHEN source = 'src1' THEN ${math.round(0.30 * 1e9)}
+       |           ELSE ${math.round(0.65 / 18.0 * 1e9)} END) * 1000)
+       |    // (CAST(1000000000 AS HUGEINT) * gtok) AS BIGINT)) AS thr
        |  FROM g
        |), b AS (
        |  SELECT doc_id, source, n_tokens, ${duckHashBucket("doc_id")} AS bucket
