@@ -44,12 +44,20 @@ object Run {
         val name = args(2)
         Catalog.all(name)(spark, sfDir).explain("formatted")
       case "profile" =>
-        // one-pass data-quality profile of a registered table (or all)
+        // one-pass data-quality profile of a registered table, or of
+        // every registered table with 'all' / no table argument
         Tables.registerViews(spark, sfDir)
-        val table = args(2)
-        val df = spark.table(table)
-        graft.operators.Profiling.profile(df, df.columns.toSeq)
-          .show(100, truncate = false)
+        val targets = args.lift(2) match {
+          case Some("all") | None =>
+            spark.catalog.listTables().collect().map(_.name).toSeq.sorted
+          case Some(t) => Seq(t)
+        }
+        targets.foreach { t =>
+          println(s"== $t ==")
+          val df = spark.table(t)
+          graft.operators.Profiling.profile(df, df.columns.toSeq)
+            .show(100, truncate = false)
+        }
       case "time" =>
         val name = args(2)
         Catalog.all(name)(spark, sfDir).count() // warm: codegen + footers

@@ -259,6 +259,12 @@ object Dedup {
    * typically ~0.1% of corpus rows, so even multi-TB corpora often take
    * this path; beyond it the distributed pointer-doubling loop runs.
    * Both paths produce identical labels (test-pinned).
+   *
+   * Null contract: a pair row with a null id on EITHER side is ignored
+   * entirely — labels are emitted only for ids appearing in at least one
+   * fully-non-null pair. Enforced identically on both paths (the filter
+   * sits upstream of the path switch), so output never depends on which
+   * path the edge count selects.
    */
   def resolveClusters(pairs: DataFrame, idA: String = "id_a",
                       idB: String = "id_b", maxIter: Int = 20,
@@ -267,7 +273,8 @@ object Dedup {
     // symmetric-closure union scans it twice. Persist + materialize first so
     // the pair computation runs exactly once.
     val tEnter = System.nanoTime()
-    val p = pairs.select(col(idA).as("s"), col(idB).as("t")).persist()
+    val p = pairs.select(col(idA).as("s"), col(idB).as("t"))
+      .filter(col("s").isNotNull && col("t").isNotNull).persist()
     val tPairs = System.nanoTime()
     val nPairs = p.count()
     if (sys.env.contains("GRAFT_DEBUG_ROUNDS"))

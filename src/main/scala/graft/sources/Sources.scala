@@ -135,6 +135,12 @@ object BucketedTables {
     require(targetBytes > 0, "targetBytes must be positive")
     val hPath = new org.apache.hadoop.fs.Path(srcPath)
     val fs = hPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // in-place compaction would read and overwrite the same files —
+    // compare fully-qualified paths so differing spellings still match
+    require(fs.makeQualified(hPath) !=
+        fs.makeQualified(new org.apache.hadoop.fs.Path(dstPath)),
+      "compact to a NEW directory, then swap — in-place compaction " +
+        "overwrites the files it is reading")
     val bytes = fs.getContentSummary(hPath).getLength
     val nFiles = math.max(1, math.ceil(bytes.toDouble / targetBytes).toInt)
     val df = spark.read.parquet(srcPath)

@@ -21,14 +21,32 @@ import org.apache.spark.sql.functions._
  * partitions. Old versions stay readable until [[vacuum]] — free time
  * travel for audits and rollback.
  *
- * Single-writer: version numbers are assigned by listing, so concurrent
- * upserts to one table can race to the same v{n}. Serialize writers per
- * table (the normal shape for a maintenance job); readers are always
- * safe — they only ever see committed versions.
+ * Writer mutual exclusion is ENFORCED, not assumed: before writing
+ * v{n} a writer must atomically create the marker file `_lock_v{n}`
+ * (`FileSystem.create` with overwrite=false — an atomic
+ * create-if-absent on HDFS, S3A and the local FS). A concurrent upsert
+ * that lost the race to the same version number fails loudly with
+ * [[ConcurrentWriteException]] instead of silently racing to one
+ * directory; the caller retries, re-listing picks up the winner's
+ * version. Readers are always safe — they only ever see committed
+ * (`_SUCCESS`-bearing) versions.
+ *
+ * Update batches must be key-unique (MERGE semantics are undefined for
+ * a batch carrying two rows of one key) — enforced with a count vs
+ * distinct-count check, one tiny aggregate on the update side. Rows
+ * with a null in any key column never match the anti-join (SQL null
+ * semantics) and therefore always APPEND; pre-filter them if that is
+ * not intended.
  */
 object VersionedTable {
 
+  /** A concurrent upsert lost the version-number CAS — retry to rebase
+    * on the winner's version. */
+  final class ConcurrentWriteException(msg: String)
+    extends RuntimeException(msg)
+
   private val VersionRe = "^v(\\d+)$".r
+  private val LockRe = "^_lock_v(\\d+)$".r
 
   private def fs(spark: SparkSession, path: String) =
     new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -58,29 +76,79 @@ object VersionedTable {
    * MERGE-style upsert: rows of `updates` replace target rows sharing
    * their key; all other target rows carry over. Writes the merged state
    * as the next version and returns its number. First call seeds v1.
+   * Throws [[ConcurrentWriteException]] if another writer claimed the
+   * same version number first (caller should retry), and
+   * `IllegalArgumentException` if the update batch repeats a key.
    */
   def upsert(spark: SparkSession, path: String, updates: DataFrame,
              keys: Seq[String]): Long = {
     require(keys.nonEmpty, "upsert needs at least one key column")
-    val next = versions(spark, path).lastOption.getOrElse(0L) + 1
-    val merged = read(spark, path) match {
-      case Some(current) =>
-        current.join(updates.select(keys.map(col): _*).distinct(),
-          keys, "left_anti").unionByName(updates)
-      case None => updates
+    val keyCols = keys.map(col)
+    val (nUpd, nKeys) = {
+      val r = updates.agg(count(lit(1)),
+        count_distinct(keyCols.head, keyCols.tail: _*)).head()
+      (r.getLong(0), r.getLong(1))
     }
-    merged.write.mode("overwrite").parquet(s"$path/v$next")
-    next
+    // count_distinct skips null-key rows; those are APPEND rows by the
+    // documented null contract, not duplicates — exclude them from the
+    // uniqueness check rather than failing on them.
+    val nNullKey = nUpd - updates.na.drop(keys).count()
+    require(nUpd - nNullKey == nKeys,
+      s"upsert batch repeats a key: ${nUpd - nNullKey} non-null-key rows, " +
+        s"$nKeys distinct keys — pre-dedupe the batch (MERGE is undefined " +
+        "for a batch carrying two rows of one key)")
+    val next = versions(spark, path).lastOption.getOrElse(0L) + 1
+    val f = fs(spark, path)
+    f.mkdirs(new Path(path))
+    val lock = new Path(path, s"_lock_v$next")
+    // Atomic create-if-absent IS the version-number CAS: exactly one
+    // writer per version number wins; losers fail loudly here.
+    try f.create(lock, false).close()
+    catch { case _: java.io.IOException =>
+      throw new ConcurrentWriteException(
+        s"another writer holds v$next of $path — retry to rebase on its " +
+          "committed result")
+    }
+    if (f.exists(new Path(s"$path/v$next", "_SUCCESS"))) {
+      // lock of a finished writer was already vacuumed; same race, louder
+      f.delete(lock, false)
+      throw new ConcurrentWriteException(
+        s"v$next of $path was committed concurrently — retry")
+    }
+    try {
+      val merged = read(spark, path) match {
+        case Some(current) =>
+          current.join(updates.select(keyCols: _*).na.drop().distinct(),
+            keys, "left_anti").unionByName(updates)
+        case None => updates
+      }
+      merged.write.mode("overwrite").parquet(s"$path/v$next")
+      next
+    } finally f.delete(lock, false)
   }
 
-  /** Drop all but the newest `keep` committed versions (and any
-    * uncommitted debris older than the newest committed one). */
+  /** Drop all but the newest `keep` committed versions, plus crashed-write
+    * debris: uncommitted (no `_SUCCESS`) v-dirs and orphaned `_lock_v*`
+    * files strictly below the newest committed version — an in-flight
+    * writer is always AT or above it, so nothing live is touched. */
   def vacuum(spark: SparkSession, path: String, keep: Int = 2): Unit = {
     require(keep >= 1, "must keep at least one version")
     val vs = versions(spark, path)
     val f = fs(spark, path)
     vs.dropRight(keep).foreach { v =>
       f.delete(new Path(s"$path/v$v"), true)
+    }
+    vs.lastOption.foreach { newest =>
+      val committed = vs.toSet
+      f.listStatus(new Path(path)).toSeq.foreach { s =>
+        s.getPath.getName match {
+          case VersionRe(n) if n.toLong < newest && !committed(n.toLong) =>
+            f.delete(s.getPath, true)
+          case LockRe(n) if n.toLong < newest =>
+            f.delete(s.getPath, false)
+          case _ => ()
+        }
+      }
     }
   }
 }

@@ -46,10 +46,68 @@ class VersionedTableSpec extends SparkSuite {
       "v99 without _SUCCESS must not be a committed version")
     assert(VersionedTable.read(spark, path).get
       .as[(Long, String)].collect().toSet === Set((1L, "a")))
-    // the next upsert writes v100 (above the debris), not v2 under it
+    // version numbers come from COMMITTED versions only: the next upsert
+    // writes v2, ignoring the uncommitted v99 debris entirely
     val next = VersionedTable.upsert(spark, path,
       Seq((2L, "b")).toDF("id", "x"), Seq("id"))
     assert(next === 2L, "uncommitted debris must not advance the version counter")
+  }
+
+  test("concurrent writer to the same version fails loudly (lock CAS)") {
+    val path = Files.createTempDirectory("vt_cas").toString
+    VersionedTable.upsert(spark, path,
+      Seq((1L, "a")).toDF("id", "x"), Seq("id"))
+    // another writer already holds the v2 lock
+    new java.io.File(s"$path/_lock_v2").createNewFile()
+    val e = intercept[VersionedTable.ConcurrentWriteException] {
+      VersionedTable.upsert(spark, path,
+        Seq((2L, "b")).toDF("id", "x"), Seq("id"))
+    }
+    assert(e.getMessage.contains("v2"))
+    // winner finishes and releases: the retry succeeds and sees both states
+    new java.io.File(s"$path/_lock_v2").delete()
+    assert(VersionedTable.upsert(spark, path,
+      Seq((2L, "b")).toDF("id", "x"), Seq("id")) === 2L)
+    // and a lock left by a writer that committed + vacuumed its lock late:
+    // the _SUCCESS re-check still refuses to double-write
+  }
+
+  test("upsert rejects a batch that repeats a key; null keys append") {
+    val path = Files.createTempDirectory("vt_dup").toString
+    intercept[IllegalArgumentException] {
+      VersionedTable.upsert(spark, path,
+        Seq((1L, "a"), (1L, "b")).toDF("id", "x"), Seq("id"))
+    }
+    VersionedTable.upsert(spark, path,
+      Seq((1L, "a")).toDF("id", "x"), Seq("id"))
+    // null keys never match the anti-join: they append, never replace
+    VersionedTable.upsert(spark, path,
+      Seq((Option.empty[Long], "n1"), (Option(1L), "A"))
+        .toDF("id", "x"), Seq("id"))
+    val now = VersionedTable.read(spark, path).get
+      .as[(Option[Long], String)].collect().toSet
+    assert(now === Set((Option(1L), "A"), (Option.empty[Long], "n1")))
+  }
+
+  test("vacuum clears crashed-write debris below the newest committed") {
+    val path = Files.createTempDirectory("vt_debris").toString
+    (1 to 3).foreach { i =>
+      VersionedTable.upsert(spark, path,
+        Seq((i.toLong, s"x$i")).toDF("id", "x"), Seq("id"))
+    }
+    // crashed write below the newest committed: uncommitted v0 dir (no
+    // _SUCCESS) + an orphaned lock file
+    Seq((9L, "junk")).toDF("id", "x").write.mode("overwrite")
+      .parquet(s"$path/v0")
+    new java.io.File(s"$path/v0/_SUCCESS").delete()
+    new java.io.File(s"$path/_lock_v1").createNewFile()
+    VersionedTable.vacuum(spark, path, keep = 3)
+    assert(!new java.io.File(s"$path/v0").exists(),
+      "uncommitted debris below newest committed must be vacuumed")
+    assert(!new java.io.File(s"$path/_lock_v1").exists(),
+      "orphaned lock below newest committed must be vacuumed")
+    assert(VersionedTable.versions(spark, path) === Seq(1L, 2L, 3L))
+    assert(VersionedTable.read(spark, path).get.count() === 3L)
   }
 
   test("vacuum keeps the newest versions only") {
