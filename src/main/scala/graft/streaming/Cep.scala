@@ -1,0 +1,250 @@
+package graft.streaming
+
+import scala.collection.mutable.ArrayBuffer
+
+import org.apache.spark.sql.{Dataset, Encoder, Encoders}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/**
+ * Generalized CEP pattern combinator — the reusable form of the bespoke
+ * detector state machines in [[StreamDetectors]]. The reference exposes
+ * this as FlinkCEP's fluent API (`Pattern.<begin>("fail").where(...)
+ * .times(2).consecutive().within(Time.seconds(2))` —
+ * gmall-login-fail/.../LoginFailAppWithCep.java:61-75; create→pay
+ * `.followedBy` with timeout side-output —
+ * gmall-order-pay/.../OrderTimeoutAppWithCep.java:46-56). Here the same
+ * surface compiles to ONE shared NFA step function executed by
+ * `flatMapGroupsWithState` (streaming) or an ordered fold (batch) — a
+ * third pattern is a new `Pattern` expression, not a new state machine.
+ *
+ * Semantics (FlinkCEP-aligned, the subset the reference uses):
+ *  - `begin/next/followedBy(name)(pred)` — stages in sequence. `next` is
+ *    strict contiguity (a non-matching event kills the partial match),
+ *    `followedBy` is relaxed (skip-till-next-match: non-matching events
+ *    are ignored, a matching event always advances — overlapping
+ *    skip-till-any runs are not enumerated).
+ *  - `.times(n)` — the last stage must match n events; `.consecutive()`
+ *    makes those n strictly adjacent (any intervening non-match resets
+ *    the run, LoginFailApp2.java:59-99 semantics).
+ *  - `.within(sec)` — last-to-first event-time span of a full match is
+ *    ≤ `sec`; an expired partial emits a `status = "timeout"` row
+ *    carrying what it had consumed (FlinkCEP's timeout side-output;
+ *    filter `status = "matched"` if unwanted).
+ *  - A new run may start at EVERY stage-0-matching event, so sliding
+ *    matches are emitted exactly like the reference's per-pair alarms
+ *    (f1,f2,f3 → (f1,f2),(f2,f3)).
+ *
+ * Scale: state per key is the open-run list — bounded by `maxPartials`
+ * (oldest evicted, same backstop as FlinkCEP's state TTL advice), each
+ * run holding only (stage, per-event ts/names), never event payloads.
+ * Runs are GC'd by event-time timers driven by the watermark, so keys
+ * that stop emitting cannot leak state. Everything is product-encoded —
+ * no kryo blobs in the state store.
+ */
+object Cep {
+
+  /** One NFA stage: `pred` must accept `times` events; `strictInside` =
+    * contiguity between the stage's own events, `strictBefore` =
+    * contiguity at the boundary from the previous stage. */
+  final case class Stage[E](name: String, pred: E => Boolean, times: Int,
+                            strictInside: Boolean, strictBefore: Boolean)
+
+  final class Pattern[E] private[Cep] (
+      private[Cep] val stages: Vector[Stage[E]],
+      private[Cep] val withinSec: Option[Long],
+      private[Cep] val maxPartials: Int) extends Serializable {
+
+    private def mapLast(f: Stage[E] => Stage[E]) =
+      new Pattern(stages.init :+ f(stages.last), withinSec, maxPartials)
+
+    /** AND-refine the last stage's predicate (FlinkCEP `.where` chains). */
+    def where(p: E => Boolean): Pattern[E] =
+      mapLast(s => s.copy(pred = e => s.pred(e) && p(e)))
+
+    /** The last stage must match `n` events. */
+    def times(n: Int): Pattern[E] = {
+      require(n >= 1, s"times must be >= 1, got $n")
+      mapLast(_.copy(times = n))
+    }
+
+    /** Strict contiguity inside the last stage's repetition. */
+    def consecutive(): Pattern[E] = mapLast(_.copy(strictInside = true))
+
+    /** Append a stage with STRICT contiguity to the previous one. */
+    def next(name: String)(p: E => Boolean): Pattern[E] =
+      new Pattern(stages :+ Stage(name, p, 1, strictInside = false,
+        strictBefore = true), withinSec, maxPartials)
+
+    /** Append a stage with RELAXED contiguity (skip-till-next-match). */
+    def followedBy(name: String)(p: E => Boolean): Pattern[E] =
+      new Pattern(stages :+ Stage(name, p, 1, strictInside = false,
+        strictBefore = false), withinSec, maxPartials)
+
+    /** Whole-match first-to-last event-time span bound (seconds). */
+    def within(sec: Long): Pattern[E] = {
+      require(sec > 0, s"within must be positive, got $sec")
+      new Pattern(stages, Some(sec), maxPartials)
+    }
+
+    /** Open-run cap per key (oldest evicted silently). */
+    def withMaxPartials(n: Int): Pattern[E] = {
+      require(n >= 1, "maxPartials must be >= 1")
+      new Pattern(stages, withinSec, n)
+    }
+  }
+
+  object Pattern {
+    /** Start a pattern: first stage, relaxed by definition. */
+    def begin[E](name: String)(p: E => Boolean): Pattern[E] =
+      new Pattern(Vector(Stage(name, p, 1, strictInside = false,
+        strictBefore = false)), None, 256)
+  }
+
+  /** An open run: position (stage, taken-in-stage) + consumed-event
+    * (timestamp, stage-name) trail. Product-encodable state. */
+  final case class Partial(stage: Int, taken: Int,
+                           ts: Seq[Long], names: Seq[String])
+
+  final case class NfaState(partials: Seq[Partial])
+
+  /** Match or timeout: per-consumed-event stage names/timestamps in
+    * match order. `status` is "matched" or "timeout". */
+  final case class CepMatch[K](key: K, status: String,
+                               stageNames: Seq[String], stageTs: Seq[Long],
+                               firstTs: Long, lastTs: Long)
+
+  private def result[K](key: K, status: String, p: Partial): CepMatch[K] =
+    CepMatch(key, status, p.names, p.ts, p.ts.head, p.ts.last)
+
+  /** Expire runs whose within-window closed before `nowSec`; returns
+    * (survivors, expired). With no `within` nothing ever expires. */
+  private def expire[E](pat: Pattern[E], partials: Seq[Partial],
+                        nowSec: Long): (Seq[Partial], Seq[Partial]) =
+    pat.withinSec match {
+      case None => (partials, Nil)
+      case Some(w) => partials.partition(p => nowSec - p.ts.head <= w)
+    }
+
+  /** One NFA step: feed event `e` at time `tsSec` to every open run and
+    * maybe start a new one. Returns (open runs, completed matches,
+    * timed-out runs). Shared verbatim by the streaming and batch paths —
+    * stream ≡ batch holds by construction. */
+  private[streaming] def step[E](pat: Pattern[E], partials: Seq[Partial],
+                                 e: E, tsSec: Long)
+      : (Seq[Partial], Seq[Partial], Seq[Partial]) = {
+    val (live, timedOut) = expire(pat, partials, tsSec)
+    val open = ArrayBuffer.empty[Partial]
+    val done = ArrayBuffer.empty[Partial]
+    def advance(p: Partial): Unit = {
+      val st = pat.stages(p.stage)
+      val moved = p.copy(ts = p.ts :+ tsSec, names = p.names :+ st.name)
+      val (nStage, nTaken) =
+        if (p.taken + 1 == st.times) (p.stage + 1, 0) else (p.stage, p.taken + 1)
+      val nxt = moved.copy(stage = nStage, taken = nTaken)
+      if (nStage == pat.stages.length) done += nxt else open += nxt
+    }
+    live.foreach { p =>
+      val st = pat.stages(p.stage)
+      if (st.pred(e)) advance(p)
+      else {
+        // mid-repetition the stage's own contiguity applies; at a stage
+        // boundary (taken == 0) the boundary kind (next vs followedBy)
+        val strictHere = if (p.taken > 0) st.strictInside else st.strictBefore
+        if (!strictHere) open += p
+        // else: contiguity broken — run dies silently (not a timeout)
+      }
+    }
+    // a stage-0 match may always begin a fresh run (sliding matches)
+    if (pat.stages.head.pred(e))
+      advance(Partial(0, 0, Vector.empty, Vector.empty))
+    val capped =
+      if (open.length <= pat.maxPartials) open.toSeq
+      else open.drop(open.length - pat.maxPartials).toSeq
+    (capped, done.toSeq, timedOut)
+  }
+
+  /**
+   * Streaming detection: events keyed by `keyOf`, event time (epoch sec)
+   * in field `tsCol` (also read per-event by `tsOf` — same field, typed
+   * access). Emits matches as they complete and, when the pattern has
+   * `within`, timeout rows once a run's window provably closed — either
+   * a later event for the key arrives past the deadline, or the
+   * watermark passes it (event-time timer, so idle keys expire too).
+   * Events inside a micro-batch are sorted by (ts, tieBreak).
+   */
+  def detect[E: Encoder, K: Encoder](events: Dataset[E], keyOf: E => K,
+                                     tsCol: String, tsOf: E => Long,
+                                     pattern: Pattern[E],
+                                     tieBreak: E => String = (_: E) => "",
+                                     watermarkDelay: String = "2 seconds")(
+      implicit om: Encoder[CepMatch[K]]): Dataset[CepMatch[K]] = {
+    implicit val stateEnc: Encoder[NfaState] = Encoders.product[NfaState]
+    events
+      .withColumn("_cepTime", timestamp_seconds(col(tsCol)))
+      .withWatermark("_cepTime", watermarkDelay)
+      .as[E]
+      .groupByKey(keyOf)
+      .flatMapGroupsWithState(OutputMode.Append,
+          GroupStateTimeout.EventTimeTimeout) {
+        (key: K, rows: Iterator[E], state: GroupState[NfaState]) =>
+          val pending = state.getOption.map(_.partials).getOrElse(Nil)
+          if (state.hasTimedOut) {
+            val wmSec = state.getCurrentWatermarkMs() / 1000L
+            val (live, expired) = expire(pattern, pending, wmSec)
+            if (live.isEmpty) state.remove()
+            else {
+              state.update(NfaState(live))
+              armTimer(state, pattern, live)
+            }
+            expired.iterator.map(result(key, "timeout", _))
+          } else {
+            val sorted = rows.toSeq.sortBy(e => (tsOf(e), tieBreak(e)))
+            var partials = pending
+            val out = ArrayBuffer.empty[CepMatch[K]]
+            sorted.foreach { e =>
+              val (open, done, timedOut) = step(pattern, partials, e, tsOf(e))
+              partials = open
+              done.foreach(out += result(key, "matched", _))
+              timedOut.foreach(out += result(key, "timeout", _))
+            }
+            if (partials.isEmpty) { if (state.exists) state.remove() }
+            else {
+              state.update(NfaState(partials))
+              armTimer(state, pattern, partials)
+            }
+            out.iterator
+          }
+      }
+  }
+
+  private def armTimer[E](state: GroupState[NfaState], pat: Pattern[E],
+                          partials: Seq[Partial]): Unit =
+    pat.withinSec.foreach { w =>
+      val deadlineMs = (partials.map(_.ts.head).min + w) * 1000L + 1000L
+      // a timer at/behind the watermark throws — clamp just past it
+      state.setTimeoutTimestamp(
+        math.max(deadlineMs, state.getCurrentWatermarkMs() + 1L))
+    }
+
+  /**
+   * Batch detection over an already-ordered per-key event sequence — the
+   * same step function folded; end-of-input expires every open run via a
+   * +∞ probe (a bounded input IS a closed watermark). Doubles as the
+   * streaming path's oracle in tests.
+   */
+  def detectOrdered[E, K](key: K, events: Seq[E], tsOf: E => Long,
+                          pattern: Pattern[E]): Seq[CepMatch[K]] = {
+    var partials: Seq[Partial] = Nil
+    val out = ArrayBuffer.empty[CepMatch[K]]
+    events.foreach { e =>
+      val (open, done, timedOut) = step(pattern, partials, e, tsOf(e))
+      partials = open
+      done.foreach(out += result(key, "matched", _))
+      timedOut.foreach(out += result(key, "timeout", _))
+    }
+    if (pattern.withinSec.isDefined)
+      partials.foreach(out += result(key, "timeout", _))
+    out.toSeq
+  }
+}

@@ -1,0 +1,142 @@
+package graft.streaming
+
+import org.apache.spark.sql.Dataset
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+import graft.SparkSuite
+import graft.model._
+import graft.operators.Detectors
+import graft.sources.CsvSources
+import graft.streaming.Cep.{CepMatch, Pattern}
+
+/**
+ * Generalized CEP combinator: the two reference detectors re-expressed as
+ * `Pattern` expressions must reproduce their batch oracles EXACTLY
+ * (LoginFailAppWithCep.java:61-75, OrderTimeoutAppWithCep.java:46-56),
+ * and a third pattern (3 fails in 10 s) must work without any new state
+ * machine — the whole point of the combinator.
+ */
+class CepSpec extends SparkSuite {
+
+  import spark.implicits._
+
+  def runStream[I: org.apache.spark.sql.Encoder, O: org.apache.spark.sql.Encoder](
+      batches: Seq[Seq[I]])(pipe: Dataset[I] => Dataset[O]): Seq[O] = {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[I]
+    val out = pipe(input.toDS())
+    val name = s"cep${System.nanoTime()}"
+    val q = out.writeStream.format("memory").queryName(name).outputMode("append").start()
+    try {
+      batches.foreach { b => input.addData(b); q.processAllAvailable() }
+    } finally q.stop()
+    spark.table(name).as[O].collect().toSeq
+  }
+
+  private val loginPattern: Pattern[LoginEvent] =
+    Pattern.begin[LoginEvent]("fail")(_.eventType == "fail")
+      .times(2).consecutive().within(2L)
+
+  test("login-fail pattern ≡ batch consecutiveFailures oracle (J4/J5)") {
+    val df = CsvSources.logins(spark, fixture("LoginLog.csv"))
+    val batch = Detectors.consecutiveFailures(
+        df.withColumn("usec", col("timestamp") * 1000000L),
+        "userId", "usec", "eventType", col("eventType") === "fail", 2L)
+      .select(col("userId"), (col("first_fail_usec") / 1000000L).cast("long").as("first"),
+        (col("second_fail_usec") / 1000000L).cast("long").as("second"))
+      .as[(Long, Long, Long)].collect().toSet
+
+    val events = df.as[LoginEvent].collect().toSeq
+    val streamed = runStream(Seq(events)) { ds: Dataset[LoginEvent] =>
+      Cep.detect[LoginEvent, Long](ds, _.userId, "timestamp", _.timestamp,
+        loginPattern, tieBreak = _.eventType)
+    }.filter(_.status == "matched")
+      .map(m => (m.key, m.stageTs.head, m.stageTs.last)).toSet
+
+    assert(batch.nonEmpty, "fixture must produce at least one alarm")
+    assert(streamed === batch)
+  }
+
+  test("create→pay pattern ≡ batch sequenceTimeout oracle (J3/J6)") {
+    val df = CsvSources.orders(spark, fixture("OrderLog.csv"))
+    val creates = df.filter(col("eventType") === "create")
+      .select(col("orderId"), (col("eventTime") * 1000000L).as("start_usec"))
+    val pays = df.filter(col("eventType") === "pay")
+      .select(col("orderId"), (col("eventTime") * 1000000L).as("pay_usec"))
+    val batch = Detectors.sequenceTimeout(creates, pays, "orderId",
+        "start_usec", "pay_usec", 900L)
+      .select(col("orderId"), col("status")).as[(Long, String)].collect().toSet
+
+    val pattern = Pattern.begin[OrderEvent]("create")(_.eventType == "create")
+      .followedBy("pay")(_.eventType == "pay")
+      .within(900L)
+
+    val events = df.as[OrderEvent].collect().toSeq
+    val maxTs = events.map(_.eventTime).max
+    // sentinel batches push the watermark past every create+900 deadline
+    val s1 = OrderEvent(9999901L, "create", "", maxTs + 100000L)
+    val s2 = OrderEvent(9999902L, "create", "", maxTs + 200000L)
+    val streamed = runStream(Seq(events, Seq(s1), Seq(s2))) { ds: Dataset[OrderEvent] =>
+      Cep.detect[OrderEvent, Long](ds, _.orderId, "eventTime", _.eventTime,
+        pattern, tieBreak = _.eventType)
+    }.filter(_.key < 9999900L)
+      .map(m => (m.key, if (m.status == "matched") "payed" else "timeout"))
+      .toSet
+
+    assert(batch.nonEmpty)
+    assert(streamed === batch)
+  }
+
+  test("NEW pattern, no new state machine: 3 fails within 10 s") {
+    val pattern = Pattern.begin[LoginEvent]("fail")(_.eventType == "fail")
+      .times(3).consecutive().within(10L)
+    val ev = Seq(
+      LoginEvent(1L, "ip", "fail", 100L),
+      LoginEvent(1L, "ip", "fail", 103L),
+      LoginEvent(1L, "ip", "fail", 106L),  // (100,103,106) and start of next
+      LoginEvent(1L, "ip", "fail", 109L),  // (103,106,109)
+      LoginEvent(2L, "ip", "fail", 100L),
+      LoginEvent(2L, "ip", "success", 101L), // breaks contiguity for user 2
+      LoginEvent(2L, "ip", "fail", 102L),
+      LoginEvent(2L, "ip", "fail", 103L),
+      LoginEvent(3L, "ip", "fail", 100L),
+      LoginEvent(3L, "ip", "fail", 105L),
+      LoginEvent(3L, "ip", "fail", 111L))  // 111-100 > 10: window blown
+
+    val streamed = runStream(Seq(ev)) { ds: Dataset[LoginEvent] =>
+      Cep.detect[LoginEvent, Long](ds, _.userId, "timestamp", _.timestamp,
+        pattern, tieBreak = _.eventType)
+    }
+    val matched = streamed.filter(_.status == "matched")
+      .map(m => (m.key, m.stageTs)).toSet
+    assert(matched === Set(
+      (1L, Seq(100L, 103L, 106L)),
+      (1L, Seq(103L, 106L, 109L))))
+
+    // ordered batch runner agrees event-for-event (shared step function)
+    val batchAll = ev.groupBy(_.userId).toSeq.flatMap { case (u, es) =>
+      Cep.detectOrdered[LoginEvent, Long](u,
+        es.sortBy(e => (e.timestamp, e.eventType)), _.timestamp, pattern)
+    }
+    assert(batchAll.filter(_.status == "matched")
+      .map(m => (m.key, m.stageTs)).toSet === matched)
+    // user 3's blown-window run surfaces as a timeout, never a match
+    assert(batchAll.exists(m => m.key == 3L && m.status == "timeout"))
+  }
+
+  test("next() strict boundary vs followedBy() relaxed boundary") {
+    val strict = Pattern.begin[LoginEvent]("a")(_.eventType == "a")
+      .next("b")(_.eventType == "b")
+    val relaxed = Pattern.begin[LoginEvent]("a")(_.eventType == "a")
+      .followedBy("b")(_.eventType == "b")
+    val ev = Seq(
+      LoginEvent(1L, "ip", "a", 100L),
+      LoginEvent(1L, "ip", "x", 101L), // intervening event
+      LoginEvent(1L, "ip", "b", 102L))
+    def run(p: Pattern[LoginEvent]): Seq[CepMatch[Long]] =
+      Cep.detectOrdered[LoginEvent, Long](1L, ev, _.timestamp, p)
+    assert(run(strict).isEmpty, "next() must kill the run on x")
+    assert(run(relaxed).map(_.stageTs) === Seq(Seq(100L, 102L)))
+  }
+}
