@@ -35,10 +35,13 @@ import org.apache.spark.sql.types._
  *    start_i = aligned(ts) − i·slide, end_i = start_i + size);
  *  - every aggregate is a filterless, non-distinct Count / Sum / Min /
  *    Max / Average (decomposable as sum-of-counts / sum / min / max /
- *    sum-of-sums ÷ sum-of-counts). Sum/Average over DECIMAL bail
- *    (re-aggregation would widen the result type); float sums
- *    re-associate exactly like Spark's own partial aggregation already
- *    does.
+ *    sum-of-sums ÷ sum-of-counts). Float sums re-associate exactly like
+ *    Spark's own partial aggregation already does. DECIMAL Sum/Average
+ *    re-sum at +10-digit precision and cast back to the one-level
+ *    result type — exact whenever the one-level aggregate wouldn't have
+ *    overflowed, and null (non-ANSI cast) exactly when it would; the
+ *    Average division runs over operands cast to the SAME types the
+ *    one-level Average divides, so its rounding is identical.
  *
  * Opt-in: injected by [[graft.functions.GraftExtensions]]
  * (`spark.sql.extensions`) — the catalog queries keep calling the explicit
@@ -81,6 +84,11 @@ object SliceRollupRule extends Rule[LogicalPlan] {
     // (append aggregation without watermark). Streaming callers get the
     // equivalent shape explicitly via StreamWindows.slidingCountRollupStream.
     if (expand.child.isStreaming) return None
+    // Idempotence: our own output is Aggregate-over-Expand too, and with
+    // wrapped-aggregate decomposition it would match again — the _rollup_
+    // partial columns mark it. Without this the fixed-point loop nests
+    // aggregates until the iteration cap.
+    if (expand.output.exists(_.name.startsWith("_rollup_"))) return None
     val projections = expand.projections
     if (projections.length < MinFanout) return None
     val width = projections.head.length
@@ -140,67 +148,106 @@ object SliceRollupRule extends Rule[LogicalPlan] {
     val passAttrs = passIdx.map(expand.output)
     if (keyAttrs.exists(k => !passAttrs.exists(_.exprId == k.exprId))) return None
 
-    // Decompose aggregates. Each supported output alias yields one or
-    // more inner partials and a builder for the outer final (reusing the
-    // ORIGINAL alias exprId so downstream references keep resolving).
+    // Decompose aggregates. Aggregates may sit under arbitrary scalar
+    // post-expressions (Spark's own DecimalAggregates rewrites
+    // `avg(decimal)` into `cast(avg(UnscaledValue(d)) / 100.0 as ...)`,
+    // and declarative users write `sum(a) / count(b)` shapes) — so each
+    // output expression is rebuilt by replacing every embedded
+    // AggregateExpression with its re-aggregated final form, keeping the
+    // ORIGINAL alias exprId so downstream references keep resolving.
     // Aggregate-free projections of the grouping attrs (e.g. a collapsed
     // `cast(window.end as long) AS we`) pass through to the outer
     // aggregate unchanged — its grouping covers the same attrs.
     final case class Piece(partials: Seq[Alias],
-                           finalFor: Seq[Attribute] => NamedExpression)
+                           finalFor: Seq[Attribute] => Expression)
     val groupSet = AttributeSet(groupAttrs)
-    val decomposed: Seq[scala.util.Either[NamedExpression, Piece]] =
-      agg.aggregateExpressions.map {
-        case al @ Alias(AggregateExpression(fn @ (_: Min | _: Max), Complete, false, None, _), name)
-            if fn.references.nonEmpty && fn.references.subsetOf(groupSet) =>
-          // Group-constant aggregate: min/max of an expression built only
-          // from grouping attributes (e.g. max(window.end)) equals the
-          // expression itself on every (non-empty) group — emit it as a
-          // plain outer projection with no partial. This is the shape
-          // declarative users write to label windows.
-          val piece = Piece(Nil,
-            _ => Alias(fn.children.head, name)(exprId = al.exprId))
-          scala.util.Right(piece)
-        case al @ Alias(AggregateExpression(fn, Complete, false, None, _), name) =>
-          // The partial lands BELOW the Expand: its function may only
-          // reference child attributes, never Expand-generated ones (e.g.
-          // sum(v + window.end) — the window struct doesn't exist down
-          // there, and the value isn't group-constant either).
-          if (!fn.references.subsetOf(expand.child.outputSet)) return None
-          def one(partial: AggregateFunction,
-                  fin: Attribute => Expression): Piece =
-            Piece(Seq(Alias(completeAgg(partial), s"_rollup_$name")()),
-              refs => Alias(fin(refs.head), name)(exprId = al.exprId))
-          val piece = fn match {
-            case c: Count =>
-              one(c, ref => Coalesce(Seq(completeAgg(Sum(ref)), Literal(0L, LongType))))
-            case s: Sum if !s.child.dataType.isInstanceOf[DecimalType] =>
-              one(s, ref => completeAgg(Sum(ref)))
-            case m: Min => one(m, ref => completeAgg(Min(ref)))
-            case m: Max => one(m, ref => completeAgg(Max(ref)))
-            case a: Average if !a.child.dataType.isInstanceOf[DecimalType] =>
-              // avg = Σ slice sums / Σ slice non-null counts — exactly
-              // Spark's own partial-average decomposition, re-associated
-              // once more. All-null groups: sum is null → division null,
-              // matching Average. Decimal bails (result-type widening).
-              Piece(
-                Seq(Alias(completeAgg(Sum(a.child)), s"_rollup_sum_$name")(),
-                  Alias(completeAgg(Count(Seq(a.child))), s"_rollup_cnt_$name")()),
-                refs => Alias(
+
+    /** Split one aggregate function into slice partials + outer final;
+      * None = unsupported, bail out of the whole rewrite. */
+    def decomposeFn(fn: AggregateFunction, name: String): Option[Piece] = fn match {
+      case _: Min | _: Max
+          if fn.references.nonEmpty && fn.references.subsetOf(groupSet) =>
+        // Group-constant aggregate: min/max of an expression built only
+        // from grouping attributes (e.g. max(window.end)) equals the
+        // expression itself on every (non-empty) group — no partial.
+        Some(Piece(Nil, _ => fn.children.head))
+      case _ if !fn.references.subsetOf(expand.child.outputSet) =>
+        // The partial lands BELOW the Expand: its function may only
+        // reference child attributes, never Expand-generated ones (e.g.
+        // sum(v + window.end) — the window struct doesn't exist down
+        // there, and the value isn't group-constant either).
+        None
+      case _ =>
+        def one(partial: AggregateFunction, fin: Attribute => Expression) =
+          Some(Piece(Seq(Alias(completeAgg(partial), s"_rollup_$name")()),
+            refs => fin(refs.head)))
+        fn match {
+          case c: Count =>
+            one(c, ref => Coalesce(Seq(completeAgg(Sum(ref)), Literal(0L, LongType))))
+          case s: Sum if s.child.dataType.isInstanceOf[DecimalType] =>
+            // the outer re-sum widens by another 10 digits; casting back
+            // to the one-level Sum's result type is exact whenever the
+            // one-level Sum wouldn't overflow, and null (non-ANSI cast)
+            // exactly when it would
+            one(s, ref => Cast(completeAgg(Sum(ref)), s.dataType))
+          case s: Sum => one(s, ref => completeAgg(Sum(ref)))
+          case m: Min => one(m, ref => completeAgg(Min(ref)))
+          case m: Max => one(m, ref => completeAgg(Max(ref)))
+          case a: Average =>
+            // avg = Σ slice sums / Σ slice non-null counts — exactly
+            // Spark's own partial-average decomposition, re-associated
+            // once more. All-null groups: sum is null → division null,
+            // matching Average. Decimal divides over operands cast to
+            // the SAME (sum-buffer, long-decimal) types the one-level
+            // Average divides, so result type and rounding match.
+            val fin: Seq[Attribute] => Expression = a.child.dataType match {
+              case dt: DecimalType =>
+                // Sum's buffer type: precision + 10, capped at 38
+                val sumType =
+                  DecimalType(math.min(dt.precision + 10, 38), dt.scale)
+                refs => Cast(
                   Divide(
-                    Cast(completeAgg(Sum(refs(0))), DoubleType),
-                    Cast(completeAgg(Sum(refs(1))), DoubleType)),
-                  name)(exprId = al.exprId))
-            case _ => return None
-          }
-          scala.util.Right(piece)
-        case ne: NamedExpression
-            if !ne.exists(_.isInstanceOf[AggregateExpression]) &&
-              ne.references.subsetOf(groupSet) =>
-          scala.util.Left(ne)
-        case _ => return None
+                    Cast(completeAgg(Sum(refs(0))), sumType),
+                    Cast(completeAgg(Sum(refs(1))), DecimalType(20, 0))),
+                  a.dataType)
+              case _ =>
+                refs => Divide(
+                  Cast(completeAgg(Sum(refs(0))), DoubleType),
+                  Cast(completeAgg(Sum(refs(1))), DoubleType))
+            }
+            Some(Piece(
+              Seq(Alias(completeAgg(Sum(a.child)), s"_rollup_sum_$name")(),
+                Alias(completeAgg(Count(Seq(a.child))), s"_rollup_cnt_$name")()),
+              fin))
+          case _ => None
+        }
+    }
+
+    val decomposed: Seq[scala.util.Either[NamedExpression, (Alias, Seq[Piece])]] =
+      agg.aggregateExpressions.map { ne =>
+        val embedded = ne.collect { case ae: AggregateExpression => ae }
+        if (embedded.isEmpty) {
+          if (ne.references.subsetOf(groupSet)) scala.util.Left(ne)
+          else return None
+        } else ne match {
+          case al @ Alias(body, name) =>
+            // scalar context around the aggregates may only touch
+            // grouping attrs (the outer aggregate's grouping covers them)
+            val outside = body.references --
+              AttributeSet(embedded.flatMap(_.references))
+            if (!outside.subsetOf(groupSet)) return None
+            if (embedded.exists(ae =>
+                ae.mode != Complete || ae.isDistinct || ae.filter.isDefined))
+              return None
+            val ps = embedded.zipWithIndex.map { case (ae, i) =>
+              decomposeFn(ae.aggregateFunction, s"${name}_$i")
+                .getOrElse(return None)
+            }
+            scala.util.Right((al, ps))
+          case _ => return None
+        }
       }
-    val pieces = decomposed.collect { case scala.util.Right(p) => p }
+    val pieces = decomposed.collect { case scala.util.Right((_, ps)) => ps }.flatten
 
     // ---- inner aggregate: partials per (slice, keys) ----
     val sliceAlias = Alias(sliceStruct, "_rollup_slice")()
@@ -229,12 +276,19 @@ object SliceRollupRule extends Rule[LogicalPlan] {
       inner)
 
     // ---- outer aggregate: original grouping attrs + re-reduced partials ----
+    // Each output alias is rebuilt with its embedded aggregates swapped for
+    // their re-aggregated finals. collect (pre-order) and transformUp
+    // (post-order) enumerate SIBLING matches in the same left-to-right
+    // order, and aggregates never nest, so the iterator lines up.
     var pi = -1
     val outerAggExprs: Seq[NamedExpression] = decomposed.map {
       case scala.util.Left(a) => a
-      case scala.util.Right(piece) =>
-        pi += 1
-        piece.finalFor(pieceRefs(pi))
+      case scala.util.Right((al, ps)) =>
+        val finals = ps.map { p => pi += 1; p.finalFor(pieceRefs(pi)) }.iterator
+        val newBody = al.child.transformUp {
+          case _: AggregateExpression => finals.next()
+        }
+        Alias(newBody, al.name)(exprId = al.exprId)
     }
     Some(Aggregate(groupAttrs, outerAggExprs, outerExpand, None))
   }

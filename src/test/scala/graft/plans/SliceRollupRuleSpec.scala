@@ -72,15 +72,19 @@ class SliceRollupRuleSpec extends SparkSuite {
     }
   }
 
-  test("declines: decimal avg (re-aggregation would widen the type)") {
+  test("decimal avg rewrites: same result type, same values (incl. nulls)") {
     def q = events
-      .withColumn("d", col("v").cast("decimal(10,2)"))
+      .withColumn("d", when(col("k") === 3, lit(null))
+        .otherwise(col("v")).cast("decimal(10,2)"))
       .groupBy(window(col("ts"), "10 minutes", "1 minute"), col("k"))
       .agg(avg(col("d")).as("a"))
+      .select(col("k"), col("window.end").cast("long").as("we"), col("a"))
     val baseline = q.collect().toSet
+    val baseSchema = q.schema
     withRule {
-      assert(aggCount(q.queryExecution.optimizedPlan) === 1,
-        "decimal avg must not rewrite")
+      assert(aggCount(q.queryExecution.optimizedPlan) === 2,
+        "decimal avg must rewrite:\n" + q.queryExecution.optimizedPlan)
+      assert(q.schema === baseSchema, "result type must not widen")
       assert(q.collect().toSet === baseline)
     }
   }
@@ -97,13 +101,17 @@ class SliceRollupRuleSpec extends SparkSuite {
     }
   }
 
-  test("declines: decimal sum (re-aggregation would widen the type)") {
+  test("decimal sum rewrites: same result type, same values") {
     def q = events
       .groupBy(window(col("ts"), "10 minutes", "1 minute"), col("k"))
       .agg(sum(col("v").cast("decimal(18,2)")).as("s"))
+      .select(col("k"), col("window.end").cast("long").as("we"), col("s"))
     val baseline = q.collect().toSet
+    val baseSchema = q.schema
     withRule {
-      assert(aggCount(q.queryExecution.optimizedPlan) === 1)
+      assert(aggCount(q.queryExecution.optimizedPlan) === 2,
+        "decimal sum must rewrite:\n" + q.queryExecution.optimizedPlan)
+      assert(q.schema === baseSchema, "result type must not widen")
       assert(q.collect().toSet === baseline)
     }
   }
