@@ -1119,8 +1119,10 @@ object Catalog {
 
   /** A7/K3 batch parity: tumbling 1h UV via the fixed-size bitmap
     * Aggregator (reference's Redis bitmap as Spark-managed partial-agg
-    * state). Collision undercount possible by design ⇒ rows-only gate;
-    * exactness at gate cardinality is pinned in `BitmapUvSpec`. */
+    * state). Collision undercount is possible in general, but the 2^20-bit
+    * multiply-rotate hash is verified injective far beyond the testdata's
+    * user_id range (BitmapUvSpec), so at gate cardinality the bitmap count
+    * IS the exact distinct count — oracled against count(DISTINCT). */
   val uvBitmap: Q = (s, dir) => {
     val pv = events(s, dir).filter(col("event_type") === "view")
       .select(col("ets"), col("user_id"))
@@ -1734,6 +1736,12 @@ object Catalog {
     "hot_urls" -> hotUrlsSql,
     "pv_tumbling" -> pvTumblingSql,
     "uv_exact" -> uvExactSql,
+    // uv_bitmap: exact below collision range (hash injective over the
+    // testdata id range, BitmapUvSpec) — same oracle as uv_exact
+    "uv_bitmap" -> s"""$eventsCte
+       |SELECT ${duckTumble(3600)} AS window_end,
+       |       count(DISTINCT user_id) AS uv_bitmap
+       |FROM e WHERE event_type = 'view' GROUP BY 1""".stripMargin,
     // uv_approx: HLL++ estimate — rows-only by design
     "channel_behavior" -> channelBehaviorSql,
     "channel_pivot" -> channelPivotSql,

@@ -613,11 +613,24 @@ object PipelineCatalog {
   val textFingerprintSql: String =
     "SELECT doc_id, md5(text) AS fp_md5 FROM documents"
 
-  /** Full fingerprint family incl. xxhash64 + rolling hash — rows-only
-    * (no DuckDB twin for Spark's xxhash64 / wrapping Long arithmetic). */
+  /** Fingerprint family incl. the 58-bit polynomial rolling hash. The
+    * gate projects the two oracle-computable digests (md5 + rolling; the
+    * rolling hash replays exactly in DuckDB as a list_reduce over code
+    * points) so the column previously unverifiable rows-only is now
+    * hash-matched; fp_xxh64 stays on the operator (Spark builtin, no
+    * DuckDB twin — excluded from the gate projection, not the API). */
   val textFingerprintFull: Q = (s, dir) =>
     TextAnalysis.withFingerprints(Tables.documents(s, dir), "text")
-      .select(col("doc_id"), col("fp_md5"), col("fp_xxh64"), col("fp_rolling"))
+      .select(col("doc_id"), col("fp_md5"), col("fp_rolling"))
+
+  val textFingerprintFullSql: String =
+    """SELECT doc_id, md5(text) AS fp_md5,
+      |  list_reduce(
+      |    list_prepend(CAST(0 AS BIGINT),
+      |      list_transform(string_split(text, ''),
+      |        c -> CAST(ascii(c) AS BIGINT))),
+      |    (acc, c) -> (acc * 31 + c) % (CAST(1 AS BIGINT) << 58)) AS fp_rolling
+      |FROM documents""".stripMargin
 
   // ------------------------------------------------------------------
   // Deterministic sampling (documents)
@@ -1117,6 +1130,7 @@ object PipelineCatalog {
     "text_quality" -> textQualitySql,
     "text_lang_id" -> textLangIdSql,
     "text_fingerprint" -> textFingerprintSql,
+    "text_fingerprint_full" -> textFingerprintFullSql,
     "text_normalize" -> textNormalizeSql,
     "text_repetition" -> textRepetitionSql,
     "text_pii" -> textPiiSql,
