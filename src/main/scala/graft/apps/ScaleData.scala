@@ -1,0 +1,94 @@
+package graft.apps
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/**
+ * Dev tool: scale a driver testdata directory by an integer factor for
+ * bench soaks (`runMain graft.apps.ScaleData <srcSfDir> <dstDir> <factor>`).
+ * Correctness gates always run on the driver's own parquet; this exists
+ * to measure how query times SCALE (the 100 TB question asked at the
+ * largest size the sandbox holds), not to verify results.
+ *
+ * Each copy i shifts every join/identity key by `i × (max(key)+1)` so
+ * referential integrity is preserved exactly (copy i's lineitems join
+ * copy i's orders/customers/suppliers/parts and nothing else), while
+ * timestamps keep their original range — density grows by the factor,
+ * window counts scale, the window set does not, which is how real
+ * traffic grows. Text/payload columns are left byte-identical, so the
+ * dedup families see factor-sized exact-dup clusters — deliberately
+ * stressing their mega-cluster guards. region/nation are fixed
+ * dimensions and copy through unscaled.
+ */
+object ScaleData {
+
+  /** Columns to shift per table: key → scaled by its own table's max. */
+  private val keyCols: Map[String, Seq[String]] = Map(
+    "customer" -> Seq("c_custkey"),
+    "supplier" -> Seq("s_suppkey"),
+    "part" -> Seq("p_partkey"),
+    "orders" -> Seq("o_orderkey", "o_custkey"),
+    "lineitem" -> Seq("l_orderkey", "l_partkey", "l_suppkey"),
+    "events" -> Seq("event_id", "user_id"),
+    "documents" -> Seq("doc_id"),
+    "embeddings" -> Seq("vec_id"))
+
+  /** The key spaces that must shift in lockstep across tables. */
+  private val keySpace: Map[String, String] = Map(
+    "c_custkey" -> "custkey", "o_custkey" -> "custkey",
+    "o_orderkey" -> "orderkey", "l_orderkey" -> "orderkey",
+    "s_suppkey" -> "suppkey", "l_suppkey" -> "suppkey",
+    "p_partkey" -> "partkey", "l_partkey" -> "partkey",
+    "event_id" -> "eventid", "user_id" -> "userid",
+    // doc_id and vec_id join in the corpus↔embedding reconcile gate —
+    // they shift in one shared key space
+    "doc_id" -> "docid", "vec_id" -> "docid")
+
+  def main(args: Array[String]): Unit = {
+    val Array(srcDir, dstDir, factorStr) = args
+    val factor = factorStr.toInt
+    require(factor >= 1, "factor must be >= 1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    // one stride per key SPACE, so e.g. custkey shifts identically in
+    // customer and orders
+    val tables = keyCols.keys.toSeq
+    val loaded: Map[String, DataFrame] =
+      tables.map(t => t -> spark.read.parquet(s"$srcDir/$t.parquet")).toMap
+    val stride: Map[String, Long] = keySpace.values.toSet.toSeq.map { space: String =>
+      val maxes = keyCols.flatMap { case (t, cols) =>
+        cols.filter(c => keySpace(c) == space).map { c =>
+          loaded(t).agg(max(col(c))).head().getLong(0)
+        }
+      }
+      space -> (maxes.max + 1L)
+    }.toMap
+
+    Seq("region", "nation").foreach { t =>
+      val p = new java.io.File(s"$srcDir/$t.parquet")
+      if (p.exists())
+        spark.read.parquet(p.toString).write.mode("overwrite")
+          .parquet(s"$dstDir/$t.parquet")
+    }
+    tables.foreach { t =>
+      val base = loaded(t)
+      val copies = (0 until factor).map { i =>
+        keyCols(t).foldLeft(base) { case (df, c) =>
+          df.withColumn(c, col(c) + lit(i * stride(keySpace(c))))
+        }
+      }
+      copies.reduce(_ unionByName _)
+        .write.mode("overwrite").parquet(s"$dstDir/$t.parquet")
+      println(s"[scale] $t x$factor done")
+    }
+    spark.stop()
+  }
+}
