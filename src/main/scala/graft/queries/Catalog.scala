@@ -1462,6 +1462,49 @@ object Catalog {
        |WHERE event_type = 'error' AND prev_type = 'error'
        |  AND usec - prev_usec <= ${3600L * 1000000L}""".stripMargin
 
+  /** login_fail re-expressed through the generalized CEP combinator
+    * ([[graft.streaming.Cep.Pattern]] → shared NFA, distributed via
+    * flatMapGroups) — SAME oracle as login_fail, proving the combinator
+    * reproduces the hand-built detector exactly at the gate level. */
+  val cepLoginFail: Q = (s, dir) => {
+    import graft.streaming.Cep
+    import s.implicits._
+    val ds = events(s, dir)
+      .select(col("user_id"), col("event_type"), col("usec"), col("event_id"))
+      .as[(Long, String, Long, Long)]
+    val pat = Cep.Pattern.begin[(Long, String, Long, Long)]("fail")(_._2 == "error")
+      .times(2).consecutive().within(3600L * 1000000L) // µs, like usec
+    Cep.detectBatch[(Long, String, Long, Long), Long](
+        ds, _._1, _._3, pat, tieBreak = _._4)
+      .filter(col("status") === "matched")
+      .select(col("key").as("user_id"),
+        col("stageTs").getItem(0).as("first_fail_usec"),
+        col("stageTs").getItem(1).as("second_fail_usec"))
+  }
+
+  /** order_timeout through the CEP combinator (timeout side-output rows
+    * become status='timeout', FlinkCEP-style) — SAME oracle. */
+  val cepOrderTimeout: Q = (s, dir) => {
+    import graft.streaming.Cep
+    import s.implicits._
+    val ds = events(s, dir)
+      .filter(col("event_type").isin("signup", "purchase"))
+      .select(col("user_id"), col("event_type"), col("usec"))
+      .as[(Long, String, Long)]
+    val pat = Cep.Pattern.begin[(Long, String, Long)]("signup")(_._2 == "signup")
+      .followedBy("pay")(_._2 == "purchase")
+      .within(86400L * 1000000L)
+    // at equal usec the oracle's pay_usec >= signup_usec admits the pair:
+    // order signups before purchases so the NFA sees them the same way
+    Cep.detectBatch[(Long, String, Long), Long](ds, _._1, _._3, pat,
+        tieBreak = e => if (e._2 == "signup") 0L else 1L)
+      .select(col("key").as("user_id"),
+        col("stageTs").getItem(0).as("signup_usec"),
+        when(size(col("stageTs")) > 1, col("stageTs").getItem(1)).as("follow_usec"),
+        when(col("status") === "matched", lit("payed")).otherwise(lit("timeout"))
+          .as("status"))
+  }
+
   /** J3/J6: signup→purchase within 1 day per user, else timeout —
     * OrderTimeout* semantics. */
   val orderTimeout: Q = (s, dir) => {
@@ -1688,6 +1731,8 @@ object Catalog {
     "json_typed" -> jsonTyped,
     "login_fail" -> loginFail,
     "order_timeout" -> orderTimeout,
+    "cep_login_fail" -> cepLoginFail,
+    "cep_order_timeout" -> cepOrderTimeout,
     "interval_join" -> intervalJoin,
     "asof_join" -> asofJoinQ,
     "asof_join_native" -> asofJoinNativeQ,
@@ -1756,6 +1801,9 @@ object Catalog {
     "json_typed" -> jsonTypedSql,
     "login_fail" -> loginFailSql,
     "order_timeout" -> orderTimeoutSql,
+    // CEP-combinator re-expressions: same oracles as the hand-built forms
+    "cep_login_fail" -> loginFailSql,
+    "cep_order_timeout" -> orderTimeoutSql,
     "interval_join" -> intervalJoinSql,
     "asof_join" -> asofJoinSql,
     "asof_join_native" -> asofJoinSql,

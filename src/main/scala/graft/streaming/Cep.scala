@@ -228,6 +228,24 @@ object Cep {
     }
 
   /**
+   * Distributed batch detection: one ordered NFA fold per key via
+   * `flatMapGroups` — the batch twin of [[detect]] (shared step
+   * function, so batch ≡ stream by construction). One shuffle on the
+   * key; per-key state is the open-run list, events sorted only within
+   * a key's group. `within`/`tsOf` share whatever time unit the caller
+   * uses (seconds, µs — only consistency matters in batch).
+   */
+  def detectBatch[E: Encoder, K: Encoder](events: Dataset[E], keyOf: E => K,
+                                          tsOf: E => Long,
+                                          pattern: Pattern[E],
+                                          tieBreak: E => Long = (_: E) => 0L)(
+      implicit om: Encoder[CepMatch[K]]): Dataset[CepMatch[K]] =
+    events.groupByKey(keyOf).flatMapGroups { (key: K, rows: Iterator[E]) =>
+      detectOrdered(key, rows.toSeq.sortBy(e => (tsOf(e), tieBreak(e))),
+        tsOf, pattern).iterator
+    }
+
+  /**
    * Batch detection over an already-ordered per-key event sequence — the
    * same step function folded; end-of-input expires every open run via a
    * +∞ probe (a bounded input IS a closed watermark). Doubles as the
