@@ -260,6 +260,16 @@ object Dedup {
    * this path; beyond it the distributed pointer-doubling loop runs.
    * Both paths produce identical labels (test-pinned).
    *
+   * The distributed loop itself is two-tier: the label frame carries
+   * one row per NODE, and below `broadcastNodeLimit` (counted by the
+   * seed probe — a checkpointed frame has no stats for the planner to
+   * see) it is broadcast into both round joins, so the checkpointed
+   * edge table is never re-shuffled and the only per-round exchange is
+   * the O(nodes) groupBy; above the limit the fully general sort-merge
+   * rounds run. Measured at a 7.7M-edge soak: broadcast rounds cut the
+   * round cost ~2× and, with the checkpoint-truncated plans, total
+   * time scales linearly in edges (PLANS.md round 6).
+   *
    * Null contract: a pair row with a null id on EITHER side is ignored
    * entirely — labels are emitted only for ids appearing in at least one
    * fully-non-null pair. Enforced identically on both paths (the filter
@@ -268,13 +278,24 @@ object Dedup {
    */
   def resolveClusters(pairs: DataFrame, idA: String = "id_a",
                       idB: String = "id_b", maxIter: Int = 20,
-                      localEdgeThreshold: Long = 4000000L): DataFrame = {
+                      localEdgeThreshold: Long = 4000000L,
+                      broadcastNodeLimit: Long = 8000000L): DataFrame = {
     // The pair plan is usually the expensive part (a candidate join); the
     // symmetric-closure union scans it twice. Persist + materialize first so
     // the pair computation runs exactly once.
     val tEnter = System.nanoTime()
+    // localCheckpoint, not persist: persist caches the DATA but leaves the
+    // full upstream LOGICAL plan (often an expensive candidate join) in
+    // place, and every round's lazy localCheckpoint then re-runs Catalyst
+    // over that whole history during plan compilation — at 7M+ pairs the
+    // driver spends multiples of the actual shuffle time optimizing.
+    // Checkpointing truncates the plan to the materialized blocks, so
+    // per-round planning is O(round plan), not O(pair pipeline).
     val p = pairs.select(col(idA).as("s"), col(idB).as("t"))
-      .filter(col("s").isNotNull && col("t").isNotNull).persist()
+      .filter(col("s").isNotNull && col("t").isNotNull).localCheckpoint(false)
+    if (sys.env.contains("GRAFT_DEBUG_ROUNDS"))
+      System.err.println(
+        f"resolveClusters plan p: ${(System.nanoTime() - tEnter) / 1e9}%.2f s")
     val tPairs = System.nanoTime()
     val nPairs = p.count()
     if (sys.env.contains("GRAFT_DEBUG_ROUNDS"))
@@ -283,43 +304,55 @@ object Dedup {
     if (nPairs <= localEdgeThreshold) return resolveClustersLocal(p)
     val edges = p
       .union(p.select(col("t").as("s"), col("s").as("t")))
-      .distinct().persist()
+      .distinct().localCheckpoint(false)
     // seed = min(self, direct neighbors) — one agg, no join; a clique
     // anchored at its min node is already converged after this
+    val tSeed = System.nanoTime()
     var labels = edges.groupBy(col("s")).agg(min(col("t")).as("_mn"))
       .select(col("s").as("id"), least(col("s"), col("_mn")).as("label"))
       .localCheckpoint(false) // lazy: the baseline sum probe materializes it
-    def labelSum(df: DataFrame): java.math.BigDecimal = {
+    def labelProbe(df: DataFrame): (java.math.BigDecimal, Long) = {
       // sum over zero rows is NULL — coalesce so an empty pair set (a
       // corpus with no near-dups) converges instead of NPE-ing
-      val s = df.agg(sum(col("label").cast(DecimalType(38, 0)))).head()
-        .getDecimal(0)
-      if (s == null) java.math.BigDecimal.ZERO else s
+      val r = df.agg(sum(col("label").cast(DecimalType(38, 0))),
+        count(lit(1))).head()
+      val s = r.getDecimal(0)
+      (if (s == null) java.math.BigDecimal.ZERO else s, r.getLong(1))
     }
-    val tSeed = System.nanoTime()
-    var prevSum: java.math.BigDecimal = labelSum(labels)
+    val (seedSum, nNodes) = labelProbe(labels)
+    var prevSum: java.math.BigDecimal = seedSum
+    // A checkpointed label frame is a LogicalRDD with NO stats — Spark
+    // plans every round's join as a full sort-merge, re-shuffling the
+    // edge table per round. The label frame has exactly one row per
+    // node; when that fits a broadcast, hint it explicitly: both round
+    // joins become map-side over the checkpointed edge blocks and the
+    // only per-round exchange is the O(nodes) groupBy.
+    val bcastLabels = nNodes <= broadcastNodeLimit
+    def maybeBcast(df: DataFrame): DataFrame =
+      if (bcastLabels) broadcast(df) else df
     if (sys.env.contains("GRAFT_DEBUG_ROUNDS"))
       System.err.println(
-        f"resolveClusters seed: ${(System.nanoTime() - tSeed) / 1e9}%.2f s")
+        f"resolveClusters seed: ${(System.nanoTime() - tSeed) / 1e9}%.2f s " +
+          s"($nNodes nodes, broadcast=$bcastLabels)")
     var converged = false
     var i = 0
     while (!converged && i < maxIter) {
+      val t0 = System.nanoTime()
       // neighbor propagation: s inherits t's label
-      val prop = edges.join(labels, edges("t") === labels("id"))
+      val prop = edges.join(maybeBcast(labels), edges("t") === labels("id"))
         .select(edges("s").as("id"), col("label"))
       // pointer doubling: id inherits its label's label (labels cover every
       // node appearing in edges, and every label IS a node id, so the inner
       // self-join is total)
       val ptr = labels.select(col("id").as("_pid"), col("label").as("_plabel"))
-      val jump = labels.join(ptr, labels("label") === col("_pid"))
+      val jump = labels.join(maybeBcast(ptr), labels("label") === col("_pid"))
         .select(labels("id"), col("_plabel").as("label"))
       val prev = labels
       val next = labels.union(prop).union(jump)
         .groupBy("id").agg(min("label").as("label"))
         .localCheckpoint(false) // lazy: the sum probe below materializes it
       labels = next
-      val t0 = System.nanoTime()
-      val s = labelSum(next) // ONE job per round: checkpoint + convergence probe
+      val (s, _) = labelProbe(next) // ONE job per round: checkpoint + probe
       prev.unpersist()
       converged = s.compareTo(prevSum) == 0
       prevSum = s
@@ -333,8 +366,8 @@ object Dedup {
         s"resolveClusters: min-label propagation did not converge in $maxIter " +
           "rounds — components with diameter > maxIter are split into " +
           "multiple cluster_ids; raise maxIter for deep chain graphs")
-    edges.unpersist()
-    p.unpersist()
+    // p/edges are localCheckpoints now — their blocks are reclaimed by the
+    // ContextCleaner once the datasets are unreachable; nothing to unpersist
     if (sys.env.contains("GRAFT_DEBUG_ROUNDS"))
       System.err.println(
         f"resolveClusters total: ${(System.nanoTime() - tEnter) / 1e9}%.2f s")
