@@ -48,6 +48,10 @@ object ScaleData {
     val Array(srcDir, dstDir, factorStr) = args
     val factor = factorStr.toInt
     require(factor >= 1, "factor must be >= 1")
+    // reuse a caller's session (tests) and leave it running; only a
+    // session this main created gets stopped on exit
+    val ownSession = SparkSession.getActiveSession
+      .orElse(SparkSession.getDefaultSession).isEmpty
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -89,6 +93,6 @@ object ScaleData {
         .write.mode("overwrite").parquet(s"$dstDir/$t.parquet")
       println(s"[scale] $t x$factor done")
     }
-    spark.stop()
+    if (ownSession) spark.stop()
   }
 }
