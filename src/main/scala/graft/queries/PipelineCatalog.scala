@@ -475,10 +475,18 @@ object PipelineCatalog {
       |ORDER BY cnt DESC, term LIMIT 50""".stripMargin
 
   /** Misra–Gries heavy-terms sketch (k=64) — the bounded-state twin of
-    * `vocab_top_terms`. Estimates are merge-order dependent (rows-only);
-    * the n/(k+1) guarantee vs exact counts is pinned in FreqSketchSpec. */
+    * `vocab_top_terms`. In general merge-order dependent, but the
+    * testdata vocabulary (31 terms) fits the 64 counters, so no
+    * decrement ever fires and the sketch equals exact counts on ANY
+    * merge order — oracled against plain GROUP BY counts. The
+    * over-capacity n/(k+1) guarantee stays pinned in FreqSketchSpec. */
   val vocabSketch: Q = (s, dir) =>
     FreqSketch.sketchTerms(Tables.documents(s, dir), "text", k = 64)
+
+  val vocabSketchSql: String =
+    """SELECT term, CAST(count(*) AS BIGINT) AS est
+      |FROM (SELECT unnest(string_split(text, ' ')) AS term FROM documents)
+      |GROUP BY term""".stripMargin
 
   /** PII scrub: detected email/URL counts + typed-placeholder masking. */
   val textPii: Q = (s, dir) =>
@@ -1048,11 +1056,15 @@ object PipelineCatalog {
       |  md5(text) AS digest_md5
       |FROM documents""".stripMargin
 
-  /** Typed mapPartitions decode path (stub codec) — rows-only. The gate
-    * output is scalar-only: the driver's pandas sort/compare can't hash an
-    * `Array[Float]` column, so the feature vector is surfaced as a
-    * deterministic digest (rounded L1 sum + dimension) while the
-    * array-returning operator itself stays covered by `MultimodalSpec`. */
+  /** Typed mapPartitions decode path (stub codec) — oracle-checked. The
+    * gate output is scalar-only (the driver's pandas sort/compare can't
+    * hash an `Array[Float]` column), and the stub codec is fully
+    * deterministic byte arithmetic, so the whole pipeline replays in
+    * DuckDB: the wrapping 64-bit rolling digest as a HUGEINT mod-2^64
+    * fold, the per-bucket byte sums + float L1 normalization verbatim.
+    * The oracle models UTF-8 bytes as code points — valid because the
+    * testdata corpus is pure ASCII. The array-returning operator itself
+    * stays covered by `MultimodalSpec`. */
   val mmFeatures: Q = (s, dir) => {
     val items = Multimodal.itemsFromBinary(Tables.documents(s, dir), "doc_id", "text", "image")
     Multimodal.extractFeatures(s, items).toDF()
@@ -1061,6 +1073,32 @@ object PipelineCatalog {
         round(aggregate(col("features").cast("array<double>"),
           lit(0.0), (acc, v) => acc + v), 6).as("feat_sum"))
   }
+
+  val mmFeaturesSql: String =
+    """WITH b AS (
+      |  SELECT doc_id AS media_id, 'image' AS modality,
+      |         list_transform(string_split(text, ''),
+      |                        c -> CAST(ascii(c) AS BIGINT)) AS bytes
+      |  FROM documents
+      |), f AS (
+      |  SELECT media_id, modality, CAST(len(bytes) AS BIGINT) AS n_bytes,
+      |    list_reduce(list_prepend(CAST(1125899906842597 AS HUGEINT), bytes),
+      |      (h, c) -> (h * 31 + c) % CAST('18446744073709551616' AS HUGEINT)) AS h_u,
+      |    list_transform(range(16), k ->
+      |      list_sum(list_transform(range(len(bytes)), i ->
+      |        CASE WHEN i % 16 = k THEN bytes[CAST(i+1 AS INT)] ELSE 0 END))) AS acc
+      |  FROM b
+      |)
+      |SELECT media_id, modality, n_bytes,
+      |  CAST(CASE WHEN h_u >= CAST('9223372036854775808' AS HUGEINT)
+      |            THEN h_u - CAST('18446744073709551616' AS HUGEINT)
+      |            ELSE h_u END AS BIGINT) AS digest,
+      |  CAST(16 AS INT) AS feat_dim,
+      |  round(list_sum(list_transform(acc, v ->
+      |    CAST(CAST(v AS REAL) /
+      |         CAST(greatest(1, coalesce(list_sum(acc), 0)) AS REAL)
+      |      AS DOUBLE))), 6) AS feat_sum
+      |FROM f""".stripMargin
 
   // ------------------------------------------------------------------
   // Registry
@@ -1153,5 +1191,7 @@ object PipelineCatalog {
     "sample_det" -> sampleDetSql,
     "sample_stratified" -> sampleStratifiedSql,
     "mm_payload_stats" -> mmPayloadStatsSql,
-    "mm_audit" -> mmAuditSql)
+    "mm_audit" -> mmAuditSql,
+    "mm_features" -> mmFeaturesSql,
+    "vocab_sketch" -> vocabSketchSql)
 }
