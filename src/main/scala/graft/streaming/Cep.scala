@@ -44,16 +44,41 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
  */
 object Cep {
 
-  /** One NFA stage: `pred` must accept `times` events; `strictInside` =
-    * contiguity between the stage's own events, `strictBefore` =
-    * contiguity at the boundary from the previous stage. */
+  /** One NFA stage: `pred` must accept one of `counts` repetition
+    * totals (a singleton for plain stages; a range for `times(m,n)`;
+    * 0 included for `optional()`); `strictInside` = contiguity between
+    * the stage's own events, `strictBefore` = contiguity at the
+    * boundary from the previous stage. `times` is the fixed count of
+    * ONE compiled expansion (see [[Pattern.expansions]]). */
   final case class Stage[E](name: String, pred: E => Boolean, times: Int,
-                            strictInside: Boolean, strictBefore: Boolean)
+                            strictInside: Boolean, strictBefore: Boolean,
+                            counts: Seq[Int] = Nil) {
+    private[Cep] def allowedCounts: Seq[Int] =
+      if (counts.nonEmpty) counts else Seq(times)
+  }
 
   final class Pattern[E] private[Cep] (
       private[Cep] val stages: Vector[Stage[E]],
       private[Cep] val withinSec: Option[Long],
       private[Cep] val maxPartials: Int) extends Serializable {
+
+    /** Range/optional quantifiers compile to the Cartesian product of
+      * per-stage fixed counts — one plain stage vector per alternative,
+      * 0-count stages dropped. The NFA runs every expansion's runs side
+      * by side, which IS FlinkCEP's emit-every-length semantics. */
+    private[Cep] lazy val expansions: Vector[Vector[Stage[E]]] = {
+      val product = stages.foldLeft(Vector(Vector.empty[Stage[E]])) {
+        (acc, st) =>
+          for (prefix <- acc; c <- st.allowedCounts.toVector)
+            yield if (c == 0) prefix else prefix :+ st.copy(times = c, counts = Nil)
+      }
+      val nonEmpty = product.filter(_.nonEmpty)
+      require(nonEmpty.nonEmpty, "pattern must have at least one required stage")
+      require(nonEmpty.length <= Pattern.MaxExpansions,
+        s"quantifier expansion produced ${nonEmpty.length} alternatives " +
+          s"(max ${Pattern.MaxExpansions}) — narrow the times()/optional() ranges")
+      nonEmpty.distinct
+    }
 
     private def mapLast(f: Stage[E] => Stage[E]) =
       new Pattern(stages.init :+ f(stages.last), withinSec, maxPartials)
@@ -65,8 +90,22 @@ object Cep {
     /** The last stage must match `n` events. */
     def times(n: Int): Pattern[E] = {
       require(n >= 1, s"times must be >= 1, got $n")
-      mapLast(_.copy(times = n))
+      mapLast(_.copy(times = n, counts = Nil))
     }
+
+    /** The last stage must match between `min` and `max` events
+      * (FlinkCEP `times(from, to)`): every length in the range is a
+      * match and all are emitted, one expansion per length. */
+    def times(min: Int, max: Int): Pattern[E] = {
+      require(min >= 1 && max >= min,
+        s"times range must satisfy 1 <= min <= max, got ($min, $max)")
+      mapLast(_.copy(counts = (min to max).toSeq))
+    }
+
+    /** The last stage may be absent entirely (FlinkCEP `optional`):
+      * matches both with and without it are emitted. */
+    def optional(): Pattern[E] =
+      mapLast(st => st.copy(counts = 0 +: st.allowedCounts.filter(_ > 0)))
 
     /** Strict contiguity inside the last stage's repetition. */
     def consecutive(): Pattern[E] = mapLast(_.copy(strictInside = true))
@@ -99,11 +138,14 @@ object Cep {
     def begin[E](name: String)(p: E => Boolean): Pattern[E] =
       new Pattern(Vector(Stage(name, p, 1, strictInside = false,
         strictBefore = false)), None, 256)
+
+    private[Cep] val MaxExpansions = 32
   }
 
-  /** An open run: position (stage, taken-in-stage) + consumed-event
-    * (timestamp, stage-name) trail. Product-encodable state. */
-  final case class Partial(stage: Int, taken: Int,
+  /** An open run: expansion alternative + position (stage,
+    * taken-in-stage) + consumed-event (timestamp, stage-name) trail.
+    * Product-encodable state. */
+  final case class Partial(alt: Int, stage: Int, taken: Int,
                            ts: Seq[Long], names: Seq[String])
 
   final case class NfaState(partials: Seq[Partial])
@@ -137,15 +179,16 @@ object Cep {
     val open = ArrayBuffer.empty[Partial]
     val done = ArrayBuffer.empty[Partial]
     def advance(p: Partial): Unit = {
-      val st = pat.stages(p.stage)
+      val alt = pat.expansions(p.alt)
+      val st = alt(p.stage)
       val moved = p.copy(ts = p.ts :+ tsSec, names = p.names :+ st.name)
       val (nStage, nTaken) =
         if (p.taken + 1 == st.times) (p.stage + 1, 0) else (p.stage, p.taken + 1)
       val nxt = moved.copy(stage = nStage, taken = nTaken)
-      if (nStage == pat.stages.length) done += nxt else open += nxt
+      if (nStage == alt.length) done += nxt else open += nxt
     }
     live.foreach { p =>
-      val st = pat.stages(p.stage)
+      val st = pat.expansions(p.alt)(p.stage)
       if (st.pred(e)) advance(p)
       else {
         // mid-repetition the stage's own contiguity applies; at a stage
@@ -155,9 +198,12 @@ object Cep {
         // else: contiguity broken — run dies silently (not a timeout)
       }
     }
-    // a stage-0 match may always begin a fresh run (sliding matches)
-    if (pat.stages.head.pred(e))
-      advance(Partial(0, 0, Vector.empty, Vector.empty))
+    // a stage-0 match may begin a fresh run in EVERY expansion whose
+    // first stage accepts the event (sliding matches, all alternatives)
+    pat.expansions.indices.foreach { a =>
+      if (pat.expansions(a).head.pred(e))
+        advance(Partial(a, 0, 0, Vector.empty, Vector.empty))
+    }
     val capped =
       if (open.length <= pat.maxPartials) open.toSeq
       else open.drop(open.length - pat.maxPartials).toSeq

@@ -125,6 +125,41 @@ class CepSpec extends SparkSuite {
     assert(batchAll.exists(m => m.key == 3L && m.status == "timeout"))
   }
 
+  test("times(min,max) emits every length in the range (FlinkCEP semantics)") {
+    val pattern = Pattern.begin[LoginEvent]("fail")(_.eventType == "fail")
+      .times(2, 3).consecutive().within(10L)
+    val ev = Seq(
+      LoginEvent(1L, "ip", "fail", 100L),
+      LoginEvent(1L, "ip", "fail", 101L),
+      LoginEvent(1L, "ip", "fail", 102L))
+    val got = Cep.detectOrdered[LoginEvent, Long](1L, ev, _.timestamp, pattern)
+      .filter(_.status == "matched").map(_.stageTs).toSet
+    assert(got === Set(
+      Seq(100L, 101L), Seq(101L, 102L),     // the two length-2 runs
+      Seq(100L, 101L, 102L)))               // and the length-3 run
+  }
+
+  test("optional() stage matches both with and without it") {
+    val pattern = Pattern.begin[LoginEvent]("a")(_.eventType == "a")
+      .followedBy("b")(_.eventType == "b").optional()
+      .followedBy("c")(_.eventType == "c")
+    val withB = Seq(
+      LoginEvent(1L, "ip", "a", 100L),
+      LoginEvent(1L, "ip", "b", 101L),
+      LoginEvent(1L, "ip", "c", 102L))
+    val gotWith = Cep.detectOrdered[LoginEvent, Long](1L, withB, _.timestamp, pattern)
+      .map(m => (m.stageNames, m.stageTs)).toSet
+    assert(gotWith === Set(
+      (Seq("a", "c"), Seq(100L, 102L)),        // b skipped (optional absent)
+      (Seq("a", "b", "c"), Seq(100L, 101L, 102L))))
+    val withoutB = Seq(
+      LoginEvent(1L, "ip", "a", 100L),
+      LoginEvent(1L, "ip", "c", 102L))
+    val gotWithout = Cep.detectOrdered[LoginEvent, Long](1L, withoutB, _.timestamp, pattern)
+      .map(_.stageTs)
+    assert(gotWithout === Seq(Seq(100L, 102L)))
+  }
+
   test("next() strict boundary vs followedBy() relaxed boundary") {
     val strict = Pattern.begin[LoginEvent]("a")(_.eventType == "a")
       .next("b")(_.eventType == "b")

@@ -53,6 +53,45 @@ class CheckpointRecoverySpec extends SparkSuite {
     assert(alarms.map(w => (w.userId, w.firstFailTs, w.secondFailTs)) === List((7L, 100L, 101L)))
   }
 
+  test("Cep.detect resumes from checkpoint with NFA runs intact") {
+    import graft.streaming.Cep.{CepMatch, Pattern}
+    val base = Files.createTempDirectory("graft_cep_ckpt")
+    val inDir = Files.createDirectory(base.resolve("in")).toString
+    val ckpt = base.resolve("ckpt").toString
+    val pattern = Pattern.begin[LoginEvent]("fail")(_.eventType == "fail")
+      .times(2).consecutive().within(5L)
+
+    val results = ListBuffer.empty[CepMatch[Long]]
+    def startQuery() = {
+      val src = StreamSources.csvStream(spark, inDir, CsvSources.loginSchema)
+        .as[LoginEvent]
+      Cep.detect[LoginEvent, Long](src, _.userId, "timestamp", _.timestamp,
+          pattern, tieBreak = _.eventType)
+        .writeStream
+        .option("checkpointLocation", ckpt)
+        .foreachBatch { (batch: Dataset[CepMatch[Long]], _: Long) =>
+          results.synchronized { results ++= batch.collect() }
+          ()
+        }
+        .start()
+    }
+
+    // batch 1: one fail — an open partial run goes into the state store
+    Files.writeString(Paths.get(inDir, "part1.csv"), "7,1.2.3.4,fail,100\n")
+    val q1 = startQuery()
+    q1.processAllAvailable(); q1.stop()
+    assert(!results.exists(_.status == "matched"),
+      "one fail alone must not complete the pattern")
+
+    // batch 2 after restart: the pre-restart partial must pair with this
+    Files.writeString(Paths.get(inDir, "part2.csv"), "7,1.2.3.4,fail,102\n")
+    val q2 = startQuery()
+    q2.processAllAvailable(); q2.stop()
+
+    val matched = results.synchronized(results.filter(_.status == "matched").toList)
+    assert(matched.map(m => (m.key, m.stageTs)) === List((7L, Seq(100L, 102L))))
+  }
+
   test("topNPerWindowStream state table survives a restart") {
     import org.apache.spark.sql.functions._
     val base = Files.createTempDirectory("graft_topn_ckpt")
