@@ -160,6 +160,40 @@ class CepSpec extends SparkSuite {
     assert(gotWithout === Seq(Seq(100L, 102L)))
   }
 
+  test("login pattern NFA ≡ independent adjacent-pair oracle on random streams") {
+    import org.scalacheck.{Gen, Prop}
+    val gen: Gen[List[LoginEvent]] = for {
+      n <- Gen.choose(5, 60)
+      events <- Gen.listOfN(n, for {
+        user <- Gen.choose(1L, 3L)
+        typ <- Gen.frequency(2 -> Gen.const("fail"), 1 -> Gen.const("success"))
+        gap <- Gen.choose(0L, 4L)
+      } yield (user, typ, gap))
+    } yield {
+      var ts = 1000000L
+      events.map { case (u, t, gap) => ts += gap; LoginEvent(u, "1.2.3.4", t, ts) }
+    }
+    val prop = Prop.forAll(gen) { events =>
+      events.groupBy(_.userId).forall { case (u, es) =>
+        val sorted = es.sortBy(e => (e.timestamp, e.eventType))
+        // independent oracle: adjacent fail pairs within the gap, computed
+        // by a plain sliding scan — a different algorithm shape entirely
+        val expected = sorted.sliding(2).collect {
+          case Seq(a, b) if a.eventType == "fail" && b.eventType == "fail" &&
+            b.timestamp - a.timestamp <= 2L => (a.timestamp, b.timestamp)
+        }.toList.sorted
+        val got = Cep.detectOrdered[LoginEvent, Long](u, sorted, _.timestamp,
+            loginPattern)
+          .filter(_.status == "matched")
+          .map(m => (m.stageTs.head, m.stageTs.last)).sorted
+        got == expected
+      }
+    }
+    val result = org.scalacheck.Test.check(
+      org.scalacheck.Test.Parameters.default.withMinSuccessfulTests(300), prop)
+    assert(result.passed, result.status.toString)
+  }
+
   test("next() strict boundary vs followedBy() relaxed boundary") {
     val strict = Pattern.begin[LoginEvent]("a")(_.eventType == "a")
       .next("b")(_.eventType == "b")
