@@ -52,7 +52,8 @@ object Cep {
     * ONE compiled expansion (see [[Pattern.expansions]]). */
   final case class Stage[E](name: String, pred: E => Boolean, times: Int,
                             strictInside: Boolean, strictBefore: Boolean,
-                            counts: Seq[Int] = Nil) {
+                            counts: Seq[Int] = Nil,
+                            negated: Boolean = false) {
     private[Cep] def allowedCounts: Seq[Int] =
       if (counts.nonEmpty) counts else Seq(times)
   }
@@ -74,6 +75,12 @@ object Cep {
       }
       val nonEmpty = product.filter(_.nonEmpty)
       require(nonEmpty.nonEmpty, "pattern must have at least one required stage")
+      require(stages.init.forall(!_.negated),
+        "notFollowedBy must be the final stage")
+      require(!stages.last.negated || withinSec.isDefined,
+        "notFollowedBy requires within() — an unbounded 'never followed' is undecidable")
+      require(nonEmpty.forall(alt => !alt.head.negated),
+        "a pattern cannot START with notFollowedBy")
       require(nonEmpty.length <= Pattern.MaxExpansions,
         s"quantifier expansion produced ${nonEmpty.length} alternatives " +
           s"(max ${Pattern.MaxExpansions}) — narrow the times()/optional() ranges")
@@ -120,6 +127,16 @@ object Cep {
       new Pattern(stages :+ Stage(name, p, 1, strictInside = false,
         strictBefore = false), withinSec, maxPartials)
 
+    /** Append a NEGATIVE terminal stage (FlinkCEP `notFollowedBy`): the
+      * pattern matches when the preceding stages complete and NO event
+      * accepted by `p` arrives before the within-window closes — the
+      * match carries the positive events; a `p` event kills the run
+      * silently. Must be the last stage and requires `within` (the only
+      * way "never followed" becomes decidable). */
+    def notFollowedBy(name: String)(p: E => Boolean): Pattern[E] =
+      new Pattern(stages :+ Stage(name, p, 1, strictInside = false,
+        strictBefore = false, negated = true), withinSec, maxPartials)
+
     /** Whole-match first-to-last event-time span bound (seconds). */
     def within(sec: Long): Pattern[E] = {
       require(sec > 0, s"within must be positive, got $sec")
@@ -159,6 +176,19 @@ object Cep {
   private def result[K](key: K, status: String, p: Partial): CepMatch[K] =
     CepMatch(key, status, p.names, p.ts, p.ts.head, p.ts.last)
 
+  /** An expired run parked on a NEGATED final stage is the pattern
+    * CONFIRMED ("never followed within the window") — a match carrying
+    * the positive events; any other expired run is a plain timeout. */
+  private def expiredResult[E, K](pat: Pattern[E], key: K,
+                                  p: Partial): CepMatch[K] = {
+    val alt = pat.expansions(p.alt)
+    val status =
+      if (p.stage < alt.length && alt(p.stage).negated && p.taken == 0)
+        "matched"
+      else "timeout"
+    result(key, status, p)
+  }
+
   /** Expire runs whose within-window closed before `nowSec`; returns
     * (survivors, expired). With no `within` nothing ever expires. */
   private def expire[E](pat: Pattern[E], partials: Seq[Partial],
@@ -189,8 +219,11 @@ object Cep {
     }
     live.foreach { p =>
       val st = pat.expansions(p.alt)(p.stage)
-      if (st.pred(e)) advance(p)
-      else {
+      if (st.pred(e)) {
+        // a matching event on a NEGATED stage disproves the pattern —
+        // the run dies silently (neither match nor timeout)
+        if (!st.negated) advance(p)
+      } else {
         // mid-repetition the stage's own contiguity applies; at a stage
         // boundary (taken == 0) the boundary kind (next vs followedBy)
         val strictHere = if (p.taken > 0) st.strictInside else st.strictBefore
@@ -243,7 +276,7 @@ object Cep {
               state.update(NfaState(live))
               armTimer(state, pattern, live)
             }
-            expired.iterator.map(result(key, "timeout", _))
+            expired.iterator.map(expiredResult(pattern, key, _))
           } else {
             val sorted = rows.toSeq.sortBy(e => (tsOf(e), tieBreak(e)))
             var partials = pending
@@ -252,7 +285,7 @@ object Cep {
               val (open, done, timedOut) = step(pattern, partials, e, tsOf(e))
               partials = open
               done.foreach(out += result(key, "matched", _))
-              timedOut.foreach(out += result(key, "timeout", _))
+              timedOut.foreach(out += expiredResult(pattern, key, _))
             }
             if (partials.isEmpty) { if (state.exists) state.remove() }
             else {
@@ -305,10 +338,10 @@ object Cep {
       val (open, done, timedOut) = step(pattern, partials, e, tsOf(e))
       partials = open
       done.foreach(out += result(key, "matched", _))
-      timedOut.foreach(out += result(key, "timeout", _))
+      timedOut.foreach(out += expiredResult(pattern, key, _))
     }
     if (pattern.withinSec.isDefined)
-      partials.foreach(out += result(key, "timeout", _))
+      partials.foreach(out += expiredResult(pattern, key, _))
     out.toSeq
   }
 }

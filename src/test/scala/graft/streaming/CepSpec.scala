@@ -194,6 +194,50 @@ class CepSpec extends SparkSuite {
     assert(result.passed, result.status.toString)
   }
 
+  test("notFollowedBy: matches when the window closes without the event") {
+    val pattern = Pattern.begin[LoginEvent]("a")(_.eventType == "a")
+      .notFollowedBy("b")(_.eventType == "b")
+      .within(10L)
+    val ev = Seq(
+      LoginEvent(1L, "ip", "a", 100L),  // b at 105 kills this run
+      LoginEvent(1L, "ip", "b", 105L),
+      LoginEvent(1L, "ip", "a", 200L),  // no b within 10 s → MATCH
+      LoginEvent(1L, "ip", "x", 205L),
+      LoginEvent(1L, "ip", "b", 215L),  // outside the window: irrelevant
+      LoginEvent(1L, "ip", "a", 300L))  // end of input closes it → MATCH
+    val got = Cep.detectOrdered[LoginEvent, Long](1L, ev, _.timestamp, pattern)
+    assert(got.map(m => (m.status, m.stageTs)) === Seq(
+      ("matched", Seq(200L)), ("matched", Seq(300L))))
+  }
+
+  test("notFollowedBy(create→no pay) ≡ sequenceTimeout's timeout rows (streaming)") {
+    val df = CsvSources.orders(spark, fixture("OrderLog.csv"))
+    val creates = df.filter(col("eventType") === "create")
+      .select(col("orderId"), (col("eventTime") * 1000000L).as("start_usec"))
+    val pays = df.filter(col("eventType") === "pay")
+      .select(col("orderId"), (col("eventTime") * 1000000L).as("pay_usec"))
+    val batchTimeouts = Detectors.sequenceTimeout(creates, pays, "orderId",
+        "start_usec", "pay_usec", 900L)
+      .filter(col("status") === "timeout")
+      .select(col("orderId")).as[Long].collect().toSet
+
+    val pattern = Pattern.begin[OrderEvent]("create")(_.eventType == "create")
+      .notFollowedBy("pay")(_.eventType == "pay")
+      .within(900L)
+    val events = df.as[OrderEvent].collect().toSeq
+    val maxTs = events.map(_.eventTime).max
+    val s1 = OrderEvent(9999901L, "create", "", maxTs + 100000L)
+    val s2 = OrderEvent(9999902L, "create", "", maxTs + 200000L)
+    val streamed = runStream(Seq(events, Seq(s1), Seq(s2))) { ds: Dataset[OrderEvent] =>
+      Cep.detect[OrderEvent, Long](ds, _.orderId, "eventTime", _.eventTime,
+        pattern, tieBreak = _.eventType)
+    }.filter(m => m.key < 9999900L && m.status == "matched").map(_.key).toSet
+
+    assert(batchTimeouts.nonEmpty)
+    assert(streamed === batchTimeouts,
+      "the negative pattern must emit exactly the orders that never paid in-window")
+  }
+
   test("next() strict boundary vs followedBy() relaxed boundary") {
     val strict = Pattern.begin[LoginEvent]("a")(_.eventType == "a")
       .next("b")(_.eventType == "b")
