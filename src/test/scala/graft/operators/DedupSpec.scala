@@ -141,9 +141,15 @@ class DedupSpec extends SparkSuite {
       .toDF("id_a", "id_b")
     val local = Dedup.resolveClusters(pairs) // ≤ threshold → union-find
       .as[(Long, Long)].collect().toSet
+    // distributed, broadcast-label tier (nodes ≤ broadcastNodeLimit)
     val dist = Dedup.resolveClusters(pairs, localEdgeThreshold = -1L)
       .as[(Long, Long)].collect().toSet
+    // distributed, general sort-merge tier (broadcast disabled)
+    val smj = Dedup.resolveClusters(pairs, localEdgeThreshold = -1L,
+        broadcastNodeLimit = -1L)
+      .as[(Long, Long)].collect().toSet
     assert(local === dist)
+    assert(local === smj)
     assert(local.nonEmpty)
   }
 
