@@ -131,4 +131,15 @@ class SamplingSpec extends SparkSuite {
     val d1tok = small.filter($"dom" === "d1").agg(sum($"ntok")).as[Long].head()
     assert(d1tok < 200L, s"d1 must be down-sampled hard, kept $d1tok tokens")
   }
+
+  test("budgetMixSample: budget beyond the corpus keeps every row, and the " +
+      "huge-budget threshold arithmetic does not overflow") {
+    val docs = (0 until 100).map(i => (i.toLong, "d0", 50L))
+      .toDF("id", "dom", "ntok")
+    // 10^15-token budget: the ppb-scaled numerator is ~10^27 — must route
+    // through DECIMAL(38) integral division, not long multiplication
+    val all = Sampling.budgetMixSample(docs, "id", "dom", "ntok",
+      Map.empty, defaultWeight = 1.0, budgetTokens = 1000000000000000L)
+    assert(all.count() === 100L, "over-budget domains keep every row")
+  }
 }
