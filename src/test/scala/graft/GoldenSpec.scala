@@ -60,4 +60,26 @@ class GoldenSpec extends SparkSuite {
     assert(res("matched") + res("receipt_no_pay") === 40L,
       "40 receipt rows (the file has no trailing newline — wc -l says 39)")
   }
+
+  test("golden: hash-seeded dedup/ANN gates are frozen exactly at sf0.001") {
+    // These gates are rows-only at the driver (xxhash64 has no DuckDB
+    // twin), but their outputs are fully DETERMINISTIC (fixed seeds,
+    // partitioning-independent — verified across local[3]/local[8] and
+    // 7/8 shuffle partitions). Freezing (row count, order-independent
+    // content checksum) pins the exact result a rows-only check cannot:
+    // any drift in shingling, signatures, banding, or tie-breaks fails
+    // here even if the row count happens to survive.
+    val dir = "/root/testdata/sf0.001"
+    def checksum(name: String): (Long, Long) = {
+      val df = SparkEntry.queries(name)(spark, dir)
+      val cols = df.columns.sorted.map(col)
+      val h = df.select(xxhash64(cols.map(_.cast("string")): _*).as("h"))
+        .agg(expr("bit_xor(h)")).head().getLong(0)
+      (df.count(), h)
+    }
+    assert(checksum("dedup_minhash") === ((28L, -1118636273946113449L)))
+    assert(checksum("dedup_simhash") === ((1176L, -4002432343246860937L)))
+    assert(checksum("sim_lsh_topk") === ((14L, -5669993828419624227L)))
+    assert(checksum("sim_near_dup") === ((14L, 943452110657249372L)))
+  }
 }
