@@ -18,15 +18,21 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
  * `flatMapGroupsWithState` (streaming) or an ordered fold (batch) — a
  * third pattern is a new `Pattern` expression, not a new state machine.
  *
- * Semantics (FlinkCEP-aligned, the subset the reference uses):
+ * Semantics (FlinkCEP-aligned; superset of what the reference uses):
  *  - `begin/next/followedBy(name)(pred)` — stages in sequence. `next` is
  *    strict contiguity (a non-matching event kills the partial match),
  *    `followedBy` is relaxed (skip-till-next-match: non-matching events
  *    are ignored, a matching event always advances — overlapping
  *    skip-till-any runs are not enumerated).
- *  - `.times(n)` — the last stage must match n events; `.consecutive()`
- *    makes those n strictly adjacent (any intervening non-match resets
- *    the run, LoginFailApp2.java:59-99 semantics).
+ *  - `.times(n)` — the last stage must match n events; `.times(min,max)`
+ *    emits a match at EVERY length in the range; `.optional()` matches
+ *    with and without the stage (both compile to expansion alternatives
+ *    run side by side); `.consecutive()` makes a stage's repetition
+ *    strictly adjacent (any intervening non-match resets the run,
+ *    LoginFailApp2.java:59-99 semantics).
+ *  - `.notFollowedBy(name)(pred)` — negative terminal stage: the pattern
+ *    matches when its window closes without an accepted event; requires
+ *    `within`.
  *  - `.within(sec)` — last-to-first event-time span of a full match is
  *    ≤ `sec`; an expired partial emits a `status = "timeout"` row
  *    carrying what it had consumed (FlinkCEP's timeout side-output;
