@@ -238,6 +238,34 @@ class CepSpec extends SparkSuite {
       "the negative pattern must emit exactly the orders that never paid in-window")
   }
 
+  test("where() AND-refines; withMaxPartials keeps the newest runs") {
+    // where(): only fails from the flagged ip count
+    val refined = Pattern.begin[LoginEvent]("fail")(_.eventType == "fail")
+      .where(_.ip == "bad").times(2).consecutive().within(10L)
+    val ev = Seq(
+      LoginEvent(1L, "bad", "fail", 100L),
+      LoginEvent(1L, "ok", "fail", 101L),   // pred fails → consecutive resets
+      LoginEvent(1L, "bad", "fail", 102L),
+      LoginEvent(1L, "bad", "fail", 103L))
+    val got = Cep.detectOrdered[LoginEvent, Long](1L, ev, _.timestamp, refined)
+      .filter(_.status == "matched").map(_.stageTs)
+    assert(got === Seq(Seq(102L, 103L)))
+
+    // eviction backstop: 300 same-ts starts against a 4-run cap — the
+    // NEWEST open runs survive, so the final pairs still emit and state
+    // never exceeds the cap
+    val capped = Pattern.begin[LoginEvent]("a")(_.eventType == "a")
+      .followedBy("b")(_.eventType == "b").within(1000L)
+      .withMaxPartials(4)
+    val flood = (1 to 300).map(i => LoginEvent(1L, "ip", "a", 100L + i)) :+
+      LoginEvent(1L, "ip", "b", 500L)
+    val matches = Cep.detectOrdered[LoginEvent, Long](1L, flood, _.timestamp, capped)
+      .filter(_.status == "matched")
+    assert(matches.length === 4, "only the 4 retained runs can complete")
+    assert(matches.map(_.stageTs.head).toSet === Set(397L, 398L, 399L, 400L),
+      "retained runs must be the NEWEST starts")
+  }
+
   test("next() strict boundary vs followedBy() relaxed boundary") {
     val strict = Pattern.begin[LoginEvent]("a")(_.eventType == "a")
       .next("b")(_.eventType == "b")
