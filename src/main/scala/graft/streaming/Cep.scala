@@ -44,9 +44,12 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
  * Scale: state per key is the open-run list — bounded by `maxPartials`
  * (oldest evicted, same backstop as FlinkCEP's state TTL advice), each
  * run holding only (stage, per-event ts/names), never event payloads.
- * Runs are GC'd by event-time timers driven by the watermark, so keys
- * that stop emitting cannot leak state. Everything is product-encoded —
- * no kryo blobs in the state store.
+ * With `within` set, runs are GC'd by event-time timers driven by the
+ * watermark, so keys that stop emitting cannot leak state; without
+ * `within` (like FlinkCEP's unwindowed patterns) open runs persist
+ * until more events arrive for the key — still ≤ `maxPartials` rows
+ * per key, but prefer a window for unbounded key spaces. Everything is
+ * product-encoded — no kryo blobs in the state store.
  */
 object Cep {
 
