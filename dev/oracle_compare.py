@@ -4,6 +4,16 @@
 Reads /tmp/verify_out/<name>.parquet (Spark results) + oracle_sql.json,
 runs each oracle SQL in DuckDB over views on the sf0.01 parquet tables,
 sorts columns by name + rows by value, compares (floats via allclose).
+
+STRICT dtype mode (default): a column whose numpy dtype FAMILY differs
+between Spark and the oracle (e.g. int64 vs float64) fails with
+DTYPE_MISMATCH before any value comparison.  The driver's gate hashes
+TYPED values, so `91` (int64) != `91.0` (float64) even when every value
+is numerically equal — this is the exact bug class that survived two
+rounds because the old allclose path was weaker than the driver.
+float32 vs float64 stay comparable (same family; pandas value hashing
+agrees), but int-vs-float is a hard fail.  Set ORACLE_COMPARE_LAX=1 to
+restore the old behavior for exploratory diffing.
 """
 import json, sys, glob, os
 import duckdb
@@ -12,6 +22,7 @@ import pandas as pd
 
 SF_DIR = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
 OUT_DIR = sys.argv[2] if len(sys.argv) > 2 else "/tmp/verify_out"
+STRICT = os.environ.get("ORACLE_COMPARE_LAX", "") != "1"
 TABLES = ("region nation customer supplier part orders lineitem "
           "events documents embeddings").split()
 
@@ -22,6 +33,15 @@ for t in TABLES:
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
 
 oracles = json.load(open(os.path.join(OUT_DIR, "oracle_sql.json")))
+
+def dtype_family(dt):
+    if np.issubdtype(dt, np.floating):
+        return "float"
+    if np.issubdtype(dt, np.integer):
+        return "int"
+    if np.issubdtype(dt, np.bool_):
+        return "bool"
+    return str(dt)
 
 def canon(df):
     df = df.reindex(sorted(df.columns), axis=1)
@@ -47,6 +67,9 @@ def compare(name):
     s, o = canon(s), canon(o)
     for c in s.columns:
         sv, ov = s[c], o[c]
+        if STRICT and dtype_family(sv.dtype) != dtype_family(ov.dtype):
+            return ("DTYPE_MISMATCH",
+                    f"col={c} spark={sv.dtype} oracle={ov.dtype}")
         if np.issubdtype(sv.dtype, np.floating) or np.issubdtype(ov.dtype, np.floating):
             sv = sv.astype(float).to_numpy(); ov = ov.astype(float).to_numpy()
             ok = np.allclose(sv, ov, rtol=1e-6, atol=1e-9, equal_nan=True)

@@ -38,8 +38,14 @@ import org.apache.spark.sql.types._
  *    sum-of-sums ÷ sum-of-counts). Float sums re-associate exactly like
  *    Spark's own partial aggregation already does. DECIMAL Sum/Average
  *    re-sum at +10-digit precision and cast back to the one-level
- *    result type — exact whenever the one-level aggregate wouldn't have
- *    overflowed, and null (non-ANSI cast) exactly when it would; the
+ *    result type; each decimal sum also carries a per-slice non-null
+ *    count so the outer final can tell an overflowed slice partial
+ *    (sum null, count > 0, non-ANSI) from an all-null slice, and
+ *    returns null whenever ANY slice partial overflowed — exact
+ *    whenever no slice partial overflows, null when the one-level
+ *    aggregate would have overflowed AND in the rare cancellation
+ *    corner where a slice overflows but the whole-group sum would not
+ *    (conservatively null, never a silently wrong value); the
  *    Average division runs over operands cast to the SAME types the
  *    one-level Average divides, so its rounding is identical.
  *
@@ -76,6 +82,21 @@ object SliceRollupRule extends Rule[LogicalPlan] {
 
   private def completeAgg(fn: AggregateFunction): AggregateExpression =
     AggregateExpression(fn, Complete, isDistinct = false, None, NamedExpression.newExprId)
+
+  /** Null out `result` when any slice's decimal partial overflowed:
+    * a partial sum that is null while its slice saw `cnt > 0` non-null
+    * inputs can only mean (non-ANSI) overflow — an all-null slice has
+    * cnt == 0 and its null partial is legitimately skipped by the outer
+    * re-sum. Max over booleans = logical OR across slices. */
+  private def decimalOverflowGuard(sumRef: Attribute, cntRef: Attribute,
+                                   result: Expression,
+                                   resType: DataType): Expression = {
+    val sliceOverflowed = If(
+      And(IsNull(sumRef), GreaterThan(cntRef, Literal(0L, LongType))),
+      Literal(true, BooleanType), Literal(false, BooleanType))
+    If(Coalesce(Seq(completeAgg(Max(sliceOverflowed)), Literal(false, BooleanType))),
+      Literal.create(null, resType), result)
+  }
 
   private def rewrite(agg: Aggregate, expand: Expand): Option[LogicalPlan] = {
     // Batch-only: on a streaming plan the outer aggregate's reconstructed
@@ -185,11 +206,20 @@ object SliceRollupRule extends Rule[LogicalPlan] {
           case c: Count =>
             one(c, ref => Coalesce(Seq(completeAgg(Sum(ref)), Literal(0L, LongType))))
           case s: Sum if s.child.dataType.isInstanceOf[DecimalType] =>
-            // the outer re-sum widens by another 10 digits; casting back
-            // to the one-level Sum's result type is exact whenever the
-            // one-level Sum wouldn't overflow, and null (non-ANSI cast)
-            // exactly when it would
-            one(s, ref => Cast(completeAgg(Sum(ref)), s.dataType))
+            // The outer re-sum widens by another 10 digits and casts back
+            // to the one-level Sum's result type (null on overflow,
+            // non-ANSI). A SLICE partial can itself overflow to null,
+            // which a bare outer Sum would silently skip — wrong in the
+            // cancellation corner where the whole-group one-level sum
+            // would NOT have overflowed. Carry a per-slice non-null count
+            // so the outer can tell overflow (sum null, count > 0) from
+            // an all-null slice, and null out the group when any slice
+            // partial overflowed.
+            Some(Piece(
+              Seq(Alias(completeAgg(s), s"_rollup_$name")(),
+                Alias(completeAgg(Count(Seq(s.child))), s"_rollup_nn_$name")()),
+              refs => decimalOverflowGuard(refs(0), refs(1),
+                Cast(completeAgg(Sum(refs(0))), s.dataType), s.dataType)))
           case s: Sum => one(s, ref => completeAgg(Sum(ref)))
           case m: Min => one(m, ref => completeAgg(Min(ref)))
           case m: Max => one(m, ref => completeAgg(Max(ref)))
@@ -205,10 +235,12 @@ object SliceRollupRule extends Rule[LogicalPlan] {
                 // Sum's buffer type: precision + 10, capped at 38
                 val sumType =
                   DecimalType(math.min(dt.precision + 10, 38), dt.scale)
-                refs => Cast(
-                  Divide(
-                    Cast(completeAgg(Sum(refs(0))), sumType),
-                    Cast(completeAgg(Sum(refs(1))), DecimalType(20, 0))),
+                refs => decimalOverflowGuard(refs(0), refs(1),
+                  Cast(
+                    Divide(
+                      Cast(completeAgg(Sum(refs(0))), sumType),
+                      Cast(completeAgg(Sum(refs(1))), DecimalType(20, 0))),
+                    a.dataType),
                   a.dataType)
               case _ =>
                 refs => Divide(

@@ -480,8 +480,8 @@ object Catalog {
 
   val q12PrioritySql: String =
     """SELECT l_returnflag,
-      |  sum(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH') THEN 1 ELSE 0 END) AS high_line_count,
-      |  sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT','2-HIGH') THEN 1 ELSE 0 END) AS low_line_count
+      |  CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+      |  CAST(sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT','2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
       |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
       |WHERE datediff('day', CAST(o_orderdate AS DATE), CAST(l_shipdate AS DATE))
       |      BETWEEN 0 AND 29
@@ -810,7 +810,8 @@ object Catalog {
       |           FROM customer),
       |     s AS (SELECT s_suppkey, CAST(s_acctbal AS DECIMAL(18,2)) AS sbal
       |           FROM supplier)
-      |SELECT s_suppkey, count(*) AS n_close, sum(c_custkey) AS custkey_sum
+      |SELECT s_suppkey, count(*) AS n_close,
+      |       CAST(sum(c_custkey) AS BIGINT) AS custkey_sum
       |FROM c JOIN s ON bal >= sbal - 5 AND bal <= sbal + 5
       |GROUP BY s_suppkey""".stripMargin
 

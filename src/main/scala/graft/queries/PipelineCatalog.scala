@@ -750,7 +750,8 @@ object PipelineCatalog {
        |  SELECT doc_id, source, n_tokens, ${duckHashBucket("doc_id")} AS bucket
        |  FROM d
        |)
-       |SELECT b.source, count(*) AS n_kept, sum(b.n_tokens) AS tokens_kept
+       |SELECT b.source, count(*) AS n_kept,
+       |       CAST(sum(b.n_tokens) AS BIGINT) AS tokens_kept
        |FROM b JOIN t ON b.source = t.source
        |WHERE b.bucket < t.thr
        |GROUP BY b.source""".stripMargin

@@ -21,15 +21,22 @@ import org.apache.spark.sql.functions._
  * partitions. Old versions stay readable until [[vacuum]] — free time
  * travel for audits and rollback.
  *
- * Writer mutual exclusion is ENFORCED, not assumed: before writing
- * v{n} a writer must atomically create the marker file `_lock_v{n}`
- * (`FileSystem.create` with overwrite=false — an atomic
- * create-if-absent on HDFS, S3A and the local FS). A concurrent upsert
- * that lost the race to the same version number fails loudly with
- * [[ConcurrentWriteException]] instead of silently racing to one
- * directory; the caller retries, re-listing picks up the winner's
- * version. Readers are always safe — they only ever see committed
- * (`_SUCCESS`-bearing) versions.
+ * Writer mutual exclusion is ENFORCED on HDFS-like filesystems: before
+ * writing v{n} a writer must create the marker file `_lock_v{n}` with
+ * `FileSystem.create(overwrite = false)`, which is an atomic
+ * create-if-absent on HDFS (and filesystems with HDFS create semantics).
+ * A concurrent upsert that lost the race to the same version number
+ * fails loudly with [[ConcurrentWriteException]] instead of silently
+ * racing to one directory; the caller retries, re-listing picks up the
+ * winner's version. CAVEAT — on object stores (S3A) and on Hadoop's
+ * `LocalFileSystem`, create-no-overwrite is a non-atomic check-then-
+ * create, so two writers can in principle both acquire the lock; there,
+ * treat the lock as best-effort and serialize writers externally (a
+ * scheduler lock, or S3 conditional-PUT via `fs.s3a.create.conditional`
+ * where available). Readers are always safe on every filesystem — they
+ * only ever see committed (`_SUCCESS`-bearing) versions, and the
+ * post-lock re-list below turns the worst lost-lock outcome into a
+ * loud failure rather than a silent lost write.
  *
  * Update batches must be key-unique (MERGE semantics are undefined for
  * a batch carrying two rows of one key) — enforced with a count vs
@@ -109,11 +116,17 @@ object VersionedTable {
         s"another writer holds v$next of $path — retry to rebase on its " +
           "committed result")
     }
-    if (f.exists(new Path(s"$path/v$next", "_SUCCESS"))) {
-      // lock of a finished writer was already vacuumed; same race, louder
+    // Re-list AFTER acquiring the lock: a writer that computed `next`,
+    // stalled while others committed vNext..vNext+k and vacuum() deleted
+    // vNext, could otherwise create _lock_vNext, find no vNext/_SUCCESS
+    // and write BELOW the newest version — readers (max version) would
+    // never see the merge. Any committed version >= next means our base
+    // is stale, so fail loudly instead of losing the write.
+    if (versions(spark, path).lastOption.exists(_ >= next)) {
       f.delete(lock, false)
       throw new ConcurrentWriteException(
-        s"v$next of $path was committed concurrently — retry")
+        s"v$next of $path is stale — a version >= $next was committed " +
+          "concurrently; retry to rebase on it")
     }
     try {
       val merged = read(spark, path) match {

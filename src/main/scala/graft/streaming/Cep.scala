@@ -70,7 +70,9 @@ object Cep {
   final class Pattern[E] private[Cep] (
       private[Cep] val stages: Vector[Stage[E]],
       private[Cep] val withinSec: Option[Long],
-      private[Cep] val maxPartials: Int) extends Serializable {
+      private[Cep] val maxPartials: Int,
+      private[Cep] val unmatchedPred: Option[E => Boolean] = None)
+    extends Serializable {
 
     /** Range/optional quantifiers compile to the Cartesian product of
       * per-stage fixed counts — one plain stage vector per alternative,
@@ -97,7 +99,8 @@ object Cep {
     }
 
     private def mapLast(f: Stage[E] => Stage[E]) =
-      new Pattern(stages.init :+ f(stages.last), withinSec, maxPartials)
+      new Pattern(stages.init :+ f(stages.last), withinSec, maxPartials,
+        unmatchedPred)
 
     /** AND-refine the last stage's predicate (FlinkCEP `.where` chains). */
     def where(p: E => Boolean): Pattern[E] =
@@ -129,12 +132,12 @@ object Cep {
     /** Append a stage with STRICT contiguity to the previous one. */
     def next(name: String)(p: E => Boolean): Pattern[E] =
       new Pattern(stages :+ Stage(name, p, 1, strictInside = false,
-        strictBefore = true), withinSec, maxPartials)
+        strictBefore = true), withinSec, maxPartials, unmatchedPred)
 
     /** Append a stage with RELAXED contiguity (skip-till-next-match). */
     def followedBy(name: String)(p: E => Boolean): Pattern[E] =
       new Pattern(stages :+ Stage(name, p, 1, strictInside = false,
-        strictBefore = false), withinSec, maxPartials)
+        strictBefore = false), withinSec, maxPartials, unmatchedPred)
 
     /** Append a NEGATIVE terminal stage (FlinkCEP `notFollowedBy`): the
       * pattern matches when the preceding stages complete and NO event
@@ -144,19 +147,30 @@ object Cep {
       * way "never followed" becomes decidable). */
     def notFollowedBy(name: String)(p: E => Boolean): Pattern[E] =
       new Pattern(stages :+ Stage(name, p, 1, strictInside = false,
-        strictBefore = false, negated = true), withinSec, maxPartials)
+        strictBefore = false, negated = true), withinSec, maxPartials,
+        unmatchedPred)
 
     /** Whole-match first-to-last event-time span bound (seconds). */
     def within(sec: Long): Pattern[E] = {
       require(sec > 0, s"within must be positive, got $sec")
-      new Pattern(stages, Some(sec), maxPartials)
+      new Pattern(stages, Some(sec), maxPartials, unmatchedPred)
     }
 
     /** Open-run cap per key (oldest evicted silently). */
     def withMaxPartials(n: Int): Pattern[E] = {
       require(n >= 1, "maxPartials must be >= 1")
-      new Pattern(stages, withinSec, n)
+      new Pattern(stages, withinSec, n, unmatchedPred)
     }
+
+    /** Dead-letter side output: also emit a `status = "unmatched"` row
+      * for every event accepted by `p` that touched NO run at all — it
+      * advanced none, started none, disproved none, and triggered no
+      * expiry. This is how "event with no preceding context" escapes a
+      * pure pattern (e.g. a pay with no live create —
+      * OrderTimeoutAppWithState.java:95-99's "payed timeout" branch);
+      * filter `status = "unmatched"` downstream if unwanted. */
+    def emitUnmatched(p: E => Boolean): Pattern[E] =
+      new Pattern(stages, withinSec, maxPartials, Some(p))
   }
 
   object Pattern {
@@ -209,12 +223,17 @@ object Cep {
 
   /** One NFA step: feed event `e` at time `tsSec` to every open run and
     * maybe start a new one. Returns (open runs, completed matches,
-    * timed-out runs). Shared verbatim by the streaming and batch paths —
+    * timed-out runs, touched) where `touched` records whether the event
+    * interacted with ANY run — advanced one, started one, disproved a
+    * negated stage, broke contiguity, or triggered an expiry (the
+    * `emitUnmatched` dead-letter predicate fires only on untouched
+    * events). Shared verbatim by the streaming and batch paths —
     * stream ≡ batch holds by construction. */
   private[streaming] def step[E](pat: Pattern[E], partials: Seq[Partial],
                                  e: E, tsSec: Long)
-      : (Seq[Partial], Seq[Partial], Seq[Partial]) = {
+      : (Seq[Partial], Seq[Partial], Seq[Partial], Boolean) = {
     val (live, timedOut) = expire(pat, partials, tsSec)
+    var touched = timedOut.nonEmpty
     val open = ArrayBuffer.empty[Partial]
     val done = ArrayBuffer.empty[Partial]
     def advance(p: Partial): Unit = {
@@ -229,6 +248,7 @@ object Cep {
     live.foreach { p =>
       val st = pat.expansions(p.alt)(p.stage)
       if (st.pred(e)) {
+        touched = true
         // a matching event on a NEGATED stage disproves the pattern —
         // the run dies silently (neither match nor timeout)
         if (!st.negated) advance(p)
@@ -237,20 +257,26 @@ object Cep {
         // boundary (taken == 0) the boundary kind (next vs followedBy)
         val strictHere = if (p.taken > 0) st.strictInside else st.strictBefore
         if (!strictHere) open += p
-        // else: contiguity broken — run dies silently (not a timeout)
+        else touched = true // contiguity broken — run dies (not a timeout)
       }
     }
     // a stage-0 match may begin a fresh run in EVERY expansion whose
     // first stage accepts the event (sliding matches, all alternatives)
     pat.expansions.indices.foreach { a =>
-      if (pat.expansions(a).head.pred(e))
+      if (pat.expansions(a).head.pred(e)) {
+        touched = true
         advance(Partial(a, 0, 0, Vector.empty, Vector.empty))
+      }
     }
     val capped =
       if (open.length <= pat.maxPartials) open.toSeq
       else open.drop(open.length - pat.maxPartials).toSeq
-    (capped, done.toSeq, timedOut)
+    (capped, done.toSeq, timedOut, touched)
   }
+
+  /** The `emitUnmatched` dead-letter row for an event no run touched. */
+  private def unmatchedResult[K](key: K, tsSec: Long): CepMatch[K] =
+    CepMatch(key, "unmatched", Seq("unmatched"), Seq(tsSec), tsSec, tsSec)
 
   /**
    * Streaming detection: events keyed by `keyOf`, event time (epoch sec)
@@ -268,14 +294,25 @@ object Cep {
                                      watermarkDelay: String = "2 seconds")(
       implicit om: Encoder[CepMatch[K]]): Dataset[CepMatch[K]] = {
     implicit val stateEnc: Encoder[NfaState] = Encoders.product[NfaState]
+    implicit val pairEnc: Encoder[(E, java.sql.Timestamp)] =
+      Encoders.tuple(implicitly[Encoder[E]], Encoders.TIMESTAMP)
+    // The event rides inside a struct column NEXT TO the watermark
+    // column: the event-time attribute must survive into the stateful
+    // operator's input (Spark's unsupported-operation check rejects
+    // EventTimeTimeout without a watermarked column in scope), but
+    // appending it flat to E's own columns would break positional
+    // binding for tuple-encoded E and clobber a case-class field named
+    // like the helper. Struct-wrapping keeps E intact whatever its shape.
     events
-      .withColumn("_cepTime", timestamp_seconds(col(tsCol)))
-      .withWatermark("_cepTime", watermarkDelay)
-      .as[E]
-      .groupByKey(keyOf)
+      .select(struct(col("*")).as("_1"),
+        timestamp_seconds(col(tsCol)).as("_2"))
+      .withWatermark("_2", watermarkDelay)
+      .as[(E, java.sql.Timestamp)]
+      .groupByKey(p => keyOf(p._1))
       .flatMapGroupsWithState(OutputMode.Append,
           GroupStateTimeout.EventTimeTimeout) {
-        (key: K, rows: Iterator[E], state: GroupState[NfaState]) =>
+        (key: K, pairs: Iterator[(E, java.sql.Timestamp)],
+         state: GroupState[NfaState]) =>
           val pending = state.getOption.map(_.partials).getOrElse(Nil)
           if (state.hasTimedOut) {
             val wmSec = state.getCurrentWatermarkMs() / 1000L
@@ -287,14 +324,17 @@ object Cep {
             }
             expired.iterator.map(expiredResult(pattern, key, _))
           } else {
-            val sorted = rows.toSeq.sortBy(e => (tsOf(e), tieBreak(e)))
+            val sorted = pairs.map(_._1).toSeq.sortBy(e => (tsOf(e), tieBreak(e)))
             var partials = pending
             val out = ArrayBuffer.empty[CepMatch[K]]
             sorted.foreach { e =>
-              val (open, done, timedOut) = step(pattern, partials, e, tsOf(e))
+              val (open, done, timedOut, touched) =
+                step(pattern, partials, e, tsOf(e))
               partials = open
               done.foreach(out += result(key, "matched", _))
               timedOut.foreach(out += expiredResult(pattern, key, _))
+              if (!touched && pattern.unmatchedPred.exists(_(e)))
+                out += unmatchedResult(key, tsOf(e))
             }
             if (partials.isEmpty) { if (state.exists) state.remove() }
             else {
@@ -344,10 +384,12 @@ object Cep {
     var partials: Seq[Partial] = Nil
     val out = ArrayBuffer.empty[CepMatch[K]]
     events.foreach { e =>
-      val (open, done, timedOut) = step(pattern, partials, e, tsOf(e))
+      val (open, done, timedOut, touched) = step(pattern, partials, e, tsOf(e))
       partials = open
       done.foreach(out += result(key, "matched", _))
       timedOut.foreach(out += expiredResult(pattern, key, _))
+      if (!touched && pattern.unmatchedPred.exists(_(e)))
+        out += unmatchedResult(key, tsOf(e))
     }
     if (pattern.withinSec.isDefined)
       partials.foreach(out += expiredResult(pattern, key, _))

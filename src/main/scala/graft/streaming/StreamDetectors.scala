@@ -32,37 +32,26 @@ object StreamDetectors {
   // (LoginFailAppWithCep.java:61-75; v2 hand-rolled semantics
   //  LoginFailApp2.java:59-99: compare each fail to the previous event,
   //  strict contiguity — any intervening success resets the pair).
+  //
+  // Delegates to the generalized [[Cep]] NFA — `fail ×2 consecutive
+  // within gap` IS the reference's own CEP pattern, and keeping one
+  // detection engine beats a second hand-rolled state machine. The NFA
+  // emits sliding pairs ((f1,f2),(f2,f3)) exactly like the bespoke
+  // lag-against-previous machine did; its within-GC timeout rows are
+  // filtered out here.
   // ------------------------------------------------------------------
-
-  final case class LoginState(lastWasFail: Boolean, lastFailTs: Long)
 
   def loginFailStream(events: Dataset[LoginEvent], maxGapSec: Long,
                       watermarkDelay: String = "2 seconds"): Dataset[LoginFailWarning] = {
     val spark = events.sparkSession
     import spark.implicits._
-    events
-      .withColumn("eventTime", timestamp_seconds(col("timestamp")))
-      .withWatermark("eventTime", watermarkDelay)
-      .as[LoginEvent]
-      .groupByKey(_.userId)
-      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout) {
-        (userId: Long, rows: Iterator[LoginEvent], state: GroupState[LoginState]) =>
-          val sorted = rows.toSeq.sortBy(e => (e.timestamp, e.eventType))
-          var st = state.getOption.getOrElse(LoginState(lastWasFail = false, 0L))
-          val out = ArrayBuffer.empty[LoginFailWarning]
-          sorted.foreach { e =>
-            if (e.eventType == "fail") {
-              if (st.lastWasFail && e.timestamp - st.lastFailTs <= maxGapSec)
-                out += LoginFailWarning(userId, st.lastFailTs, e.timestamp,
-                  s"2 consecutive login failures within ${maxGapSec}s")
-              st = LoginState(lastWasFail = true, e.timestamp)
-            } else {
-              st = LoginState(lastWasFail = false, 0L)
-            }
-          }
-          state.update(st)
-          out.iterator
-      }
+    val pattern = Cep.Pattern.begin[LoginEvent]("fail")(_.eventType == "fail")
+      .times(2).consecutive().within(maxGapSec)
+    Cep.detect[LoginEvent, Long](events, _.userId, "timestamp", _.timestamp,
+        pattern, tieBreak = _.eventType, watermarkDelay = watermarkDelay)
+      .filter(_.status == "matched")
+      .map(m => LoginFailWarning(m.key, m.stageTs.head, m.stageTs.last,
+        s"2 consecutive login failures within ${maxGapSec}s"))
   }
 
   // ------------------------------------------------------------------
@@ -72,58 +61,31 @@ object StreamDetectors {
   //   "pay timeout"   — timer fired (no pay) OR pay after the window
   //   "payed timeout" — pay with no create seen
   // Side outputs → one stream, split by `resultType` filters (K2 mapping).
+  //
+  // Delegates to [[Cep]]: create→pay-within-window is the reference's
+  // own CEP pattern (OrderTimeoutAppWithCep.java:46-56, matched +
+  // timeout side output); the WithState version's third branch — a pay
+  // with no live create — is the NFA's `emitUnmatched` dead-letter
+  // output (a pay that touched no run). One engine, all three outputs.
   // ------------------------------------------------------------------
-
-  final case class OrderTimeoutState(createTs: Long)
 
   def orderTimeoutStream(events: Dataset[OrderEvent], timeoutSec: Long,
                          watermarkDelay: String = "2 seconds"): Dataset[OrderResult] = {
     val spark = events.sparkSession
     import spark.implicits._
-    events
-      .withColumn("eventTime2", timestamp_seconds(col("eventTime")))
-      .withWatermark("eventTime2", watermarkDelay)
-      .as[OrderEvent]
-      .groupByKey(_.orderId)
-      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
-        (orderId: Long, rows: Iterator[OrderEvent], state: GroupState[OrderTimeoutState]) =>
-          if (state.hasTimedOut) {
-            // Spark keeps a (null-value, timeout) state row when remove()
-            // and setTimeoutTimestamp() land in one invocation — such a key
-            // still fires hasTimedOut later with no state value. Only a key
-            // with live state is a real pending order.
-            val pending = state.getOption
-            state.remove()
-            if (pending.isDefined) Iterator(OrderResult(orderId, "pay timeout"))
-            else Iterator.empty
-          } else {
-            // eventType tie-break: a create and pay in the same second
-            // process create-first ("create" < "pay"), like file order
-            val sorted = rows.toSeq.sortBy(e => (e.eventTime, e.eventType))
-            val out = ArrayBuffer.empty[OrderResult]
-            sorted.foreach { e =>
-              e.eventType match {
-                case "create" =>
-                  state.update(OrderTimeoutState(e.eventTime))
-                  // clamp: a timeout timestamp at/behind the watermark throws
-                  state.setTimeoutTimestamp(math.max(
-                    (e.eventTime + timeoutSec) * 1000L,
-                    state.getCurrentWatermarkMs() + 1L))
-                case "pay" =>
-                  if (state.exists) {
-                    val created = state.get.createTs
-                    out += OrderResult(orderId,
-                      if (e.eventTime <= created + timeoutSec) "payed" else "pay timeout")
-                    state.remove()
-                  } else {
-                    out += OrderResult(orderId, "payed timeout")
-                  }
-                case _ => // ignore unknown event types (reference has none)
-              }
-            }
-            out.iterator
-          }
-      }
+    val pattern = Cep.Pattern.begin[OrderEvent]("create")(_.eventType == "create")
+      .followedBy("pay")(_.eventType == "pay")
+      .within(timeoutSec)
+      .emitUnmatched(_.eventType == "pay")
+    // eventType tie-break: a create and pay in the same second process
+    // create-first ("create" < "pay"), like file order
+    Cep.detect[OrderEvent, Long](events, _.orderId, "eventTime", _.eventTime,
+        pattern, tieBreak = _.eventType, watermarkDelay = watermarkDelay)
+      .map(m => OrderResult(m.key, m.status match {
+        case "matched" => "payed"
+        case "timeout" => "pay timeout"
+        case _ => "payed timeout"
+      }))
   }
 
   // ------------------------------------------------------------------
