@@ -116,6 +116,40 @@ class SliceRollupRuleSpec extends SparkSuite {
     }
   }
 
+  test("decimal sum slice overflow: null, never a silently wrong value") {
+    // Two +6e37 rows share one slice (their partial sum needs 39 digits →
+    // overflow → null under non-ANSI), a −7e37 row sits in another. A
+    // naive outer re-sum would SKIP the overflowed slice and return −7e37
+    // for windows covering all three rows — the guard must return null
+    // (or the true value) there, never that silently wrong number. Under
+    // ANSI (the session default) overflow throws instead of nulling, so
+    // the silent-skip hazard only exists with ANSI off.
+    val big = "60000000000000000000000000000000000000" // 6e37
+    val neg = "-70000000000000000000000000000000000000" // −7e37
+    def q = Seq((60L, big), (61L, big), (120L, neg)).toDF("sec", "raw")
+      .select(timestamp_seconds(col("sec")).as("ts"),
+        col("raw").cast("decimal(38,0)").as("d"))
+      .groupBy(window(col("ts"), "10 minutes", "1 minute"))
+      .agg(sum(col("d")).as("s"))
+      .select(col("window.end").cast("long").as("we"), col("s"))
+    val ansiBefore = spark.conf.get("spark.sql.ansi.enabled")
+    spark.conf.set("spark.sql.ansi.enabled", "false")
+    try {
+      val baseline = q.collect().map(r => r.getLong(0) -> r.getDecimal(1)).toMap
+      withRule {
+        assert(aggCount(q.queryExecution.optimizedPlan) === 2,
+          "decimal sum must still rewrite:\n" + q.queryExecution.optimizedPlan)
+        val rewritten = q.collect().map(r => r.getLong(0) -> r.getDecimal(1))
+        assert(rewritten.map(_._1).toSet === baseline.keySet)
+        rewritten.foreach { case (we, s) =>
+          assert(s == null || s == baseline(we),
+            s"window end=$we: rewritten $s must be null or the baseline value " +
+              s"${baseline(we)} — a non-null mismatch is the silent-skip bug")
+        }
+      }
+    } finally spark.conf.set("spark.sql.ansi.enabled", ansiBefore)
+  }
+
   test("max(window.end) is group-constant: rewrites as an outer projection") {
     // Regression history: rewriting max(window.end) once crashed execution
     // with INTERNAL_ERROR_ATTRIBUTE_NOT_FOUND (the partial landed below

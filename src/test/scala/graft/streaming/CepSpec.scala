@@ -266,6 +266,68 @@ class CepSpec extends SparkSuite {
       "retained runs must be the NEWEST starts")
   }
 
+  test("streaming times(2,4)+notFollowedBy with out-of-order arrivals ≡ detectBatch") {
+    // 2-4 consecutive fails never followed by a success inside the window.
+    // Delivery is scrambled WITHIN each batch and later batches carry
+    // earlier event times for other keys (global disorder, per-key events
+    // sorted only by the NFA's in-batch sort + watermark GC) — the match
+    // set must still equal the batch fold of the same data.
+    val pattern = Pattern.begin[LoginEvent]("fail")(_.eventType == "fail")
+      .times(2, 4).consecutive()
+      .notFollowedBy("success")(_.eventType == "success")
+      .within(20L)
+    val u1 = Seq( // success inside every window → no matches at all
+      LoginEvent(1L, "ip", "fail", 100L),
+      LoginEvent(1L, "ip", "fail", 101L),
+      LoginEvent(1L, "ip", "fail", 102L),
+      LoginEvent(1L, "ip", "success", 103L))
+    val u2 = Seq( // three clean fails → (200,201),(201,203),(200,201,203)
+      LoginEvent(2L, "ip", "fail", 200L),
+      LoginEvent(2L, "ip", "fail", 201L),
+      LoginEvent(2L, "ip", "fail", 203L))
+    val all = u1 ++ u2
+    // large delay so the cross-batch time reversal is never "late data";
+    // sentinels far enough out to close every within-window
+    val s1 = LoginEvent(90001L, "ip", "fail", 5000L)
+    val s2 = LoginEvent(90002L, "ip", "fail", 6000L)
+    val streamed = runStream(Seq(
+        Seq(u2(2), u2(0), u2(1)),             // u2 scrambled
+        Seq(u1(1), u1(3), u1(0), u1(2)),      // u1 scrambled, EARLIER times
+        Seq(s1), Seq(s2))) { ds: Dataset[LoginEvent] =>
+      Cep.detect[LoginEvent, Long](ds, _.userId, "timestamp", _.timestamp,
+        pattern, tieBreak = _.eventType, watermarkDelay = "120 seconds")
+    }.filter(_.key < 90000L)
+    val batch = Cep.detectBatch[LoginEvent, Long](
+      all.toDS(), _.userId, _.timestamp, pattern).collect().toSeq
+
+    val key = (m: CepMatch[Long]) => (m.key, m.status, m.stageTs)
+    assert(streamed.map(key).toSet === batch.map(key).toSet)
+    assert(streamed.filter(_.status == "matched").map(m => (m.key, m.stageTs)).toSet
+      === Set((2L, Seq(200L, 201L)), (2L, Seq(201L, 203L)),
+        (2L, Seq(200L, 201L, 203L))))
+  }
+
+  test("emitUnmatched: dead-letter rows only for events that touched no run") {
+    val pattern = Pattern.begin[OrderEvent]("create")(_.eventType == "create")
+      .followedBy("pay")(_.eventType == "pay")
+      .within(900L)
+      .emitUnmatched(_.eventType == "pay")
+    val ev = Seq(
+      OrderEvent(1L, "pay", "t", 100L),     // no run anywhere → unmatched
+      OrderEvent(1L, "create", "", 200L),
+      OrderEvent(1L, "pay", "t", 205L),     // completes the run → matched
+      OrderEvent(1L, "pay", "t", 210L),     // run consumed → unmatched
+      OrderEvent(1L, "create", "", 2000L),
+      OrderEvent(1L, "pay", "t", 2950L))    // expires the run → timeout ONLY
+    val got = Cep.detectOrdered[OrderEvent, Long](1L, ev, _.eventTime, pattern)
+      .map(m => (m.status, m.stageTs))
+    assert(got === Seq(
+      ("unmatched", Seq(100L)),
+      ("matched", Seq(200L, 205L)),
+      ("unmatched", Seq(210L)),
+      ("timeout", Seq(2000L))))
+  }
+
   test("next() strict boundary vs followedBy() relaxed boundary") {
     val strict = Pattern.begin[LoginEvent]("a")(_.eventType == "a")
       .next("b")(_.eventType == "b")
