@@ -30,7 +30,14 @@ object Bench {
       try SparkEntry.queries.get(q).foreach(_(spark, sfDir).count())
       catch { case _: Throwable => }
     }
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    // Optional comma-separated filter for family-targeted soaks (e.g.
+    // SPARK_GRAFT_QUERIES=sim_ivf_topk,sim_ivfpq_topk against a dir that
+    // only holds the embeddings table); unset = the full registry.
+    val wanted = sys.env.get("SPARK_GRAFT_QUERIES")
+      .map(_.split(",").map(_.trim).toSet)
+    val results = SparkEntry.queries.toSeq
+      .filter { case (name, _) => wanted.forall(_.contains(name)) }
+      .sortBy(_._1).map { case (name, fn) =>
       // JMH-style hygiene: collect the previous query's garbage outside the
       // measured window, or a random query absorbs a full-GC pause.
       System.gc()

@@ -5,7 +5,8 @@ import org.apache.spark.sql.functions._
 
 /**
  * Dev tool: scale a driver testdata directory by an integer factor for
- * bench soaks (`runMain graft.apps.ScaleData <srcSfDir> <dstDir> <factor>`).
+ * bench soaks (`runMain graft.apps.ScaleData <srcSfDir> <dstDir> <factor>
+ * [--tables=a,b] [--mutate-text=0.1] [--perturb-vecs=0.05]`).
  * Correctness gates always run on the driver's own parquet; this exists
  * to measure how query times SCALE (the 100 TB question asked at the
  * largest size the sandbox holds), not to verify results.
@@ -15,10 +16,23 @@ import org.apache.spark.sql.functions._
  * copy i's orders/customers/suppliers/parts and nothing else), while
  * timestamps keep their original range — density grows by the factor,
  * window counts scale, the window set does not, which is how real
- * traffic grows. Text/payload columns are left byte-identical, so the
- * dedup families see factor-sized exact-dup clusters — deliberately
- * stressing their mega-cluster guards. region/nation are fixed
- * dimensions and copy through unscaled.
+ * traffic grows. By default text/payload columns are left byte-identical,
+ * so the dedup families see factor-sized exact-dup clusters —
+ * deliberately stressing their mega-cluster guards. region/nation are
+ * fixed dimensions and copy through unscaled.
+ *
+ * Soak realism flags (all deterministic — hash-seeded, no RNG state):
+ *  - `--tables=a,b` scales only the listed tables (for family-targeted
+ *    soaks: a 100× embeddings table without 100× lineitem).
+ *  - `--mutate-text=P` rewrites each token of copy i>0's `documents.text`
+ *    with probability P (token replaced by a copy-tagged variant, token
+ *    count preserved, `n_chars` recomputed) — near-dup candidate volume
+ *    then reflects realistic ~(1−P) overlap rather than exact cross-copy
+ *    duplicates.
+ *  - `--perturb-vecs=EPS` adds per-element noise uniform in [−EPS, +EPS]
+ *    to copy i>0's `embeddings.embedding`, so ANN soaks search NOVEL
+ *    vectors with preserved cluster structure instead of 100 identical
+ *    copies of each centroid neighborhood.
  */
 object ScaleData {
 
@@ -45,9 +59,16 @@ object ScaleData {
     "doc_id" -> "docid", "vec_id" -> "docid")
 
   def main(args: Array[String]): Unit = {
-    val Array(srcDir, dstDir, factorStr) = args
+    val Array(srcDir, dstDir, factorStr) = args.take(3)
     val factor = factorStr.toInt
     require(factor >= 1, "factor must be >= 1")
+    val flags = args.drop(3)
+    def flag(name: String): Option[String] =
+      flags.find(_.startsWith(s"--$name=")).map(_.stripPrefix(s"--$name="))
+    val onlyTables = flag("tables").map(_.split(",").toSet)
+    val mutateText = flag("mutate-text").map(_.toDouble)
+    val perturbVecs = flag("perturb-vecs").map(_.toDouble)
+    mutateText.foreach(p => require(p >= 0 && p <= 1, "mutate-text in [0,1]"))
     // reuse a caller's session (tests) and leave it running; only a
     // session this main created gets stopped on exit
     val ownSession = SparkSession.getActiveSession
@@ -63,7 +84,8 @@ object ScaleData {
     spark.sparkContext.setLogLevel("WARN")
 
     // one stride per key SPACE, so e.g. custkey shifts identically in
-    // customer and orders
+    // customer and orders (strides always computed over ALL tables so a
+    // --tables run shifts by the same amounts as a full run)
     val tables = keyCols.keys.toSeq
     val loaded: Map[String, DataFrame] =
       tables.map(t => t -> spark.read.parquet(s"$srcDir/$t.parquet")).toMap
@@ -76,18 +98,47 @@ object ScaleData {
       space -> (maxes.max + 1L)
     }.toMap
 
-    Seq("region", "nation").foreach { t =>
-      val p = new java.io.File(s"$srcDir/$t.parquet")
-      if (p.exists())
-        spark.read.parquet(p.toString).write.mode("overwrite")
-          .parquet(s"$dstDir/$t.parquet")
+    Seq("region", "nation")
+      .filter(t => onlyTables.forall(_.contains(t)))
+      .foreach { t =>
+        val p = new java.io.File(s"$srcDir/$t.parquet")
+        if (p.exists())
+          spark.read.parquet(p.toString).write.mode("overwrite")
+            .parquet(s"$dstDir/$t.parquet")
+      }
+
+    /** Copy-i realism mutations: deterministic (xxhash64-seeded per
+      * (key, copy, position)) so reruns produce identical bytes. */
+    def mutate(t: String, i: Int, df: DataFrame): DataFrame = {
+      if (i == 0) return df // copy 0 is always the untouched original
+      val withText = (t, mutateText) match {
+        case ("documents", Some(p)) =>
+          val thr = lit((p * 1000000L).toLong)
+          val toks = split(col("text"), " ")
+          val mutated = transform(toks, (tok, idx) =>
+            when(pmod(xxhash64(col("doc_id"), lit(i), idx), lit(1000000L)) < thr,
+              concat(tok, lit(s"~$i"))).otherwise(tok))
+          df.withColumn("text", array_join(mutated, " "))
+            .withColumn("n_chars", length(col("text")))
+        case _ => df
+      }
+      (t, perturbVecs) match {
+        case ("embeddings", Some(eps)) =>
+          withText.withColumn("embedding",
+            transform(col("embedding"), (v, idx) =>
+              v + ((pmod(xxhash64(col("vec_id"), lit(i), idx), lit(2001L)) -
+                lit(1000L)).cast("float") / lit(1000f)) * lit(eps.toFloat)))
+        case _ => withText
+      }
     }
-    tables.foreach { t =>
+
+    tables.filter(t => onlyTables.forall(_.contains(t))).foreach { t =>
       val base = loaded(t)
       val copies = (0 until factor).map { i =>
-        keyCols(t).foldLeft(base) { case (df, c) =>
+        val shifted = keyCols(t).foldLeft(base) { case (df, c) =>
           df.withColumn(c, col(c) + lit(i * stride(keySpace(c))))
         }
+        mutate(t, i, shifted)
       }
       copies.reduce(_ unionByName _)
         .write.mode("overwrite").parquet(s"$dstDir/$t.parquet")

@@ -1,0 +1,94 @@
+package graft.apps
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.execution.SparkPlan
+import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+import org.apache.spark.sql.execution.exchange.{BroadcastExchangeLike, ShuffleExchangeLike}
+import org.apache.spark.sql.functions.col
+
+import graft.SparkEntry
+import graft.operators.Similarity
+import graft.sources.Tables
+
+/**
+ * Dev tool for scale soaks: run selected registry queries against a data
+ * directory and print, per query, the wall time, output rows, and the
+ * PLAN SHAPE (shuffle/broadcast exchange counts). Two runs at different
+ * ScaleData factors answer the 100 TB question concretely — time must
+ * grow ≤ linearly with data, exchange counts must not grow at all (a
+ * plan that adds exchanges with data size re-plans itself into a
+ * different, worse algorithm at scale).
+ *
+ * `runMain graft.apps.SoakAudit <dir> <q1,q2,...>` — one
+ * tab-separated line per query: name, seconds, rows, shuffles,
+ * broadcasts.
+ */
+object SoakAudit {
+
+  def countExchanges(plan: SparkPlan): (Int, Int) = {
+    // AQE hides the final plan inside AdaptiveSparkPlanExec; walk the
+    // EXECUTED plan so runtime-demoted broadcasts are counted as built
+    def walk(p: SparkPlan): Seq[SparkPlan] = p match {
+      case a: AdaptiveSparkPlanExec => a.executedPlan +: walk(a.executedPlan)
+      case other => other +: other.children.flatMap(walk)
+    }
+    val nodes = walk(plan)
+    (nodes.count(_.isInstanceOf[ShuffleExchangeLike]),
+      nodes.count(_.isInstanceOf[BroadcastExchangeLike]))
+  }
+
+  /** Fixed-probe ANN variants for corpus-scaling soaks. The GATE
+    * queries' probe predicate (`id % 100 = 0`) grows with the corpus, so
+    * gate time conflates query-count growth with corpus growth (work ∝
+    * queries × bucket = quadratic-looking). A production search serves a
+    * query RATE independent of corpus size — these pin 20 queries (all in
+    * copy 0 of any ScaleData output) so the measured growth is the
+    * per-query search cost alone. */
+  private val fixedProbe = col("id") < 2000L && col("id") % 100 === 0
+  val soakQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "soak_ivf_fixedq" -> ((s, dir) =>
+      Similarity.ivfTopK(Tables.embeddings(s, dir), "vec_id", "embedding",
+        fixedProbe, k = 5, nCentroids = 16, nProbe = 4)),
+    "soak_ivf_trained_fixedq" -> ((s, dir) =>
+      Similarity.ivfTopK(Tables.embeddings(s, dir), "vec_id", "embedding",
+        fixedProbe, k = 5, nCentroids = 16, nProbe = 4, trainIters = 2)),
+    "soak_ivfpq_fixedq" -> ((s, dir) =>
+      Similarity.ivfPqTopK(Tables.embeddings(s, dir), "vec_id", "embedding",
+        fixedProbe, k = 5, nCentroids = 16, nProbe = 4,
+        m = 8, kSub = 16, pqIters = 1)),
+    "soak_lsh_fixedq" -> ((s, dir) =>
+      Similarity.lshTopK(Tables.embeddings(s, dir), "vec_id", "embedding",
+        fixedProbe, k = 5, planes = 8)))
+
+  def main(args: Array[String]): Unit = {
+    val Array(dir, namesCsv) = args.take(2)
+    val names = namesCsv.split(",").map(_.trim).filter(_.nonEmpty)
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    spark.range(1000000L).selectExpr("sum(id)").collect() // JIT warmup
+
+    println("query\tsec\trows\tshuffles\tbroadcasts")
+    val registry = SparkEntry.queries ++ soakQueries
+    names.foreach { name =>
+      registry.get(name) match {
+        case None => println(s"$name\tUNKNOWN")
+        case Some(fn) =>
+          System.gc()
+          val t0 = System.nanoTime()
+          val df = fn(spark, dir)
+          val rows = df.count()
+          val sec = (System.nanoTime() - t0) / 1e9
+          val (sh, bc) = countExchanges(df.queryExecution.executedPlan)
+          println(f"$name\t$sec%.2f\t$rows\t$sh\t$bc")
+      }
+    }
+    spark.stop()
+  }
+}
