@@ -133,6 +133,13 @@ object Similarity {
    * query_id. Recall improves with nProbe and with `trainIters` Lloyd
    * rounds (below); the operator contract (assign → probe → re-rank) is
    * identical either way.
+   *
+   * Per-query search cost is `nProbe × corpus/nCentroids`, so a FIXED
+   * list count degrades linearly as the corpus grows. Pass
+   * `nCentroids = -1` to auto-size: clamp(⌈√corpus⌉, 16, 256) — the
+   * classical √n rule, one extra count() job, capped where the
+   * literal-quantizer codegen stays comfortable (beyond ~65k rows per
+   * list budget, the IVF-PQ compressed index is the intended path).
    */
   def ivfTopK(df: DataFrame, idCol: String, vecCol: String,
               queryPred: Column, k: Int,
@@ -141,7 +148,7 @@ object Similarity {
     graft.functions.GraftFunctions.register(df.sparkSession)
     val base = df.select(col(idCol).as("id"), col(vecCol).cast("array<double>").as("v"))
       .withColumn("n", norm2(col("v")))
-    val cents = trainCentroids(base, nCentroids, trainIters)
+    val cents = trainCentroids(base, resolveNCentroids(base, nCentroids), trainIters)
     if (cents.isEmpty) return emptyTopK(base) // empty corpus: no quantizer
     def centScores(v: Column, n: Column): Column =
       centScoresFor(cents)(v, n)
@@ -165,6 +172,16 @@ object Similarity {
     cand.withColumn("rn", row_number().over(w)).filter(col("rn") <= k)
       .select(col("query_id"), col("neighbor_id"), col("cos"), col("rn"))
   }
+
+  /** `nCentroids = -1` auto-sizing: the √n rule, clamped to [16, 256].
+    * One count() job — only paid in auto mode; an explicit positive
+    * value passes through untouched. */
+  private def resolveNCentroids(base: DataFrame, requested: Int): Int =
+    if (requested > 0) requested
+    else {
+      val n = base.count()
+      math.max(16, math.min(256, math.ceil(math.sqrt(n.toDouble)).toInt))
+    }
 
   /** Zero-row (query_id, neighbor_id, cos, rn) frame in the top-k output
     * schema — the empty-corpus result of the literal-quantizer paths
@@ -332,7 +349,7 @@ object Similarity {
     val base = df.select(col(idCol).as("id"), col(vecCol).cast("array<double>").as("v"))
       .withColumn("n", norm2(col("v")))
     val model = PqModel(
-      trainCentroids(base, nCentroids, trainIters),
+      trainCentroids(base, resolveNCentroids(base, nCentroids), trainIters),
       trainPqBooks(base, m, kSub, pqIters))
     if (model.isEmpty) return (model, base.limit(0)
       .select(col("id"), lit(0L).as("cid"),

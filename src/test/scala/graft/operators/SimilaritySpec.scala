@@ -41,6 +41,31 @@ class SimilaritySpec extends SparkSuite {
       s"nearest neighbor 1 must rank first among probed candidates, got $res")
   }
 
+  test("nCentroids = -1 auto-sizes to clamp(ceil(sqrt(n)), 16, 256)") {
+    // 400 synthetic vectors → auto = 20 lists; the auto run must equal
+    // the explicit nCentroids = 20 run EXACTLY (same deterministic
+    // lowest-id sample quantizer, only the count differs in how it was
+    // chosen)
+    val df = spark.range(400).select(col("id").as("vec_id"),
+      array((0 until 4).map(d => // +1 keeps id 0 off the zero vector
+        sin((col("id") + 1) * (d + 1)).cast("float")): _*).as("embedding"))
+    val auto = Similarity.ivfTopK(df, "vec_id", "embedding",
+        col("id") % 100 === 0, k = 3, nCentroids = -1, nProbe = 2)
+      .collect().toSet
+    val explicit = Similarity.ivfTopK(df, "vec_id", "embedding",
+        col("id") % 100 === 0, k = 3, nCentroids = 20, nProbe = 2)
+      .collect().toSet
+    assert(auto === explicit, "sqrt(400) = 20 lists must reproduce the " +
+      "explicit-20 result bit for bit")
+    // below the floor: tiny corpora clamp up to 16
+    val tiny = Similarity.ivfTopK(vecs, "vec_id", "embedding",
+      col("id") === 0L, k = 3, nCentroids = -1, nProbe = 2)
+    assert(tiny.columns.toSeq ===
+      Seq("query_id", "neighbor_id", "cos", "rn"))
+    assert(tiny.count() > 0, "5-vector corpus under the 16-list floor " +
+      "must still search (every vector becomes its own list)")
+  }
+
   test("trainCentroids refines the sampled quantizer and keeps ivf recall") {
     graft.functions.GraftFunctions.register(spark)
     // 3 well-separated groups of 20 vectors each; centroids start as the
