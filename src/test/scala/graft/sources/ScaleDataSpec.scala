@@ -33,4 +33,62 @@ class ScaleDataSpec extends SparkSuite {
       "per-copy key offsets must keep every lineitem joined to exactly " +
         "its own copy's order — factor x base join rows, no cross-copy hits")
   }
+
+  test("--tables/--mutate-text/--perturb-vecs: targeted, deterministic, copy-0 untouched") {
+    val src = "/root/testdata/sf0.001"
+    val dst1 = Files.createTempDirectory("scaleflags1").toString
+    val dst2 = Files.createTempDirectory("scaleflags2").toString
+    val args = Array(src, dst1, "2", "--tables=documents,embeddings",
+      "--mutate-text=0.1", "--perturb-vecs=0.05")
+    graft.apps.ScaleData.main(args)
+    graft.apps.ScaleData.main(args.updated(1, dst2))
+
+    // only the listed tables are written
+    val written = new java.io.File(dst1).listFiles().map(_.getName).toSet
+    assert(written === Set("documents.parquet", "embeddings.parquet"))
+
+    // hash-seeded mutations: two runs produce identical bytes row-for-row
+    def canon(dir: String, t: String) =
+      spark.read.parquet(s"$dir/$t.parquet")
+        .orderBy(if (t == "documents") "doc_id" else "vec_id")
+        .collect().toSeq
+    assert(canon(dst1, "documents") === canon(dst2, "documents"))
+    assert(canon(dst1, "embeddings") === canon(dst2, "embeddings"))
+
+    // copy 0 is byte-identical to the source; mutated copies are novel
+    // but token-count-preserving, with n_chars recomputed
+    val srcDocs = spark.read.parquet(s"$src/documents.parquet")
+    val nDocs = srcDocs.count()
+    val out = spark.read.parquet(s"$dst1/documents.parquet")
+    val joined = out.alias("o")
+      .join(srcDocs.alias("s"), col("o.doc_id") === col("s.doc_id"))
+    assert(joined.filter(col("o.text") =!= col("s.text")).count() === 0,
+      "copy 0 must be the untouched original")
+    val copy1 = out.filter(col("doc_id") >= nDocs).alias("c")
+      .join(srcDocs.select((col("doc_id") + nDocs).as("doc_id"),
+        col("text").as("orig")), Seq("doc_id"))
+    assert(copy1.filter(col("text") === col("orig")).count() < nDocs,
+      "10% token mutation must change most documents")
+    assert(copy1.filter(
+      size(split(col("text"), " ")) =!= size(split(col("orig"), " ")))
+      .count() === 0, "mutation must preserve token count")
+    assert(out.filter(length(col("text")) =!= col("n_chars")).count() === 0,
+      "n_chars must be recomputed after mutation")
+
+    // perturbed vectors: same dimension, different values, bounded delta
+    val srcEmb = spark.read.parquet(s"$src/embeddings.parquet")
+    val nVecs = srcEmb.agg(max(col("vec_id"))).head().getLong(0) + 1
+    val stride = math.max(nVecs, nDocs) // docid key space spans both
+    val pert = spark.read.parquet(s"$dst1/embeddings.parquet")
+      .filter(col("vec_id") >= stride).alias("p")
+      .join(srcEmb.select((col("vec_id") + stride).as("vec_id"),
+        col("embedding").as("orig")), Seq("vec_id"))
+      .select(zip_with(col("embedding"), col("orig"),
+        (a, b) => abs(a - b)).as("delta"))
+    assert(pert.count() > 0, "stride must locate the perturbed copy")
+    assert(pert.filter(array_max(col("delta")) > 0.0500001f).count() === 0,
+      "per-element noise must stay within EPS")
+    assert(pert.filter(array_max(col("delta")) === 0f).count() === 0,
+      "every perturbed vector must actually differ")
+  }
 }
