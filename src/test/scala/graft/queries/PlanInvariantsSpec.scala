@@ -142,6 +142,32 @@ class PlanInvariantsSpec extends SparkSuite {
     assert(aggs === 2, s"rule did not fire:\n${df.queryExecution.optimizedPlan}")
   }
 
+  test("CEP batch fold: ONE key exchange into the sorted MapGroups NFA") {
+    // the combinator must cost exactly what a hand-built detector costs —
+    // one hash partition on the key, per-partition sort, one fold; the
+    // r7 soaks and delegation rest on this shape staying put
+    Seq("cep_login_fail", "cep_order_timeout").foreach { q =>
+      val p = plan(q)
+      assert(p.contains("MapGroups"), s"$q lost the NFA fold operator:\n$p")
+      assert(exchanges(p) <= 1, s"$q must shuffle once (the key):\n$p")
+    }
+  }
+
+  test("ANN paths: map-side assignment, broadcast probes, one rank shuffle") {
+    // ivf/lsh: the corpus NEVER shuffles on the bucket/centroid key — the
+    // probe side broadcasts into the candidate join and the only shuffle
+    // is the final per-query rank (pinned flat 20k→200k in PLANS.md r7)
+    Seq("sim_ivf_topk", "sim_lsh_topk").foreach { q =>
+      val p = plan(q)
+      assert(exchanges(p) <= 1, s"$q must shuffle only for the rank:\n$p")
+      assert(p.contains("BroadcastHashJoin"),
+        s"$q must broadcast the probe side:\n$p")
+    }
+    // jaccard: zero shuffles — block join broadcasts, merge-walk map-side
+    val pj = plan("dedup_jaccard")
+    assert(exchanges(pj) === 0, s"dedup_jaccard must be shuffle-free:\n$pj")
+  }
+
   test("TPC-H wave 3 (Q2/Q11/Q16/Q20): broadcast dims, bounded shuffles") {
     Seq("q2_mincost", "q11_important", "q16_suppcnt", "q20_excess").foreach { q =>
       val p = plan(q)
