@@ -162,6 +162,74 @@ object Dedup {
   }
 
   /**
+   * Engine-portable MinHash + LSH variant: per-permutation hash =
+   * the LOWER-64-BIT HEX of `md5(shingle + "#" + perm)`, with the
+   * signature minimum taken LEXICOGRAPHICALLY over the fixed-width
+   * lowercase hex strings (≡ numeric min, no integer conversion), and
+   * the band key = the `|`-joined band rows. Every step is expressible
+   * in any engine with md5 — the DuckDB oracle runs the SAME algorithm
+   * in SQL, so this variant puts the LSH FAMILY itself (banding +
+   * candidate recall), not just the exact-jaccard verify step, under
+   * the hash-checked gate. The xxhash64-native [[minhashLshPairs]]
+   * remains the scale path (one cheap content hash per shingle vs 32
+   * md5 rounds here); both share the mega-bucket guard and the exact
+   * verify contract, so the portable gate certifies the structure the
+   * native form optimizes.
+   *
+   * Empty shingle sets (docs shorter than k tokens) hash to '' in every
+   * signature row in BOTH engines (explicit coalesce — Spark's
+   * concat_ws and DuckDB's array_to_string disagree on null handling),
+   * and such pairs are dropped by the verify step (null jaccard).
+   */
+  def minhashLshPairsPortable(df: DataFrame, idCol: String, textCol: String,
+                              k: Int = 3, bands: Int = 8, rowsPerBand: Int = 4,
+                              tau: Double = 0.7): DataFrame = {
+    val numHashes = bands * rowsPerBand
+    val docs = df.select(col(idCol).as("id"), col(textCol).as("text"))
+    val sh = shingles(col("text"), k)
+    val sigExpr = transform(sequence(lit(0), lit(numHashes - 1)),
+      i => coalesce(array_min(transform(sh,
+        s => substring(md5(concat(s, lit("#"), i.cast("string"))), 17, 16))),
+        lit("")))
+    val hashed = docs
+      .withColumn("sig", sigExpr)
+      .withColumn("fp", md5(col("text")))
+      .select(col("id"), col("fp"), col("sig"))
+    // mega-bucket guard (see minhashLshPairs): band keepers only, emit
+    // exact duplicates as a linear (keeper, dup, 1.0) star
+    val keepers = hashed.groupBy(col("fp")).agg(min(col("id")).as("keeper"))
+    val tagged = hashed.join(keepers, "fp")
+    val dupPairs = tagged.filter(col("id") =!= col("keeper"))
+      .select(col("keeper").as("id_a"), col("id").as("id_b"),
+        lit(1.0).as("jaccard"))
+    val sigs = tagged.filter(col("id") === col("keeper"))
+      .select(col("id"), col("sig"))
+    val banded = sigs.select(col("id"),
+        posexplode(transform(
+          sequence(lit(0), lit(bands - 1)),
+          b => concat_ws("|",
+            slice(col("sig"), b * rowsPerBand + 1, lit(rowsPerBand))))))
+      .withColumnRenamed("pos", "band").withColumnRenamed("col", "band_key")
+    val cand = banded.alias("a").join(banded.alias("b"),
+        col("a.band") === col("b.band") &&
+          col("a.band_key") === col("b.band_key") &&
+          col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .dropDuplicates("id_a", "id_b")
+    val keeperPairs = cand
+      .join(docs.select(col("id").as("id_a"), col("text").as("text_a")), Seq("id_a"))
+      .join(docs.select(col("id").as("id_b"), col("text").as("text_b")), Seq("id_b"))
+      .withColumn("sh_a", shingles(col("text_a"), k))
+      .withColumn("sh_b", shingles(col("text_b"), k))
+      .withColumn("jaccard",
+        size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
+          size(array_union(col("sh_a"), col("sh_b"))).cast("double"))
+      .filter(col("jaccard") >= tau)
+      .select(col("id_a"), col("id_b"), col("jaccard"))
+    keeperPairs.unionByName(dupPairs)
+  }
+
+  /**
    * 64-bit SimHash over whitespace tokens: sign-sum of per-token xxhash64
    * bits. Single-pass expression pipeline: one fold over the token array
    * accumulating a 64-slot vote array (one xxhash64 per token, not 64),
@@ -180,6 +248,69 @@ object Dedup {
     aggregate(
       zip_with(votes, powers, (v, p) => when(v > 0, p).otherwise(lit(0L))),
       lit(0L), (acc, b) => acc.bitwiseOR(b))
+  }
+
+  /**
+   * Engine-portable SimHash variant: the per-token 64-bit hash is the
+   * lower 64 hex chars of md5(token), carried as TWO 32-bit halves
+   * (`conv(hex, 16, 10)` on 8-char substrings never leaves signed-long
+   * range; the DuckDB oracle folds the same chars in exact integer
+   * arithmetic), and the signature is likewise kept as (hi, lo) 32-bit
+   * longs end to end — no signed-64 assembly to diverge on. Banding is
+   * the same 4×16-bit pigeonhole as the native form; hamming =
+   * bit_count(lo⊕lo) + bit_count(hi⊕hi). Puts the SimHash FAMILY
+   * (signature, banding, hamming verify) under the exact DuckDB oracle;
+   * [[simhashPairs]] (one native xxhash64 per token) remains the scale
+   * path. Same mega-bucket guard.
+   */
+  def simhashPairsPortable(df: DataFrame, idCol: String, textCol: String,
+                           maxHamming: Int = 3): DataFrame = {
+    val powers32 = array((0 until 32).map(i => lit(1L << i)): _*)
+    def hexToLong(c: Column): Column = conv(c, 16, 10).cast("long")
+    val toks = array_distinct(split(col(textCol), " "))
+    val tokHashes = transform(toks, t => struct(
+      hexToLong(substring(md5(t), 17, 8)).as("hi"),
+      hexToLong(substring(md5(t), 25, 8)).as("lo")))
+    def sigHalf(half: String): Column = {
+      val votes = aggregate(tokHashes, array_repeat(lit(0L), 32),
+        (acc, h) => zip_with(acc, powers32, (a, p) =>
+          a + when(h.getField(half).bitwiseAND(p) =!= 0L, 1L).otherwise(-1L)))
+      aggregate(
+        zip_with(votes, powers32, (v, p) => when(v > 0, p).otherwise(lit(0L))),
+        lit(0L), (acc, b) => acc.bitwiseOR(b))
+    }
+    val hashed = df.select(col(idCol).as("id"),
+      md5(col(textCol)).as("fp"),
+      sigHalf("hi").as("sig_hi"), sigHalf("lo").as("sig_lo"))
+    val keepers = hashed.groupBy(col("fp")).agg(min(col("id")).as("keeper"))
+    val tagged = hashed.join(keepers, "fp")
+    val dupPairs = tagged.filter(col("id") =!= col("keeper"))
+      .select(col("keeper").as("id_a"), col("id").as("id_b"),
+        lit(0).as("hamming"))
+    val sigs = tagged.filter(col("id") === col("keeper"))
+      .select(col("id"), col("sig_hi"), col("sig_lo"))
+    val banded = sigs.select(col("id"), col("sig_hi"), col("sig_lo"),
+      posexplode(array(
+        col("sig_lo").bitwiseAND(lit(0xFFFFL)),
+        shiftright(col("sig_lo"), 16).bitwiseAND(lit(0xFFFFL)),
+        col("sig_hi").bitwiseAND(lit(0xFFFFL)),
+        shiftright(col("sig_hi"), 16).bitwiseAND(lit(0xFFFFL)))))
+      .withColumnRenamed("pos", "band").withColumnRenamed("col", "chunk")
+    val a = banded.alias("a")
+    val b = banded.alias("b")
+    val keeperPairs = a.join(b,
+        col("a.band") === col("b.band") && col("a.chunk") === col("b.chunk") &&
+          col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+        col("a.sig_hi").as("hi_a"), col("a.sig_lo").as("lo_a"),
+        col("b.sig_hi").as("hi_b"), col("b.sig_lo").as("lo_b"))
+      .dropDuplicates("id_a", "id_b")
+      .withColumn("hamming",
+        bit_count(col("lo_a").bitwiseXOR(col("lo_b"))) +
+          bit_count(col("hi_a").bitwiseXOR(col("hi_b"))))
+      .filter(col("hamming") <= maxHamming)
+      .select(col("id_a"), col("id_b"), col("hamming"))
+    keeperPairs.unionByName(dupPairs)
   }
 
   /** SimHash near-dup candidate pairs within Hamming distance ≤ maxHamming,

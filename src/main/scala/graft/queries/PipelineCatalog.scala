@@ -177,9 +177,122 @@ object PipelineCatalog {
     Dedup.minhashLshPairs(Tables.documents(s, dir), "doc_id", "text",
       k = 3, bands = 8, rowsPerBand = 4, tau = 0.5)
 
+  /** Portable MinHash+LSH (md5 hash family, hex-string minima) — same
+    * parameters as the native gate but every step is reproducible in
+    * DuckDB SQL, so banding + candidate recall sit under the EXACT
+    * oracle, not just the jaccard verify step. */
+  val dedupMinhashMd5: Q = (s, dir) =>
+    Dedup.minhashLshPairsPortable(Tables.documents(s, dir), "doc_id", "text",
+      k = 3, bands = 8, rowsPerBand = 4, tau = 0.5)
+
+  /** The SAME MinHash+LSH algorithm in DuckDB: md5 lower-64 hex per
+    * (shingle, permutation), lexicographic minima, '|'-joined band keys,
+    * keeper-star mega-bucket guard, exact-jaccard verify. */
+  val dedupMinhashMd5Sql: String =
+    """WITH t AS (
+      |  SELECT doc_id AS id, text, string_split(text, ' ') AS toks FROM documents
+      |), sh AS (
+      |  SELECT id, text,
+      |         list_distinct(list_transform(range(1, greatest(len(toks) - 1, 1)),
+      |           i -> array_to_string(toks[i:i+2], ' '))) AS shingles
+      |  FROM t
+      |), sg AS (
+      |  SELECT id, text, shingles,
+      |         list_transform(range(0, 32), p -> coalesce(
+      |           list_min(list_transform(shingles,
+      |             s -> substring(md5(s || '#' || CAST(p AS VARCHAR)), 17, 16))),
+      |           '')) AS sig,
+      |         md5(text) AS fp
+      |  FROM sh
+      |), keep AS (
+      |  SELECT fp, min(id) AS keeper FROM sg GROUP BY fp
+      |), dup_stars AS (
+      |  SELECT k.keeper AS id_a, f.id AS id_b, CAST(1.0 AS DOUBLE) AS jaccard
+      |  FROM sg f JOIN keep k ON f.fp = k.fp
+      |  WHERE f.id <> k.keeper
+      |), banded AS (
+      |  SELECT f.id, r.b AS band,
+      |         array_to_string(f.sig[r.b*4+1 : r.b*4+4], '|') AS band_key
+      |  FROM sg f JOIN keep k ON f.fp = k.fp AND f.id = k.keeper
+      |  CROSS JOIN range(0, 8) AS r(b)
+      |), cand AS (
+      |  SELECT DISTINCT a.id AS id_a, b.id AS id_b
+      |  FROM banded a JOIN banded b
+      |    ON a.band = b.band AND a.band_key = b.band_key AND a.id < b.id
+      |), verified AS (
+      |  SELECT c.id_a, c.id_b,
+      |         CAST(len(list_intersect(sa.shingles, sb.shingles)) AS DOUBLE) /
+      |         CAST(len(list_distinct(list_concat(sa.shingles, sb.shingles))) AS DOUBLE)
+      |           AS jaccard
+      |  FROM cand c
+      |  JOIN sh sa ON sa.id = c.id_a
+      |  JOIN sh sb ON sb.id = c.id_b
+      |)
+      |SELECT id_a, id_b, jaccard FROM verified WHERE jaccard >= 0.5
+      |UNION ALL SELECT id_a, id_b, jaccard FROM dup_stars""".stripMargin
+
   /** SimHash near-dup pairs — xxhash64 signature, rows-only. */
   val dedupSimhash: Q = (s, dir) =>
     Dedup.simhashPairs(Tables.documents(s, dir), "doc_id", "text")
+
+  /** Portable SimHash (md5 token hashes, 32-bit halves) — the SimHash
+    * family under the exact oracle; see [[Dedup.simhashPairsPortable]]. */
+  val dedupSimhashMd5: Q = (s, dir) =>
+    Dedup.simhashPairsPortable(Tables.documents(s, dir), "doc_id", "text")
+
+  /** The SAME SimHash algorithm in DuckDB: per-token md5 lower-64 as
+    * two exact 32-bit integer folds, per-bit sign votes, 4×16-bit band
+    * join, bit_count hamming verify, keeper-star guard. */
+  val dedupSimhashMd5Sql: String =
+    """WITH t AS (
+      |  SELECT doc_id AS id, text, list_distinct(string_split(text, ' ')) AS toks
+      |  FROM documents
+      |), h AS (
+      |  SELECT id, text,
+      |         list_transform(toks, tk -> {
+      |           'hi': list_reduce(list_transform(string_split(substring(md5(tk), 17, 8), ''),
+      |                   c -> CAST(strpos('0123456789abcdef', c) - 1 AS BIGINT)),
+      |                 (a, b) -> a * 16 + b),
+      |           'lo': list_reduce(list_transform(string_split(substring(md5(tk), 25, 8), ''),
+      |                   c -> CAST(strpos('0123456789abcdef', c) - 1 AS BIGINT)),
+      |                 (a, b) -> a * 16 + b)
+      |         }) AS th
+      |  FROM t
+      |), sg AS (
+      |  SELECT id, md5(text) AS fp,
+      |         CAST(list_sum(list_transform(range(0, 32), b -> CASE
+      |           WHEN list_sum(list_transform(th, x -> CASE
+      |                  WHEN (x.hi >> b) & 1 = 1 THEN 1 ELSE -1 END)) > 0
+      |           THEN (CAST(1 AS BIGINT) << b) ELSE 0 END)) AS BIGINT) AS sig_hi,
+      |         CAST(list_sum(list_transform(range(0, 32), b -> CASE
+      |           WHEN list_sum(list_transform(th, x -> CASE
+      |                  WHEN (x.lo >> b) & 1 = 1 THEN 1 ELSE -1 END)) > 0
+      |           THEN (CAST(1 AS BIGINT) << b) ELSE 0 END)) AS BIGINT) AS sig_lo
+      |  FROM h
+      |), keep AS (
+      |  SELECT fp, min(id) AS keeper FROM sg GROUP BY fp
+      |), dup_stars AS (
+      |  SELECT k.keeper AS id_a, f.id AS id_b, CAST(0 AS INT) AS hamming
+      |  FROM sg f JOIN keep k ON f.fp = k.fp WHERE f.id <> k.keeper
+      |), banded AS (
+      |  SELECT f.id, f.sig_hi, f.sig_lo, r.b AS band,
+      |         CASE r.b
+      |           WHEN 0 THEN f.sig_lo & 65535
+      |           WHEN 1 THEN (f.sig_lo >> 16) & 65535
+      |           WHEN 2 THEN f.sig_hi & 65535
+      |           ELSE (f.sig_hi >> 16) & 65535 END AS chunk
+      |  FROM sg f JOIN keep k ON f.fp = k.fp AND f.id = k.keeper
+      |  CROSS JOIN range(0, 4) AS r(b)
+      |), cand AS (
+      |  SELECT a.id AS id_a, b.id AS id_b,
+      |         min(CAST(bit_count(xor(a.sig_lo, b.sig_lo)) AS INT) +
+      |             CAST(bit_count(xor(a.sig_hi, b.sig_hi)) AS INT)) AS hamming
+      |  FROM banded a JOIN banded b
+      |    ON a.band = b.band AND a.chunk = b.chunk AND a.id < b.id
+      |  GROUP BY a.id, b.id
+      |)
+      |SELECT id_a, id_b, hamming FROM cand WHERE hamming <= 3
+      |UNION ALL SELECT id_a, id_b, hamming FROM dup_stars""".stripMargin
 
   // ------------------------------------------------------------------
   // Similarity search (embeddings)
@@ -1114,6 +1227,8 @@ object PipelineCatalog {
     "dedup_spans" -> dedupSpans,
     "dedup_incremental" -> dedupIncremental,
     "dedup_minhash" -> dedupMinhash,
+    "dedup_minhash_md5" -> dedupMinhashMd5,
+    "dedup_simhash_md5" -> dedupSimhashMd5,
     "dedup_simhash" -> dedupSimhash,
     "sim_bruteforce_topk" -> simBruteForce,
     "sim_lsh_topk" -> simLsh,
@@ -1159,6 +1274,8 @@ object PipelineCatalog {
     "dedup_exact_groups" -> dedupExactGroupsSql,
     "dedup_exact" -> dedupExactSql,
     "dedup_jaccard" -> dedupJaccardSql,
+    "dedup_minhash_md5" -> dedupMinhashMd5Sql,
+    "dedup_simhash_md5" -> dedupSimhashMd5Sql,
     "dedup_clusters" -> dedupClustersSql,
     "dedup_keep" -> dedupKeepSql,
     "dedup_spans" -> dedupSpansSql,

@@ -64,6 +64,36 @@ class DedupSpec extends SparkSuite {
     assert(pairs.map(_._2).toSet === (101L until 1100L).toSet)
   }
 
+  test("portable md5 variants: same planted-dup behavior, same guard") {
+    // the engine-portable forms must reproduce the family CONTRACT
+    // (planted near-dups found, distinct docs never pair, exact dups
+    // return as keeper stars) — exact pair sets legitimately differ
+    // from the xxhash64 forms (different hash, different candidates);
+    // the DuckDB oracle gates pin their exact output
+    val mh = Dedup.minhashLshPairsPortable(docs, "doc_id", "text",
+        k = 3, bands = 8, rowsPerBand = 4, tau = 0.5)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(mh.contains((1L, 2L)), s"near-dup (1,2) must be found, got $mh")
+    assert(mh.contains((1L, 5L)), "exact dup is trivially a near-dup")
+    assert(!mh.exists(p => p._1 == 3L || p._2 == 3L))
+    assert(!mh.exists(p => p._1 == 4L || p._2 == 4L))
+
+    val sh = Dedup.simhashPairsPortable(docs, "doc_id", "text", maxHamming = 3)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(sh.contains((1L, 5L)), "exact dup has hamming 0")
+    assert(!sh.exists(p =>
+      (p._1 == 3L || p._2 == 3L) && (p._1 == 4L || p._2 == 4L)),
+      "the two distinct docs must not pair with each other")
+
+    // mega-bucket guard: 300 copies band once, come back as a star
+    val cluster = (100L until 400L).map(i => (i, base))
+    val all = (Seq((1L, distinct1)) ++ cluster).toDF("doc_id", "text")
+    val star = Dedup.minhashLshPairsPortable(all, "doc_id", "text",
+        k = 3, bands = 8, rowsPerBand = 4, tau = 0.5)
+      .select("id_a", "id_b").as[(Long, Long)].collect()
+    assert(star.length === 299 && star.forall(_._1 == 100L))
+  }
+
   test("simhashPairs finds hamming-close docs only") {
     val pairs = Dedup.simhashPairs(docs, "doc_id", "text", maxHamming = 3)
       .select("id_a", "id_b").as[(Long, Long)].collect().toSet
