@@ -115,6 +115,50 @@ object Similarity {
       .select(col("query_id"), col("neighbor_id"), col("cos"), col("rn"))
   }
 
+  /** Engine-portable plane component: md5-derived pseudo-random in
+    * [−1, 1), exact in double (8 hex chars < 2^32 ≤ 2^53). */
+  private def planeComponentPortable(plane: Int, dim: Column): Column =
+    conv(substring(md5(concat(lit(plane + "#"), dim.cast("string"))), 1, 8), 16, 10)
+      .cast("double") / lit(4294967296.0) * 2.0 - 1.0
+
+  /**
+   * Engine-portable hyperplane-LSH top-k: identical contract to
+   * [[lshTopK]] but the plane components come from md5 (not xxhash64)
+   * and the projection is an explicit IN-ORDER fold — the DuckDB oracle
+   * replays the same fold with `list_reduce`, so the signs (and hence
+   * the buckets) are bit-identical across engines. Puts the hyperplane
+   * bucketing itself under the exact oracle; [[lshTopK]] (native
+   * codegen'd signature) remains the scale path.
+   */
+  def lshTopKPortable(df: DataFrame, idCol: String, vecCol: String,
+                      queryPred: Column, k: Int, planes: Int = 8): DataFrame = {
+    graft.functions.GraftFunctions.register(df.sparkSession)
+    val sigExpr = {
+      val v = col("v")
+      val bits = (0 until planes).map { p =>
+        val proj = aggregate(
+          zip_with(v, sequence(lit(0), size(v) - 1),
+            (x, i) => x * planeComponentPortable(p, i)),
+          lit(0.0), (acc, x) => acc + x)
+        when(proj >= 0, shiftleft(lit(1L), p)).otherwise(lit(0L))
+      }
+      bits.reduce(_ bitwiseOR _)
+    }
+    val base = df.select(col(idCol).as("id"), col(vecCol).cast("array<double>").as("v"))
+      .withColumn("n", norm2(col("v")))
+      .withColumn("bucket", sigExpr)
+    val q = base.filter(queryPred).alias("q")
+    val c = base.alias("c")
+    val scored = c.join(broadcast(q),
+        col("q.bucket") === col("c.bucket") && col("q.id") =!= col("c.id"))
+      .select(col("q.id").as("query_id"), col("c.id").as("neighbor_id"),
+        round(dot(col("q.v"), col("c.v")) / (col("q.n") * col("c.n")), 6).as("cos"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("neighbor_id").asc)
+    scored.withColumn("rn", row_number().over(w)).filter(col("rn") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("cos"), col("rn"))
+  }
+
   /**
    * IVF (inverted-file) approximate top-k: the second scale path besides
    * hyperplane LSH. Coarse quantizer = `nCentroids` deterministic sample

@@ -324,10 +324,90 @@ object PipelineCatalog {
     Similarity.lshTopK(Tables.embeddings(s, dir), "vec_id", "embedding",
       col("id") % 100 === 0, k = 5, planes = 8)
 
-  /** IVF ANN top-5 (sampled coarse quantizer, 4-probe) — rows-only. */
+  /** Portable hyperplane LSH (md5 planes, in-order folds) — the
+    * bucketing itself under the exact oracle (r7). */
+  val simLshMd5: Q = (s, dir) =>
+    Similarity.lshTopKPortable(Tables.embeddings(s, dir), "vec_id", "embedding",
+      col("id") % 100 === 0, k = 5, planes = 8)
+
+  /** The SAME hyperplane bucketing in DuckDB: md5-derived components,
+    * list_reduce in-order projection folds (bit-identical to Spark's
+    * aggregate fold), sign bits → bucket, exact cosine re-rank. */
+  val simLshMd5Sql: String =
+    """WITH base AS (
+      |  SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+      |), nn AS (
+      |  SELECT id, v, sqrt(list_dot_product(v, v)) AS nrm FROM base
+      |), sig AS (
+      |  SELECT id, v, nrm,
+      |         list_sum(list_transform(range(0, 8), p -> CASE WHEN
+      |           list_reduce(
+      |             list_transform(range(1, len(v) + 1), i -> v[i] * (
+      |               list_reduce(list_transform(
+      |                 string_split(substring(md5(CAST(p AS VARCHAR) || '#' ||
+      |                   CAST(i - 1 AS VARCHAR)), 1, 8), ''),
+      |                 c -> CAST(strpos('0123456789abcdef', c) - 1 AS DOUBLE)),
+      |                 (a, b) -> a * 16 + b) / 4294967296.0 * 2 - 1)),
+      |             (a, b) -> a + b) >= 0
+      |           THEN (CAST(1 AS BIGINT) << p) ELSE 0 END)) AS bucket
+      |  FROM nn
+      |), cand AS (
+      |  SELECT q.id AS query_id, c.id AS neighbor_id,
+      |         round(list_dot_product(q.v, c.v) / (q.nrm * c.nrm), 6) AS cos
+      |  FROM sig q JOIN sig c ON q.bucket = c.bucket AND q.id <> c.id
+      |  WHERE q.id % 100 = 0
+      |)
+      |SELECT query_id, neighbor_id, cos, rn FROM (
+      |  SELECT *, row_number() OVER (PARTITION BY query_id
+      |                               ORDER BY cos DESC, neighbor_id ASC) AS rn
+      |  FROM cand
+      |) WHERE rn <= 5""".stripMargin
+
+  /** IVF ANN top-5 (sampled coarse quantizer, 4-probe). With
+    * trainIters = 0 the quantizer is the DETERMINISTIC lowest-id sample,
+    * so the whole pipeline — assignment argmax, probe ranking, exact
+    * re-rank — is reproducible in DuckDB SQL and the gate is
+    * oracle-checked (r7; was rows-only). */
   val simIvf: Q = (s, dir) =>
     Similarity.ivfTopK(Tables.embeddings(s, dir), "vec_id", "embedding",
       col("id") % 100 === 0, k = 5, nCentroids = 16, nProbe = 4)
+
+  /** The SAME IVF search in DuckDB: lowest-16-id centroids, cosine
+    * argmax assignment (ties → lower cid), 4-probe, exact re-rank —
+    * double arithmetic matches Spark's op-for-op (the brute-force gate
+    * pins the dot/round parity). */
+  val simIvfSql: String =
+    """WITH base AS (
+      |  SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+      |), nn AS (
+      |  SELECT id, v, sqrt(list_dot_product(v, v)) AS nrm FROM base
+      |), cents AS (
+      |  SELECT id AS cid, v AS cv, nrm AS cn FROM nn ORDER BY id LIMIT 16
+      |), ranked AS (
+      |  SELECT s.id, s.cid, s.csim,
+      |         row_number() OVER (PARTITION BY s.id
+      |                            ORDER BY s.csim DESC, s.cid ASC) AS rk
+      |  FROM (SELECT nn.id, c.cid,
+      |               list_dot_product(nn.v, c.cv) / (nn.nrm * c.cn) AS csim
+      |        FROM nn CROSS JOIN cents c) s
+      |), assigned AS (
+      |  SELECT id, cid FROM ranked WHERE rk = 1
+      |), probes AS (
+      |  SELECT r.id AS query_id, r.cid, nn.v AS qv, nn.nrm AS qn
+      |  FROM ranked r JOIN nn ON nn.id = r.id
+      |  WHERE r.id % 100 = 0 AND r.rk <= 4
+      |), cand AS (
+      |  SELECT p.query_id, a.id AS neighbor_id,
+      |         round(list_dot_product(p.qv, nn.v) / (p.qn * nn.nrm), 6) AS cos
+      |  FROM assigned a JOIN probes p ON a.cid = p.cid
+      |  JOIN nn ON nn.id = a.id
+      |  WHERE p.query_id <> a.id
+      |)
+      |SELECT query_id, neighbor_id, cos, rn FROM (
+      |  SELECT *, row_number() OVER (PARTITION BY query_id
+      |                               ORDER BY cos DESC, neighbor_id ASC) AS rn
+      |  FROM cand
+      |) WHERE rn <= 5""".stripMargin
 
   /** IVF with a Lloyd-trained quantizer (2 rounds) — rows-only; the
     * training rounds are the map-side-assign + partial-agg-mean loop. */
@@ -1229,6 +1309,7 @@ object PipelineCatalog {
     "dedup_minhash" -> dedupMinhash,
     "dedup_minhash_md5" -> dedupMinhashMd5,
     "dedup_simhash_md5" -> dedupSimhashMd5,
+    "sim_lsh_md5" -> simLshMd5,
     "dedup_simhash" -> dedupSimhash,
     "sim_bruteforce_topk" -> simBruteForce,
     "sim_lsh_topk" -> simLsh,
@@ -1281,6 +1362,8 @@ object PipelineCatalog {
     "dedup_spans" -> dedupSpansSql,
     "dedup_incremental" -> dedupIncrementalSql,
     "sim_bruteforce_topk" -> simBruteForceSql,
+    "sim_ivf_topk" -> simIvfSql,
+    "sim_lsh_md5" -> simLshMd5Sql,
     "sim_quantize_int8" -> simQuantizeSql,
     "text_tokens" -> textTokensSql,
     "text_quality" -> textQualitySql,

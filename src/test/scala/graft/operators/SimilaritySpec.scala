@@ -41,6 +41,15 @@ class SimilaritySpec extends SparkSuite {
       s"nearest neighbor 1 must rank first among probed candidates, got $res")
   }
 
+  test("lshTopKPortable: near-identical vectors share the md5-plane bucket") {
+    val res = Similarity.lshTopKPortable(vecs, "vec_id", "embedding",
+        col("id") === 0L, k = 3, planes = 4)
+      .select("neighbor_id").as[Long].collect().toSet
+    assert(res.contains(1L),
+      "near-identical vector must share every md5-derived hyperplane sign")
+    assert(!res.contains(3L), "the negated vector must land in another bucket")
+  }
+
   test("nCentroids = -1 auto-sizes to clamp(ceil(sqrt(n)), 16, 256)") {
     // 400 synthetic vectors → auto = 20 lists; the auto run must equal
     // the explicit nCentroids = 20 run EXACTLY (same deterministic
