@@ -130,23 +130,24 @@ object Similarity {
    * bucketing itself under the exact oracle; [[lshTopK]] (native
    * codegen'd signature) remains the scale path.
    */
+  /** md5-plane signature over `v`: one sign bit per plane, projection as
+    * an explicit in-order fold so DuckDB's `list_reduce` replays it
+    * bit-identically. Shared by the portable LSH and near-dup paths. */
+  private def portableSignature(v: Column, planes: Int): Column =
+    (0 until planes).map { p =>
+      val proj = aggregate(
+        zip_with(v, sequence(lit(0), size(v) - 1),
+          (x, i) => x * planeComponentPortable(p, i)),
+        lit(0.0), (acc, x) => acc + x)
+      when(proj >= 0, shiftleft(lit(1L), p)).otherwise(lit(0L))
+    }.reduce(_ bitwiseOR _)
+
   def lshTopKPortable(df: DataFrame, idCol: String, vecCol: String,
                       queryPred: Column, k: Int, planes: Int = 8): DataFrame = {
     graft.functions.GraftFunctions.register(df.sparkSession)
-    val sigExpr = {
-      val v = col("v")
-      val bits = (0 until planes).map { p =>
-        val proj = aggregate(
-          zip_with(v, sequence(lit(0), size(v) - 1),
-            (x, i) => x * planeComponentPortable(p, i)),
-          lit(0.0), (acc, x) => acc + x)
-        when(proj >= 0, shiftleft(lit(1L), p)).otherwise(lit(0L))
-      }
-      bits.reduce(_ bitwiseOR _)
-    }
     val base = df.select(col(idCol).as("id"), col(vecCol).cast("array<double>").as("v"))
       .withColumn("n", norm2(col("v")))
-      .withColumn("bucket", sigExpr)
+      .withColumn("bucket", portableSignature(col("v"), planes))
     val q = base.filter(queryPred).alias("q")
     val c = base.alias("c")
     val scored = c.join(broadcast(q),
@@ -542,6 +543,30 @@ object Similarity {
     val base = df.select(col(idCol).as("id"), col(vecCol).cast("array<double>").as("v"))
       .withColumn("n", norm2(col("v")))
       .withColumn("bucket", lshSignature(col("v"), planes))
+    val a = base.filter(leftPred).alias("a")
+    val b = base.alias("b")
+    b.join(broadcast(a),
+        col("a.bucket") === col("b.bucket") && col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+        (dot(col("a.v"), col("b.v")) / (col("a.n") * col("b.n"))).as("cos"))
+      .filter(round(col("cos"), 6) >= tau)
+      .select(col("id_a"), col("id_b"), round(col("cos"), 6).as("cos"))
+  }
+
+  /**
+   * Engine-portable twin of [[cosineNearDupPairs]]: identical contract,
+   * but the bucketing uses the md5-derived planes of [[lshTopKPortable]]
+   * (in-order folds) so the candidate set — not just the cosine math —
+   * is bit-reproducible in DuckDB. Puts the near-dup bucketing under the
+   * exact oracle; the native xxhash64 signature remains the scale path.
+   */
+  def cosineNearDupPairsPortable(df: DataFrame, idCol: String, vecCol: String,
+                                 tau: Double, leftPred: Column,
+                                 planes: Int = 6): DataFrame = {
+    graft.functions.GraftFunctions.register(df.sparkSession)
+    val base = df.select(col(idCol).as("id"), col(vecCol).cast("array<double>").as("v"))
+      .withColumn("n", norm2(col("v")))
+      .withColumn("bucket", portableSignature(col("v"), planes))
     val a = base.filter(leftPred).alias("a")
     val b = base.alias("b")
     b.join(broadcast(a),

@@ -423,6 +423,102 @@ object PipelineCatalog {
       col("id") % 100 === 0, k = 5, nCentroids = 16, nProbe = 4,
       m = 8, kSub = 16, pqIters = 1)
 
+  /** Deterministic IVF-PQ twin: trainIters = 0 AND pqIters = 0, so the
+    * coarse quantizer and every PQ codebook are the lowest-id sample —
+    * the full compressed-index pipeline (coarse assign, per-subspace
+    * encode argmin, ADC scoring, shortlist, exact re-rank) is
+    * reproducible in DuckDB and hash-checked (r7). [[simIvfPq]] keeps
+    * the Lloyd-trained path (rows-only: distributed `avg` float order). */
+  val simIvfPqDet: Q = (s, dir) =>
+    Similarity.ivfPqTopK(Tables.embeddings(s, dir), "vec_id", "embedding",
+      col("id") % 100 === 0, k = 5, nCentroids = 16, nProbe = 4,
+      m = 8, kSub = 16, trainIters = 0, pqIters = 0)
+
+  /** The SAME IVF-PQ search in DuckDB: lowest-16-id centroids AND
+    * codebooks (8 subspaces × 16 codewords of 8 dims), encode argmax of
+    * 2·sub·cw − ‖cw‖² (ties → lower code), ADC = in-order fold of LUT
+    * lookups, shortlist 4k, exact re-rank. Every float fold is
+    * `list_reduce` over a j-ordered list — the same left fold Scala's
+    * `reduce(_ + _)` performs. */
+  val simIvfPqDetSql: String =
+    """WITH base AS (
+      |  SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+      |), nn AS (
+      |  SELECT id, v, sqrt(list_dot_product(v, v)) AS nrm FROM base
+      |), cents AS (
+      |  SELECT id AS cid, v AS cv, nrm AS cn FROM nn ORDER BY id LIMIT 16
+      |), cranked AS (
+      |  SELECT s.id, s.cid,
+      |         row_number() OVER (PARTITION BY s.id
+      |                            ORDER BY s.csim DESC, s.cid ASC) AS rk
+      |  FROM (SELECT nn.id, c.cid,
+      |               list_dot_product(nn.v, c.cv) / (nn.nrm * c.cn) AS csim
+      |        FROM nn CROSS JOIN cents c) s
+      |), assigned AS (
+      |  SELECT id, cid FROM cranked WHERE rk = 1
+      |), samp AS (
+      |  SELECT row_number() OVER (ORDER BY id) - 1 AS c, v
+      |  FROM (SELECT id, v FROM nn ORDER BY id LIMIT 16)
+      |), books AS (
+      |  SELECT j.j, samp.c,
+      |         list_slice(samp.v, j.j * 8 + 1, j.j * 8 + 8) AS cw
+      |  FROM range(0, 8) j(j) CROSS JOIN samp
+      |), bookn AS (
+      |  SELECT j, c, cw,
+      |         list_reduce(list_transform(cw, x -> x * x), (a, b) -> a + b) AS n2
+      |  FROM books
+      |), coderank AS (
+      |  SELECT e.id, e.j, e.c, e.n2,
+      |         row_number() OVER (PARTITION BY e.id, e.j
+      |                            ORDER BY e.score DESC, e.c ASC) AS rk
+      |  FROM (SELECT nn.id, b.j, b.c, b.n2,
+      |               list_dot_product(list_slice(nn.v, b.j * 8 + 1, b.j * 8 + 8),
+      |                                b.cw) * 2 - b.n2 AS score
+      |        FROM nn CROSS JOIN bookn b) e
+      |), codes AS (
+      |  SELECT id, j, c, n2 FROM coderank WHERE rk = 1
+      |), recon AS (
+      |  SELECT id, list_reduce(list(n2 ORDER BY j), (a, b) -> a + b) AS rn2
+      |  FROM codes GROUP BY id
+      |), probes AS (
+      |  SELECT id AS query_id, cid FROM cranked WHERE id % 100 = 0 AND rk <= 4
+      |), luts AS (
+      |  SELECT nn.id AS query_id, b.j, b.c,
+      |         list_dot_product(list_slice(nn.v, b.j * 8 + 1, b.j * 8 + 8),
+      |                          b.cw) AS lut
+      |  FROM nn CROSS JOIN books b
+      |  WHERE nn.id % 100 = 0
+      |), adcsum AS (
+      |  SELECT p.query_id, cd.id AS neighbor_id,
+      |         list_reduce(list(l.lut ORDER BY cd.j), (x, y) -> x + y) AS adc
+      |  FROM assigned a
+      |  JOIN probes p ON a.cid = p.cid AND p.query_id <> a.id
+      |  JOIN codes cd ON cd.id = a.id
+      |  JOIN luts l ON l.query_id = p.query_id AND l.j = cd.j AND l.c = cd.c
+      |  GROUP BY p.query_id, cd.id
+      |), shortlist AS (
+      |  SELECT query_id, neighbor_id
+      |  FROM (SELECT s.query_id, s.neighbor_id,
+      |               row_number() OVER (PARTITION BY s.query_id
+      |                 ORDER BY s.adc / (q.nrm * sqrt(r.rn2)) DESC,
+      |                          s.neighbor_id ASC) AS arn
+      |        FROM adcsum s
+      |        JOIN nn q ON q.id = s.query_id
+      |        JOIN recon r ON r.id = s.neighbor_id)
+      |  WHERE arn <= 20
+      |), rer AS (
+      |  SELECT s.query_id, s.neighbor_id,
+      |         round(list_dot_product(q.v, c.v) / (q.nrm * c.nrm), 6) AS cos
+      |  FROM shortlist s
+      |  JOIN nn q ON q.id = s.query_id
+      |  JOIN nn c ON c.id = s.neighbor_id
+      |)
+      |SELECT query_id, neighbor_id, cos, rn FROM (
+      |  SELECT *, row_number() OVER (PARTITION BY query_id
+      |                               ORDER BY cos DESC, neighbor_id ASC) AS rn
+      |  FROM rer
+      |) WHERE rn <= 5""".stripMargin
+
   /** Session-lifetime IVF-PQ index cache keyed by (application, sfDir):
     * the build half of [[Similarity.ivfPqTopK]] runs ONCE per corpus and
     * the encoded index is persisted; every later call pays search cost
@@ -501,6 +597,40 @@ object PipelineCatalog {
   val simNearDup: Q = (s, dir) =>
     Similarity.cosineNearDupPairs(Tables.embeddings(s, dir), "vec_id", "embedding",
       tau = 0.3, leftPred = col("id") % 20 === 0, planes = 3)
+
+  /** Portable near-dup twin (md5 planes) — the candidate bucketing under
+    * the exact oracle (r7); the xxhash64 native stays the scale path. */
+  val simNearDupMd5: Q = (s, dir) =>
+    Similarity.cosineNearDupPairsPortable(Tables.embeddings(s, dir), "vec_id",
+      "embedding", tau = 0.3, leftPred = col("id") % 20 === 0, planes = 3)
+
+  /** The SAME near-dup pairing in DuckDB: 3 md5-plane sign bits → bucket,
+    * pairs within a bucket (a.id < b.id, left side id % 20 = 0), cosine
+    * threshold on the rounded value. */
+  val simNearDupMd5Sql: String =
+    """WITH base AS (
+      |  SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+      |), nn AS (
+      |  SELECT id, v, sqrt(list_dot_product(v, v)) AS nrm FROM base
+      |), sig AS (
+      |  SELECT id, v, nrm,
+      |         list_sum(list_transform(range(0, 3), p -> CASE WHEN
+      |           list_reduce(
+      |             list_transform(range(1, len(v) + 1), i -> v[i] * (
+      |               list_reduce(list_transform(
+      |                 string_split(substring(md5(CAST(p AS VARCHAR) || '#' ||
+      |                   CAST(i - 1 AS VARCHAR)), 1, 8), ''),
+      |                 c -> CAST(strpos('0123456789abcdef', c) - 1 AS DOUBLE)),
+      |                 (a, b) -> a * 16 + b) / 4294967296.0 * 2 - 1)),
+      |             (a, b) -> a + b) >= 0
+      |           THEN (CAST(1 AS BIGINT) << p) ELSE 0 END)) AS bucket
+      |  FROM nn
+      |)
+      |SELECT a.id AS id_a, b.id AS id_b,
+      |       round(list_dot_product(a.v, b.v) / (a.nrm * b.nrm), 6) AS cos
+      |FROM sig a JOIN sig b ON a.bucket = b.bucket AND a.id < b.id
+      |WHERE a.id % 20 = 0
+      |  AND round(list_dot_product(a.v, b.v) / (a.nrm * b.nrm), 6) >= 0.3""".stripMargin
 
   // ------------------------------------------------------------------
   // Text analysis (documents)
@@ -1316,8 +1446,10 @@ object PipelineCatalog {
     "sim_ivf_topk" -> simIvf,
     "sim_ivf_trained" -> simIvfTrained,
     "sim_ivfpq_topk" -> simIvfPq,
+    "sim_ivfpq_det" -> simIvfPqDet,
     "sim_ivfpq_search" -> simIvfPqSearch,
     "sim_ivfpq_append" -> simIvfPqAppend,
+    "sim_near_dup_md5" -> simNearDupMd5,
     "sim_quantize_int8" -> simQuantize,
     "sim_near_dup" -> simNearDup,
     "text_tokens" -> textTokens,
@@ -1364,6 +1496,8 @@ object PipelineCatalog {
     "sim_bruteforce_topk" -> simBruteForceSql,
     "sim_ivf_topk" -> simIvfSql,
     "sim_lsh_md5" -> simLshMd5Sql,
+    "sim_ivfpq_det" -> simIvfPqDetSql,
+    "sim_near_dup_md5" -> simNearDupMd5Sql,
     "sim_quantize_int8" -> simQuantizeSql,
     "text_tokens" -> textTokensSql,
     "text_quality" -> textQualitySql,

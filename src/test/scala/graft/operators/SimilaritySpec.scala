@@ -128,6 +128,15 @@ class SimilaritySpec extends SparkSuite {
     assert(!res.exists(p => p._2 == 3L), "negated vector is never a near-dup")
   }
 
+  test("cosineNearDupPairsPortable matches the native path's pair semantics") {
+    val res = Similarity.cosineNearDupPairsPortable(vecs, "vec_id", "embedding",
+        tau = 0.98, leftPred = col("id") === 0L, planes = 4)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(res.contains((0L, 1L)),
+      "near-identical vectors must share every md5-plane sign")
+    assert(!res.exists(p => p._2 == 3L), "negated vector is never a near-dup")
+  }
+
   test("quantizeInt8: codes in range, dequantization error bounded by scale/2") {
     val q = Similarity.quantizeInt8(vecs, "vec_id", "embedding")
     val rows = q.join(
