@@ -379,6 +379,44 @@ object Similarity {
   }
 
   /**
+   * Persist a [[PqModel]] as two small parquet tables (`centroids`,
+   * `codebooks`) under `path`. The model is bounded driver-side state
+   * (≤ nCentroids + m·kSub rows), so this closes the production loop
+   * across SESSIONS, not just within one: build once, write the encoded
+   * index next to the model, and every later job does [[loadPqModel]] +
+   * `spark.read.parquet(index)` + [[searchPqIndex]] — no retrain, no
+   * corpus rescan, and the format is plain parquet any engine can read.
+   */
+  def savePqModel(model: PqModel, path: String,
+                  spark: org.apache.spark.sql.SparkSession): Unit = {
+    import spark.implicits._
+    model.cents.toSeq.toDF("cid", "cv", "cn")
+      .repartition(1).write.mode("overwrite").parquet(s"$path/centroids")
+    model.books.zipWithIndex.flatMap { case (cws, j) =>
+      cws.zipWithIndex.map { case (cw, c) => (j, c, cw) }
+    }.toSeq.toDF("j", "c", "cw")
+      .repartition(1).write.mode("overwrite").parquet(s"$path/codebooks")
+  }
+
+  /** Inverse of [[savePqModel]]. Row order on disk is immaterial: cents
+    * reassemble cid-ascending (the deterministic build order — the
+    * lowest-id sample, preserved by training) and books by their (j, c)
+    * indices, so the loaded model reproduces the original bit for bit. */
+  def loadPqModel(path: String,
+                  spark: org.apache.spark.sql.SparkSession): PqModel = {
+    import spark.implicits._
+    val cents = spark.read.parquet(s"$path/centroids")
+      .select(col("cid").cast("long"), col("cv"), col("cn"))
+      .as[(Long, Seq[Double], Double)].collect().sortBy(_._1)
+    val books = spark.read.parquet(s"$path/codebooks")
+      .select(col("j").cast("int"), col("c").cast("int"), col("cw"))
+      .as[(Int, Int, Seq[Double])].collect()
+      .groupBy(_._1).toArray.sortBy(_._1)
+      .map(_._2.sortBy(_._2).map(_._3))
+    PqModel(cents, books)
+  }
+
+  /**
    * Build the IVF-PQ index ONCE: train the coarse quantizer and the PQ
    * codebooks, then encode the corpus in one map-only pass (literal
    * codebooks, zero shuffle). Returns the model and the compressed

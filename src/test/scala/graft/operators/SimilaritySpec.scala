@@ -197,6 +197,39 @@ class SimilaritySpec extends SparkSuite {
     assert(batch2.nonEmpty && batch2.forall(r => r.head == 1L))
   }
 
+  test("PqModel save/load round-trips bit-for-bit and serves identical searches") {
+    graft.functions.GraftFunctions.register(spark)
+    val corpus = spark.range(60).select(col("id").as("vec_id"),
+      expr("""transform(sequence(0, 7), i ->
+        cast(cast(if(i = vec_id % 3, 10.0, 0.0) as double) +
+        cast(xxhash64(vec_id, i) as double) / 9.2e18 as float)""" + ")").as("embedding"))
+    val (model, index) = Similarity.buildPqIndex(corpus, "vec_id", "embedding",
+      nCentroids = 3, m = 2, kSub = 8, trainIters = 1, pqIters = 1)
+    val dir = java.nio.file.Files.createTempDirectory("pqmodel").toString
+    try {
+      Similarity.savePqModel(model, dir, spark)
+      val loaded = Similarity.loadPqModel(dir, spark)
+      assert(loaded.cents.toSeq === model.cents.toSeq,
+        "centroids must round-trip exactly (cid order preserved)")
+      assert(loaded.books.map(_.toSeq).toSeq === model.books.map(_.toSeq).toSeq,
+        "codebooks must round-trip exactly by (j, c) index")
+      // the loaded model encodes AND searches identically — the
+      // cross-session production path (new cluster, persisted index)
+      val viaLoaded = Similarity.searchPqIndex(loaded,
+          Similarity.encodePqIndex(loaded, corpus, "vec_id", "embedding"),
+          corpus, "vec_id", "embedding", col("id") === 0L, k = 3, nProbe = 1)
+        .collect().map(_.toSeq).toSet
+      val viaOriginal = Similarity.searchPqIndex(model, index, corpus,
+          "vec_id", "embedding", col("id") === 0L, k = 3, nProbe = 1)
+        .collect().map(_.toSeq).toSet
+      assert(viaLoaded === viaOriginal,
+        "a search against the reloaded model must equal the original")
+    } finally {
+      import scala.reflect.io.Directory
+      new Directory(new java.io.File(dir)).deleteRecursively()
+    }
+  }
+
   test("appendToPqIndex: incremental encode equals encoding everything at once") {
     graft.functions.GraftFunctions.register(spark)
     val corpus = spark.range(80).select(col("id").as("vec_id"),
