@@ -614,4 +614,52 @@ object Similarity {
       .filter(round(col("cos"), 6) >= tau)
       .select(col("id_a"), col("id_b"), round(col("cos"), 6).as("cos"))
   }
+
+  /**
+   * SemDeDup-style semantic deduplication (Abbas et al. 2023,
+   * arXiv:2303.09540): cluster the embedding space with the IVF coarse
+   * quantizer, then inside each cluster drop every row that has a
+   * ≥ `tau`-cosine neighbor with a LOWER id — the deterministic
+   * keep-first-seen rule (the paper keeps one representative per
+   * duplicate group; lowest-id is the reproducible choice, matching
+   * [[graft.operators.Dedup]]'s keep rule). Returns `(id, cid, keep)`
+   * for every corpus row; callers semi-join `keep` back onto the corpus.
+   *
+   * Scale shape — exactly the SemDeDup cost model:
+   *  - assignment is the same map-side literal-quantizer argmax as
+   *    [[ivfTopK]] (centroids are bounded model parameters, zero corpus
+   *    shuffle);
+   *  - the only exchanges are the hash partition on `cid` for the
+   *    within-cluster pair scan and the final keep anti-join, both keyed
+   *    on `cid`/`id` — vectors cross the wire once;
+   *  - the pair scan is O(cluster²) with cluster ≈ corpus/nCentroids;
+   *    pass `nCentroids = -1` for the √n auto-size rule so cluster size
+   *    grows as √corpus, keeping per-cluster work bounded. Beyond the
+   *    literal-quantizer range, chain [[trainCentroids]] output into a
+   *    stored model the same way the IVF-PQ path does.
+   *
+   * With `trainIters = 0` the quantizer is the deterministic lowest-id
+   * sample, so the whole decision — assignment argmax, pair cosine,
+   * τ compare on the 6-dp round — reproduces in DuckDB SQL and the gate
+   * is oracle-checked.
+   */
+  def semanticDedup(df: DataFrame, idCol: String, vecCol: String,
+                    tau: Double, nCentroids: Int = 16,
+                    trainIters: Int = 0): DataFrame = {
+    graft.functions.GraftFunctions.register(df.sparkSession)
+    val base = df.select(col(idCol).as("id"), col(vecCol).cast("array<double>").as("v"))
+      .withColumn("n", norm2(col("v")))
+    val cents = trainCentroids(base, resolveNCentroids(base, nCentroids), trainIters)
+    if (cents.isEmpty)
+      return base.select(col("id"), lit(0L).as("cid"), lit(true).as("keep"))
+    val assigned = base.withColumn("cid",
+      -array_max(centScoresFor(cents)(col("v"), col("n"))).getField("negcid"))
+    val a = assigned.alias("a")
+    val b = assigned.alias("b")
+    val dropped = b.join(a, col("a.cid") === col("b.cid") && col("a.id") < col("b.id"))
+      .filter(round(dot(col("a.v"), col("b.v")) / (col("a.n") * col("b.n")), 6) >= tau)
+      .select(col("b.id").as("id")).distinct()
+    assigned.join(dropped.withColumn("_drop", lit(true)), Seq("id"), "left")
+      .select(col("id"), col("cid"), coalesce(col("_drop"), lit(false)).unary_!.as("keep"))
+  }
 }

@@ -632,6 +632,44 @@ object PipelineCatalog {
       |WHERE a.id % 20 = 0
       |  AND round(list_dot_product(a.v, b.v) / (a.nrm * b.nrm), 6) >= 0.3""".stripMargin
 
+  /** SemDeDup semantic dedup over the embeddings corpus: 16 deterministic
+    * coarse-quantizer clusters, keep-lowest-id inside each τ=0.3 cosine
+    * neighborhood. Drops 168/500 rows at sf0.01 — a real split, not a
+    * degenerate all-keep. Deterministic (trainIters = 0) → exact oracle. */
+  val semanticDedup: Q = (s, dir) =>
+    Similarity.semanticDedup(Tables.embeddings(s, dir), "vec_id", "embedding",
+      tau = 0.3, nCentroids = 16)
+
+  /** The SAME SemDeDup decision in DuckDB: lowest-16-id centroids, cosine
+    * argmax assignment (ties → lower cid), within-cluster pair scan with
+    * the τ compare on the 6-dp rounded cosine, keep = no lower-id
+    * neighbor above τ. */
+  val semanticDedupSql: String =
+    """WITH base AS (
+      |  SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+      |), nn AS (
+      |  SELECT id, v, sqrt(list_dot_product(v, v)) AS nrm FROM base
+      |), cents AS (
+      |  SELECT id AS cid, v AS cv, nrm AS cn FROM nn ORDER BY id LIMIT 16
+      |), ranked AS (
+      |  SELECT s.id, s.cid,
+      |         row_number() OVER (PARTITION BY s.id
+      |                            ORDER BY s.csim DESC, s.cid ASC) AS rk
+      |  FROM (SELECT nn.id, c.cid,
+      |               list_dot_product(nn.v, c.cv) / (nn.nrm * c.cn) AS csim
+      |        FROM nn CROSS JOIN cents c) s
+      |), av AS (
+      |  SELECT a.id, a.cid, nn.v, nn.nrm
+      |  FROM (SELECT id, cid FROM ranked WHERE rk = 1) a JOIN nn USING (id)
+      |), drops AS (
+      |  SELECT DISTINCT b.id
+      |  FROM av b JOIN av a ON a.cid = b.cid AND a.id < b.id
+      |  WHERE round(list_dot_product(a.v, b.v) / (a.nrm * b.nrm), 6) >= 0.3
+      |)
+      |SELECT av.id AS id, av.cid AS cid,
+      |       (drops.id IS NULL) AS keep
+      |FROM av LEFT JOIN drops ON av.id = drops.id""".stripMargin
+
   // ------------------------------------------------------------------
   // Text analysis (documents)
   // ------------------------------------------------------------------
@@ -1452,6 +1490,7 @@ object PipelineCatalog {
     "sim_near_dup_md5" -> simNearDupMd5,
     "sim_quantize_int8" -> simQuantize,
     "sim_near_dup" -> simNearDup,
+    "semantic_dedup" -> semanticDedup,
     "text_tokens" -> textTokens,
     "text_quality" -> textQuality,
     "text_lang_id" -> textLangId,
@@ -1498,6 +1537,7 @@ object PipelineCatalog {
     "sim_lsh_md5" -> simLshMd5Sql,
     "sim_ivfpq_det" -> simIvfPqDetSql,
     "sim_near_dup_md5" -> simNearDupMd5Sql,
+    "semantic_dedup" -> semanticDedupSql,
     "sim_quantize_int8" -> simQuantizeSql,
     "text_tokens" -> textTokensSql,
     "text_quality" -> textQualitySql,

@@ -293,4 +293,36 @@ class SimilaritySpec extends SparkSuite {
         s"re-ranked cosine for $n must equal the exact cosine")
     }
   }
+
+  test("semanticDedup keeps the lowest id of each within-cluster neighborhood") {
+    val res = Similarity.semanticDedup(vecs, "vec_id", "embedding",
+        tau = 0.9, nCentroids = 3)
+      .select("id", "keep").as[(Long, Boolean)].collect().toMap
+    assert(res.size === 5, "one decision per corpus row")
+    // Clusters (lowest-id sample quantizer): c0={0,4}, c1={1}, c2={2,3}.
+    // v4 shares v0's cluster at cos≈0.993 ≥ τ → only the lower id survives.
+    assert(res(0L), "cluster representative (lowest id) must be kept")
+    assert(!res(4L), "higher-id near-dup in the same cluster must be dropped")
+    // v1 is near-identical to v0 but seeds its own cluster — kept: the
+    // documented SemDeDup recall caveat (duplicates split across cluster
+    // boundaries are not compared).
+    assert(res(1L), "cross-cluster near-dup is out of scope by design")
+    // v2 and v3 have no ≥ τ neighbor in their cluster — kept
+    assert(res(2L) && res(3L), "rows without a near-dup must survive")
+  }
+
+  test("semanticDedup: τ above every pairwise cosine keeps everything") {
+    val keeps = Similarity.semanticDedup(vecs, "vec_id", "embedding",
+        tau = 0.9999, nCentroids = 3)
+      .filter(col("keep")).count()
+    assert(keeps === 5)
+  }
+
+  test("semanticDedup assigns every row to a quantizer centroid id") {
+    val cids = Similarity.semanticDedup(vecs, "vec_id", "embedding",
+        tau = 0.9, nCentroids = 3)
+      .select("cid").as[Long].collect().toSet
+    // trainIters = 0 quantizer = lowest-id samples → cids ⊆ {0, 1, 2}
+    assert(cids.subsetOf(Set(0L, 1L, 2L)), s"unexpected cids: $cids")
+  }
 }
