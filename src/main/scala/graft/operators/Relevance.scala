@@ -101,4 +101,60 @@ object Relevance {
           * log(col("n_docs").cast("double") / col("df").cast("double")), 6))
       .select(col("doc_id"), col("term"), col("tf"), col("df"), col("tf_idf_r"))
   }
+
+  /**
+   * Corpus-trained bigram-LM perplexity per document — the CCNet-style
+   * quality signal (Wenzek et al. 2020 rank documents by LM perplexity;
+   * here the model is the corpus's own bigram statistics instead of an
+   * external KenLM binary, keeping the operator self-contained, exact,
+   * and engine-reproducible).
+   *
+   * Model: add-α smoothing, `P(w2|w1) = (c(w1,w2) + α) / (c(w1) + α·V)`
+   * with `V = |unigram vocabulary|`. Bigrams with corpus count below
+   * `minCount` are PRUNED from the model and score as unseen (c = 0) —
+   * the standard KenLM-style cap that keeps the model vocabulary-bounded
+   * on a large corpus. Per document: `avg_nll` = −mean ln P over its
+   * bigrams (6 dp), `ppl = exp(avg_nll)` (6 dp); documents with < 2
+   * tokens emit `n_bigrams = 0` and null scores.
+   *
+   * Scale shape: the bigram pair list is built map-side (`zip_with` over
+   * the shifted token slices — no self-join, no extra exchange); the
+   * model is two partial-agged count exchanges whose output is
+   * vocabulary-bounded (not corpus-bounded) after pruning; scoring joins
+   * doc bigrams to the model on (w1, w2) / w1 — broadcast when the
+   * pruned model fits, hash-partitioned otherwise (left to the planner's
+   * stats); the per-doc mean is one more partial-agged exchange on
+   * doc_id. No full document ever sits in executor memory.
+   */
+  def bigramLmPerplexity(docs: DataFrame, idCol: String, textCol: String,
+                         alpha: Double = 0.5, minCount: Int = 1): DataFrame = {
+    val toks = docs.select(col(idCol).as("doc_id"),
+      TextAnalysis.tokens(col(textCol)).as("t"))
+    val bigrams = toks.select(col("doc_id"),
+      explode(zip_with(
+        slice(col("t"), lit(1), size(col("t")) - 1),
+        slice(col("t"), lit(2), size(col("t")) - 1),
+        (a, b) => struct(a.as("w1"), b.as("w2")))).as("bg"))
+      .select(col("doc_id"), col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+    val bc = bigrams.groupBy("w1", "w2").agg(count(lit(1)).as("c2"))
+      .filter(col("c2") >= minCount)
+    val uni = toks.select(explode(col("t")).as("w1"))
+      .groupBy("w1").agg(count(lit(1)).as("c1"))
+    val vocab = uni.agg(count(lit(1)).as("v"))
+    val scored = bigrams
+      .join(bc, Seq("w1", "w2"), "left")
+      .join(uni, "w1")
+      .crossJoin(broadcast(vocab))
+      .withColumn("lnp", log(
+        (coalesce(col("c2"), lit(0L)).cast("double") + lit(alpha))
+          / (col("c1").cast("double") + lit(alpha) * col("v").cast("double"))))
+    val agg = scored.groupBy("doc_id").agg(
+      count(lit(1)).as("n_bigrams"),
+      round(-avg(col("lnp")), 6).as("avg_nll"),
+      round(exp(-avg(col("lnp"))), 6).as("ppl"))
+    toks.select(col("doc_id")).join(agg, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+        col("avg_nll"), col("ppl"))
+  }
 }

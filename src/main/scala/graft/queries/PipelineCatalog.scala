@@ -821,6 +821,46 @@ object PipelineCatalog {
       |  FROM scored
       |) WHERE rn <= 5""".stripMargin
 
+  /** CCNet-style quality signal: corpus-trained bigram-LM perplexity per
+    * document (add-α = 0.5, minCount = 2 so once-seen bigrams exercise
+    * the pruned/unseen branch). */
+  val textLmPpl: Q = (s, dir) =>
+    Relevance.bigramLmPerplexity(Tables.documents(s, dir), "doc_id", "text",
+      alpha = 0.5, minCount = 2)
+
+  /** The SAME bigram LM in DuckDB: map-side shifted-slice pair list
+    * (1-indexed lateral range), pruned counts, add-α score, per-doc mean
+    * NLL and perplexity on the 6-dp round. */
+  val textLmPplSql: String =
+    """WITH toks AS (
+      |  SELECT doc_id, string_split(text, ' ') AS t FROM documents
+      |), bi AS (
+      |  SELECT doc_id, t[i] AS w1, t[i + 1] AS w2
+      |  FROM (SELECT doc_id, t, unnest(range(1, len(t))) AS i FROM toks)
+      |), bc AS (
+      |  SELECT w1, w2, count(*) AS c2 FROM bi GROUP BY w1, w2
+      |  HAVING count(*) >= 2
+      |), uni AS (
+      |  SELECT w1, count(*) AS c1
+      |  FROM (SELECT unnest(t) AS w1 FROM toks) GROUP BY w1
+      |), vocab AS (
+      |  SELECT count(*) AS v FROM uni
+      |), scored AS (
+      |  SELECT bi.doc_id,
+      |         ln((CAST(coalesce(bc.c2, 0) AS DOUBLE) + 0.5)
+      |            / (CAST(uni.c1 AS DOUBLE) + 0.5 * CAST(vocab.v AS DOUBLE))) AS lnp
+      |  FROM bi LEFT JOIN bc USING (w1, w2) JOIN uni USING (w1) CROSS JOIN vocab
+      |), agg AS (
+      |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+      |         round(-avg(lnp), 6) AS avg_nll,
+      |         round(exp(-avg(lnp)), 6) AS ppl
+      |  FROM scored GROUP BY doc_id
+      |)
+      |SELECT toks.doc_id,
+      |       CAST(coalesce(agg.n_bigrams, 0) AS BIGINT) AS n_bigrams,
+      |       agg.avg_nll, agg.ppl
+      |FROM toks LEFT JOIN agg USING (doc_id)""".stripMargin
+
   /** Corpus vocabulary: global top-50 terms by count, with doc frequency. */
   val vocabTopTerms: Q = (s, dir) =>
     Relevance.vocabTopTerms(Tables.documents(s, dir), "doc_id", "text", k = 50)
@@ -1513,6 +1553,7 @@ object PipelineCatalog {
     "pipeline_e2e" -> pipelineE2e,
     "table_profile" -> tableProfile,
     "bm25_top_terms" -> bm25TopTerms,
+    "text_lm_ppl" -> textLmPpl,
     "vocab_top_terms" -> vocabTopTerms,
     "vocab_sketch" -> vocabSketch,
     "seq_packing" -> seqPacking,
@@ -1561,6 +1602,7 @@ object PipelineCatalog {
     "pipeline_e2e" -> pipelineE2eSql,
     "table_profile" -> tableProfileSql,
     "bm25_top_terms" -> bm25TopTermsSql,
+    "text_lm_ppl" -> textLmPplSql,
     "vocab_top_terms" -> vocabTopTermsSql,
     "seq_packing" -> seqPackingSql,
     "sample_det" -> sampleDetSql,

@@ -66,4 +66,51 @@ class RelevanceSpec extends SparkSuite {
     assert(out((3L, "cherry"))._2 === 2L) // df: two docs, not three occurrences
     assert(out((1L, "the"))._3 === 0.0)   // ln(3/3) = 0
   }
+
+  // bigram-LM corpus: doc 1 repeats (a,b); doc 3 is a single token
+  private def lmCorpus = Seq(
+    (1L, "a b a b"),
+    (2L, "a b"),
+    (3L, "x")).toDF("doc_id", "text")
+
+  test("bigramLmPerplexity: hand-computed add-α scores") {
+    val out = Relevance.bigramLmPerplexity(lmCorpus, "doc_id", "text",
+        alpha = 0.5, minCount = 1)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), Option(r.get(2)).map(_.asInstanceOf[Double]))).toMap
+    // model: c(a,b)=3, c(b,a)=1; c1: a=3, b=3, x=1; V=3
+    val pAB = (3 + 0.5) / (3 + 0.5 * 3) // P(b|a)
+    val pBA = (1 + 0.5) / (3 + 0.5 * 3) // P(a|b)
+    val d1 = -(2 * math.log(pAB) + math.log(pBA)) / 3
+    val d2 = -math.log(pAB)
+    assert(out(1L)._1 === 3L)
+    assert(math.abs(out(1L)._2.get - math.rint(d1 * 1e6) / 1e6) < 1e-9)
+    assert(out(2L)._1 === 1L)
+    assert(math.abs(out(2L)._2.get - math.rint(d2 * 1e6) / 1e6) < 1e-9)
+    // single-token doc: no bigrams, null scores
+    assert(out(3L) === ((0L, None)))
+  }
+
+  test("bigramLmPerplexity: minCount prunes rare bigrams to the unseen branch") {
+    val out = Relevance.bigramLmPerplexity(lmCorpus, "doc_id", "text",
+        alpha = 0.5, minCount = 2)
+      .collect().map(r => r.getLong(0) ->
+        Option(r.get(2)).map(_.asInstanceOf[Double])).toMap
+    // (b,a) count 1 < 2 → pruned; doc 1's middle bigram scores as unseen
+    val pAB = (3 + 0.5) / (3 + 0.5 * 3)
+    val pUnseen = 0.5 / (3 + 0.5 * 3)
+    val d1 = -(2 * math.log(pAB) + math.log(pUnseen)) / 3
+    assert(math.abs(out(1L).get - math.rint(d1 * 1e6) / 1e6) < 1e-9)
+  }
+
+  test("bigramLmPerplexity: predictable text scores lower perplexity") {
+    val docs = Seq(
+      (1L, "a b a b a b a b a b"),  // fully predictable under the model
+      (2L, "b b a a b a a a b b")   // same tokens, shuffled
+    ).toDF("doc_id", "text")
+    val ppl = Relevance.bigramLmPerplexity(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getDouble(3)).toMap
+    assert(ppl(1L) < ppl(2L),
+      s"repetitive doc must be more predictable: $ppl")
+  }
 }
