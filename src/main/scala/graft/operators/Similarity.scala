@@ -662,4 +662,51 @@ object Similarity {
     assigned.join(dropped.withColumn("_drop", lit(true)), Seq("id"), "left")
       .select(col("id"), col("cid"), coalesce(col("_drop"), lit(false)).unary_!.as("keep"))
   }
+
+  /**
+   * Ingest-time twin of [[semanticDedup]]: score an `incoming` batch
+   * against an already-deduplicated `corpus` without ever re-deduping
+   * the corpus. The quantizer is trained on the CORPUS ONLY (frozen
+   * model — an ingest must not shift cluster boundaries under earlier
+   * decisions). An incoming row is dropped when its cluster holds a
+   * ≥ `tau`-cosine corpus row (any id) or a lower-id ≥ `tau` incoming
+   * row (the keep-first rule within the batch). Returns
+   * `(id, cid, keep)` for the incoming rows only. Empty corpus
+   * degenerates to [[semanticDedup]] over the batch.
+   *
+   * Scale shape: both sides are assigned map-side against the literal
+   * quantizer; the cluster joins shuffle on `cid` only. Persist the
+   * assigned corpus `(id, cid, v, n)` partitioned by `cid` as the
+   * semantic index and the per-ingest cost reduces to shuffling the
+   * (small) incoming batch — the same amortization as
+   * [[graft.operators.Dedup.incrementalDedup]]'s fingerprint store.
+   */
+  def semanticDedupIncremental(incoming: DataFrame, corpus: DataFrame,
+                               idCol: String, vecCol: String, tau: Double,
+                               nCentroids: Int = 16,
+                               trainIters: Int = 0): DataFrame = {
+    graft.functions.GraftFunctions.register(incoming.sparkSession)
+    def prep(df: DataFrame): DataFrame =
+      df.select(col(idCol).as("id"), col(vecCol).cast("array<double>").as("v"))
+        .withColumn("n", norm2(col("v")))
+    val base = prep(corpus)
+    val cents = trainCentroids(base, resolveNCentroids(base, nCentroids), trainIters)
+    if (cents.isEmpty)
+      return semanticDedup(incoming, idCol, vecCol, tau, nCentroids, trainIters)
+    def assign(df: DataFrame): DataFrame = df.withColumn("cid",
+      -array_max(centScoresFor(cents)(col("v"), col("n"))).getField("negcid"))
+    val corpusA = assign(base)
+    val incA = assign(prep(incoming))
+    def tooClose(b: DataFrame, a: DataFrame, alsoLowerId: Boolean): DataFrame = {
+      val cond = col("a.cid") === col("b.cid") &&
+        (if (alsoLowerId) col("a.id") < col("b.id") else lit(true))
+      b.alias("b").join(a.alias("a"), cond)
+        .filter(round(dot(col("a.v"), col("b.v")) / (col("a.n") * col("b.n")), 6) >= tau)
+        .select(col("b.id").as("id"))
+    }
+    val dropped = tooClose(incA, corpusA, alsoLowerId = false)
+      .union(tooClose(incA, incA, alsoLowerId = true)).distinct()
+    incA.join(dropped.withColumn("_drop", lit(true)), Seq("id"), "left")
+      .select(col("id"), col("cid"), coalesce(col("_drop"), lit(false)).unary_!.as("keep"))
+  }
 }

@@ -670,6 +670,51 @@ object PipelineCatalog {
       |       (drops.id IS NULL) AS keep
       |FROM av LEFT JOIN drops ON av.id = drops.id""".stripMargin
 
+  /** Ingest-time semantic dedup: vec_id % 10 = 0 is the incoming batch,
+    * the rest is the kept corpus; quantizer frozen on the corpus. */
+  val semanticDedupInc: Q = (s, dir) => {
+    val emb = Tables.embeddings(s, dir)
+    Similarity.semanticDedupIncremental(
+      emb.filter(col("vec_id") % 10 === 0),
+      emb.filter(col("vec_id") % 10 =!= 0),
+      "vec_id", "embedding", tau = 0.3, nCentroids = 16)
+  }
+
+  /** The SAME ingest decision in DuckDB: corpus-only lowest-16-id
+    * centroids, argmax assignment of both sides, drop on an in-cluster
+    * ≥ τ corpus neighbor or a lower-id ≥ τ batch neighbor. */
+  val semanticDedupIncSql: String =
+    """WITH nn AS (
+      |  SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v,
+      |         sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+      |                               CAST(embedding AS DOUBLE[]))) AS nrm
+      |  FROM embeddings
+      |), cents AS (
+      |  SELECT id AS cid, v AS cv, nrm AS cn FROM nn
+      |  WHERE id % 10 <> 0 ORDER BY id LIMIT 16
+      |), assigned AS (
+      |  SELECT id, cid FROM (
+      |    SELECT nn.id, c.cid,
+      |           row_number() OVER (PARTITION BY nn.id
+      |             ORDER BY list_dot_product(nn.v, c.cv) / (nn.nrm * c.cn) DESC,
+      |                      c.cid ASC) AS rk
+      |    FROM nn CROSS JOIN cents c
+      |  ) WHERE rk = 1
+      |), av AS (
+      |  SELECT a.id, a.cid, nn.v, nn.nrm FROM assigned a JOIN nn USING (id)
+      |), inc AS (SELECT * FROM av WHERE id % 10 = 0
+      |), corp AS (SELECT * FROM av WHERE id % 10 <> 0
+      |), drops AS (
+      |  SELECT DISTINCT b.id FROM inc b JOIN corp a ON a.cid = b.cid
+      |  WHERE round(list_dot_product(a.v, b.v) / (a.nrm * b.nrm), 6) >= 0.3
+      |  UNION
+      |  SELECT DISTINCT b.id FROM inc b JOIN inc a
+      |    ON a.cid = b.cid AND a.id < b.id
+      |  WHERE round(list_dot_product(a.v, b.v) / (a.nrm * b.nrm), 6) >= 0.3
+      |)
+      |SELECT inc.id AS id, inc.cid AS cid, (drops.id IS NULL) AS keep
+      |FROM inc LEFT JOIN drops ON inc.id = drops.id""".stripMargin
+
   // ------------------------------------------------------------------
   // Text analysis (documents)
   // ------------------------------------------------------------------
@@ -1531,6 +1576,7 @@ object PipelineCatalog {
     "sim_quantize_int8" -> simQuantize,
     "sim_near_dup" -> simNearDup,
     "semantic_dedup" -> semanticDedup,
+    "semantic_dedup_inc" -> semanticDedupInc,
     "text_tokens" -> textTokens,
     "text_quality" -> textQuality,
     "text_lang_id" -> textLangId,
@@ -1579,6 +1625,7 @@ object PipelineCatalog {
     "sim_ivfpq_det" -> simIvfPqDetSql,
     "sim_near_dup_md5" -> simNearDupMd5Sql,
     "semantic_dedup" -> semanticDedupSql,
+    "semantic_dedup_inc" -> semanticDedupIncSql,
     "sim_quantize_int8" -> simQuantizeSql,
     "text_tokens" -> textTokensSql,
     "text_quality" -> textQualitySql,

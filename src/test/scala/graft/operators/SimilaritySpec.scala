@@ -318,6 +318,35 @@ class SimilaritySpec extends SparkSuite {
     assert(keeps === 5)
   }
 
+  test("semanticDedupIncremental drops batch rows near the corpus, keep-first within batch") {
+    // corpus: v2 only → single frozen centroid; incoming: v0 ≈ v1, both far from v2
+    val corpus = vecs.filter(col("vec_id") === 2L)
+    val incoming = vecs.filter(col("vec_id").isin(0L, 1L))
+    val res = Similarity.semanticDedupIncremental(incoming, corpus,
+        "vec_id", "embedding", tau = 0.9, nCentroids = 1)
+      .select("id", "keep").as[(Long, Boolean)].collect().toMap
+    assert(res.keySet === Set(0L, 1L), "decisions cover the incoming batch only")
+    assert(res(0L), "batch row far from the corpus must be kept")
+    assert(!res(1L), "higher-id near-dup WITHIN the batch must be dropped")
+    // and a batch row near a corpus row drops regardless of id order
+    val res2 = Similarity.semanticDedupIncremental(
+        vecs.filter(col("vec_id") === 1L), vecs.filter(col("vec_id") === 0L),
+        "vec_id", "embedding", tau = 0.9, nCentroids = 1)
+      .select("keep").as[Boolean].collect()
+    assert(res2 === Array(false), "≥τ corpus neighbor in-cluster must drop the ingest row")
+  }
+
+  test("semanticDedupIncremental with an empty corpus degenerates to semanticDedup") {
+    val empty = vecs.filter(lit(false))
+    val inc = Similarity.semanticDedupIncremental(vecs, empty,
+        "vec_id", "embedding", tau = 0.9, nCentroids = 3)
+      .select("id", "keep").as[(Long, Boolean)].collect().toMap
+    val full = Similarity.semanticDedup(vecs, "vec_id", "embedding",
+        tau = 0.9, nCentroids = 3)
+      .select("id", "keep").as[(Long, Boolean)].collect().toMap
+    assert(inc === full)
+  }
+
   test("semanticDedup assigns every row to a quantizer centroid id") {
     val cids = Similarity.semanticDedup(vecs, "vec_id", "embedding",
         tau = 0.9, nCentroids = 3)
