@@ -1,9 +1,11 @@
 package graft.streaming
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, Row}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.DataStreamWriter
 
-import graft.operators.{FreqSketch, Importance, TextAnalysis}
+import graft.operators.{FreqSketch, Importance, Similarity, TextAnalysis}
+import graft.sources.VersionedTable
 
 /**
  * Streaming forms of the training-data-pipeline operators — the ingest-time
@@ -141,4 +143,43 @@ object StreamPipeline {
       .join(seen, col("_fp") === col("_corpus_fp"), "left_anti")
       .drop("_fp")
   }
+
+  /**
+   * Streaming SEMANTIC ingest — the SemDeDup twin of
+   * [[incrementalDedupStream]]: each micro-batch is scored with
+   * [[Similarity.semanticDedupIncremental]] against the standing kept
+   * corpus (a [[VersionedTable]] holding every earlier keeper's row),
+   * and the batch's survivors are upserted as the next version, so
+   * later batches dedup against them. Near-dups WITHIN a batch resolve
+   * by the keep-first (lowest-id) rule; the first batch (empty table)
+   * degenerates to the batch [[Similarity.semanticDedup]].
+   *
+   * `foreachBatch` serializes micro-batches, so the final table is
+   * EXACTLY the left fold of `semanticDedupIncremental` over the
+   * batches in arrival order — the spec pins stream ≡ fold. Ids must be
+   * unique across the stream (the corpus contract); the upsert's
+   * repeated-key check turns a violation into a loud failure.
+   */
+  def semanticIngestStream(stream: DataFrame, idCol: String, vecCol: String,
+                           tau: Double, statePath: String,
+                           nCentroids: Int = 16): DataStreamWriter[Row] =
+    stream.writeStream.outputMode("append").foreachBatch {
+      (batch: DataFrame, _: Long) =>
+        if (!batch.isEmpty) {
+          val spark = batch.sparkSession
+          val decisions = VersionedTable.read(spark, statePath) match {
+            case Some(c) => Similarity.semanticDedupIncremental(
+              batch, c, idCol, vecCol, tau, nCentroids)
+            case None => Similarity.semanticDedup(
+              batch, idCol, vecCol, tau, nCentroids)
+          }
+          val kept = batch.join(
+            decisions.filter(col("keep")).select(col("id").as(idCol)),
+            Seq(idCol), "left_semi")
+          if (!kept.isEmpty) {
+            VersionedTable.upsert(spark, statePath, kept, Seq(idCol))
+            ()
+          }
+        }
+    }
 }

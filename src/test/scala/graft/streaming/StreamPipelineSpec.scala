@@ -182,6 +182,48 @@ class StreamPipelineSpec extends SparkSuite {
     assert(kept.size === 2)
   }
 
+  test("semanticIngestStream: final table ≡ left fold of incremental semantic dedup") {
+    import graft.operators.Similarity
+    import graft.sources.VersionedTable
+    // 4-dim vectors: v0≈v1≈v4 (pairwise cos > 0.99), v2 ⊥, v3 = −v0
+    val all = Map(
+      0L -> Array(1.0f, 0.0f, 0.0f, 0.0f),
+      1L -> Array(0.99f, 0.1f, 0.0f, 0.0f),
+      2L -> Array(0.0f, 1.0f, 0.0f, 0.0f),
+      3L -> Array(-1.0f, 0.0f, 0.0f, 0.0f),
+      4L -> Array(0.9f, 0.05f, 0.1f, 0.0f))
+    val batch1 = Seq(0L, 2L); val batch2 = Seq(1L, 3L, 4L)
+    val statePath =
+      java.nio.file.Files.createTempDirectory("graft_sem_ingest").toString
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[(Long, Array[Float])]
+    val q = StreamPipeline.semanticIngestStream(
+        in.toDF().toDF("vec_id", "embedding"),
+        "vec_id", "embedding", tau = 0.9, statePath, nCentroids = 1)
+      .start()
+    try {
+      in.addData(batch1.map(i => (i, all(i))))
+      q.processAllAvailable()
+      in.addData(batch2.map(i => (i, all(i))))
+      q.processAllAvailable()
+    } finally q.stop()
+    val streamed = VersionedTable.read(spark, statePath).get
+      .select("vec_id").as[Long].collect().toSet
+    // fold the same batches through the batch operators
+    def df(ids: Seq[Long]) =
+      ids.map(i => (i, all(i))).toDF("vec_id", "embedding")
+    val kept1 = Similarity.semanticDedup(df(batch1), "vec_id", "embedding",
+        tau = 0.9, nCentroids = 1)
+      .filter(col("keep")).select("id").as[Long].collect().toSet
+    val kept2 = Similarity.semanticDedupIncremental(
+        df(batch2), df(kept1.toSeq), "vec_id", "embedding",
+        tau = 0.9, nCentroids = 1)
+      .filter(col("keep")).select("id").as[Long].collect().toSet
+    assert(streamed === kept1 ++ kept2)
+    assert(streamed === Set(0L, 2L, 3L),
+      "v1/v4 must drop against the standing corpus, v3 (negated) survives")
+  }
+
   test("importanceGateStream threshold drops below-minimum docs in-stream") {
     val target = benchDocs.toDF("doc_id", "text")
     val raw = corpusDocs.toDF("doc_id", "text")
