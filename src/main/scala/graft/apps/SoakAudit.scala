@@ -58,7 +58,13 @@ object SoakAudit {
         m = 8, kSub = 16, pqIters = 1)),
     "soak_lsh_fixedq" -> ((s, dir) =>
       Similarity.lshTopK(Tables.embeddings(s, dir), "vec_id", "embedding",
-        fixedProbe, k = 5, planes = 8)))
+        fixedProbe, k = 5, planes = 8)),
+    // SemDeDup at soak scale: √n-sized quantizer (the gate pins 16 for
+    // oracle determinism; production sizing is the auto rule, which keeps
+    // the per-cluster pair scan ~linear in corpus size)
+    "soak_semdedup" -> ((s, dir) =>
+      Similarity.semanticDedup(Tables.embeddings(s, dir), "vec_id",
+        "embedding", tau = 0.3, nCentroids = -1)))
 
   def main(args: Array[String]): Unit = {
     val Array(dir, namesCsv) = args.take(2)
