@@ -181,9 +181,17 @@ object PipelineCatalog {
     * parameters as the native gate but every step is reproducible in
     * DuckDB SQL, so banding + candidate recall sit under the EXACT
     * oracle, not just the jaccard verify step. */
+  /** Certification scope, not scale scope: 8 md5 families over half the
+    * corpus. The portable form pays 8 string-md5 rounds per shingle (the
+    * price of DuckDB bit-parity) and certifies the banding STRUCTURE;
+    * throughput belongs to the xxhash64 native `dedup_minhash`, which
+    * keeps the full corpus and the 8×4 production signature. (The 32-
+    * family full-corpus portable run cost 107 s at sf0.1 — pure md5
+    * arithmetic, no plan defect — and certified nothing extra.) */
   val dedupMinhashMd5: Q = (s, dir) =>
-    Dedup.minhashLshPairsPortable(Tables.documents(s, dir), "doc_id", "text",
-      k = 3, bands = 8, rowsPerBand = 4, tau = 0.5)
+    Dedup.minhashLshPairsPortable(
+      Tables.documents(s, dir).filter(col("doc_id") % 2 === 0),
+      "doc_id", "text", k = 3, bands = 4, rowsPerBand = 2, tau = 0.5)
 
   /** The SAME MinHash+LSH algorithm in DuckDB: md5 lower-64 hex per
     * (shingle, permutation), lexicographic minima, '|'-joined band keys,
@@ -191,6 +199,7 @@ object PipelineCatalog {
   val dedupMinhashMd5Sql: String =
     """WITH t AS (
       |  SELECT doc_id AS id, text, string_split(text, ' ') AS toks FROM documents
+      |  WHERE doc_id % 2 = 0
       |), sh AS (
       |  SELECT id, text,
       |         list_distinct(list_transform(range(1, greatest(len(toks) - 1, 1)),
@@ -198,7 +207,7 @@ object PipelineCatalog {
       |  FROM t
       |), sg AS (
       |  SELECT id, text, shingles,
-      |         list_transform(range(0, 32), p -> coalesce(
+      |         list_transform(range(0, 8), p -> coalesce(
       |           list_min(list_transform(shingles,
       |             s -> substring(md5(s || '#' || CAST(p AS VARCHAR)), 17, 16))),
       |           '')) AS sig,
@@ -212,9 +221,9 @@ object PipelineCatalog {
       |  WHERE f.id <> k.keeper
       |), banded AS (
       |  SELECT f.id, r.b AS band,
-      |         array_to_string(f.sig[r.b*4+1 : r.b*4+4], '|') AS band_key
+      |         array_to_string(f.sig[r.b*2+1 : r.b*2+2], '|') AS band_key
       |  FROM sg f JOIN keep k ON f.fp = k.fp AND f.id = k.keeper
-      |  CROSS JOIN range(0, 8) AS r(b)
+      |  CROSS JOIN range(0, 4) AS r(b)
       |), cand AS (
       |  SELECT DISTINCT a.id AS id_a, b.id AS id_b
       |  FROM banded a JOIN banded b
