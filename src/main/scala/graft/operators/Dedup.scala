@@ -186,11 +186,24 @@ object Dedup {
                               tau: Double = 0.7): DataFrame = {
     val numHashes = bands * rowsPerBand
     val docs = df.select(col(idCol).as("id"), col(textCol).as("text"))
-    val sh = shingles(col("text"), k)
-    val sigExpr = transform(sequence(lit(0), lit(numHashes - 1)),
-      i => coalesce(array_min(transform(sh,
-        s => substring(md5(concat(s, lit("#"), i.cast("string"))), 17, 16))),
-        lit("")))
+    // Families-inner single pass: an outer families × inner shingles
+    // nesting would re-evaluate the whole shingle-array construction
+    // (split + slice + concat_ws) once PER FAMILY — projecting the array
+    // out first doesn't help, CollapseProject inlines a once-referenced
+    // alias straight back into the lambda. The fold below references the
+    // shingle expression exactly once and evaluates it once per row:
+    // acc[i] = min over shingles of family-i's hex hash, with a sentinel
+    // above every hex string standing in for "empty" (→ '' like the
+    // coalesce in the oracle SQL). Measured 4× on the sf0.1 gate.
+    val sentinel = "￿"
+    val sigExpr = transform(
+      aggregate(shingles(col("text"), k),
+        array_repeat(lit(sentinel), numHashes),
+        (acc, s) => zip_with(acc,
+          transform(sequence(lit(0), lit(numHashes - 1)),
+            i => substring(md5(concat(s, lit("#"), i.cast("string"))), 17, 16)),
+          (a, b) => least(a, b))),
+      x => when(x === lit(sentinel), lit("")).otherwise(x))
     val hashed = docs
       .withColumn("sig", sigExpr)
       .withColumn("fp", md5(col("text")))
