@@ -281,20 +281,35 @@ object Dedup {
     val powers32 = array((0 until 32).map(i => lit(1L << i)): _*)
     def hexToLong(c: Column): Column = conv(c, 16, 10).cast("long")
     val toks = array_distinct(split(col(textCol), " "))
-    val tokHashes = transform(toks, t => struct(
-      hexToLong(substring(md5(t), 17, 8)).as("hi"),
-      hexToLong(substring(md5(t), 25, 8)).as("lo")))
-    def sigHalf(half: String): Column = {
-      val votes = aggregate(tokHashes, array_repeat(lit(0L), 32),
-        (acc, h) => zip_with(acc, powers32, (a, p) =>
-          a + when(h.getField(half).bitwiseAND(p) =!= 0L, 1L).otherwise(-1L)))
-      aggregate(
-        zip_with(votes, powers32, (v, p) => when(v > 0, p).otherwise(lit(0L))),
-        lit(0L), (acc, b) => acc.bitwiseOR(b))
-    }
+    // One md5 per token: the inner transform binds the digest to a lambda
+    // variable, so both 32-bit halves slice the SAME evaluated string
+    // (md5(t) written twice inside the struct would run twice — HOF
+    // lambdas are interpreted, with no subexpression sharing).
+    val tokHashes = transform(transform(toks, t => md5(t)), m => struct(
+      hexToLong(substring(m, 17, 8)).as("hi"),
+      hexToLong(substring(m, 25, 8)).as("lo")))
+    // Both halves' bit votes in ONE pass over the token hashes, shared
+    // downstream through a struct column referenced twice — CollapseProject
+    // inlines once-referenced aliases into consumers (re-running the pass
+    // per half) but keeps non-cheap aliases with two references.
+    val votesExpr = aggregate(tokHashes,
+      struct(array_repeat(lit(0L), 32).as("vh"),
+        array_repeat(lit(0L), 32).as("vl")),
+      (acc, h) => struct(
+        zip_with(acc.getField("vh"), powers32, (a, p) =>
+          a + when(h.getField("hi").bitwiseAND(p) =!= 0L, 1L).otherwise(-1L))
+          .as("vh"),
+        zip_with(acc.getField("vl"), powers32, (a, p) =>
+          a + when(h.getField("lo").bitwiseAND(p) =!= 0L, 1L).otherwise(-1L))
+          .as("vl")))
+    def bits(votes: Column): Column = aggregate(
+      zip_with(votes, powers32, (v, p) => when(v > 0, p).otherwise(lit(0L))),
+      lit(0L), (acc, b) => acc.bitwiseOR(b))
     val hashed = df.select(col(idCol).as("id"),
-      md5(col(textCol)).as("fp"),
-      sigHalf("hi").as("sig_hi"), sigHalf("lo").as("sig_lo"))
+        md5(col(textCol)).as("fp"), votesExpr.as("_votes"))
+      .select(col("id"), col("fp"),
+        bits(col("_votes").getField("vh")).as("sig_hi"),
+        bits(col("_votes").getField("vl")).as("sig_lo"))
     val keepers = hashed.groupBy(col("fp")).agg(min(col("id")).as("keeper"))
     val tagged = hashed.join(keepers, "fp")
     val dupPairs = tagged.filter(col("id") =!= col("keeper"))
