@@ -646,22 +646,78 @@ object Similarity {
   def semanticDedup(df: DataFrame, idCol: String, vecCol: String,
                     tau: Double, nCentroids: Int = 16,
                     trainIters: Int = 0): DataFrame = {
-    graft.functions.GraftFunctions.register(df.sparkSession)
-    val base = df.select(col(idCol).as("id"), col(vecCol).cast("array<double>").as("v"))
-      .withColumn("n", norm2(col("v")))
-    val cents = trainCentroids(base, resolveNCentroids(base, nCentroids), trainIters)
+    val cents = trainQuantizer(df, idCol, vecCol, nCentroids, trainIters)
     if (cents.isEmpty)
-      return base.select(col("id"), lit(0L).as("cid"), lit(true).as("keep"))
-    val assigned = base.withColumn("cid",
+      return prepVecs(df, idCol, vecCol)
+        .select(col("id"), lit(0L).as("cid"), lit(true).as("keep"))
+    semanticDedupWithQuantizer(df, idCol, vecCol, cents, tau)
+  }
+
+  /** [[semanticDedup]] under a caller-supplied FROZEN quantizer — the
+    * reusable half of the operator: train once ([[trainQuantizer]]),
+    * persist ([[centroidsToDF]]), dedup many corpora/batches under the
+    * same cluster boundaries. */
+  def semanticDedupWithQuantizer(df: DataFrame, idCol: String, vecCol: String,
+                                 cents: Array[(Long, Seq[Double], Double)],
+                                 tau: Double): DataFrame = {
+    graft.functions.GraftFunctions.register(df.sparkSession)
+    val assigned = assignTo(cents)(prepVecs(df, idCol, vecCol))
+    val dropped = tauNeighbors(assigned, assigned, tau, lowerIdOnly = true)
+    withKeepFlag(assigned, dropped)
+  }
+
+  /** The deterministic coarse quantizer as a standalone, persistable
+    * model: the same lowest-id sample (+ optional Lloyd rounds) the IVF
+    * and SemDeDup paths train internally. Pass `nCentroids = -1` for the
+    * √n auto-size rule. */
+  def trainQuantizer(df: DataFrame, idCol: String, vecCol: String,
+                     nCentroids: Int = 16,
+                     trainIters: Int = 0): Array[(Long, Seq[Double], Double)] = {
+    graft.functions.GraftFunctions.register(df.sparkSession)
+    val base = prepVecs(df, idCol, vecCol)
+    trainCentroids(base, resolveNCentroids(base, nCentroids), trainIters)
+  }
+
+  /** Quantizer ⇄ parquet-friendly DataFrame, mirroring [[savePqModel]]:
+    * (cid, cv, cn), bit-exact round trip (cid-ascending reassembly). */
+  def centroidsToDF(cents: Array[(Long, Seq[Double], Double)],
+                    spark: org.apache.spark.sql.SparkSession): DataFrame = {
+    import spark.implicits._
+    cents.toSeq.toDF("cid", "cv", "cn")
+  }
+
+  /** Inverse of [[centroidsToDF]]. */
+  def centroidsFromDF(df: DataFrame): Array[(Long, Seq[Double], Double)] = {
+    import df.sparkSession.implicits._
+    df.select(col("cid").cast("long"), col("cv"), col("cn"))
+      .as[(Long, Seq[Double], Double)].collect().sortBy(_._1)
+  }
+
+  private def prepVecs(df: DataFrame, idCol: String, vecCol: String): DataFrame =
+    df.select(col(idCol).as("id"), col(vecCol).cast("array<double>").as("v"))
+      .withColumn("n", norm2(col("v")))
+
+  private def assignTo(cents: Array[(Long, Seq[Double], Double)])(
+      prepped: DataFrame): DataFrame =
+    prepped.withColumn("cid",
       -array_max(centScoresFor(cents)(col("v"), col("n"))).getField("negcid"))
-    val a = assigned.alias("a")
-    val b = assigned.alias("b")
-    val dropped = b.join(a, col("a.cid") === col("b.cid") && col("a.id") < col("b.id"))
+
+  /** ids of `b` rows with a ≥ τ cosine neighbor in `a`'s same cluster
+    * (optionally only lower-id neighbors). Both frames carry
+    * (id, v, n, cid). */
+  private def tauNeighbors(b: DataFrame, a: DataFrame, tau: Double,
+                           lowerIdOnly: Boolean): DataFrame = {
+    val cond = col("a.cid") === col("b.cid") &&
+      (if (lowerIdOnly) col("a.id") < col("b.id") else lit(true))
+    b.alias("b").join(a.alias("a"), cond)
       .filter(round(dot(col("a.v"), col("b.v")) / (col("a.n") * col("b.n")), 6) >= tau)
       .select(col("b.id").as("id")).distinct()
-    assigned.join(dropped.withColumn("_drop", lit(true)), Seq("id"), "left")
-      .select(col("id"), col("cid"), coalesce(col("_drop"), lit(false)).unary_!.as("keep"))
   }
+
+  private def withKeepFlag(assigned: DataFrame, dropped: DataFrame): DataFrame =
+    assigned.join(dropped.withColumn("_drop", lit(true)), Seq("id"), "left")
+      .select(col("id"), col("cid"),
+        coalesce(col("_drop"), lit(false)).unary_!.as("keep"))
 
   /**
    * Ingest-time twin of [[semanticDedup]]: score an `incoming` batch
@@ -685,28 +741,36 @@ object Similarity {
                                idCol: String, vecCol: String, tau: Double,
                                nCentroids: Int = 16,
                                trainIters: Int = 0): DataFrame = {
-    graft.functions.GraftFunctions.register(incoming.sparkSession)
-    def prep(df: DataFrame): DataFrame =
-      df.select(col(idCol).as("id"), col(vecCol).cast("array<double>").as("v"))
-        .withColumn("n", norm2(col("v")))
-    val base = prep(corpus)
-    val cents = trainCentroids(base, resolveNCentroids(base, nCentroids), trainIters)
+    val cents = trainQuantizer(corpus, idCol, vecCol, nCentroids, trainIters)
     if (cents.isEmpty)
       return semanticDedup(incoming, idCol, vecCol, tau, nCentroids, trainIters)
-    def assign(df: DataFrame): DataFrame = df.withColumn("cid",
-      -array_max(centScoresFor(cents)(col("v"), col("n"))).getField("negcid"))
-    val corpusA = assign(base)
-    val incA = assign(prep(incoming))
-    def tooClose(b: DataFrame, a: DataFrame, alsoLowerId: Boolean): DataFrame = {
-      val cond = col("a.cid") === col("b.cid") &&
-        (if (alsoLowerId) col("a.id") < col("b.id") else lit(true))
-      b.alias("b").join(a.alias("a"), cond)
-        .filter(round(dot(col("a.v"), col("b.v")) / (col("a.n") * col("b.n")), 6) >= tau)
-        .select(col("b.id").as("id"))
-    }
-    val dropped = tooClose(incA, corpusA, alsoLowerId = false)
-      .union(tooClose(incA, incA, alsoLowerId = true)).distinct()
-    incA.join(dropped.withColumn("_drop", lit(true)), Seq("id"), "left")
-      .select(col("id"), col("cid"), coalesce(col("_drop"), lit(false)).unary_!.as("keep"))
+    val corpusA = assignTo(cents)(prepVecs(corpus, idCol, vecCol))
+      .select(col("id").as(idCol), col("v").as(vecCol), col("cid"))
+    semanticDedupIncrementalAssigned(incoming, corpusA, idCol, vecCol, cents, tau)
+  }
+
+  /**
+   * The amortized ingest path: [[semanticDedupIncremental]] against a
+   * PRE-ASSIGNED corpus (`idCol`, `vecCol`, `cid` columns — e.g. the
+   * persisted output of earlier ingests) under a frozen quantizer. No
+   * corpus re-assignment and no quantizer re-derivation per batch: the
+   * per-ingest cost is assigning the (small) batch map-side plus the
+   * cluster-keyed joins. Store the corpus partitioned/bucketed by `cid`
+   * and the join co-locates too.
+   */
+  def semanticDedupIncrementalAssigned(incoming: DataFrame,
+                                       corpusAssigned: DataFrame,
+                                       idCol: String, vecCol: String,
+                                       cents: Array[(Long, Seq[Double], Double)],
+                                       tau: Double): DataFrame = {
+    graft.functions.GraftFunctions.register(incoming.sparkSession)
+    val corpusA = corpusAssigned
+      .select(col(idCol).as("id"), col(vecCol).cast("array<double>").as("v"),
+        col("cid"))
+      .withColumn("n", norm2(col("v")))
+    val incA = assignTo(cents)(prepVecs(incoming, idCol, vecCol))
+    val dropped = tauNeighbors(incA, corpusA, tau, lowerIdOnly = false)
+      .union(tauNeighbors(incA, incA, tau, lowerIdOnly = true)).distinct()
+    withKeepFlag(incA, dropped)
   }
 }

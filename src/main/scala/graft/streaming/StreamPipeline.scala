@@ -154,11 +154,20 @@ object StreamPipeline {
    * by the keep-first (lowest-id) rule; the first batch (empty table)
    * degenerates to the batch [[Similarity.semanticDedup]].
    *
+   * The quantizer is trained ONCE, on the first non-empty batch, and
+   * persisted at `statePath/_quantizer`; every later batch loads it and
+   * runs the ASSIGNED ingest path — no corpus re-assignment and no
+   * per-batch quantizer drift (cluster boundaries never move under
+   * earlier keep decisions). Keepers are stored WITH their `cid`, so the
+   * per-batch cost is assigning the batch map-side plus the
+   * cluster-keyed joins.
+   *
    * `foreachBatch` serializes micro-batches, so the final table is
-   * EXACTLY the left fold of `semanticDedupIncremental` over the
-   * batches in arrival order — the spec pins stream ≡ fold. Ids must be
-   * unique across the stream (the corpus contract); the upsert's
-   * repeated-key check turns a violation into a loud failure.
+   * EXACTLY the left fold of `semanticDedupIncrementalAssigned` over the
+   * batches in arrival order under the frozen quantizer — the spec pins
+   * stream ≡ fold. Ids must be unique across the stream (the corpus
+   * contract); the upsert's repeated-key check turns a violation into a
+   * loud failure.
    */
   def semanticIngestStream(stream: DataFrame, idCol: String, vecCol: String,
                            tau: Double, statePath: String,
@@ -167,17 +176,27 @@ object StreamPipeline {
       (batch: DataFrame, _: Long) =>
         if (!batch.isEmpty) {
           val spark = batch.sparkSession
-          val decisions = VersionedTable.read(spark, statePath) match {
-            case Some(c) => Similarity.semanticDedupIncremental(
-              batch, c, idCol, vecCol, tau, nCentroids)
-            case None => Similarity.semanticDedup(
-              batch, idCol, vecCol, tau, nCentroids)
+          val corpusPath = s"$statePath/corpus"
+          val qPath = s"$statePath/_quantizer"
+          val decisions = VersionedTable.read(spark, corpusPath) match {
+            case Some(c) =>
+              val cents = Similarity.centroidsFromDF(spark.read.parquet(qPath))
+              Similarity.semanticDedupIncrementalAssigned(
+                batch, c, idCol, vecCol, cents, tau)
+            case None =>
+              val cents = Similarity.trainQuantizer(
+                batch, idCol, vecCol, nCentroids)
+              Similarity.centroidsToDF(cents, spark)
+                .repartition(1).write.mode("overwrite").parquet(qPath)
+              Similarity.semanticDedupWithQuantizer(
+                batch, idCol, vecCol, cents, tau)
           }
           val kept = batch.join(
-            decisions.filter(col("keep")).select(col("id").as(idCol)),
-            Seq(idCol), "left_semi")
+            decisions.filter(col("keep"))
+              .select(col("id").as(idCol), col("cid")),
+            Seq(idCol))
           if (!kept.isEmpty) {
-            VersionedTable.upsert(spark, statePath, kept, Seq(idCol))
+            VersionedTable.upsert(spark, corpusPath, kept, Seq(idCol))
             ()
           }
         }

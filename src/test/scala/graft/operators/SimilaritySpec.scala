@@ -347,6 +347,20 @@ class SimilaritySpec extends SparkSuite {
     assert(inc === full)
   }
 
+  test("quantizer survives the DataFrame round-trip bit-exact") {
+    val cents = Similarity.trainQuantizer(vecs, "vec_id", "embedding",
+      nCentroids = 3, trainIters = 2)
+    val rt = Similarity.centroidsFromDF(
+      Similarity.centroidsToDF(cents, spark))
+    assert(rt.toSeq === cents.toSeq)
+    // frozen-quantizer dedup under the round-tripped model ≡ original
+    val a = Similarity.semanticDedupWithQuantizer(vecs, "vec_id", "embedding",
+      cents, tau = 0.9).collect().map(_.toSeq).toSet
+    val b = Similarity.semanticDedupWithQuantizer(vecs, "vec_id", "embedding",
+      rt, tau = 0.9).collect().map(_.toSeq).toSet
+    assert(a === b)
+  }
+
   test("semanticDedup assigns every row to a quantizer centroid id") {
     val cids = Similarity.semanticDedup(vecs, "vec_id", "embedding",
         tau = 0.9, nCentroids = 3)

@@ -207,17 +207,26 @@ class StreamPipelineSpec extends SparkSuite {
       in.addData(batch2.map(i => (i, all(i))))
       q.processAllAvailable()
     } finally q.stop()
-    val streamed = VersionedTable.read(spark, statePath).get
-      .select("vec_id").as[Long].collect().toSet
-    // fold the same batches through the batch operators
+    // quantizer: trained on batch 1, frozen and persisted
+    val cents = Similarity.centroidsFromDF(
+      spark.read.parquet(s"$statePath/_quantizer"))
+    assert(cents.map(_._1).toSeq === Seq(0L),
+      "frozen quantizer = lowest-id sample of the FIRST batch")
+    val corpus = VersionedTable.read(spark, s"$statePath/corpus").get
+    assert(corpus.columns.contains("cid"), "keepers stored pre-assigned")
+    val streamed = corpus.select("vec_id").as[Long].collect().toSet
+    // fold the same batches through the batch operators under the SAME
+    // frozen quantizer
     def df(ids: Seq[Long]) =
       ids.map(i => (i, all(i))).toDF("vec_id", "embedding")
-    val kept1 = Similarity.semanticDedup(df(batch1), "vec_id", "embedding",
-        tau = 0.9, nCentroids = 1)
-      .filter(col("keep")).select("id").as[Long].collect().toSet
-    val kept2 = Similarity.semanticDedupIncremental(
-        df(batch2), df(kept1.toSeq), "vec_id", "embedding",
-        tau = 0.9, nCentroids = 1)
+    val dec1 = Similarity.semanticDedupWithQuantizer(
+      df(batch1), "vec_id", "embedding", cents, tau = 0.9)
+    val corpus1 = df(batch1).join(
+      dec1.filter(col("keep")).select(col("id").as("vec_id"), col("cid")),
+      "vec_id")
+    val kept1 = corpus1.select("vec_id").as[Long].collect().toSet
+    val kept2 = Similarity.semanticDedupIncrementalAssigned(
+        df(batch2), corpus1, "vec_id", "embedding", cents, tau = 0.9)
       .filter(col("keep")).select("id").as[Long].collect().toSet
     assert(streamed === kept1 ++ kept2)
     assert(streamed === Set(0L, 2L, 3L),
