@@ -188,4 +188,32 @@ class PlanInvariantsSpec extends SparkSuite {
     assert(plan("q20_excess").contains("LeftSemi"),
       "q20 must keep the semi-join chain")
   }
+
+  test("semantic dedup: cluster-keyed pair scan, no all-pairs join") {
+    Seq("semantic_dedup", "semantic_dedup_inc").foreach { q =>
+      val p = plan(q)
+      assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+        s"$q pair scan must stay cluster-keyed (join on cid):\n$p")
+      // assignment is a map-side literal argmax — no exchange may appear
+      // between the corpus scan and the pair join's own shuffle/broadcast
+      assert(exchanges(p) <= 3,
+        s"$q grew exchanges beyond pair-scan + drops-distinct + keep-join:\n$p")
+    }
+  }
+
+  test("bigram LM: pair list is generated map-side, no self-join") {
+    val p = plan("text_lm_ppl")
+    // exactly ONE nested-loop join is sanctioned: the 1-row vocab-size
+    // scalar cross join (same bounded shape as importance_weights'
+    // totals) — a second one would mean an all-pairs join over data
+    assert("BroadcastNestedLoopJoin".r.findAllIn(p).length <= 1 &&
+      !p.contains("CartesianProduct"),
+      s"text_lm_ppl must not plan an all-pairs join over data:\n$p")
+    assert(p.contains("Generate"),
+      s"bigram pairs must come from a map-side Generate (zip_with explode):\n$p")
+    // bigram counts, unigram counts, vocab scalar, per-doc mean, and the
+    // model-join alignment — all partial+final or vocabulary-bounded;
+    // growth past 5 means the pair list started shuffling
+    assert(exchanges(p) <= 5, s"text_lm_ppl grew extra exchanges:\n$p")
+  }
 }
