@@ -773,4 +773,40 @@ object Similarity {
       .union(tauNeighbors(incA, incA, tau, lowerIdOnly = true)).distinct()
     withKeepFlag(incA, dropped)
   }
+
+  /**
+   * Embedding-level decontamination — the semantic twin of
+   * [[graft.operators.TextAnalysis.contaminationCheck]]: flag every
+   * corpus row whose vector has a ≥ `tau`-cosine neighbor in the
+   * benchmark set. Unlike [[semanticDedup]] this screen is EXHAUSTIVE —
+   * no clustering, no recall loss: eval leakage is checked against
+   * every benchmark vector. Returns
+   * `(id, n_hits, max_cos, clean)` per corpus row (`max_cos` null when
+   * clean); callers drop `clean = false` rows or audit them.
+   *
+   * Scale shape: the benchmark set is small by nature → it broadcasts
+   * whole, the pair screen is a map-side broadcast join over the
+   * corpus, and the per-row verdict is one partial+final aggregate on
+   * `id`. The corpus shuffles once, carrying (id, hit-cos) pairs — not
+   * vectors.
+   */
+  def semanticDecontaminate(corpus: DataFrame, bench: DataFrame,
+                            idCol: String, vecCol: String,
+                            tau: Double): DataFrame = {
+    graft.functions.GraftFunctions.register(corpus.sparkSession)
+    val c = prepVecs(corpus, idCol, vecCol)
+    val b = prepVecs(bench, idCol, vecCol)
+      .select(col("v").as("bv"), col("n").as("bn"))
+    val hits = c.join(broadcast(b),
+        round(dot(col("v"), col("bv")) / (col("n") * col("bn")), 6) >= tau)
+      .groupBy("id").agg(
+        count(lit(1)).as("n_hits"),
+        max(round(dot(col("v"), col("bv")) / (col("n") * col("bn")), 6))
+          .as("max_cos"))
+    c.select(col("id")).join(hits, Seq("id"), "left")
+      .select(col("id"),
+        coalesce(col("n_hits"), lit(0L)).as("n_hits"),
+        col("max_cos"),
+        col("n_hits").isNull.as("clean"))
+  }
 }

@@ -915,6 +915,38 @@ object PipelineCatalog {
       |       agg.avg_nll, agg.ppl
       |FROM toks LEFT JOIN agg USING (doc_id)""".stripMargin
 
+  /** Embedding-level decontamination: vec_id % 50 = 0 plays the benchmark
+    * set; every other vector is screened exhaustively against it. */
+  val semanticDecontam: Q = (s, dir) => {
+    val emb = Tables.embeddings(s, dir)
+    Similarity.semanticDecontaminate(
+      emb.filter(col("vec_id") % 50 =!= 0),
+      emb.filter(col("vec_id") % 50 === 0),
+      "vec_id", "embedding", tau = 0.3)
+  }
+
+  /** The SAME screen in DuckDB: all corpus × benchmark cosines, τ on the
+    * 6-dp round, per-row hit count + max. */
+  val semanticDecontamSql: String =
+    """WITH nn AS (
+      |  SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v,
+      |         sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+      |                               CAST(embedding AS DOUBLE[]))) AS nrm
+      |  FROM embeddings
+      |), c AS (SELECT * FROM nn WHERE id % 50 <> 0
+      |), b AS (SELECT v AS bv, nrm AS bn FROM nn WHERE id % 50 = 0
+      |), hits AS (
+      |  SELECT c.id, CAST(count(*) AS BIGINT) AS n_hits,
+      |         max(round(list_dot_product(c.v, b.bv) / (c.nrm * b.bn), 6))
+      |           AS max_cos
+      |  FROM c JOIN b
+      |    ON round(list_dot_product(c.v, b.bv) / (c.nrm * b.bn), 6) >= 0.3
+      |  GROUP BY c.id
+      |)
+      |SELECT c.id, CAST(coalesce(hits.n_hits, 0) AS BIGINT) AS n_hits,
+      |       hits.max_cos, (hits.n_hits IS NULL) AS clean
+      |FROM c LEFT JOIN hits ON c.id = hits.id""".stripMargin
+
   /** Corpus vocabulary: global top-50 terms by count, with doc frequency. */
   val vocabTopTerms: Q = (s, dir) =>
     Relevance.vocabTopTerms(Tables.documents(s, dir), "doc_id", "text", k = 50)
@@ -1586,6 +1618,7 @@ object PipelineCatalog {
     "sim_near_dup" -> simNearDup,
     "semantic_dedup" -> semanticDedup,
     "semantic_dedup_inc" -> semanticDedupInc,
+    "semantic_decontam" -> semanticDecontam,
     "text_tokens" -> textTokens,
     "text_quality" -> textQuality,
     "text_lang_id" -> textLangId,
@@ -1635,6 +1668,7 @@ object PipelineCatalog {
     "sim_near_dup_md5" -> simNearDupMd5Sql,
     "semantic_dedup" -> semanticDedupSql,
     "semantic_dedup_inc" -> semanticDedupIncSql,
+    "semantic_decontam" -> semanticDecontamSql,
     "sim_quantize_int8" -> simQuantizeSql,
     "text_tokens" -> textTokensSql,
     "text_quality" -> textQualitySql,

@@ -347,6 +347,23 @@ class SimilaritySpec extends SparkSuite {
     assert(inc === full)
   }
 
+  test("semanticDecontaminate flags eval-near vectors exhaustively, no clustering") {
+    val bench = vecs.filter(col("vec_id") === 0L)
+    val corpus = vecs.filter(col("vec_id") =!= 0L)
+    val res = Similarity.semanticDecontaminate(corpus, bench,
+        "vec_id", "embedding", tau = 0.9)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), Option(r.get(2)).map(_.asInstanceOf[Double]), r.getBoolean(3)))
+      .toMap
+    assert(res.keySet === Set(1L, 2L, 3L, 4L), "one verdict per corpus row")
+    // v1 and v4 are near v0 (cos ≥ 0.99) → contaminated, regardless of
+    // any cluster boundary; v2 (⊥) and v3 (negated) are clean
+    assert(res(1L)._1 === 1L && !res(1L)._3 && res(1L)._2.get > 0.99)
+    assert(res(4L)._1 === 1L && !res(4L)._3)
+    assert(res(2L) === ((0L, None, true)))
+    assert(res(3L) === ((0L, None, true)))
+  }
+
   test("quantizer survives the DataFrame round-trip bit-exact") {
     val cents = Similarity.trainQuantizer(vecs, "vec_id", "embedding",
       nCentroids = 3, trainIters = 2)
