@@ -947,6 +947,118 @@ object PipelineCatalog {
       |       hits.max_cos, (hits.n_hits IS NULL) AS clean
       |FROM c LEFT JOIN hits ON c.id = hits.id""".stripMargin
 
+  // ------------------------------------------------------------------
+  // BPE subword tokenization (documents)
+  // ------------------------------------------------------------------
+
+  /** Merge budget for the BPE gates — comfortably below pair exhaustion
+    * on the testdata vocabulary so Spark's early-stop and the oracle's
+    * fixed-round CTE chain see the same k rounds. */
+  private val bpeMergeRounds = 12
+
+  /** Session-lifetime model cache per (app, sf dir): the three BPE gates
+    * share one learned model instead of re-running the merge loop — the
+    * same amortization contract as the IVF-PQ index cache. */
+  private val bpeModelCache =
+    new java.util.concurrent.ConcurrentHashMap[String, Tokenize.BpeModel]()
+
+  private def bpeModel(s: org.apache.spark.sql.SparkSession,
+                       dir: String): Tokenize.BpeModel =
+    bpeModelCache.computeIfAbsent(
+      s.sparkContext.applicationId + "|" + dir,
+      _ => Tokenize.learnBpe(
+        Tokenize.wordCounts(Tables.documents(s, dir), "doc_id", "text"),
+        k = bpeMergeRounds))
+
+  /** Learned BPE merge table: k ranked rules with weighted pair counts. */
+  val bpeMerges: Q = (s, dir) => Tokenize.mergesDf(bpeModel(s, dir))
+
+  /** Corpus segmented with the learned model: per-doc word/subword counts
+    * and the space-joined subword sequence in document order. */
+  val bpeTokens: Q = (s, dir) =>
+    Tokenize.applyBpe(Tables.documents(s, dir), bpeModel(s, dir),
+      "doc_id", "text")
+
+  /** Subword vocabulary of the segmented corpus, top 100 by weighted
+    * occurrence count. */
+  val bpeVocab: Q = (s, dir) => Tokenize.subwordVocab(bpeModel(s, dir), k = 100)
+
+  /** The SAME BPE learner in DuckDB: a generated CTE chain — word counts,
+    * char seed, then per round a weighted pair count, a 1-row argmax
+    * (count desc, pair asc — binary collation matches Spark on the ASCII
+    * corpus), and a `list_reduce` greedy merge fold (tokens lifted to
+    * single-element lists so the fold accumulator is a list). Every CTE
+    * is MATERIALIZED: each round references the previous one twice (pair
+    * count + merge), so DuckDB's default CTE inlining would expand the
+    * chain 2^k-fold. */
+  private def bpeRoundsSql(k: Int): String = {
+    val sb = new StringBuilder
+    sb ++= """WITH wc AS MATERIALIZED (
+      |  SELECT word, CAST(count(*) AS BIGINT) AS cnt
+      |  FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents)
+      |  WHERE word <> '' GROUP BY word
+      |), w0 AS MATERIALIZED (
+      |  SELECT word, cnt,
+      |         list_filter(string_split(word, ''), x -> x <> '') AS toks
+      |  FROM wc
+      |)""".stripMargin
+    for (i <- 1 to k) {
+      val prev = s"w${i - 1}"
+      sb ++= s""", p$i AS MATERIALIZED (
+        |  SELECT z[1] AS l, z[2] AS r, sum(cnt) AS c
+        |  FROM (SELECT cnt,
+        |               unnest(list_zip(toks[1:len(toks)-1], toks[2:len(toks)])) AS z
+        |        FROM $prev WHERE len(toks) >= 2)
+        |  GROUP BY 1, 2
+        |), b$i AS MATERIALIZED (SELECT l, r, c FROM p$i ORDER BY c DESC, l, r LIMIT 1
+        |), w$i AS MATERIALIZED (
+        |  SELECT word, cnt,
+        |    list_reduce(list_transform(toks, t -> [t]),
+        |      (acc, x) -> CASE WHEN acc[-1] = b$i.l AND x[1] = b$i.r
+        |                  THEN acc[1:len(acc)-1] || [b$i.l || b$i.r]
+        |                  ELSE acc || x END) AS toks
+        |  FROM $prev CROSS JOIN b$i
+        |)""".stripMargin
+    }
+    sb.result()
+  }
+
+  val bpeMergesSql: String =
+    bpeRoundsSql(bpeMergeRounds) + "\n" +
+      (1 to bpeMergeRounds).map { i =>
+        s"""SELECT $i AS "rank", l AS "left", r AS "right",
+           |       l || r AS merged, CAST(c AS BIGINT) AS pair_cnt FROM b$i""".stripMargin
+      }.mkString("\nUNION ALL\n")
+
+  val bpeTokensSql: String =
+    bpeRoundsSql(bpeMergeRounds) +
+      s""", dtoks AS (
+        |  SELECT doc_id, i AS pos, w[i] AS word
+        |  FROM (SELECT doc_id, string_split(text, ' ') AS w,
+        |               unnest(range(1, len(w) + 1)) AS i FROM documents)
+        |  WHERE w[i] <> ''
+        |), seg AS (
+        |  SELECT d.doc_id, d.pos, wk.toks
+        |  FROM dtoks d JOIN w$bpeMergeRounds wk USING (word)
+        |)
+        |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_words,
+        |       CAST(sum(len(toks)) AS BIGINT) AS n_subwords,
+        |       string_agg(array_to_string(toks, ' '), ' ' ORDER BY pos)
+        |         AS subword_text
+        |FROM seg GROUP BY doc_id""".stripMargin
+
+  val bpeVocabSql: String =
+    bpeRoundsSql(bpeMergeRounds) +
+      s"""
+        |SELECT subword, cnt,
+        |       CAST(row_number() OVER (ORDER BY cnt DESC, subword) AS INT) AS rn
+        |FROM (
+        |  SELECT s AS subword, CAST(sum(cnt) AS BIGINT) AS cnt
+        |  FROM (SELECT unnest(toks) AS s, cnt FROM w$bpeMergeRounds)
+        |  GROUP BY s
+        |)
+        |ORDER BY cnt DESC, subword LIMIT 100""".stripMargin
+
   /** Corpus vocabulary: global top-50 terms by count, with doc frequency. */
   val vocabTopTerms: Q = (s, dir) =>
     Relevance.vocabTopTerms(Tables.documents(s, dir), "doc_id", "text", k = 50)
@@ -1643,6 +1755,9 @@ object PipelineCatalog {
     "bm25_top_terms" -> bm25TopTerms,
     "text_lm_ppl" -> textLmPpl,
     "vocab_top_terms" -> vocabTopTerms,
+    "bpe_merges" -> bpeMerges,
+    "bpe_tokens" -> bpeTokens,
+    "bpe_vocab" -> bpeVocab,
     "vocab_sketch" -> vocabSketch,
     "seq_packing" -> seqPacking,
     "sample_det" -> sampleDet,
@@ -1694,6 +1809,9 @@ object PipelineCatalog {
     "bm25_top_terms" -> bm25TopTermsSql,
     "text_lm_ppl" -> textLmPplSql,
     "vocab_top_terms" -> vocabTopTermsSql,
+    "bpe_merges" -> bpeMergesSql,
+    "bpe_tokens" -> bpeTokensSql,
+    "bpe_vocab" -> bpeVocabSql,
     "seq_packing" -> seqPackingSql,
     "sample_det" -> sampleDetSql,
     "sample_stratified" -> sampleStratifiedSql,
