@@ -201,4 +201,45 @@ object StreamPipeline {
           }
         }
     }
+
+  /**
+   * Streaming BPE segmentation: tokenize arriving documents with a FROZEN
+   * model learned offline by [[graft.operators.Tokenize.learnBpe]] — the
+   * ingest-time twin of [[graft.operators.Tokenize.applyBpe]].
+   *
+   * The model rides in as literals (the segmented vocab as a map, the
+   * merge rules as the fold chain for unseen words), so the per-batch
+   * plan is a PURE PROJECTION: no stream-static join, no state, no
+   * exchange — each document's words map through the vocab lookup with
+   * the merge-fold fallback, entirely inside whole-stage codegen, in any
+   * output mode. Unlike the batch form (which reassembles per doc after
+   * a posexplode + vocab join), the literal form transforms the word
+   * array in place, so even the reassembly exchange disappears.
+   *
+   * The literal-map trade-off: the inlined vocab must fit in the plan
+   * (fine for the tens-of-thousands-of-words vocabularies subword models
+   * target); a corpus-sized vocab would instead take the batch form's
+   * broadcast join per micro-batch.
+   *
+   * Emits every input column plus (n_words, n_subwords, subword_text) —
+   * the same per-doc surface as `applyBpe` (equivalence pinned in
+   * `StreamPipelineSpec`).
+   */
+  def bpeSegmentStream(docs: DataFrame, textCol: String,
+                       model: graft.operators.Tokenize.BpeModel): DataFrame = {
+    val vocab: Map[String, Seq[String]] = model.vocab
+      .select(col("word"), col("toks")).collect()
+      .map(r => r.getString(0) -> r.getSeq[String](1)).toMap
+    val words = filter(split(col(textCol), " "), w => w =!= "")
+    val segmented = transform(words, w =>
+      coalesce(element_at(typedLit(vocab), w),
+        graft.operators.Tokenize.segmentExpr(model, w)))
+    docs
+      .withColumn("_segs", segmented)
+      .withColumn("n_words", size(words).cast("long"))
+      .withColumn("n_subwords",
+        aggregate(col("_segs"), lit(0L), (acc, s) => acc + size(s)))
+      .withColumn("subword_text", array_join(flatten(col("_segs")), " "))
+      .drop("_segs")
+  }
 }

@@ -255,4 +255,35 @@ class StreamPipelineSpec extends SparkSuite {
     val kept = spark.table("impcut").select("doc_id").as[Long].collect().toSet
     assert(kept === all.filter(_._2 >= cut).keySet)
   }
+
+  test("bpeSegmentStream ≡ batch applyBpe, incl. the OOV fold path") {
+    import graft.operators.Tokenize
+    val corpus = corpusDocs.toDF("doc_id", "text")
+    val model = Tokenize.learnBpe(
+      Tokenize.wordCounts(corpus, "doc_id", "text"), k = 8)
+    // stream docs include words absent from the training vocab ("zzqx"),
+    // so the literal merge-fold fallback executes, not just the map lookup
+    val streamDocs = corpusDocs :+ (9L, "zzqx alpha unseen beta")
+    val batch = Tokenize.applyBpe(
+      streamDocs.toDF("doc_id", "text"), model, "doc_id", "text")
+      .select("doc_id", "n_words", "n_subwords", "subword_text")
+      .as[(Long, Long, Long, String)].collect().toSet
+
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[(Long, String)]
+    val out = StreamPipeline.bpeSegmentStream(
+      in.toDF().toDF("doc_id", "text"), "text", model)
+    val q = out.writeStream.format("memory").queryName("bpeseg")
+      .outputMode("append").start()
+    try {
+      in.addData(streamDocs)
+      q.processAllAvailable()
+    } finally q.stop()
+    val streamed = spark.table("bpeseg")
+      .select("doc_id", "n_words", "n_subwords", "subword_text")
+      .as[(Long, Long, Long, String)].collect().toSet
+    assert(streamed === batch)
+    assert(streamed.exists(_._4.contains("z z q x")),
+      "the OOV word must fall back to (here unmerged) character subwords")
+  }
 }
