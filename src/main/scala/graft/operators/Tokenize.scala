@@ -176,6 +176,34 @@ object Tokenize {
           e => e.getField("toks"))), " ").as("subword_text"))
   }
 
+  /** Persist a learned model as two plain parquet tables — the merges
+    * (rank, left, right, merged, pair_cnt; k rows) and the segmented
+    * vocab (word, cnt, toks) — readable by any engine, closing the
+    * train-once loop ACROSS sessions exactly like the IVF-PQ model
+    * store ([[Similarity.savePqModel]]). */
+  def saveBpeModel(model: BpeModel, path: String): Unit = {
+    mergesDf(model).repartition(1)
+      .write.mode("overwrite").parquet(s"$path/merges")
+    model.vocab.select(col("word"), col("cnt"), col("toks"))
+      .write.mode("overwrite").parquet(s"$path/vocab")
+  }
+
+  /** Inverse of [[saveBpeModel]]. Merge rules reassemble rank-ascending
+    * (row order on disk is immaterial), so the loaded model applies the
+    * rules in the learned order and reproduces the original
+    * segmentations bit for bit. */
+  def loadBpeModel(path: String,
+                   spark: org.apache.spark.sql.SparkSession): BpeModel = {
+    val merges = spark.read.parquet(s"$path/merges")
+      .select(col("rank").cast("int"), col("left"), col("right"),
+        col("merged"), col("pair_cnt").cast("long"))
+      .collect()
+      .map(r => Merge(r.getInt(0), r.getString(1), r.getString(2),
+        r.getString(3), r.getLong(4)))
+      .sortBy(_.rank).toSeq
+    BpeModel(merges, spark.read.parquet(s"$path/vocab"))
+  }
+
   /** Subword vocabulary of the segmented corpus: top-k subwords by total
     * occurrence count (weighted by word frequency). The tokenizer's
     * emitted vocab table. Like `Relevance.vocabTopTerms`, the global

@@ -99,6 +99,22 @@ class TokenizeSpec extends SparkSuite {
     assert(a === b)
   }
 
+  test("saveBpeModel/loadBpeModel: bit-exact round trip, reloaded model segments identically") {
+    val model = Tokenize.learnBpe(words, k = 5)
+    val dir = java.nio.file.Files.createTempDirectory("bpe_model").toString
+    Tokenize.saveBpeModel(model, dir)
+    val loaded = Tokenize.loadBpeModel(dir, spark)
+    assert(loaded.merges === model.merges)
+    val seg = (m: Tokenize.BpeModel) =>
+      m.vocab.orderBy("word").collect()
+        .map(r => (r.getString(0), r.getSeq[String](2))).toSeq
+    assert(seg(loaded) === seg(model))
+    val docs = Seq((1L, "lowest newest")).toDF("doc_id", "text")
+    val a = Tokenize.applyBpe(docs, model, "doc_id", "text").head()
+    val b = Tokenize.applyBpe(docs, loaded, "doc_id", "text").head()
+    assert(a.getString(3) === b.getString(3))
+  }
+
   test("wordCounts: whitespace tokens, empty words dropped") {
     val docs = Seq((1L, "a b  a"), (2L, "b")).toDF("doc_id", "text")
     val wc = Tokenize.wordCounts(docs, "doc_id", "text").collect()
