@@ -216,4 +216,20 @@ class PlanInvariantsSpec extends SparkSuite {
     // growth past 5 means the pair list started shuffling
     assert(exchanges(p) <= 5, s"text_lm_ppl grew extra exchanges:\n$p")
   }
+
+  test("BPE segmentation: broadcast vocab join, one reassembly exchange") {
+    // constructing the plan learns the (cached) model first — that loop's
+    // own shape is vocab-bounded by design; what CI pins is the
+    // corpus-side segmentation plan
+    val p = plan("bpe_tokens")
+    assert(p.contains("BroadcastHashJoin"),
+      s"bpe_tokens must broadcast the segmented vocab into the corpus:\n$p")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      s"bpe_tokens must not plan an all-pairs join:\n$p")
+    assert(exchanges(p) <= 1,
+      s"bpe_tokens must keep the single per-doc reassembly exchange:\n$p")
+    val v = plan("bpe_vocab")
+    assert(v.contains("TakeOrdered"),
+      s"bpe_vocab top-k must plan as TakeOrdered, not a global sort:\n$v")
+  }
 }
