@@ -66,5 +66,25 @@ class ScaleSoakSpec extends SparkSuite {
       .count() === 0, "2x density must produce the SAME window set")
     assert(joined.filter(col("scaled_cnt") =!= col("base_cnt") * 2)
       .count() === 0, "every window's count must be exactly 2x the base")
+
+    // --- BPE: merge learning is scale-invariant under replication -------
+    // Replicating the corpus scales every pair count by the copy factor,
+    // so the argmax sequence — and therefore the learned merges — must be
+    // IDENTICAL, with pair counts exactly doubled. A divergence means the
+    // argmax or tie-break depends on data layout, not content.
+    import graft.operators.Tokenize
+    val baseBpe = Tokenize.learnBpe(
+      Tokenize.wordCounts(
+        spark.read.parquet(s"$src/documents.parquet"), "doc_id", "text"),
+      k = 6).merges
+    val scaledBpe = Tokenize.learnBpe(
+      Tokenize.wordCounts(
+        spark.read.parquet(s"$dst/documents.parquet"), "doc_id", "text"),
+      k = 6).merges
+    assert(scaledBpe.map(m => (m.rank, m.left, m.right)) ===
+      baseBpe.map(m => (m.rank, m.left, m.right)),
+      "replication must not change the learned merge sequence")
+    assert(scaledBpe.map(_.pairCnt) === baseBpe.map(_.pairCnt * 2),
+      "every merge's pair count must be exactly 2x the base")
   }
 }
