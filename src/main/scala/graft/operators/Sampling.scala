@@ -146,4 +146,42 @@ object Sampling {
     }
     df.filter(hashBucket(col(keyCol)) < threshold)
   }
+
+  /**
+   * Fixed-size WEIGHTED sample without replacement per group
+   * (Efraimidis & Spirakis 2006, "Weighted random sampling with a
+   * reservoir", the exponential-jumps ordering): each row draws
+   * r = −ln(u)/w from a uniform u and the k SMALLEST r win — inclusion
+   * odds scale with weight (a weight-2w row is twice as likely in as a
+   * weight-w row at k = 1), the quality/token-count-biased selection
+   * step of a data build.
+   *
+   * The uniform is derived, not drawn: the first 48 bits of md5(key)
+   * give u = (h + 0.5)/2^48 ∈ (0,1) — so like every sampler here the
+   * result is identical on any run, engine, or partitioning, and
+   * re-cutting with a different k only extends the kept prefix
+   * (`sample_rank` ≤ j is the deterministic j-subset). Keys are rounded
+   * to 12 dp BEFORE ranking with the row key as tie-break, the
+   * round-before-rank recipe that keeps last-ulp `ln` differences
+   * between engines from flipping ranks (exact DuckDB oracle).
+   *
+   * Rows with null or non-positive weight are excluded (the ES scheme
+   * requires w > 0; a zero-weight row has inclusion probability 0).
+   *
+   * Scale: identical shape to [[bottomKSample]] — rank-then-filter plans
+   * as WindowGroupLimit, map tasks pre-trim to k per group before the
+   * exchange, so the shuffle carries O(groups × k), never the corpus.
+   */
+  def weightedSample(df: DataFrame, keyCol: String, weightCol: String,
+                     groupCol: String, k: Int): DataFrame = {
+    require(k > 0, s"k must be positive, got $k")
+    val h48 = conv(substring(md5(col(keyCol).cast("string")), 1, 12), 16, 10)
+      .cast("long")
+    val u = (h48.cast("double") + lit(0.5)) / lit(math.pow(2.0, 48))
+    val esKey = round(-log(u) / col(weightCol).cast("double"), 12)
+    val w = Window.partitionBy(col(groupCol)).orderBy(esKey, col(keyCol))
+    df.filter(col(weightCol).isNotNull && col(weightCol) > 0)
+      .withColumn("sample_rank", row_number().over(w))
+      .filter(col("sample_rank") <= k)
+  }
 }

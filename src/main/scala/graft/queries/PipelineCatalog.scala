@@ -1405,6 +1405,33 @@ object PipelineCatalog {
       |  FROM documents
       |) WHERE rn <= 20""".stripMargin
 
+  /** Fixed-size weighted sample per language (Efraimidis–Spirakis keyed
+    * on the md5-derived uniform, weight = document length) — exact
+    * oracle including the in-group ES-key order. */
+  val sampleWeighted: Q = (s, dir) =>
+    Sampling.weightedSample(Tables.documents(s, dir), "doc_id", "n_chars",
+      "lang", k = 25)
+      .select(col("doc_id"), col("lang"), col("n_chars"), col("sample_rank"))
+
+  /** The SAME ES draw in DuckDB: 48-bit md5 prefix → u = (h+0.5)/2^48,
+    * key = round(−ln(u)/w, 12) ranked with the doc id tie-break. */
+  val sampleWeightedSql: String =
+    """WITH keyed AS (
+      |  SELECT doc_id, lang, n_chars,
+      |    round(-ln((CAST(list_sum(list_transform(range(12), i ->
+      |        (strpos('0123456789abcdef',
+      |           substr(md5(CAST(doc_id AS VARCHAR)), CAST(i + 1 AS INT), 1)) - 1)
+      |        * power(16, 11 - i))) AS DOUBLE) + 0.5) / power(2, 48))
+      |      / CAST(n_chars AS DOUBLE), 12) AS es_key
+      |  FROM documents WHERE n_chars IS NOT NULL AND n_chars > 0
+      |)
+      |SELECT doc_id, lang, n_chars, CAST(rn AS INT) AS sample_rank FROM (
+      |  SELECT doc_id, lang, n_chars,
+      |         row_number() OVER (PARTITION BY lang
+      |           ORDER BY es_key, doc_id) AS rn
+      |  FROM keyed
+      |) WHERE rn <= 25""".stripMargin
+
   /** Global quality-score ordering of the corpus (curriculum / corpus-cut
     * primitive) via the two-level bucketed rank — no single-partition
     * sort. Scores round to 6 digits BEFORE ranking so the order (and the
@@ -1746,6 +1773,7 @@ object PipelineCatalog {
     "mix_budget" -> mixBudget,
     "text_scrub" -> textScrub,
     "sample_bottomk" -> sampleBottomK,
+    "sample_weighted" -> sampleWeighted,
     "global_rank" -> globalRankQ,
     "curriculum_phases" -> curriculumQ,
     "importance_weights" -> importanceW,
@@ -1800,6 +1828,7 @@ object PipelineCatalog {
     "mix_budget" -> mixBudgetSql,
     "text_scrub" -> textScrubSql,
     "sample_bottomk" -> sampleBottomKSql,
+    "sample_weighted" -> sampleWeightedSql,
     "global_rank" -> globalRankSql,
     "curriculum_phases" -> curriculumSql,
     "importance_weights" -> importanceWSql,

@@ -142,4 +142,62 @@ class SamplingSpec extends SparkSuite {
       Map.empty, defaultWeight = 1.0, budgetTokens = 1000000000000000L)
     assert(all.count() === 100L, "over-budget domains keep every row")
   }
+
+  test("weightedSample: exact size, positive-weight rows only") {
+    val docs = Seq(
+      (1L, "a", 10.0), (2L, "a", 5.0), (3L, "a", 0.0), // zero excluded
+      (4L, "a", -2.0), // negative excluded
+      (5L, "b", 1.0)).toDF("id", "grp", "w") // undersized group
+    val out = Sampling.weightedSample(docs, "id", "w", "grp", k = 2)
+    val byGrp = out.groupBy("grp").count().as[(String, Long)].collect().toMap
+    assert(byGrp === Map("a" -> 2L, "b" -> 1L))
+    assert(out.filter($"id".isin(3L, 4L)).count() === 0L,
+      "non-positive weights have inclusion probability zero")
+  }
+
+  test("weightedSample: deterministic under repartitioning, nested in k") {
+    val docs = (0 until 500).map(i => (i.toLong, s"g${i % 3}", 1.0 + i % 7))
+      .toDF("id", "grp", "w")
+    def ids(df: org.apache.spark.sql.DataFrame, k: Int): Set[(Long, Int)] =
+      Sampling.weightedSample(df, "id", "w", "grp", k)
+        .select($"id", $"sample_rank").as[(Long, Int)].collect().toSet
+    val a = ids(docs, 10)
+    val b = ids(docs.repartition(17, $"w"), 10)
+    assert(a === b, "layout must not change the sample")
+    val prefix = ids(docs, 4)
+    assert(prefix === a.filter(_._2 <= 4),
+      "rank <= j must be the deterministic j-subset of the k-sample")
+  }
+
+  test("weightedSample: a dominant weight always wins rank 1") {
+    val docs = ((0 until 200).map(i => (i.toLong, "g", 1e-9))
+      :+ (999L, "g", 1e9.toDouble)).toDF("id", "grp", "w")
+    val top = Sampling.weightedSample(docs, "id", "w", "grp", k = 1).head()
+    assert(top.getLong(0) === 999L,
+      "es key -ln(u)/w of the 1e9-weight row is ~1e18 times smaller")
+  }
+
+  test("weightedSample: inclusion rates track weights (2:1 within 20%)") {
+    // 3000 rows, half weight 2.0, half weight 1.0, k = 300: ES inclusion
+    // probability is ~proportional to weight at k << n, so the weight-2
+    // class should contribute ~2x the weight-1 class
+    val docs = (0 until 3000).map(i =>
+      (i.toLong, "g", if (i % 2 == 0) 2.0 else 1.0)).toDF("id", "grp", "w")
+    val kept = Sampling.weightedSample(docs, "id", "w", "grp", k = 300)
+      .select($"w").as[Double].collect()
+    val heavy = kept.count(_ == 2.0).toDouble
+    val light = kept.count(_ == 1.0).toDouble
+    val ratio = heavy / light
+    assert(ratio > 1.6 && ratio < 2.4,
+      s"inclusion ratio $ratio strays from the 2:1 weight ratio")
+  }
+
+  test("weightedSample plans as WindowGroupLimit (map-side pre-trim)") {
+    val docs = (0 until 100).map(i => (i.toLong, s"g${i % 3}", 1.0 + i))
+      .toDF("id", "grp", "w")
+    val p = Sampling.weightedSample(docs, "id", "w", "grp", k = 5)
+      .queryExecution.executedPlan.toString
+    assert(p.contains("WindowGroupLimit"),
+      s"rank-then-filter must pre-trim map-side:\n$p")
+  }
 }
