@@ -79,6 +79,50 @@ object VersionedTable {
       spark.read.parquet(s"$path/v$v")
     }
 
+  /** Time travel: read a specific committed version. Throws
+    * `NoSuchElementException` for a version that was never committed or
+    * was vacuumed away — reading a half-written or reclaimed directory
+    * silently would defeat the commit-marker contract. */
+  def readVersion(spark: SparkSession, path: String, version: Long): DataFrame = {
+    if (!versions(spark, path).contains(version))
+      throw new NoSuchElementException(
+        s"version $version of $path is not committed (or was vacuumed); " +
+          s"available: ${versions(spark, path).mkString(", ")}")
+    spark.read.parquet(s"$path/v$version")
+  }
+
+  /**
+   * Snapshot diff between two committed versions: one row per key whose
+   * state changed, with `change` ∈ added / removed / changed and the
+   * before/after non-key columns as structs (null on the absent side).
+   * The audit primitive between corpus builds — "what did this ingest
+   * round actually do" without replaying the upserts.
+   *
+   * Scale: one full-outer join on the key columns — both sides are
+   * single-version reads (no history scan), the join is the planner's
+   * choice (broadcast when a side fits), and unchanged rows are filtered
+   * before anything leaves the join. Column sets must match (the table
+   * is schema-stable by construction; upsert unions by position).
+   */
+  def diff(spark: SparkSession, path: String, fromVersion: Long,
+           toVersion: Long, keyCols: Seq[String]): DataFrame = {
+    val before = readVersion(spark, path, fromVersion)
+    val after = readVersion(spark, path, toVersion)
+    val nonKey = before.columns.toSeq.filterNot(keyCols.contains)
+    val b = before.select(
+      keyCols.map(col) :+ struct(nonKey.map(col): _*).as("before"): _*)
+    val a = after.select(
+      keyCols.map(col) :+ struct(nonKey.map(col): _*).as("after"): _*)
+    b.join(a, keyCols, "full_outer")
+      .withColumn("change",
+        when(col("before").isNull, lit("added"))
+          .when(col("after").isNull, lit("removed"))
+          .when(col("before") =!= col("after"), lit("changed")))
+      .filter(col("change").isNotNull)
+      .select(keyCols.map(col) :+ col("change") :+ col("before")
+        :+ col("after"): _*)
+  }
+
   /**
    * MERGE-style upsert: rows of `updates` replace target rows sharing
    * their key; all other target rows carry over. Writes the merged state

@@ -31,6 +31,43 @@ class VersionedTableSpec extends SparkSuite {
       Set((1L, "a"), (2L, "b"), (3L, "c")))
   }
 
+  test("readVersion time-travels to committed versions only") {
+    val path = Files.createTempDirectory("vt_tt").toString
+    VersionedTable.upsert(spark, path,
+      Seq((1L, "a")).toDF("id", "x"), Seq("id"))
+    VersionedTable.upsert(spark, path,
+      Seq((1L, "A")).toDF("id", "x"), Seq("id"))
+    assert(VersionedTable.readVersion(spark, path, 1L)
+      .as[(Long, String)].head() === ((1L, "a")))
+    assert(VersionedTable.readVersion(spark, path, 2L)
+      .as[(Long, String)].head() === ((1L, "A")))
+    intercept[NoSuchElementException] {
+      VersionedTable.readVersion(spark, path, 3L)
+    }
+  }
+
+  test("diff reports added/removed/changed and filters unchanged rows") {
+    val path = Files.createTempDirectory("vt_diff").toString
+    VersionedTable.upsert(spark, path,
+      Seq((1L, "a", 10L), (2L, "b", 20L), (3L, "c", 30L))
+        .toDF("id", "x", "n"), Seq("id"))
+    // replace 2, add 4; 1 and 3 carry over unchanged
+    VersionedTable.upsert(spark, path,
+      Seq((2L, "B", 21L), (4L, "d", 40L)).toDF("id", "x", "n"), Seq("id"))
+
+    val d = VersionedTable.diff(spark, path, 1L, 2L, Seq("id"))
+    val changes = d.select($"id", $"change").as[(Long, String)].collect().toMap
+    assert(changes === Map(2L -> "changed", 4L -> "added"))
+    val row2 = d.filter($"id" === 2L).head()
+    assert(row2.getStruct(2).getString(0) === "b" &&
+      row2.getStruct(3).getString(0) === "B")
+
+    // reverse diff flips added to removed
+    val rev = VersionedTable.diff(spark, path, 2L, 1L, Seq("id"))
+      .select($"id", $"change").as[(Long, String)].collect().toMap
+    assert(rev === Map(2L -> "changed", 4L -> "removed"))
+  }
+
   test("uncommitted version directories are invisible to readers") {
     val path = Files.createTempDirectory("vt_commit").toString
     VersionedTable.upsert(spark, path,
