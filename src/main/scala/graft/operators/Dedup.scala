@@ -659,6 +659,64 @@ object Dedup {
   }
 
   /**
+   * Edit-distance (Levenshtein) similarity pairs within a blocking key —
+   * the ENTITY-FIELD fuzzy join (names, titles, codes: short strings
+   * where "one typo apart" is the right notion of near-duplicate, which
+   * set-based Jaccard can't see). Same quadratic-fallback contract as
+   * [[jaccardPairs]]: a blocking column is REQUIRED so the pair scan
+   * never leaves a group, and two pre-filters run before the O(len²)
+   * distance — a length band (|len(a) − len(b)| ≤ maxDist is a lower
+   * bound on edit distance, a pure column predicate the join can
+   * evaluate first) and the id order. Levenshtein itself is Spark's
+   * codegen'd built-in with unit costs, matching DuckDB's exactly.
+   *
+   * Parallelism design: a naive self-join on `blk` alone caps the
+   * fan-out at the number of distinct blocks (and a broadcast plan
+   * inherits the probe scan's partitioning — possibly ONE partition for
+   * a small file), while the work is quadratic per block and CPU-heavy
+   * per pair. So pairs are enumerated by CHUNK: each row gets a stable
+   * chunk `xxhash64(id) mod chunks`, the left side is replicated once
+   * per target chunk, and the join key is (blk, target-chunk) — every
+   * unordered pair is generated exactly once (the left row matches the
+   * right row's chunk; `id <` orders it), and parallelism becomes
+   * blocks × chunks instead of blocks. BOTH sides are explicitly
+   * repartitioned on their join key: that spreads the quadratic loop
+   * across the cluster even when a broadcast plan would otherwise
+   * inherit a small file's single scan partition on the probe side, and
+   * it is exactly the exchange a sort-merge plan needs at scale, so it
+   * is never a wasted shuffle. Replication only ever copies (id, blk,
+   * string, chunk) — short entity fields by contract, never bodies.
+   * The distance predicate uses the THRESHOLD form of levenshtein
+   * (banded O(maxDist·len) dynamic program, −1 when the band is
+   * exceeded) rather than the full O(len²) table.
+   */
+  def editDistancePairs(df: DataFrame, idCol: String, strCol: String,
+                        blockCol: String, maxDist: Int,
+                        chunks: Int = 16): DataFrame = {
+    require(maxDist >= 0, s"maxDist must be non-negative, got $maxDist")
+    require(chunks >= 1, s"chunks must be positive, got $chunks")
+    val t = df.select(col(idCol).as("id"), col(blockCol).as("blk"),
+      col(strCol).as("s"), length(col(strCol)).as("len"),
+      pmod(xxhash64(col(idCol)), lit(chunks)).cast("int").as("ch"))
+    // Explicit partition COUNT (not just columns): the pair scan is
+    // CPU-bound on kilobytes of input, and AQE's size-based coalescing
+    // would fold a byte-tiny exchange back to one partition — pinning
+    // the count keeps the fan-out (REPARTITION_BY_NUM is exempt).
+    val n = df.sparkSession.sessionState.conf.numShufflePartitions
+    val a = t.withColumn("cr", explode(sequence(lit(0), lit(chunks - 1))))
+      .repartition(n, col("blk"), col("cr"))
+      .alias("a")
+    val b = t.repartition(n, col("blk"), col("ch")).alias("b")
+    a.join(b, col("a.blk") === col("b.blk") && col("a.cr") === col("b.ch")
+        && col("a.id") < col("b.id")
+        && abs(col("a.len") - col("b.len")) <= maxDist)
+      .withColumn("dist", levenshtein(col("a.s"), col("b.s"), maxDist))
+      .filter(col("dist") >= 0)
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+        col("dist").cast("long").as("dist"))
+  }
+
+  /**
    * Duplicated-span SCRUBBING — the completion of [[duplicatedSpans]]
    * (which only measures): rebuild each document with every token that
    * falls inside a corpus-duplicated n-token span removed — the actual

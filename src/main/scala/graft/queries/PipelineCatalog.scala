@@ -68,6 +68,22 @@ object PipelineCatalog {
       |WHERE CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE) /
       |      CAST(len(a.toks) + len(b.toks) - len(list_intersect(a.toks, b.toks)) AS DOUBLE) >= 0.20""".stripMargin
 
+  /** Entity-field fuzzy join: customer names one typo apart within a
+    * nation block (the TPC-H names carry planted digit-edit structure).
+    * Levenshtein has identical unit-cost semantics in Spark and DuckDB,
+    * so the gate is exact. */
+  val fuzzyPairs: Q = (s, dir) =>
+    Dedup.editDistancePairs(Tables.customer(s, dir),
+      "c_custkey", "c_name", "c_nationkey", maxDist = 1)
+
+  val fuzzyPairsSql: String =
+    """SELECT a.c_custkey AS id_a, b.c_custkey AS id_b,
+      |       CAST(levenshtein(a.c_name, b.c_name) AS BIGINT) AS dist
+      |FROM customer a JOIN customer b
+      |  ON a.c_nationkey = b.c_nationkey AND a.c_custkey < b.c_custkey
+      | AND abs(len(a.c_name) - len(b.c_name)) <= 1
+      |WHERE levenshtein(a.c_name, b.c_name) <= 1""".stripMargin
+
   /** Cluster resolution over the blocked-Jaccard pairs: one row per doc in
     * any near-dup component, labeled with the component's min id. Oracle =
     * the same pair query + a recursive-CTE transitive closure. */
@@ -1735,6 +1751,7 @@ object PipelineCatalog {
     "dedup_exact_groups" -> dedupExactGroups,
     "dedup_exact" -> dedupExact,
     "dedup_jaccard" -> dedupJaccard,
+    "fuzzy_pairs" -> fuzzyPairs,
     "dedup_clusters" -> dedupClusters,
     "dedup_keep" -> dedupKeep,
     "dedup_spans" -> dedupSpans,
@@ -1798,6 +1815,7 @@ object PipelineCatalog {
     "dedup_exact_groups" -> dedupExactGroupsSql,
     "dedup_exact" -> dedupExactSql,
     "dedup_jaccard" -> dedupJaccardSql,
+    "fuzzy_pairs" -> fuzzyPairsSql,
     "dedup_minhash_md5" -> dedupMinhashMd5Sql,
     "dedup_simhash_md5" -> dedupSimhashMd5Sql,
     "dedup_clusters" -> dedupClustersSql,

@@ -193,6 +193,25 @@ class DedupSpec extends SparkSuite {
     assert(pairs === Set((2L, 3L))) // only the same-block near pair
   }
 
+  test("editDistancePairs finds typo pairs within a block, pre-filtered by length") {
+    val rows = Seq(
+      (1L, "alpha", "b1"), (2L, "alphb", "b1"),   // dist 1, same block
+      (3L, "alpha", "b2"),                        // exact twin of 1 but other block
+      (4L, "alphax", "b1"),                       // dist 1 from "alpha" (insertion)
+      (5L, "omega", "b1"),                        // far from everything
+      (6L, "alphaxyz", "b1")                      // length band excludes vs "alpha"
+    ).toDF("id", "name", "blk")
+    val pairs = Dedup.editDistancePairs(rows, "id", "name", "blk", maxDist = 1)
+      .select("id_a", "id_b", "dist").as[(Long, Long, Long)].collect().toSet
+    // (2,4) "alphb"/"alphax" is dist 2 — inside the length band but cut by the
+    // distance filter; (6) is cut by the band alone.
+    assert(pairs === Set((1L, 2L, 1L), (1L, 4L, 1L)))
+    // maxDist = 0 degenerates to exact match within the block
+    val exact = Dedup.editDistancePairs(rows, "id", "name", "blk", maxDist = 0)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(exact === Set.empty)
+  }
+
   test("duplicatedSpans flags shared and self-repeated n-token spans") {
     val span = (1 to 4).map(i => s"w$i").mkString(" ") // 4-token span
     val docs = Seq(
