@@ -30,7 +30,24 @@ object Tables {
   def part(spark: SparkSession, dir: String): DataFrame       = load(spark, dir, "part")
   def orders(spark: SparkSession, dir: String): DataFrame     = load(spark, dir, "orders")
   def lineitem(spark: SparkSession, dir: String): DataFrame   = load(spark, dir, "lineitem")
-  def events(spark: SparkSession, dir: String): DataFrame     = load(spark, dir, "events")
+  /** `events.ts` normalized to INT64 epoch-nanos regardless of the
+    * parquet physical type. The generator has shipped it both as INT64
+    * TIMESTAMP(NANOS) (read as BIGINT under
+    * `spark.sql.legacy.parquet.nanosAsLong`) and as TIMESTAMP(MICROS)
+    * (read as TIMESTAMP_NTZ); downstream event-time arithmetic
+    * (`Catalog.events`' integer usec/sec derivation and its DuckDB twin,
+    * which uses `epoch_ns(ts)` — valid for both TIMESTAMP and
+    * TIMESTAMP_NS) is written against the nanos contract, so the
+    * coercion happens once here at the source boundary. The NTZ→instant
+    * cast is identity under the session's pinned UTC timezone. */
+  def events(spark: SparkSession, dir: String): DataFrame = {
+    val raw = load(spark, dir, "events")
+    raw.schema("ts").dataType match {
+      case LongType => raw
+      case _ => raw.withColumn("ts",
+        unix_micros(col("ts").cast(TimestampType)) * lit(1000L))
+    }
+  }
   def documents(spark: SparkSession, dir: String): DataFrame  = load(spark, dir, "documents")
   def embeddings(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "embeddings")
 
