@@ -29,7 +29,7 @@ object SoakAudit {
     // AQE hides the final plan inside AdaptiveSparkPlanExec; walk the
     // EXECUTED plan so runtime-demoted broadcasts are counted as built
     def walk(p: SparkPlan): Seq[SparkPlan] = p match {
-      case a: AdaptiveSparkPlanExec => a.executedPlan +: walk(a.executedPlan)
+      case a: AdaptiveSparkPlanExec => walk(a.executedPlan)
       case other => other +: other.children.flatMap(walk)
     }
     val nodes = walk(plan)
@@ -64,7 +64,33 @@ object SoakAudit {
     // the per-cluster pair scan ~linear in corpus size)
     "soak_semdedup" -> ((s, dir) =>
       Similarity.semanticDedup(Tables.embeddings(s, dir), "vec_id",
-        "embedding", tau = 0.3, nCentroids = -1)))
+        "embedding", tau = 0.3, nCentroids = -1)),
+    // Production-vocabulary BPE learning (r8): k=1024 merges over the
+    // corpus word table via the driver-local indexed learner — the soak
+    // evidence that learning escaped the one-Spark-job-per-merge regime.
+    "soak_bpe_learn1024" -> ((s, dir) => {
+      val words = graft.operators.Tokenize.wordCounts(
+        graft.sources.Tables.documents(s, dir), "doc_id", "text")
+      graft.operators.Tokenize.mergesDf(
+        graft.operators.Tokenize.learnBpe(words, k = 1024))
+    }),
+    // Same, over a production-SHAPED vocabulary: 200k distinct seeded
+    // random words with Zipfian counts (the r7 "realistic vocabulary
+    // scale" fixture, now reproducible). Ignores the data dir.
+    "soak_bpe_zipf200k" -> ((s, _) => {
+      val rnd = new scala.util.Random(7)
+      val n = 200000
+      val rows = Array.tabulate(n) { i =>
+        val len = 3 + rnd.nextInt(10)
+        val w = Array.fill(len)(('a' + rnd.nextInt(26)).toChar).mkString
+        (w + i, 1L + (1e7 / (i + 10)).toLong) // suffix forces distinctness
+      }
+      import s.implicits._
+      val words = s.sparkContext.parallelize(rows.toIndexedSeq, 32)
+        .toDF("word", "cnt")
+      graft.operators.Tokenize.mergesDf(
+        graft.operators.Tokenize.learnBpe(words, k = 1024))
+    }))
 
   def main(args: Array[String]): Unit = {
     val Array(dir, namesCsv) = args.take(2)

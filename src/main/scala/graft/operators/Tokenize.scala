@@ -90,24 +90,193 @@ object Tokenize {
   def chars(word: Column): Column =
     filter(split(word, ""), c => c =!= "")
 
+  /** Spark's string ordering is UTF8 binary (unsigned byte order of the
+    * UTF-8 encoding); the driver-local learner must tie-break merges the
+    * same way or the two paths diverge on non-ASCII vocabularies. */
+  private def utf8Compare(a: String, b: String): Int =
+    java.util.Arrays.compareUnsigned(
+      a.getBytes(java.nio.charset.StandardCharsets.UTF_8),
+      b.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+
+  /** Argmax order over (l, r, cnt) candidates: count desc, then left asc,
+    * then right asc in UTF-8 binary order — the ONE tie-break both the
+    * distributed and the driver-local learner use. Returns true when `a`
+    * outranks `b`. */
+  private def pairOutranks(a: (String, String, Long),
+                           b: (String, String, Long)): Boolean = {
+    if (a._3 != b._3) return a._3 > b._3
+    val cl = utf8Compare(a._1, b._1)
+    if (cl != 0) return cl < 0
+    utf8Compare(a._2, b._2) < 0
+  }
+
   /**
-   * Learn `k` BPE merges over a (word, cnt) table. Each round counts
-   * adjacent-pair frequencies weighted by word count, collects the
-   * single argmax row, and rewrites the vocab's segmentations with that
-   * rule. Stops early when no pair remains (fully merged vocab).
+   * Learn `k` BPE merges over a (word, cnt) table. Merge semantics are
+   * the textbook sequential algorithm: each round the single argmax
+   * adjacent pair (weighted by word count, tie-break count desc / left
+   * asc / right asc) becomes the next rule and rewrites every
+   * segmentation. Stops early when no pair remains (fully merged vocab).
+   *
+   * Two execution paths, both producing the IDENTICAL merge sequence
+   * (pinned by `TokenizeSpec`/`TokenizeScaleSpec`):
+   *
+   *  - **Driver-local** (vocab rows ≤ `localVocabThreshold`, the default
+   *    regime): the (word, cnt) table is vocabulary-bounded — Heaps' law
+   *    puts it orders of magnitude below corpus size — so it collects
+   *    like any other bounded model parameter (IVF centroids, DSIR
+   *    histograms). Learning then runs in-process with an inverted
+   *    pair→words index, touching only the words that contain each
+   *    merged pair: a production 32k-merge vocabulary learns in seconds
+   *    instead of 32k sequential Spark jobs. The corpus itself is never
+   *    collected — only its word histogram.
+   *  - **Distributed batched** (giant vocabs): per corpus-table pass,
+   *    collect the top-`batchLimit` ranked pairs and apply the longest
+   *    provably-safe prefix in ONE rewrite: pairs must be mutually
+   *    symbol-disjoint (left/right/merged of one never a symbol of
+   *    another — disjoint merges neither create nor destroy each
+   *    other's occurrences) and every member after the first must have
+   *    count strictly above the first excluded pair (any pair a merge
+   *    can create or boost shares a symbol with some batch member, so
+   *    its count is bounded by an excluded pair's count — the strict gap
+   *    means no new pair can overtake a later batch member). Under
+   *    Zipfian pair counts the top of the ranking is mostly
+   *    distinct-count and symbol-diverse, so each pass lands tens of
+   *    merges for one job's round-trip latency.
    *
    * Returns the merge table and the final segmented vocab
    * (word, cnt, toks) — the reusable tokenizer model.
    */
-  def learnBpe(words: DataFrame, k: Int): BpeModel = {
-    var cur = words.select(col("word"), col("cnt"),
-        chars(col("word")).as("toks"))
-      .localCheckpoint()
+  def learnBpe(words: DataFrame, k: Int,
+               localVocabThreshold: Long = 4000000L,
+               batchLimit: Int = 64): BpeModel = {
+    val seeded = words.select(col("word"), col("cnt"),
+      chars(col("word")).as("toks"))
+    if (words.limit((localVocabThreshold + 1).toInt).count() <= localVocabThreshold)
+      learnBpeLocal(seeded, k)
+    else learnBpeDistributed(seeded, k, batchLimit)
+  }
+
+  /** Driver-local exact learner over a collected, vocabulary-bounded
+    * (word, cnt, toks) table. Maintains weighted adjacent-pair counts and
+    * an inverted pair→word-indices index; each merge rescans only the
+    * words that actually contain the argmax pair. */
+  private def learnBpeLocal(seeded: DataFrame, k: Int): BpeModel = {
+    val spark = seeded.sparkSession
+    val collected = seeded.collect()
+    val cnts = new Array[Long](collected.length)
+    val toks = new Array[mutable.ArrayBuffer[String]](collected.length)
+    var i = 0
+    while (i < collected.length) {
+      cnts(i) = collected(i).getLong(1)
+      toks(i) = mutable.ArrayBuffer.from(collected(i).getSeq[String](2))
+      i += 1
+    }
+    val pairCnt = mutable.HashMap.empty[(String, String), Long]
+    val pairWords = mutable.HashMap.empty[(String, String), mutable.Set[Int]]
+    def indexWord(w: Int): Unit = {
+      val t = toks(w)
+      var j = 0
+      while (j < t.length - 1) {
+        val p = (t(j), t(j + 1))
+        pairCnt.update(p, pairCnt.getOrElse(p, 0L) + cnts(w))
+        pairWords.getOrElseUpdate(p, mutable.Set.empty) += w
+        j += 1
+      }
+    }
+    def unindexWord(w: Int): Unit = {
+      val t = toks(w)
+      var j = 0
+      while (j < t.length - 1) {
+        val p = (t(j), t(j + 1))
+        pairCnt.get(p).foreach { old =>
+          val c = old - cnts(w)
+          if (c <= 0L) { pairCnt.remove(p); pairWords.remove(p) }
+          // Surviving index entries may go stale for this word; merges
+          // re-check by actually applying the rule, so stale is safe.
+          else pairCnt.update(p, c)
+        }
+        j += 1
+      }
+    }
+    i = 0
+    while (i < collected.length) { indexWord(i); i += 1 }
+
+    /** Greedy leftmost-non-overlapping scan — the in-memory twin of
+      * [[mergeOne]]. Returns null when the rule does not fire. */
+    def applyMerge(t: mutable.ArrayBuffer[String], l: String, r: String,
+                   merged: String): mutable.ArrayBuffer[String] = {
+      var fired = false
+      val out = new mutable.ArrayBuffer[String](t.length)
+      var j = 0
+      while (j < t.length) {
+        if (out.nonEmpty && out.last == l && t(j) == r) {
+          out(out.length - 1) = merged
+          fired = true
+        } else out += t(j)
+        j += 1
+      }
+      if (fired) out else null
+    }
+
     val merges = Seq.newBuilder[Merge]
     var rank = 1
     var exhausted = false
     while (rank <= k && !exhausted) {
-      val pairTop = cur
+      var best: ((String, String), Long) = null
+      for ((p, c) <- pairCnt)
+        if (best == null || pairOutranks((p._1, p._2, c), (best._1._1, best._1._2, best._2)))
+          best = (p, c)
+      if (best == null) exhausted = true
+      else {
+        val ((l, r), c) = best
+        val merged = l + r
+        merges += Merge(rank, l, r, merged, c)
+        for (w <- pairWords.getOrElse((l, r), mutable.Set.empty).toArray) {
+          val rewritten = applyMerge(toks(w), l, r, merged)
+          if (rewritten != null) {
+            unindexWord(w)
+            toks(w) = rewritten
+            indexWord(w)
+          }
+        }
+        pairCnt.remove((l, r))
+        pairWords.remove((l, r))
+        rank += 1
+      }
+    }
+
+    val schema = StructType(Seq(
+      StructField("word", StringType), StructField("cnt", LongType),
+      StructField("toks", ArrayType(StringType))))
+    val rows = new Array[Row](collected.length)
+    i = 0
+    while (i < collected.length) {
+      rows(i) = Row(collected(i).getString(0), cnts(i), toks(i).toSeq)
+      i += 1
+    }
+    val vocab = spark.createDataFrame(
+      spark.sparkContext.parallelize(rows.toIndexedSeq,
+        math.max(1, math.min(32, rows.length / 8192 + 1))), schema)
+    // RDD-backed frames carry no size statistics, so the planner would
+    // default this side to SMJ — shuffling the CORPUS in applyBpe. The
+    // local path just collected the vocab, so it is broadcast-bounded by
+    // construction; pin the hint here.
+    BpeModel(merges.result(), broadcast(vocab))
+  }
+
+  /** Distributed learner for vocabularies too large to collect: one pass
+    * per BATCH of provably-independent merges (see [[learnBpe]]), each
+    * pass = one pair-count aggregation + a `batchLimit`-row TakeOrdered
+    * collect + one composed rewrite, `localCheckpoint`ed so the next
+    * pass re-reads materialized partitions. */
+  private def learnBpeDistributed(seeded: DataFrame, k: Int,
+                                  batchLimit: Int): BpeModel = {
+    var cur = seeded.localCheckpoint()
+    val merges = Seq.newBuilder[Merge]
+    var rank = 1
+    var exhausted = false
+    while (rank <= k && !exhausted) {
+      val top = cur
         .filter(size(col("toks")) >= 2)
         .select(col("cnt"),
           explode(zip_with(
@@ -117,19 +286,56 @@ object Tokenize {
         .groupBy(col("p.l").as("l"), col("p.r").as("r"))
         .agg(sum(col("cnt")).as("c"))
         .orderBy(col("c").desc, col("l").asc, col("r").asc)
-        .limit(1)
+        .limit(batchLimit)
         .collect()
-      if (pairTop.isEmpty) exhausted = true
+        .map(row => (row.getString(0), row.getString(1), row.getLong(2)))
+      if (top.isEmpty) exhausted = true
       else {
-        val row = pairTop.head
-        val (l, r, c) = (row.getString(0), row.getString(1), row.getLong(2))
-        merges += Merge(rank, l, r, l + r, c)
-        cur = cur.withColumn("toks", mergeOne(col("toks"), lit(l), lit(r)))
-          .localCheckpoint()
-        rank += 1
+        val batch = safeBatch(top, batchLimit, k - rank + 1)
+        var folded = col("toks")
+        for ((l, r, c) <- batch) {
+          merges += Merge(rank, l, r, l + r, c)
+          folded = mergeOne(folded, lit(l), lit(r))
+          rank += 1
+        }
+        cur = cur.withColumn("toks", folded).localCheckpoint()
       }
     }
     BpeModel(merges.result(), cur)
+  }
+
+  /** Longest prefix of the ranked pair list that one rewrite pass can
+    * apply while staying byte-identical to sequential merging: mutually
+    * symbol-disjoint (including merged symbols), truncated so every
+    * member after the first has count strictly above the best excluded
+    * pair (whose count bounds anything the batch's merges can create).
+    * `remaining` caps the batch at the merges still wanted. */
+  private def safeBatch(top: Array[(String, String, Long)], batchLimit: Int,
+                        remaining: Int): Seq[(String, String, Long)] = {
+    val used = mutable.Set.empty[String]
+    val batch = mutable.ArrayBuffer.empty[(String, String, Long)]
+    var idx = 0
+    var stop = false
+    while (idx < top.length && !stop && batch.length < remaining) {
+      val (l, r, _) = top(idx)
+      val merged = l + r
+      if (batch.nonEmpty &&
+          (used(l) || used(r) || used(merged) ||
+           batch.exists { case (bl, br, _) => bl == merged || br == merged }))
+        stop = true
+      else {
+        batch += top(idx)
+        used += l; used += r; used += merged
+        idx += 1
+      }
+    }
+    val excludedBound: Long =
+      if (idx < top.length) top(idx)._3       // stopped on conflict/cap: next pair known
+      else if (top.length == batchLimit) top.last._3 // list cut by limit: conservative
+      else 0L                                 // complete pair list consumed
+    while (batch.length > 1 && batch.last._3 <= excludedBound)
+      batch.remove(batch.length - 1)
+    batch.toSeq
   }
 
   /** The learned merge table as a DataFrame — the gate/export surface of
