@@ -369,20 +369,48 @@ object Tokenize {
    */
   def applyBpe(docs: DataFrame, model: BpeModel,
                idCol: String, textCol: String): DataFrame = {
+    // posexplode_outer keeps a (null, null) row for documents whose text
+    // has no words, so they survive to the output as (0, 0, "") — the
+    // same surface the streaming twin `bpeSegmentStream` emits (parity
+    // pinned in StreamPipelineSpec) — without a doc-spine re-join: the
+    // reassembly aggregation below stays the ONE corpus exchange.
     val words = docs.select(col(idCol).as("doc_id"),
-        posexplode(TextAnalysis.tokens(col(textCol))).as(Seq("pos", "word")))
-      .filter(col("word") =!= "")
+        posexplode_outer(filter(TextAnalysis.tokens(col(textCol)),
+          w => w =!= "")).as(Seq("pos", "word")))
     val seg = model.vocab.select(col("word"), col("toks"))
     words.join(seg, Seq("word"), "left")
-      .withColumn("toks",
-        coalesce(col("toks"), segmentExpr(model, col("word"))))
+      .withColumn("toks", when(col("word").isNotNull,
+        coalesce(col("toks"), segmentExpr(model, col("word")))))
       .groupBy("doc_id")
       .agg(
-        count(lit(1)).as("n_words"),
-        sum(size(col("toks"))).as("n_subwords"),
+        count(col("word")).as("n_words"),
+        coalesce(sum(size(col("toks"))), lit(0L)).as("n_subwords"),
         array_join(flatten(transform(
-          array_sort(collect_list(struct(col("pos"), col("toks")))),
+          array_sort(collect_list(when(col("word").isNotNull,
+            struct(col("pos"), col("toks"))))),
           e => e.getField("toks"))), " ").as("subword_text"))
+  }
+
+  /** Driver/executor-side exact twin of [[segmentExpr]]: seed the word
+    * into characters, then one greedy leftmost-non-overlapping pass per
+    * merge rule in rank order. Used by the streaming segmenter's
+    * broadcast fallback for vocabularies too large to inline as plan
+    * literals; equivalence with the Catalyst fold is pinned in
+    * `StreamPipelineSpec` (the OOV words exercise exactly this). */
+  def segmentWordLocal(word: String, merges: Seq[Merge]): Seq[String] = {
+    var t = mutable.ArrayBuffer.from(word.split("").filter(_.nonEmpty))
+    for (m <- merges if t.length >= 2) {
+      val out = new mutable.ArrayBuffer[String](t.length)
+      var j = 0
+      while (j < t.length) {
+        if (out.nonEmpty && out.last == m.left && t(j) == m.right)
+          out(out.length - 1) = m.merged
+        else out += t(j)
+        j += 1
+      }
+      t = out
+    }
+    t.toSeq
   }
 
   /** Persist a learned model as two plain parquet tables — the merges

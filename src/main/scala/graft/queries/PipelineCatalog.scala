@@ -1056,12 +1056,18 @@ object PipelineCatalog {
         |), seg AS (
         |  SELECT d.doc_id, d.pos, wk.toks
         |  FROM dtoks d JOIN w$bpeMergeRounds wk USING (word)
+        |), agg AS (
+        |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_words,
+        |         CAST(sum(len(toks)) AS BIGINT) AS n_subwords,
+        |         string_agg(array_to_string(toks, ' '), ' ' ORDER BY pos)
+        |           AS subword_text
+        |  FROM seg GROUP BY doc_id
         |)
-        |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_words,
-        |       CAST(sum(len(toks)) AS BIGINT) AS n_subwords,
-        |       string_agg(array_to_string(toks, ' '), ' ' ORDER BY pos)
-        |         AS subword_text
-        |FROM seg GROUP BY doc_id""".stripMargin
+        |SELECT doc_id, coalesce(a.n_words, 0) AS n_words,
+        |       coalesce(a.n_subwords, 0) AS n_subwords,
+        |       coalesce(a.subword_text, '') AS subword_text
+        |FROM (SELECT DISTINCT doc_id FROM documents) s LEFT JOIN agg a
+        |USING (doc_id)""".stripMargin
 
   val bpeVocabSql: String =
     bpeRoundsSql(bpeMergeRounds) +

@@ -216,24 +216,49 @@ object StreamPipeline {
    * a posexplode + vocab join), the literal form transforms the word
    * array in place, so even the reassembly exchange disappears.
    *
-   * The literal-map trade-off: the inlined vocab must fit in the plan
-   * (fine for the tens-of-thousands-of-words vocabularies subword models
-   * target); a corpus-sized vocab would instead take the batch form's
-   * broadcast join per micro-batch.
+   * The literal-map trade-off: the inlined vocab lives in the PLAN, which
+   * is re-serialized every micro-batch — fine for the
+   * few-thousand-word vocabularies of the gate fixtures, a measured
+   * superlinear per-batch tax beyond that (local[8], 200-doc batches:
+   * 0.47 s/batch at 10k entries, 1.4 s at 50k, 5.1 s at 100k — vs a
+   * flat ~0.2 s for the broadcast form; PLANS.md r8). Vocabularies
+   * larger than `inlineVocabLimit` therefore switch to a TorrentBroadcast of the
+   * same (vocab map, merge rules) model: shipped to each executor ONCE
+   * for the query's lifetime instead of riding in every batch's plan,
+   * looked up by a segmentation function whose merge-fold fallback
+   * (`Tokenize.segmentWordLocal`) is the exact twin of the Catalyst
+   * fold. Still stateless, still append-mode-safe — the stream-static
+   * JOIN form of the batch segmenter is NOT available here because its
+   * per-doc reassembly aggregation would demand watermark state; the
+   * broadcast lookup keeps the pure-projection contract at any vocab
+   * size. Both forms are equivalence-pinned in `StreamPipelineSpec`.
    *
    * Emits every input column plus (n_words, n_subwords, subword_text) —
    * the same per-doc surface as `applyBpe` (equivalence pinned in
    * `StreamPipelineSpec`).
    */
   def bpeSegmentStream(docs: DataFrame, textCol: String,
-                       model: graft.operators.Tokenize.BpeModel): DataFrame = {
+                       model: graft.operators.Tokenize.BpeModel,
+                       inlineVocabLimit: Int = 10000): DataFrame = {
     val vocab: Map[String, Seq[String]] = model.vocab
       .select(col("word"), col("toks")).collect()
       .map(r => r.getString(0) -> r.getSeq[String](1)).toMap
     val words = filter(split(col(textCol), " "), w => w =!= "")
-    val segmented = transform(words, w =>
-      coalesce(element_at(typedLit(vocab), w),
-        graft.operators.Tokenize.segmentExpr(model, w)))
+    val segmented =
+      if (vocab.size <= inlineVocabLimit)
+        transform(words, w =>
+          coalesce(element_at(typedLit(vocab), w),
+            graft.operators.Tokenize.segmentExpr(model, w)))
+      else {
+        val sc = docs.sparkSession.sparkContext
+        val vocabBc = sc.broadcast(vocab)
+        val mergesBc = sc.broadcast(model.merges.toIndexedSeq)
+        val seg = udf { (ws: Seq[String]) =>
+          ws.map(w => vocabBc.value.getOrElse(w,
+            graft.operators.Tokenize.segmentWordLocal(w, mergesBc.value)))
+        }
+        seg(words)
+      }
     docs
       .withColumn("_segs", segmented)
       .withColumn("n_words", size(words).cast("long"))

@@ -262,28 +262,42 @@ class StreamPipelineSpec extends SparkSuite {
     val model = Tokenize.learnBpe(
       Tokenize.wordCounts(corpus, "doc_id", "text"), k = 8)
     // stream docs include words absent from the training vocab ("zzqx"),
-    // so the literal merge-fold fallback executes, not just the map lookup
-    val streamDocs = corpusDocs :+ (9L, "zzqx alpha unseen beta")
+    // so the literal merge-fold fallback executes, not just the map
+    // lookup — plus an empty and a whitespace-only doc, which BOTH forms
+    // must keep as (0, 0, "") rows (ADVICE r7: batch dropped them)
+    val streamDocs = corpusDocs ++ Seq(
+      (9L, "zzqx alpha unseen beta"), (10L, ""), (11L, "   "))
     val batch = Tokenize.applyBpe(
       streamDocs.toDF("doc_id", "text"), model, "doc_id", "text")
       .select("doc_id", "n_words", "n_subwords", "subword_text")
       .as[(Long, Long, Long, String)].collect().toSet
 
-    implicit val sqlCtx = spark.sqlContext
-    val in = MemoryStream[(Long, String)]
-    val out = StreamPipeline.bpeSegmentStream(
-      in.toDF().toDF("doc_id", "text"), "text", model)
-    val q = out.writeStream.format("memory").queryName("bpeseg")
-      .outputMode("append").start()
-    try {
-      in.addData(streamDocs)
-      q.processAllAvailable()
-    } finally q.stop()
-    val streamed = spark.table("bpeseg")
-      .select("doc_id", "n_words", "n_subwords", "subword_text")
-      .as[(Long, Long, Long, String)].collect().toSet
+    def streamWith(inlineLimit: Int, name: String): Set[(Long, Long, Long, String)] = {
+      implicit val sqlCtx = spark.sqlContext
+      val in = MemoryStream[(Long, String)]
+      val out = StreamPipeline.bpeSegmentStream(
+        in.toDF().toDF("doc_id", "text"), "text", model, inlineLimit)
+      val q = out.writeStream.format("memory").queryName(name)
+        .outputMode("append").start()
+      try {
+        in.addData(streamDocs)
+        q.processAllAvailable()
+      } finally q.stop()
+      spark.table(name)
+        .select("doc_id", "n_words", "n_subwords", "subword_text")
+        .as[(Long, Long, Long, String)].collect().toSet
+    }
+
+    val streamed = streamWith(50000, "bpeseg")
     assert(streamed === batch)
     assert(streamed.exists(_._4.contains("z z q x")),
       "the OOV word must fall back to (here unmerged) character subwords")
+    assert(streamed.filter(t => t._1 == 10L || t._1 == 11L) ===
+      Set((10L, 0L, 0L, ""), (11L, 0L, 0L, "")),
+      "wordless docs must survive as (0, 0, \"\") in both forms")
+
+    // vocab > inlineVocabLimit=0 forces the broadcast-lookup fallback —
+    // byte-identical output including the OOV merge-fold twin
+    assert(streamWith(0, "bpeseg_bc") === batch)
   }
 }
