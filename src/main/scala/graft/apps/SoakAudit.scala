@@ -65,6 +65,22 @@ object SoakAudit {
     "soak_semdedup" -> ((s, dir) =>
       Similarity.semanticDedup(Tables.embeddings(s, dir), "vec_id",
         "embedding", tau = 0.3, nCentroids = -1)),
+    // Cluster-resolution tier soaks (r8): same verified-jaccard pair
+    // frame as the dedup_clusters gate, with the tier knobs pinned so a
+    // CHOSEN tier executes regardless of data volume. _smj forces the
+    // fully general sort-merge rounds (the >8M-node top tier, otherwise
+    // unreachable below millions of docs); _bcast pins the broadcast
+    // tier for a same-data comparison. Labels are tier-invariant (the
+    // round logic is shared; only the join strategy hint differs —
+    // pinned in DedupSpec).
+    "soak_clusters_smj" -> ((s, dir) =>
+      graft.operators.Dedup.resolveClusters(
+        SparkEntry.queries("dedup_jaccard")(s, dir),
+        localEdgeThreshold = 0L, broadcastNodeLimit = 0L)),
+    "soak_clusters_bcast" -> ((s, dir) =>
+      graft.operators.Dedup.resolveClusters(
+        SparkEntry.queries("dedup_jaccard")(s, dir),
+        localEdgeThreshold = 0L)),
     // Production-vocabulary BPE learning (r8): k=1024 merges over the
     // corpus word table via the driver-local indexed learner — the soak
     // evidence that learning escaped the one-Spark-job-per-merge regime.
