@@ -148,7 +148,19 @@ object VersionedTable {
       s"upsert batch repeats a key: ${nUpd - nNullKey} non-null-key rows, " +
         s"$nKeys distinct keys — pre-dedupe the batch (MERGE is undefined " +
         "for a batch carrying two rows of one key)")
-    val next = versions(spark, path).lastOption.getOrElse(0L) + 1
+    upsertAt(spark, path, updates, keys,
+      versions(spark, path).lastOption.getOrElse(0L) + 1)
+  }
+
+  /** [[upsert]] with the version number precomputed — the seam between
+    * "compute `next` from a listing" and "CAS the lock + write", kept
+    * package-private so the stale-writer race (compute, stall while
+    * others commit and vacuum, then acquire) is testable without a
+    * timing-dependent two-thread interleave. */
+  private[sources] def upsertAt(spark: SparkSession, path: String,
+                                updates: DataFrame, keys: Seq[String],
+                                next: Long): Long = {
+    val keyCols = keys.map(col)
     val f = fs(spark, path)
     f.mkdirs(new Path(path))
     val lock = new Path(path, s"_lock_v$next")

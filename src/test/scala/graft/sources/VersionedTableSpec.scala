@@ -147,6 +147,55 @@ class VersionedTableSpec extends SparkSuite {
     assert(VersionedTable.read(spark, path).get.count() === 3L)
   }
 
+  test("stale writer whose version was committed and vacuumed away fails loudly") {
+    val path = Files.createTempDirectory("vt_stale").toString
+    // history: v1..v5 committed by other writers, vacuum kept v4, v5
+    (1 to 5).foreach { i =>
+      VersionedTable.upsert(spark, path,
+        Seq((i.toLong, s"x$i")).toDF("id", "x"), Seq("id"))
+    }
+    VersionedTable.vacuum(spark, path, keep = 2)
+    assert(VersionedTable.versions(spark, path) === Seq(4L, 5L))
+    // a writer that computed next=3 before stalling: the v3 directory is
+    // gone, so its lock CAS SUCCEEDS — only the post-lock re-list stands
+    // between it and writing v3 below the readers' max (a lost write)
+    val e = intercept[VersionedTable.ConcurrentWriteException] {
+      VersionedTable.upsertAt(spark, path,
+        Seq((9L, "stale")).toDF("id", "x"), Seq("id"), next = 3L)
+    }
+    assert(e.getMessage.contains("stale"))
+    assert(!new java.io.File(s"$path/_lock_v3").exists(),
+      "the refused writer must release its lock")
+    assert(!new java.io.File(s"$path/v3").exists(),
+      "the refused writer must not have written anything")
+    assert(VersionedTable.versions(spark, path) === Seq(4L, 5L),
+      "committed history must be untouched")
+    assert(!VersionedTable.read(spark, path).get
+      .as[(Long, String)].collect().map(_._1).contains(9L))
+    // the standard retry path: recompute next from the live listing
+    assert(VersionedTable.upsert(spark, path,
+      Seq((9L, "rebased")).toDF("id", "x"), Seq("id")) === 6L)
+  }
+
+  test("readVersion and diff refuse a vacuumed version with a clear error") {
+    val path = Files.createTempDirectory("vt_vacread").toString
+    (1 to 4).foreach { i =>
+      VersionedTable.upsert(spark, path,
+        Seq((i.toLong, s"x$i")).toDF("id", "x"), Seq("id"))
+    }
+    VersionedTable.vacuum(spark, path, keep = 2)
+    val e = intercept[NoSuchElementException] {
+      VersionedTable.readVersion(spark, path, 1L)
+    }
+    assert(e.getMessage.contains("vacuumed") && e.getMessage.contains("3, 4"),
+      "the error must say the version is gone and list what IS available")
+    intercept[NoSuchElementException] {
+      VersionedTable.diff(spark, path, 1L, 4L, Seq("id"))
+    }
+    // surviving pair still diffs fine
+    assert(VersionedTable.diff(spark, path, 3L, 4L, Seq("id")).count() === 1L)
+  }
+
   test("vacuum keeps the newest versions only") {
     val path = Files.createTempDirectory("vt_vac").toString
     (1 to 4).foreach { i =>
