@@ -42,7 +42,8 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
  *    (f1,f2,f3 → (f1,f2),(f2,f3)).
  *
  * Scale: state per key is the open-run list — bounded by `maxPartials`
- * (oldest evicted, same backstop as FlinkCEP's state TTL advice), each
+ * (oldest evicted as an observable `status = "dropped"` row, same
+ * backstop as FlinkCEP's state TTL advice), each
  * run holding only (stage, per-event ts/names), never event payloads.
  * With `within` set, runs are GC'd by event-time timers driven by the
  * watermark, so keys that stop emitting cannot leak state; without
@@ -156,7 +157,11 @@ object Cep {
       new Pattern(stages, Some(sec), maxPartials, unmatchedPred)
     }
 
-    /** Open-run cap per key (oldest evicted silently). */
+    /** Open-run cap per key. Evicted (oldest-first) runs are emitted as
+      * `status = "dropped"` rows carrying the trail they had consumed —
+      * an event storm that sheds runs is visible in the output stream,
+      * never a silent match loss. Filter `status = "dropped"` if
+      * unwanted; count it to alarm on cap pressure. */
     def withMaxPartials(n: Int): Pattern[E] = {
       require(n >= 1, "maxPartials must be >= 1")
       new Pattern(stages, withinSec, n, unmatchedPred)
@@ -190,8 +195,10 @@ object Cep {
 
   final case class NfaState(partials: Seq[Partial])
 
-  /** Match or timeout: per-consumed-event stage names/timestamps in
-    * match order. `status` is "matched" or "timeout". */
+  /** One detection outcome: per-consumed-event stage names/timestamps
+    * in match order. `status` ∈ "matched" / "timeout" / "dropped"
+    * (evicted by `maxPartials`) / "unmatched" (dead-letter, see
+    * [[Pattern.emitUnmatched]]). */
   final case class CepMatch[K](key: K, status: String,
                                stageNames: Seq[String], stageTs: Seq[Long],
                                firstTs: Long, lastTs: Long)
@@ -223,15 +230,18 @@ object Cep {
 
   /** One NFA step: feed event `e` at time `tsSec` to every open run and
     * maybe start a new one. Returns (open runs, completed matches,
-    * timed-out runs, touched) where `touched` records whether the event
-    * interacted with ANY run — advanced one, started one, disproved a
-    * negated stage, broke contiguity, or triggered an expiry (the
-    * `emitUnmatched` dead-letter predicate fires only on untouched
-    * events). Shared verbatim by the streaming and batch paths —
-    * stream ≡ batch holds by construction. */
+    * timed-out runs, capped-out runs, touched) where `touched` records
+    * whether the event interacted with ANY run — advanced one, started
+    * one, disproved a negated stage, broke contiguity, or triggered an
+    * expiry (the `emitUnmatched` dead-letter predicate fires only on
+    * untouched events). Capped-out runs are the OLDEST open runs evicted
+    * by `maxPartials`; callers surface them as `status = "dropped"`
+    * rows so an event storm that sheds runs is observable, never silent.
+    * Shared verbatim by the streaming and batch paths — stream ≡ batch
+    * holds by construction. */
   private[streaming] def step[E](pat: Pattern[E], partials: Seq[Partial],
                                  e: E, tsSec: Long)
-      : (Seq[Partial], Seq[Partial], Seq[Partial], Boolean) = {
+      : (Seq[Partial], Seq[Partial], Seq[Partial], Seq[Partial], Boolean) = {
     val (live, timedOut) = expire(pat, partials, tsSec)
     var touched = timedOut.nonEmpty
     val open = ArrayBuffer.empty[Partial]
@@ -268,10 +278,9 @@ object Cep {
         advance(Partial(a, 0, 0, Vector.empty, Vector.empty))
       }
     }
-    val capped =
-      if (open.length <= pat.maxPartials) open.toSeq
-      else open.drop(open.length - pat.maxPartials).toSeq
-    (capped, done.toSeq, timedOut, touched)
+    val overflow = math.max(0, open.length - pat.maxPartials)
+    (open.drop(overflow).toSeq, done.toSeq, timedOut,
+      open.take(overflow).toSeq, touched)
   }
 
   /** The `emitUnmatched` dead-letter row for an event no run touched. */
@@ -328,11 +337,12 @@ object Cep {
             var partials = pending
             val out = ArrayBuffer.empty[CepMatch[K]]
             sorted.foreach { e =>
-              val (open, done, timedOut, touched) =
+              val (open, done, timedOut, dropped, touched) =
                 step(pattern, partials, e, tsOf(e))
               partials = open
               done.foreach(out += result(key, "matched", _))
               timedOut.foreach(out += expiredResult(pattern, key, _))
+              dropped.foreach(out += result(key, "dropped", _))
               if (!touched && pattern.unmatchedPred.exists(_(e)))
                 out += unmatchedResult(key, tsOf(e))
             }
@@ -384,10 +394,12 @@ object Cep {
     var partials: Seq[Partial] = Nil
     val out = ArrayBuffer.empty[CepMatch[K]]
     events.foreach { e =>
-      val (open, done, timedOut, touched) = step(pattern, partials, e, tsOf(e))
+      val (open, done, timedOut, dropped, touched) =
+        step(pattern, partials, e, tsOf(e))
       partials = open
       done.foreach(out += result(key, "matched", _))
       timedOut.foreach(out += expiredResult(pattern, key, _))
+      dropped.foreach(out += result(key, "dropped", _))
       if (!touched && pattern.unmatchedPred.exists(_(e)))
         out += unmatchedResult(key, tsOf(e))
     }

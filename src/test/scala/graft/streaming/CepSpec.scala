@@ -266,6 +266,24 @@ class CepSpec extends SparkSuite {
       "retained runs must be the NEWEST starts")
   }
 
+  test("maxPartials evictions emit observable 'dropped' rows (never silent)") {
+    val capped = Pattern.begin[LoginEvent]("a")(_.eventType == "a")
+      .followedBy("b")(_.eventType == "b").within(1000L)
+      .withMaxPartials(4)
+    val flood = (1 to 10).map(i => LoginEvent(1L, "ip", "a", 100L + i)) :+
+      LoginEvent(1L, "ip", "b", 500L)
+    val out = Cep.detectOrdered[LoginEvent, Long](1L, flood, _.timestamp, capped)
+    val dropped = out.filter(_.status == "dropped")
+    val matched = out.filter(_.status == "matched")
+    // starts 5..10 each push the OLDEST open run over the cap
+    assert(dropped.length === 6, "every evicted run must surface")
+    assert(dropped.map(_.stageTs.head) === Seq(101L, 102L, 103L, 104L, 105L, 106L),
+      "evictions are oldest-first and carry the run's consumed trail")
+    assert(matched.map(_.stageTs.head).toSet === Set(107L, 108L, 109L, 110L))
+    assert(dropped.length + matched.length === 10,
+      "dropped + matched must account for every started run")
+  }
+
   test("streaming times(2,4)+notFollowedBy with out-of-order arrivals ≡ detectBatch") {
     // 2-4 consecutive fails never followed by a success inside the window.
     // Delivery is scrambled WITHIN each batch and later batches carry

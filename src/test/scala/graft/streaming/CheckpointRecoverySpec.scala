@@ -92,6 +92,59 @@ class CheckpointRecoverySpec extends SparkSuite {
     assert(matched.map(m => (m.key, m.stageTs)) === List((7L, Seq(100L, 102L))))
   }
 
+  test("Cep.detect resumes AT the maxPartials cap: match set ≡ uninterrupted run") {
+    import graft.streaming.Cep.{CepMatch, Pattern}
+    val base = Files.createTempDirectory("graft_cep_cap_ckpt")
+    val inDir = Files.createDirectory(base.resolve("in")).toString
+    val ckpt = base.resolve("ckpt").toString
+    val pattern = Pattern.begin[LoginEvent]("a")(_.eventType == "a")
+      .followedBy("b")(_.eventType == "b").within(1000L)
+      .withMaxPartials(3)
+
+    val results = ListBuffer.empty[CepMatch[Long]]
+    def startQuery() = {
+      val src = StreamSources.csvStream(spark, inDir, CsvSources.loginSchema)
+        .as[LoginEvent]
+      Cep.detect[LoginEvent, Long](src, _.userId, "timestamp", _.timestamp,
+          pattern, tieBreak = _.eventType)
+        .writeStream
+        .option("checkpointLocation", ckpt)
+        .foreachBatch { (batch: Dataset[CepMatch[Long]], _: Long) =>
+          results.synchronized { results ++= batch.collect() }
+          ()
+        }
+        .start()
+    }
+
+    // batch 1: four starts against a 3-run cap — one dropped row emits
+    // and the state store carries exactly maxPartials open runs
+    Files.writeString(Paths.get(inDir, "part1.csv"),
+      (1 to 4).map(i => s"7,ip,a,${100 + i}").mkString("", "\n", "\n"))
+    val q1 = startQuery()
+    q1.processAllAvailable(); q1.stop()
+    assert(results.synchronized(results.count(_.status == "dropped")) === 1,
+      "the eviction must emit before the restart")
+
+    // restart: the capped run list must round-trip through the state
+    // store — the closer completes all three retained runs
+    Files.writeString(Paths.get(inDir, "part2.csv"), "7,ip,b,150\n")
+    val q2 = startQuery()
+    q2.processAllAvailable(); q2.stop()
+
+    val all = Seq(
+      LoginEvent(7L, "ip", "a", 101L), LoginEvent(7L, "ip", "a", 102L),
+      LoginEvent(7L, "ip", "a", 103L), LoginEvent(7L, "ip", "a", 104L),
+      LoginEvent(7L, "ip", "b", 150L))
+    val oracle = Cep.detectOrdered[LoginEvent, Long](7L, all, _.timestamp, pattern)
+      .map(m => (m.status, m.stageTs)).toSet
+    val got = results.synchronized(
+      results.map(m => (m.status, m.stageTs)).toSet)
+    assert(got === oracle,
+      "interrupted-at-cap run must equal the uninterrupted fold")
+    assert(results.synchronized(results.count(_.status == "matched")) === 3,
+      "all three retained runs must complete after recovery")
+  }
+
   test("topNPerWindowStream state table survives a restart") {
     import org.apache.spark.sql.functions._
     val base = Files.createTempDirectory("graft_topn_ckpt")
