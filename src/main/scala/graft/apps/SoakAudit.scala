@@ -45,6 +45,15 @@ object SoakAudit {
     * copy 0 of any ScaleData output) so the measured growth is the
     * per-query search cost alone. */
   private val fixedProbe = col("id") < 2000L && col("id") % 100 === 0
+
+  /** Forces the decontamination screen to actually run under the
+    * harness's count() action: a GROUPED aggregate over the verdict
+    * columns. (A bare count() of the operator output is join-
+    * cardinality-preserving, and count() over an UNGROUPED aggregate
+    * constant-folds to 1 — both let Catalyst skip the whole screen.) */
+  private def decontamDrive(df: DataFrame): DataFrame =
+    df.groupBy(col("clean"))
+      .agg(org.apache.spark.sql.functions.sum(col("n_hits")).as("total_hits"))
   val soakQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "soak_ivf_fixedq" -> ((s, dir) =>
       Similarity.ivfTopK(Tables.embeddings(s, dir), "vec_id", "embedding",
@@ -65,6 +74,34 @@ object SoakAudit {
     "soak_semdedup" -> ((s, dir) =>
       Similarity.semanticDedup(Tables.embeddings(s, dir), "vec_id",
         "embedding", tau = 0.3, nCentroids = -1)),
+    // Semantic-decontamination regime soaks (r8): benchmark grows 10×
+    // (id%50 → id%5 slices of the embeddings table); _exact is the BNLJ
+    // cosine screen (cost ∝ corpus × |benchmark|), _cells the IVF-cell
+    // prefilter (each corpus row compares only against the probes in
+    // its own cell — cost ∝ corpus × |benchmark| × probes / nCells).
+    // Driven through a verdict aggregate: a bare count() of the output
+    // is join-cardinality-preserving and lets the optimizer skip the
+    // actual screen.
+    "soak_decontam_exact_b1" -> ((s, dir) =>
+      decontamDrive(Similarity.semanticDecontaminate(Tables.embeddings(s, dir),
+        Tables.embeddings(s, dir).filter(col("vec_id") % 50 === 0),
+        "vec_id", "embedding", tau = 0.9,
+        prefilterBenchRows = Long.MaxValue))),
+    "soak_decontam_exact_b10" -> ((s, dir) =>
+      decontamDrive(Similarity.semanticDecontaminate(Tables.embeddings(s, dir),
+        Tables.embeddings(s, dir).filter(col("vec_id") % 5 === 0),
+        "vec_id", "embedding", tau = 0.9,
+        prefilterBenchRows = Long.MaxValue))),
+    "soak_decontam_cells_b1" -> ((s, dir) =>
+      decontamDrive(Similarity.semanticDecontaminate(Tables.embeddings(s, dir),
+        Tables.embeddings(s, dir).filter(col("vec_id") % 50 === 0),
+        "vec_id", "embedding", tau = 0.9,
+        prefilterBenchRows = 0L, cellProbes = 4))),
+    "soak_decontam_cells_b10" -> ((s, dir) =>
+      decontamDrive(Similarity.semanticDecontaminate(Tables.embeddings(s, dir),
+        Tables.embeddings(s, dir).filter(col("vec_id") % 5 === 0),
+        "vec_id", "embedding", tau = 0.9,
+        prefilterBenchRows = 0L, cellProbes = 4))),
     // Cluster-resolution tier soaks (r8): same verified-jaccard pair
     // frame as the dedup_clusters gate, with the tier knobs pinned so a
     // CHOSEN tier executes regardless of data volume. _smj forces the

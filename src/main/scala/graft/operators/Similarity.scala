@@ -778,13 +778,20 @@ object Similarity {
    * Embedding-level decontamination — the semantic twin of
    * [[graft.operators.TextAnalysis.contaminationCheck]]: flag every
    * corpus row whose vector has a ≥ `tau`-cosine neighbor in the
-   * benchmark set. Unlike [[semanticDedup]] this screen is EXHAUSTIVE —
-   * no clustering, no recall loss: eval leakage is checked against
-   * every benchmark vector. Returns
+   * benchmark set. Up to `prefilterBenchRows` benchmark rows the screen
+   * is EXHAUSTIVE — no clustering, no recall loss: eval leakage is
+   * checked against every benchmark vector. Above it (a full benchmark
+   * SUITE, not an eval slice) the IVF-cell prefilter engages: corpus
+   * rows map-side-assign to a frozen √n quantizer's cells, each
+   * benchmark vector probes its `cellProbes` nearest cells, and the
+   * cosine screen runs per cell — the per-corpus-row compare set drops
+   * from |benchmark| to the probes in its own cell (the standard IVF
+   * recall trade; `cellProbes >= nCentroids` restores exactness).
+   * Returns
    * `(id, n_hits, max_cos, clean)` per corpus row (`max_cos` null when
    * clean); callers drop `clean = false` rows or audit them.
    *
-   * Scale shape: the benchmark set is small by nature → it broadcasts
+   * Scale shape (both regimes): the benchmark side broadcasts
    * whole, the pair screen is a map-side broadcast join over the
    * corpus, and the per-row verdict is one partial+final aggregate on
    * `id`. The corpus shuffles once, carrying (id, hit-cos) pairs — not
@@ -792,17 +799,53 @@ object Similarity {
    */
   def semanticDecontaminate(corpus: DataFrame, bench: DataFrame,
                             idCol: String, vecCol: String,
-                            tau: Double): DataFrame = {
+                            tau: Double,
+                            prefilterBenchRows: Long = 10000L,
+                            cellProbes: Int = 4): DataFrame = {
     graft.functions.GraftFunctions.register(corpus.sparkSession)
     val c = prepVecs(corpus, idCol, vecCol)
     val b = prepVecs(bench, idCol, vecCol)
-      .select(col("v").as("bv"), col("n").as("bn"))
-    val hits = c.join(broadcast(b),
-        round(dot(col("v"), col("bv")) / (col("n") * col("bn")), 6) >= tau)
-      .groupBy("id").agg(
-        count(lit(1)).as("n_hits"),
-        max(round(dot(col("v"), col("bv")) / (col("n") * col("bn")), 6))
-          .as("max_cos"))
+    val pairCos = round(dot(col("v"), col("bv")) / (col("n") * col("bn")), 6)
+    // Exact BNLJ cosine screen: right for eval-slice-sized benchmarks
+    // (the usual case, and the oracle-checked gate path). Its cost is
+    // corpus-linear × |benchmark| — at a BIG benchmark suite the
+    // quantizer-cell prefilter below caps the per-corpus-row compare
+    // set at its own cell's probes instead of the whole benchmark.
+    val nBench = b.limit(
+      math.min(prefilterBenchRows, Int.MaxValue - 1L).toInt + 1).count()
+    val pairs =
+      if (nBench <= prefilterBenchRows)
+        c.join(broadcast(b.select(col("v").as("bv"), col("n").as("bn"))),
+          pairCos >= tau)
+      else {
+        // IVF-cell prefilter: corpus rows map-side-assign to their argmax
+        // cell (√n auto-sized frozen quantizer, zero corpus shuffle);
+        // each benchmark vector probes its `cellProbes` nearest cells —
+        // the broadcast equi-join on cid then compares a corpus row
+        // against only the probes that landed in ITS cell. Approximate
+        // by construction (a τ-neighbor parked across an unprobed cell
+        // boundary is missed — the standard IVF recall trade);
+        // cellProbes >= nCentroids degenerates to the exact screen
+        // (every pair meets exactly once: one cid per corpus row).
+        // Recall vs the exact form is pinned in SimilarityDecontamSpec.
+        val cents = trainCentroids(c, resolveNCentroids(c, -1), 0)
+        if (cents.isEmpty)
+          c.filter(lit(false)).select(col("id"), col("v").as("bv"),
+            col("n").as("bn"), col("v"), col("n"))
+        else {
+          val assigned = assignTo(cents)(c)
+          val probes = b
+            .withColumn("c", explode(slice(
+              sort_array(centScoresFor(cents)(col("v"), col("n")),
+                asc = false), 1, math.min(cellProbes, cents.length))))
+            .select((-col("c.negcid")).as("cid"),
+              col("v").as("bv"), col("n").as("bn"))
+          assigned.join(broadcast(probes), Seq("cid")).filter(pairCos >= tau)
+        }
+      }
+    val hits = pairs.groupBy("id").agg(
+      count(lit(1)).as("n_hits"),
+      max(pairCos).as("max_cos"))
     c.select(col("id")).join(hits, Seq("id"), "left")
       .select(col("id"),
         coalesce(col("n_hits"), lit(0L)).as("n_hits"),

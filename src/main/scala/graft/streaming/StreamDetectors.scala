@@ -67,6 +67,16 @@ object StreamDetectors {
   // timeout side output); the WithState version's third branch — a pay
   // with no live create — is the NFA's `emitUnmatched` dead-letter
   // output (a pay that touched no run). One engine, all three outputs.
+  //
+  // MALFORMED-INPUT semantics (deliberate divergence, CEP-standard): an
+  // order with TWO create events starts a sliding NFA run per create, so
+  // one pay yields two "payed" rows (and an unpaid double-create, two
+  // "pay timeout" rows) — FlinkCEP behaves the same way. The reference's
+  // WithState app instead OVERWRITES createTs, silently swallowing the
+  // duplicate (OrderTimeoutAppWithState.java:79-84). Well-formed order
+  // streams (one create per order id — the invariant the domain
+  // guarantees) are bit-identical across all three implementations;
+  // dedupe upstream if a source can violate it.
   // ------------------------------------------------------------------
 
   def orderTimeoutStream(events: Dataset[OrderEvent], timeoutSec: Long,

@@ -364,6 +364,39 @@ class SimilaritySpec extends SparkSuite {
     assert(res(3L) === ((0L, None, true)))
   }
 
+  test("decontamination cell prefilter: exact at full probes, finds all planted leakage") {
+    // planted contamination: the benchmark slice is verbatim PRESENT in
+    // the corpus — the realistic eval-leakage shape (near-copies), where
+    // a τ-neighbor shares the argmax cell almost surely
+    val emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    val corpus = emb
+    val bench = emb.filter(col("vec_id") % 5 === 0)
+    def run(tau: Double, pf: Long, probes: Int) =
+      Similarity.semanticDecontaminate(corpus, bench, "vec_id", "embedding",
+          tau, prefilterBenchRows = pf, cellProbes = probes)
+        .select("id", "n_hits").as[(Long, Long)].collect().toMap
+
+    val exact = run(0.9, Long.MaxValue, 4)
+    // probing every cell degenerates to the exact screen (each corpus
+    // row has ONE cid, so every pair meets exactly once)
+    assert(run(0.9, 0L, Int.MaxValue) === exact)
+
+    val pre = run(0.9, 0L, 4)
+    assert(pre.keySet === exact.keySet, "one verdict per corpus row")
+    assert(pre.forall { case (id, h) => h <= exact(id) },
+      "the prefilter can only MISS hits, never invent them")
+    val planted = bench.select(col("vec_id")).as[Long].collect().toSet
+    val dirtyPre = pre.filter(_._2 > 0).keySet
+    assert(planted.subsetOf(dirtyPre),
+      "all planted near-copies must be flagged through the cell prefilter")
+
+    // the documented trade: at a LOW tau (mid-cosine pairs, not true
+    // near-dups) cross-cell neighbors are missed — subset still holds
+    val lowExact = run(0.3, Long.MaxValue, 4).filter(_._2 > 0).keySet
+    val lowPre = run(0.3, 0L, 4).filter(_._2 > 0).keySet
+    assert(lowPre.subsetOf(lowExact))
+  }
+
   test("quantizer survives the DataFrame round-trip bit-exact") {
     val cents = Similarity.trainQuantizer(vecs, "vec_id", "embedding",
       nCentroids = 3, trainIters = 2)
