@@ -232,4 +232,29 @@ class PlanInvariantsSpec extends SparkSuite {
     assert(v.contains("TakeOrdered"),
       s"bpe_vocab top-k must plan as TakeOrdered, not a global sort:\n$v")
   }
+
+  test("decontamination regimes: BNLJ screen below threshold, broadcast EQUI join above") {
+    import org.apache.spark.sql.functions.col
+    import graft.operators.Similarity
+    import graft.sources.Tables
+    val emb = Tables.embeddings(spark, dir)
+    val bench = emb.filter(col("vec_id") % 5 === 0)
+    // eval-slice regime: the exhaustive screen IS a broadcast nested loop
+    // (the benchmark broadcasts; the θ-condition is the cosine predicate)
+    val exact = Similarity.semanticDecontaminate(emb, bench,
+        "vec_id", "embedding", 0.9, prefilterBenchRows = Long.MaxValue)
+      .queryExecution.executedPlan.toString
+    assert(exact.contains("BroadcastNestedLoopJoin"),
+      s"the exact screen is the documented BNLJ exception:\n$exact")
+    // benchmark-suite regime: the cell prefilter must plan as a broadcast
+    // HASH join on cid — an equi join, NOT all-pairs — with the corpus
+    // side unshuffled before it (map-side assign + broadcast probes)
+    val cells = Similarity.semanticDecontaminate(emb, bench,
+        "vec_id", "embedding", 0.9, prefilterBenchRows = 0L, cellProbes = 4)
+      .queryExecution.executedPlan.toString
+    assert(cells.contains("BroadcastHashJoin") &&
+        !cells.contains("BroadcastNestedLoopJoin") &&
+        !cells.contains("CartesianProduct"),
+      s"the cell prefilter must be a broadcast equi join on cid:\n$cells")
+  }
 }
