@@ -151,7 +151,8 @@ object Tokenize {
                batchLimit: Int = 64): BpeModel = {
     val seeded = words.select(col("word"), col("cnt"),
       chars(col("word")).as("toks"))
-    if (words.limit((localVocabThreshold + 1).toInt).count() <= localVocabThreshold)
+    if (words.limit(math.min(localVocabThreshold, Int.MaxValue - 1L).toInt + 1)
+          .count() <= localVocabThreshold)
       learnBpeLocal(seeded, k)
     else learnBpeDistributed(seeded, k, batchLimit)
   }

@@ -37,15 +37,19 @@ import org.apache.spark.sql.types._
  *    Max / Average (decomposable as sum-of-counts / sum / min / max /
  *    sum-of-sums ÷ sum-of-counts). Float sums re-associate exactly like
  *    Spark's own partial aggregation already does. DECIMAL Sum/Average
- *    re-sum at +10-digit precision and cast back to the one-level
- *    result type; each decimal sum also carries a per-slice non-null
- *    count so the outer final can tell an overflowed slice partial
- *    (sum null, count > 0, non-ANSI) from an all-null slice, and
- *    returns null whenever ANY slice partial overflowed — exact
- *    whenever no slice partial overflows, null when the one-level
- *    aggregate would have overflowed AND in the rare cancellation
- *    corner where a slice overflows but the whole-group sum would not
- *    (conservatively null, never a silently wrong value); the
+ *    slice partials sum at MAXIMUM precision (operand widened to
+ *    Decimal(38, s)) and the outer re-sum casts back to the one-level
+ *    result type, so genuine whole-group overflow still nulls
+ *    identically while a slice partial only overflows past 38 digits
+ *    (not the one-level p+10); each decimal sum also carries a
+ *    per-slice non-null count so the outer final can tell an
+ *    overflowed slice partial (sum null, count > 0, non-ANSI) from an
+ *    all-null slice, and returns null whenever ANY slice partial
+ *    overflowed — exact whenever no slice partial overflows, null when
+ *    the one-level aggregate would have overflowed AND in the
+ *    now->38-digit cancellation corner where a slice overflows but the
+ *    whole-group sum would not (conservatively null, never a silently
+ *    wrong value); the
  *    Average division runs over operands cast to the SAME types the
  *    one-level Average divides, so its rounding is identical.
  *
@@ -206,17 +210,23 @@ object SliceRollupRule extends Rule[LogicalPlan] {
           case c: Count =>
             one(c, ref => Coalesce(Seq(completeAgg(Sum(ref)), Literal(0L, LongType))))
           case s: Sum if s.child.dataType.isInstanceOf[DecimalType] =>
-            // The outer re-sum widens by another 10 digits and casts back
-            // to the one-level Sum's result type (null on overflow,
-            // non-ANSI). A SLICE partial can itself overflow to null,
-            // which a bare outer Sum would silently skip — wrong in the
-            // cancellation corner where the whole-group one-level sum
-            // would NOT have overflowed. Carry a per-slice non-null count
-            // so the outer can tell overflow (sum null, count > 0) from
-            // an all-null slice, and null out the group when any slice
-            // partial overflowed.
+            // Slice partials sum over the operand WIDENED to Decimal(38)
+            // — maximum precision — so a slice partial overflows only
+            // past 38 digits instead of the one-level p+10; the outer
+            // re-sum casts back to the one-level Sum's result type (null
+            // on overflow, non-ANSI), so genuine whole-group overflow
+            // still nulls identically. The cancellation corner (a slice
+            // overflows where the whole-group one-level sum would not)
+            // needs >38-digit slice sums now — and the per-slice
+            // non-null count guard still catches it conservatively: an
+            // overflowed partial is null with count > 0 (an all-null
+            // slice has count == 0), and the group nulls out rather than
+            // silently skipping the slice.
+            val dt = s.child.dataType.asInstanceOf[DecimalType]
+            val wide = DecimalType(38, dt.scale)
             Some(Piece(
-              Seq(Alias(completeAgg(s), s"_rollup_$name")(),
+              Seq(Alias(completeAgg(Sum(Cast(s.child, wide))),
+                  s"_rollup_$name")(),
                 Alias(completeAgg(Count(Seq(s.child))), s"_rollup_nn_$name")()),
               refs => decimalOverflowGuard(refs(0), refs(1),
                 Cast(completeAgg(Sum(refs(0))), s.dataType), s.dataType)))
@@ -230,25 +240,30 @@ object SliceRollupRule extends Rule[LogicalPlan] {
             // matching Average. Decimal divides over operands cast to
             // the SAME (sum-buffer, long-decimal) types the one-level
             // Average divides, so result type and rounding match.
-            val fin: Seq[Attribute] => Expression = a.child.dataType match {
-              case dt: DecimalType =>
-                // Sum's buffer type: precision + 10, capped at 38
-                val sumType =
-                  DecimalType(math.min(dt.precision + 10, 38), dt.scale)
-                refs => decimalOverflowGuard(refs(0), refs(1),
-                  Cast(
-                    Divide(
-                      Cast(completeAgg(Sum(refs(0))), sumType),
-                      Cast(completeAgg(Sum(refs(1))), DecimalType(20, 0))),
-                    a.dataType),
-                  a.dataType)
-              case _ =>
-                refs => Divide(
-                  Cast(completeAgg(Sum(refs(0))), DoubleType),
-                  Cast(completeAgg(Sum(refs(1))), DoubleType))
-            }
+            val (sumChild, fin): (Expression, Seq[Attribute] => Expression) =
+              a.child.dataType match {
+                case dt: DecimalType =>
+                  // Sum's buffer type: precision + 10, capped at 38
+                  val sumType =
+                    DecimalType(math.min(dt.precision + 10, 38), dt.scale)
+                  // slice partials at max precision — same corner-
+                  // shrinking widening as the decimal Sum piece above
+                  (Cast(a.child, DecimalType(38, dt.scale)),
+                    refs => decimalOverflowGuard(refs(0), refs(1),
+                      Cast(
+                        Divide(
+                          Cast(completeAgg(Sum(refs(0))), sumType),
+                          Cast(completeAgg(Sum(refs(1))), DecimalType(20, 0))),
+                        a.dataType),
+                      a.dataType))
+                case _ =>
+                  (a.child,
+                    refs => Divide(
+                      Cast(completeAgg(Sum(refs(0))), DoubleType),
+                      Cast(completeAgg(Sum(refs(1))), DoubleType)))
+              }
             Some(Piece(
-              Seq(Alias(completeAgg(Sum(a.child)), s"_rollup_sum_$name")(),
+              Seq(Alias(completeAgg(Sum(sumChild)), s"_rollup_sum_$name")(),
                 Alias(completeAgg(Count(Seq(a.child))), s"_rollup_cnt_$name")()),
               fin))
           case _ => None
