@@ -127,23 +127,36 @@ object SoakAudit {
       graft.operators.Tokenize.mergesDf(
         graft.operators.Tokenize.learnBpe(words, k = 1024))
     }),
+    // The DISTRIBUTED batched learner on the same fixture, forced past
+    // the local path (threshold 0): measures how many merges each
+    // corpus-table pass lands via the provably-safe prefix — the claim
+    // behind "k sequential jobs become ~k/tens passes". k=256 keeps the
+    // wall-clock reasonable; merges-per-pass is the number that matters.
+    "soak_bpe_zipf200k_dist" -> ((s, _) => {
+      val words = zipfWords(s, 200000)
+      graft.operators.Tokenize.mergesDf(
+        graft.operators.Tokenize.learnBpe(words, k = 256,
+          localVocabThreshold = 0L, batchLimit = 64))
+    }),
     // Same, over a production-SHAPED vocabulary: 200k distinct seeded
     // random words with Zipfian counts (the r7 "realistic vocabulary
     // scale" fixture, now reproducible). Ignores the data dir.
-    "soak_bpe_zipf200k" -> ((s, _) => {
-      val rnd = new scala.util.Random(7)
-      val n = 200000
-      val rows = Array.tabulate(n) { i =>
-        val len = 3 + rnd.nextInt(10)
-        val w = Array.fill(len)(('a' + rnd.nextInt(26)).toChar).mkString
-        (w + i, 1L + (1e7 / (i + 10)).toLong) // suffix forces distinctness
-      }
-      import s.implicits._
-      val words = s.sparkContext.parallelize(rows.toIndexedSeq, 32)
-        .toDF("word", "cnt")
+    "soak_bpe_zipf200k" -> ((s, _) =>
       graft.operators.Tokenize.mergesDf(
-        graft.operators.Tokenize.learnBpe(words, k = 1024))
-    }))
+        graft.operators.Tokenize.learnBpe(zipfWords(s, 200000), k = 1024))))
+
+  /** 200k-scale deterministic Zipfian word table: seeded random words,
+    * index suffix for distinctness, counts ~ 1e7/(rank+10). */
+  private def zipfWords(s: SparkSession, n: Int): DataFrame = {
+    val rnd = new scala.util.Random(7)
+    val rows = Array.tabulate(n) { i =>
+      val len = 3 + rnd.nextInt(10)
+      val w = Array.fill(len)(('a' + rnd.nextInt(26)).toChar).mkString
+      (w + i, 1L + (1e7 / (i + 10)).toLong)
+    }
+    import s.implicits._
+    s.sparkContext.parallelize(rows.toIndexedSeq, 32).toDF("word", "cnt")
+  }
 
   def main(args: Array[String]): Unit = {
     val Array(dir, namesCsv) = args.take(2)
