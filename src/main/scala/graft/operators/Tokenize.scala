@@ -151,9 +151,23 @@ object Tokenize {
                batchLimit: Int = 64): BpeModel = {
     val seeded = words.select(col("word"), col("cnt"),
       chars(col("word")).as("toks"))
-    if (words.limit(math.min(localVocabThreshold, Int.MaxValue - 1L).toInt + 1)
-          .count() <= localVocabThreshold)
-      learnBpeLocal(seeded, k)
+    // Two-stage gate. The limit-probe row count is cheap for giant vocabs
+    // (stops scanning at threshold+1); but row count alone under-estimates
+    // driver footprint — 4M rows of per-character token arrays can be
+    // several GB of heap — so vocabs under the row gate are additionally
+    // gated on estimated bytes (each seed char becomes a String token plus
+    // pair-count/index entries, ~150 B/char) against a quarter of the
+    // driver heap. Either gate failing falls back to the distributed
+    // learner, which never collects the vocab.
+    val underRowGate =
+      words.limit(math.min(localVocabThreshold, Int.MaxValue - 1L).toInt + 1)
+        .count() <= localVocabThreshold
+    val fitsDriver = underRowGate && {
+      val totalChars = words
+        .agg(coalesce(sum(length(col("word"))), lit(0L))).collect()(0).getLong(0)
+      totalChars * 150L <= Runtime.getRuntime.maxMemory() / 4
+    }
+    if (fitsDriver) learnBpeLocal(seeded, k)
     else learnBpeDistributed(seeded, k, batchLimit)
   }
 
@@ -394,7 +408,12 @@ object Tokenize {
       .groupBy("doc_id")
       .agg(
         count(col("word")).as("n_words"),
-        coalesce(sum(size(col("toks"))), lit(0L)).as("n_subwords"),
+        // Guard the null-word spine row explicitly: size(NULL) is NULL only
+        // under ANSI mode (Spark 4 default) — a legacy session
+        // (spark.sql.legacy.sizeOfNull) would contribute -1 per empty doc
+        // and diverge from the DuckDB twin and bpeSegmentStream.
+        coalesce(sum(when(col("word").isNotNull, size(col("toks")))),
+          lit(0L)).as("n_subwords"),
         array_join(flatten(transform(
           array_sort(collect_list(when(col("word").isNotNull,
             struct(col("pos"), col("toks"))))),
