@@ -76,7 +76,9 @@ object StreamDetectors {
   // duplicate (OrderTimeoutAppWithState.java:79-84). Well-formed order
   // streams (one create per order id — the invariant the domain
   // guarantees) are bit-identical across all three implementations;
-  // dedupe upstream if a source can violate it.
+  // dedupe upstream if a source can violate it. The per-create-run
+  // multiplicity is PINNED on both engines by StreamDetectorsSpec
+  // ("duplicate-create orders") — don't change one without the other.
   // ------------------------------------------------------------------
 
   def orderTimeoutStream(events: Dataset[OrderEvent], timeoutSec: Long,

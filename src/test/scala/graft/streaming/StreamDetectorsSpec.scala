@@ -86,6 +86,45 @@ class StreamDetectorsSpec extends SparkSuite {
     assert(streamStray === strayPays)
   }
 
+  test("duplicate-create orders: one result per create run on BOTH engines") {
+    // MALFORMED input shape — two create events for one orderId. The
+    // reference's WithState app silently OVERWRITES createTs
+    // (OrderTimeoutAppWithState.java:79-84); both our engines instead keep
+    // one run per create (FlinkCEP-style sliding runs — the documented
+    // deliberate divergence, StreamDetectors.scala J3/J6 notes). This spec
+    // pins the row MULTIPLICITY on both engines so a refactor can't
+    // silently change the semantics again (it already changed once, in the
+    // r7 CEP unification).
+    val es = Seq(
+      OrderEvent(1L, "create", "", 1000L),
+      OrderEvent(1L, "create", "", 1100L), // duplicate create — paid order
+      OrderEvent(1L, "pay", "tx1", 1200L), // within 900 s of BOTH creates
+      OrderEvent(2L, "create", "", 1000L),
+      OrderEvent(2L, "create", "", 1100L)) // duplicate create — unpaid
+
+    val df = es.toDF()
+    val creates = df.filter(col("eventType") === "create")
+      .select(col("orderId"), (col("eventTime") * 1000000L).as("start_usec"))
+    val pays = df.filter(col("eventType") === "pay")
+      .select(col("orderId"), (col("eventTime") * 1000000L).as("pay_usec"))
+    val batch = Detectors.sequenceTimeout(creates, pays, "orderId",
+        "start_usec", "pay_usec", 900L)
+      .select(col("orderId"), col("status")).as[(Long, String)]
+      .collect().toSeq.groupBy(identity).view.mapValues(_.size).toMap
+    assert(batch === Map((1L, "payed") -> 2, (2L, "timeout") -> 2),
+      "batch: one verdict per CREATE row, not per order id")
+
+    // sentinels push the watermark past every create+900 deadline
+    val s1 = OrderEvent(9999901L, "create", "", 100000L)
+    val s2 = OrderEvent(9999902L, "create", "", 200000L)
+    val streamed = runStream(Seq(es, Seq(s1), Seq(s2))) { ds: Dataset[OrderEvent] =>
+      StreamDetectors.orderTimeoutStream(ds, timeoutSec = 900L)
+    }.filter(_.orderId < 9999900L)
+      .groupBy(r => (r.orderId, r.resultType)).view.mapValues(_.size).toMap
+    assert(streamed === Map((1L, "payed") -> 2, (2L, "pay timeout") -> 2),
+      "stream: one result per NFA run, one run per create")
+  }
+
   // --- J2 reconcile ------------------------------------------------------
 
   test("reconcileStream ≡ batch reconcile on OrderLog+ReceiptLog") {
