@@ -4,6 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
+import org.apache.spark.storage.StorageLevel
 
 /**
  * Deduplication operators for training-data pipelines: exact, MinHash+LSH,
@@ -405,6 +406,27 @@ object Dedup {
    * to the materialized blocks. At 100 TB swap localCheckpoint for a
    * reliable `checkpoint` dir — same truncation, executor-loss-safe.
    *
+   * The two O(edges) frames (the pair snapshot and the symmetric edge
+   * table) checkpoint DISK_ONLY: at 30× soak volume the default
+   * memory-first storage unrolled ~130M deserialized edge rows and needed
+   * a 64 GB driver (PLANS.md round 8) — a disk-backed checkpoint runs on
+   * default memory and the per-round reads are sequential block scans.
+   * Label frontiers are O(nodes) and stay memory-first.
+   *
+   * Shuffle width is derived from the DATA, not the session: the edge
+   * table repartitions to `max(session shuffle partitions,
+   * ceil(2·pairs / targetEdgesPerPartition))` on the JOIN key `t` before
+   * checkpointing (the round-8 soak spilled 4× at 8 session partitions ×
+   * 130M edges). Because hash(t) satisfies the distinct's (s,t)
+   * clustering AND the propagation join's t clustering — and
+   * checkpointing preserves partitioning and ordering — the width is
+   * paid ONCE: the distinct aggregates in place, and every sort-merge
+   * round consumes the checkpointed edge blocks with NO per-round edge
+   * exchange or sort (edges are pre-sorted within partitions). Label
+   * frames repartition to the same width on `id`, so the propagation
+   * join is fully co-partitioned; the only per-round exchanges are the
+   * O(nodes) label-by-label jump and the O(nodes) min-label aggregate.
+   *
    * Convergence: min-propagation is monotone (a node's label never
    * increases), so the decimal label sum strictly decreases until the fixed
    * point — sum-unchanged IS convergence, no old-vs-new comparison join
@@ -435,10 +457,25 @@ object Dedup {
    * sits upstream of the path switch), so output never depends on which
    * path the edge count selects.
    */
+  /** Shuffle width for an `nEdges`-row edge frame: never below the
+    * session's parallelism, widened so no partition holds more than
+    * `targetRowsPerPartition` edge rows (~100–150 MB at two ids + overhead
+    * per row — comfortably in-memory per task). Derived from the OBSERVED
+    * edge count, not session config: the round-8 soak spilled 4× when 130M
+    * edges met 8 session partitions, and that knowledge belongs in the
+    * operator, not in a runbook. Capped at 65536 as a runaway guard. */
+  private[operators] def edgeShufflePartitions(
+      sessionParts: Int, nEdges: Long, targetRowsPerPartition: Long): Int = {
+    val target = math.max(1L, targetRowsPerPartition)
+    val needed = (nEdges + target - 1L) / target
+    math.max(sessionParts, math.min(needed, 65536L).toInt)
+  }
+
   def resolveClusters(pairs: DataFrame, idA: String = "id_a",
                       idB: String = "id_b", maxIter: Int = 20,
                       localEdgeThreshold: Long = 4000000L,
-                      broadcastNodeLimit: Long = 8000000L): DataFrame = {
+                      broadcastNodeLimit: Long = 8000000L,
+                      targetEdgesPerPartition: Long = 4000000L): DataFrame = {
     // The pair plan is usually the expensive part (a candidate join); the
     // symmetric-closure union scans it twice. Persist + materialize first so
     // the pair computation runs exactly once.
@@ -451,7 +488,8 @@ object Dedup {
     // Checkpointing truncates the plan to the materialized blocks, so
     // per-round planning is O(round plan), not O(pair pipeline).
     val p = pairs.select(col(idA).as("s"), col(idB).as("t"))
-      .filter(col("s").isNotNull && col("t").isNotNull).localCheckpoint(false)
+      .filter(col("s").isNotNull && col("t").isNotNull)
+      .localCheckpoint(false, StorageLevel.DISK_ONLY)
     if (sys.env.contains("GRAFT_DEBUG_ROUNDS"))
       System.err.println(
         f"resolveClusters plan p: ${(System.nanoTime() - tEnter) / 1e9}%.2f s")
@@ -461,14 +499,49 @@ object Dedup {
       System.err.println(
         f"resolveClusters pairs: ${(System.nanoTime() - tPairs) / 1e9}%.2f s")
     if (nPairs <= localEdgeThreshold) return resolveClustersLocal(p)
+    val spark = pairs.sparkSession
+    val nP = edgeShufflePartitions(
+      spark.sessionState.conf.numShufflePartitions, 2L * nPairs,
+      targetEdgesPerPartition)
+    // The co-partitioning design below only works when the checkpoints
+    // CAPTURE their partitioning: under AQE the executed plan is an
+    // AdaptiveSparkPlanExec whose outputPartitioning is unknown at
+    // capture time, so every checkpoint degrades to an unpartitioned
+    // LogicalRDD and each round re-shuffles the full edge table (probed
+    // empirically — see PLANS.md round 9). The propagation loop therefore
+    // compiles with AQE OFF: its plan shapes are fixed and its exchange
+    // widths hand-derived from observed counts, which is precisely the
+    // sizing AQE exists to guess. Restored in the finally (the returned
+    // frame is a checkpoint, so downstream consumers re-plan under the
+    // caller's own conf). Session-visible while the loop runs — the one
+    // documented side effect.
+    val aqeKey = "spark.sql.adaptive.enabled"
+    val aqePrev = spark.conf.get(aqeKey, "true")
+    spark.conf.set(aqeKey, "false")
+    try {
+    // Repartition on the JOIN key (t) BEFORE the distinct: hash(t)
+    // satisfies the distinct's (s,t) clustering, so the derived width is
+    // the symmetric closure's ONLY exchange, and the checkpoint then
+    // carries hash(t, nP) + within-partition t-order into every
+    // propagation round (see scaladoc — no per-round edge exchange/sort).
     val edges = p
       .union(p.select(col("t").as("s"), col("s").as("t")))
-      .distinct().localCheckpoint(false)
+      .repartition(nP, col("t"))
+      .distinct()
+      .sortWithinPartitions("t")
+      .localCheckpoint(false, StorageLevel.DISK_ONLY)
     // seed = min(self, direct neighbors) — one agg, no join; a clique
-    // anchored at its min node is already converged after this
+    // anchored at its min node is already converged after this. The edge
+    // table is SYMMETRIC, so grouping on t (min s) is the same relation
+    // as grouping on s (min t) — and the t-grouping is satisfied by the
+    // checkpoint's hash(t, nP) partitioning: the seed aggregates IN
+    // PLACE over the edge blocks, zero exchange (the s-grouping form
+    // would re-shuffle the full edge volume), and hands the label
+    // frontier hash(id, nP) partitioning through the rename — round 1
+    // starts co-partitioned with the edge table.
     val tSeed = System.nanoTime()
-    var labels = edges.groupBy(col("s")).agg(min(col("t")).as("_mn"))
-      .select(col("s").as("id"), least(col("s"), col("_mn")).as("label"))
+    var labels = edges.groupBy(col("t")).agg(min(col("s")).as("_mn"))
+      .select(col("t").as("id"), least(col("t"), col("_mn")).as("label"))
       .localCheckpoint(false) // lazy: the baseline sum probe materializes it
     def labelProbe(df: DataFrame): (java.math.BigDecimal, Long) = {
       // sum over zero rows is NULL — coalesce so an empty pair set (a
@@ -507,7 +580,14 @@ object Dedup {
       val jump = labels.join(maybeBcast(ptr), labels("label") === col("_pid"))
         .select(labels("id"), col("_plabel").as("label"))
       val prev = labels
+      // The explicit repartition (vs letting the aggregate insert its own
+      // exchange at session width) pins the node exchange to the derived
+      // width and keeps the new frontier hash(id, nP) — co-partitioned
+      // with the edge checkpoint for the next round. Map-side combine
+      // loses nothing: an id occurs once per union BRANCH, i.e. in three
+      // different partitions, which partial aggregation cannot merge.
       val next = labels.union(prop).union(jump)
+        .repartition(nP, col("id"))
         .groupBy("id").agg(min("label").as("label"))
         .localCheckpoint(false) // lazy: the sum probe below materializes it
       labels = next
@@ -531,6 +611,7 @@ object Dedup {
       System.err.println(
         f"resolveClusters total: ${(System.nanoTime() - tEnter) / 1e9}%.2f s")
     labels.select(col("id").as("doc_id"), col("label").as("cluster_id"))
+    } finally spark.conf.set(aqeKey, aqePrev)
   }
 
   /** Driver union-find over a materialized (s, t) pair frame that fits in

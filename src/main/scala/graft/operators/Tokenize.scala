@@ -131,17 +131,14 @@ object Tokenize {
    *    collected — only its word histogram.
    *  - **Distributed batched** (giant vocabs): per corpus-table pass,
    *    collect the top-`batchLimit` ranked pairs and apply the longest
-   *    provably-safe prefix in ONE rewrite: pairs must be mutually
-   *    symbol-disjoint (left/right/merged of one never a symbol of
-   *    another — disjoint merges neither create nor destroy each
-   *    other's occurrences) and every member after the first must have
-   *    count strictly above the first excluded pair (any pair a merge
-   *    can create or boost shares a symbol with some batch member, so
-   *    its count is bounded by an excluded pair's count — the strict gap
-   *    means no new pair can overtake a later batch member). Under
-   *    Zipfian pair counts the top of the ranking is mostly
-   *    distinct-count and symbol-diverse, so each pass lands tens of
-   *    merges for one job's round-trip latency.
+   *    provably-safe prefix in ONE rewrite — mutually symbol-disjoint,
+   *    self-pairs close their batch, members above the first excluded
+   *    pair's count always safe, members TIED at it admitted under an
+   *    exact created-pair tie-break check (see [[safeBatch]] for the
+   *    full argument). Under Zipfian pair counts the head of the
+   *    ranking is symbol-diverse and the tie check keeps equal-count
+   *    tail runs batchable, so each pass lands tens of merges for one
+   *    job's round-trip latency.
    *
    * Returns the merge table and the final segmented vocab
    * (word, cnt, toks) — the reusable tokenizer model.
@@ -329,36 +326,93 @@ object Tokenize {
   }
 
   /** Longest prefix of the ranked pair list that one rewrite pass can
-    * apply while staying byte-identical to sequential merging: mutually
-    * symbol-disjoint (including merged symbols), truncated so every
-    * member after the first has count strictly above the best excluded
-    * pair (whose count bounds anything the batch's merges can create).
+    * apply while staying byte-identical to sequential merging. Three
+    * rules compose (each pinned by a `TokenizeScaleSpec` fixture):
+    *
+    *  - **Symbol-disjoint prefix**: left/right/merged of one member is
+    *    never a symbol of another — disjoint merges neither create nor
+    *    destroy each other's occurrences, so every member's count is
+    *    still exact at its sequential step.
+    *  - **A SELF-pair (l == r) closes the batch.** Its merge spawns
+    *    pairs over symbol runs — (M, l) on odd runs, (M, M) on runs ≥ 4
+    *    — whose counts are bounded only by the self-pair's OWN count
+    *    (their witness occurrences live inside the member itself), not
+    *    by any excluded pair, so nothing ranked after it is provably
+    *    safe in the same pass.
+    *  - **Count-gap truncation** against the first excluded pair's
+    *    count E: every pair a non-self batch merge can create has a
+    *    WITNESS — a pre-merge pair sharing a batch symbol, hence
+    *    conflict-excluded from the batch, hence count ≤ E — so members
+    *    with count > E can never be overtaken. Members TIED at E (the
+    *    Zipf-tail regime where a strict gap collapses batches to one
+    *    merge per pass) are kept when every pair the kept merges could
+    *    create at count E — enumerated exactly by crossing the visible
+    *    witnesses at E with the kept merged symbols — loses the UTF-8
+    *    tie-break to them; the tied member wins against every SURVIVING
+    *    pair by list order, so only created pairs (absent from the
+    *    pre-merge ranking) can out-sort it. Requires every E-count pair
+    *    to be visible: if the list was cut exactly at E, unseen
+    *    witnesses could exist and the tie is not checkable.
+    *
     * `remaining` caps the batch at the merges still wanted. */
   private def safeBatch(top: Array[(String, String, Long)], batchLimit: Int,
                         remaining: Int): Seq[(String, String, Long)] = {
     val used = mutable.Set.empty[String]
-    val batch = mutable.ArrayBuffer.empty[(String, String, Long)]
+    val scan = mutable.ArrayBuffer.empty[(String, String, Long)]
     var idx = 0
     var stop = false
-    while (idx < top.length && !stop && batch.length < remaining) {
+    while (idx < top.length && !stop && scan.length < remaining) {
       val (l, r, _) = top(idx)
       val merged = l + r
-      if (batch.nonEmpty &&
+      if (scan.nonEmpty &&
           (used(l) || used(r) || used(merged) ||
-           batch.exists { case (bl, br, _) => bl == merged || br == merged }))
+           scan.exists { case (bl, br, _) => bl == merged || br == merged }))
         stop = true
       else {
-        batch += top(idx)
+        scan += top(idx)
         used += l; used += r; used += merged
         idx += 1
+        if (l == r) stop = true // self-pair: see scaladoc
       }
     }
     val excludedBound: Long =
       if (idx < top.length) top(idx)._3       // stopped on conflict/cap: next pair known
       else if (top.length == batchLimit) top.last._3 // list cut by limit: conservative
       else 0L                                 // complete pair list consumed
-    while (batch.length > 1 && batch.last._3 <= excludedBound)
-      batch.remove(batch.length - 1)
+    // Unseen pairs tied at the bound can exist only when the list was cut
+    // exactly there — then the witness set below would be incomplete.
+    val boundVisible =
+      !(top.length == batchLimit && top.last._3 == excludedBound)
+    lazy val witnesses = top.filter(_._3 == excludedBound)
+    val batch = mutable.ArrayBuffer.empty[(String, String, Long)]
+    if (scan.nonEmpty) batch += scan(0)
+    var i = 1
+    var halted = false
+    while (i < scan.length && !halted) {
+      val cand = scan(i)
+      val (candL, candR, c) = cand
+      if (c > excludedBound) batch += cand
+      else if (!boundVisible) halted = true
+      else {
+        // every pair a kept merge could create at count E: replace a
+        // witness's left with a kept merged symbol ending in it, and/or
+        // its right with one starting with it (both replaced covers the
+        // merged-merged adjacency, whose witness is the (r_a, l_b) gap)
+        val kept = batch.toSeq
+        val safe = witnesses.forall { case (wl, wr, _) =>
+          val lefts = wl +: kept.collect { case (a, b, _) if b == wl => a + b }
+          val rights = wr +: kept.collect { case (a, b, _) if a == wr => a + b }
+          lefts.forall { cl =>
+            rights.forall { cr =>
+              (cl == wl && cr == wr) ||
+                !pairOutranks((cl, cr, c), (candL, candR, c))
+            }
+          }
+        }
+        if (safe) batch += cand else halted = true
+      }
+      i += 1
+    }
     batch.toSeq
   }
 

@@ -181,6 +181,26 @@ class DedupSpec extends SparkSuite {
     assert(local === dist)
     assert(local === smj)
     assert(local.nonEmpty)
+    // auto-derived width: targetEdgesPerPartition=8 forces nP = 75 (600
+    // symmetric edges / 8) above the session's 32 — labels must be
+    // invariant to the derived shuffle width
+    val wide = Dedup.resolveClusters(pairs, localEdgeThreshold = -1L,
+        broadcastNodeLimit = -1L, targetEdgesPerPartition = 8L)
+      .as[(Long, Long)].collect().toSet
+    assert(local === wide)
+  }
+
+  test("edge shuffle width derives from edge volume, never below session parallelism") {
+    // small edge sets keep the session width
+    assert(Dedup.edgeShufflePartitions(32, 1000L, 4000000L) === 32)
+    assert(Dedup.edgeShufflePartitions(32, 0L, 4000000L) === 32)
+    // the round-8 soak shape: 130M symmetric edges at 8 session partitions
+    // must widen to ceil(130M/4M) = 33, not spill at 8
+    assert(Dedup.edgeShufflePartitions(8, 130000000L, 4000000L) === 33)
+    // exact multiples don't over-allocate
+    assert(Dedup.edgeShufflePartitions(8, 128000000L, 4000000L) === 32)
+    // runaway guard
+    assert(Dedup.edgeShufflePartitions(8, Long.MaxValue / 4, 1L) === 65536)
   }
 
   test("jaccardPairs respects the blocking column") {

@@ -50,13 +50,36 @@ class TokenizeScaleSpec extends SparkSuite {
       .toDF("word", "cnt"), k = 3)
   }
 
-  test("all paths identical: equal-count disjoint pairs force the strict-gap truncation") {
+  test("all paths identical: equal-count disjoint pairs at the excluded bound") {
     // (a,b), (c,d), (d,x) all at count 100: the disjoint prefix is
-    // {(a,b), (c,d)} but the first excluded pair ties at 100, so the
-    // batch truncates to (a,b) alone; sequential order must hold.
+    // {(a,b), (c,d)} and the first excluded pair ties at 100. No kept
+    // merge can create a pair at that count ((a,b) fully consumes its
+    // word), so the tie check admits (c,d) — and the sequence must still
+    // be byte-identical to sequential.
     assertIdentical(Seq(
       ("ab", 100L), ("cd", 100L), ("dx", 100L))
       .toDF("word", "cnt"), k = 3)
+  }
+
+  test("all paths identical: tied member rejected when a created pair out-sorts it") {
+    // pairs: (a,m):200, (b,y):100, (m,z):100. The batch scan keeps
+    // (a,m) and reaches tied (b,y); merging (a,m) creates (am,z) from
+    // "amz" at count 100 — TIED with (b,y) and UTF-8-smaller ("am" <
+    // "b"), so sequential picks (am,z) second. The tie check must
+    // reject (b,y); a batcher admitting every tied disjoint pair
+    // diverges here.
+    assertIdentical(Seq(
+      ("amz", 100L), ("am", 100L), ("by", 100L))
+      .toDF("word", "cnt"), k = 4)
+  }
+
+  test("all paths identical: tied member admitted when created pairs lose the tie-break") {
+    // Same shape, but the kept merge is (w,m) so the created pair is
+    // (wm,z) — "b" < "wm", the tied (b,y) wins its tie and is safely
+    // batched with (w,m) in one pass.
+    assertIdentical(Seq(
+      ("wmz", 100L), ("wm", 100L), ("by", 100L))
+      .toDF("word", "cnt"), k = 4)
   }
 
   test("all paths identical: early exhaustion on a fully merged vocab") {
@@ -66,6 +89,16 @@ class TokenizeScaleSpec extends SparkSuite {
       assert(m.vocab.select("toks").head().getSeq[String](0) === Seq("aa"),
         s"path $name")
     }
+  }
+
+  test("all paths identical: self-pair merges spawn pairs bounded only by their own count") {
+    // (a,a) at 4000 over "aaaaa" creates (aa,a)/(aa,aa) at 1000 — far
+    // ABOVE the excluded bound (500) yet invisible to the pre-merge pair
+    // ranking. A batcher that pairs (a,a) with (b,c) diverges: sequential
+    // picks the created (aa,a) second. Self-pairs must close their batch.
+    assertIdentical(Seq(
+      ("aaaaa", 1000L), ("bc", 600L), ("xy", 500L))
+      .toDF("word", "cnt"), k = 4)
   }
 
   test("all paths identical: seeded random corpus, k=30") {
