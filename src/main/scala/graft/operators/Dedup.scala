@@ -552,6 +552,11 @@ object Dedup {
       (if (s == null) java.math.BigDecimal.ZERO else s, r.getLong(1))
     }
     val (seedSum, nNodes) = labelProbe(labels)
+    // The seed probe above materialized the edge checkpoint; the pair
+    // snapshot is dead from here on — release its O(pairs) disk blocks
+    // before the rounds rather than holding both frames for the loop's
+    // lifetime (at the 100× soak that is ~18 GB of disk headroom).
+    p.unpersist()
     var prevSum: java.math.BigDecimal = seedSum
     // A checkpointed label frame is a LogicalRDD with NO stats — Spark
     // plans every round's join as a full sort-merge, re-shuffling the

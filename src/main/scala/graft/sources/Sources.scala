@@ -44,8 +44,15 @@ object Tables {
     val raw = load(spark, dir, "events")
     raw.schema("ts").dataType match {
       case LongType => raw
-      case _ => raw.withColumn("ts",
+      case TimestampType | TimestampNTZType => raw.withColumn("ts",
         unix_micros(col("ts").cast(TimestampType)) * lit(1000L))
+      case other => throw new IllegalStateException(
+        s"events.ts drifted to unsupported type ${other.simpleString}: " +
+          "expected INT64 epoch-nanos (bigint under " +
+          "spark.sql.legacy.parquet.nanosAsLong) or a timestamp encoding " +
+          "(MICROS/INT96). Extend the normalization HERE deliberately — " +
+          "don't let queries see the drifted type (SchemaCanarySpec pins " +
+          "this contract)")
     }
   }
   def documents(spark: SparkSession, dir: String): DataFrame  = load(spark, dir, "documents")

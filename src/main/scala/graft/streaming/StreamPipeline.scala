@@ -250,14 +250,17 @@ object StreamPipeline {
           coalesce(element_at(typedLit(vocab), w),
             graft.operators.Tokenize.segmentExpr(model, w)))
       else {
+        // Codegen'd broadcast-backed expression (the r8 Scala-UDF
+        // fallback boxed every row and split whole-stage codegen):
+        // serializes as the broadcast handle, the model — including its
+        // per-executor lazy lookup table — ships once per executor, and
+        // the lookup stays inside the generated projection.
         val sc = docs.sparkSession.sparkContext
-        val vocabBc = sc.broadcast(vocab)
-        val mergesBc = sc.broadcast(model.merges.toIndexedSeq)
-        val seg = udf { (ws: Seq[String]) =>
-          ws.map(w => vocabBc.value.getOrElse(w,
-            graft.operators.Tokenize.segmentWordLocal(w, mergesBc.value)))
-        }
-        seg(words)
+        val modelBc = sc.broadcast(
+          new graft.functions.BpeSegModel(vocab, model.merges.toIndexedSeq))
+        org.apache.spark.sql.GraftColumnBridge.column(
+          graft.functions.BpeSegmentWordsExpr(
+            org.apache.spark.sql.GraftColumnBridge.expression(words), modelBc))
       }
     docs
       .withColumn("_segs", segmented)

@@ -66,4 +66,49 @@ class SchemaCanarySpec extends SparkSuite {
           "boundary in Tables (see Tables.events), then update this canary")
     }
   }
+
+  // --- end-to-end: the events normalization against SELF-GENERATED
+  // fixtures of every physical encoding the generator has shipped (or
+  // could plausibly ship), independent of what /root/testdata currently
+  // holds. 2021-03-01T00:00:01Z = 1614556801 s.
+  private val tsSec = 1614556801L
+
+  private def writeEventsFixture(encoding: String): String = {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val out = java.nio.file.Files
+      .createTempDirectory(s"canary_$encoding").toString
+    val base = Seq((1L, tsSec, 7L, "view", 1.5, "{}"))
+      .toDF("event_id", "sec", "user_id", "event_type", "value", "props")
+    val withTs = encoding match {
+      case "int64_nanos" => // the nanosAsLong read shape: plain bigint nanos
+        base.withColumn("ts", col("sec") * expr("1000000000"))
+      case "string_drift" =>
+        base.withColumn("ts", col("sec").cast("string"))
+      case tsType => // timestamp column; physical type from the writer conf
+        spark.conf.set("spark.sql.parquet.outputTimestampType", tsType)
+        base.withColumn("ts", timestamp_seconds(col("sec")))
+    }
+    try withTs.select("event_id", "ts", "user_id", "event_type", "value", "props")
+      .repartition(1).write.mode("overwrite").parquet(s"$out/events.parquet")
+    finally spark.conf.unset("spark.sql.parquet.outputTimestampType")
+    out
+  }
+
+  Seq("int64_nanos", "TIMESTAMP_MICROS", "INT96").foreach { enc =>
+    test(s"events.ts $enc encoding normalizes to the epoch-nanos contract") {
+      val dir = writeEventsFixture(enc)
+      val df = Tables.events(spark, dir)
+      assert(df.schema("ts").dataType.simpleString === "bigint")
+      assert(df.select("ts").head().getLong(0) === tsSec * 1000000000L,
+        s"wrong nanos value through the $enc normalization")
+    }
+  }
+
+  test("events.ts with an un-normalizable encoding fails loudly at the boundary") {
+    val dir = writeEventsFixture("string_drift")
+    val e = intercept[IllegalStateException] { Tables.events(spark, dir) }
+    assert(e.getMessage.contains("events.ts drifted"))
+    assert(e.getMessage.contains("string"))
+  }
 }
