@@ -78,8 +78,11 @@ object SegmentBench {
           .drop("_segs")
       }
       val forms: Seq[(String, DataFrame => DataFrame)] = Seq(
-        (if (n <= 10000) "inline" else "bcastExpr",
+        ("bcastExpr",
           (d: DataFrame) => StreamPipeline.bpeSegmentStream(d, "text", m)),
+        ("inline",
+          (d: DataFrame) => StreamPipeline.bpeSegmentStream(d, "text", m,
+            inlineVocabLimit = n)),
         ("udf-r8", udfForm))
       forms.foreach { case (label, pipe) =>
         val input = MemoryStream[(Long, String)]

@@ -182,6 +182,25 @@ object Dedup {
    * concat_ws and DuckDB's array_to_string disagree on null handling),
    * and such pairs are dropped by the verify step (null jaccard).
    */
+  /** md5-family signature expression shared by the portable batch,
+    * store, and incremental forms (ONE definition — the oracle SQL
+    * reproduces exactly this arithmetic): per permutation p, the
+    * signature row is the lexicographic minimum over shingles of the
+    * lower-64-bit hex of `md5(shingle + "#" + p)`, '' for shingle-less
+    * docs. Families-inner single pass — see the plan note at the batch
+    * call site. */
+  private def portableSigExpr(text: Column, k: Int, numHashes: Int): Column = {
+    val sentinel = "￿"
+    transform(
+      aggregate(shingles(text, k),
+        array_repeat(lit(sentinel), numHashes),
+        (acc, s) => zip_with(acc,
+          transform(sequence(lit(0), lit(numHashes - 1)),
+            i => substring(md5(concat(s, lit("#"), i.cast("string"))), 17, 16)),
+          (a, b) => least(a, b))),
+      x => when(x === lit(sentinel), lit("")).otherwise(x))
+  }
+
   def minhashLshPairsPortable(df: DataFrame, idCol: String, textCol: String,
                               k: Int = 3, bands: Int = 8, rowsPerBand: Int = 4,
                               tau: Double = 0.7): DataFrame = {
@@ -196,17 +215,8 @@ object Dedup {
     // acc[i] = min over shingles of family-i's hex hash, with a sentinel
     // above every hex string standing in for "empty" (→ '' like the
     // coalesce in the oracle SQL). Measured 4× on the sf0.1 gate.
-    val sentinel = "￿"
-    val sigExpr = transform(
-      aggregate(shingles(col("text"), k),
-        array_repeat(lit(sentinel), numHashes),
-        (acc, s) => zip_with(acc,
-          transform(sequence(lit(0), lit(numHashes - 1)),
-            i => substring(md5(concat(s, lit("#"), i.cast("string"))), 17, 16)),
-          (a, b) => least(a, b))),
-      x => when(x === lit(sentinel), lit("")).otherwise(x))
     val hashed = docs
-      .withColumn("sig", sigExpr)
+      .withColumn("sig", portableSigExpr(col("text"), k, numHashes))
       .withColumn("fp", md5(col("text")))
       .select(col("id"), col("fp"), col("sig"))
     // mega-bucket guard (see minhashLshPairs): band keepers only, emit
@@ -241,6 +251,214 @@ object Dedup {
       .filter(col("jaccard") >= tau)
       .select(col("id_a"), col("id_b"), col("jaccard"))
     keeperPairs.unionByName(dupPairs)
+  }
+
+  // ---------------------------------------------------------------------
+  // Incremental MinHash near-dedup — the daily-ingest path: screen a NEW
+  // batch of documents against an already-deduplicated corpus without
+  // recomputing or reshuffling anything corpus-sized. Corpus state is the
+  // keeper signature store (one (id, fp, sig) row per distinct content,
+  // ~300 B at 8×4), maintained across ingests with [[minhashStoreAppend]]
+  // — the near-dup analogue of [[incrementalDedup]]'s fingerprint store
+  // and `Similarity.semanticDedupIncremental`'s assigned corpus.
+  // ---------------------------------------------------------------------
+
+  /** One band row per (keeper, band): `(id, band, band_key)`. The key
+    * expressions REPLICATE the batch operators' banding bit-for-bit
+    * (native: `hash(sigSlice, band)`; portable: '|'-joined hex rows) —
+    * the incremental ≡ batch equivalence contract depends on it. */
+  private def bandedRows(sigs: DataFrame, bands: Int, rowsPerBand: Int,
+                         portable: Boolean): DataFrame = {
+    val keys =
+      if (portable)
+        transform(sequence(lit(0), lit(bands - 1)),
+          b => concat_ws("|",
+            slice(col("sig"), b * rowsPerBand + 1, lit(rowsPerBand))).cast("string"))
+      else
+        transform(sequence(lit(0), lit(bands - 1)),
+          b => hash(slice(col("sig"), b * rowsPerBand + 1, lit(rowsPerBand)), b)
+            .cast("string"))
+    sigs.select(col("id"), posexplode(keys))
+      .withColumnRenamed("pos", "band").withColumnRenamed("col", "band_key")
+  }
+
+  /** (id, fp, sig) rows for `df` under the given signature family. */
+  private def hashedDocs(df: DataFrame, idCol: String, textCol: String,
+                         sigOf: Column => Column): DataFrame =
+    df.select(col(idCol).as("id"), col(textCol).as("text"))
+      .withColumn("sig", sigOf(col("text")))
+      .withColumn("fp", md5(col("text")))
+      .select(col("id"), col("fp"), col("sig"))
+
+  /** One keeper (min id) per distinct fp, carrying that row's sig. */
+  private def keeperStore(hashed: DataFrame): DataFrame =
+    hashed.groupBy(col("fp"))
+      .agg(min(struct(col("id"), col("sig"))).as("ks"))
+      .select(col("ks.id").as("id"), col("fp"), col("ks.sig").as("sig"))
+
+  /** Keeper signature store for a corpus: one `(id, fp, sig)` row per
+    * distinct content, signatures from the xxhash64 native family (the
+    * scale path — [[minhashStorePortable]] is the oracle twin). Build
+    * once per corpus, persist (e.g. in a `VersionedTable`), screen every
+    * subsequent ingest with [[minhashLshPairsIncremental]] — the corpus
+    * text is never re-signed. */
+  def minhashStore(df: DataFrame, idCol: String, textCol: String,
+                   k: Int = 3, bands: Int = 8, rowsPerBand: Int = 4): DataFrame = {
+    graft.functions.GraftFunctions.register(df.sparkSession)
+    keeperStore(hashedDocs(df, idCol, textCol,
+      t => call_function("graft_minhash_signature",
+        t, lit(k), lit(bands * rowsPerBand))))
+  }
+
+  /** md5-family store twin (engine-portable arithmetic — see
+    * [[minhashLshPairsPortable]]). Store and screen must use the SAME
+    * family and (k, bands, rowsPerBand). */
+  def minhashStorePortable(df: DataFrame, idCol: String, textCol: String,
+                           k: Int = 3, bands: Int = 8,
+                           rowsPerBand: Int = 4): DataFrame =
+    keeperStore(hashedDocs(df, idCol, textCol,
+      t => portableSigExpr(t, k, bands * rowsPerBand)))
+
+  /** Store maintenance: append an ingested batch's NOVEL contents (fp not
+    * already in the store, one keeper per new fp) so the next ingest
+    * screens against them. With ids assigned in ingest order,
+    * `minhashStoreAppend(minhashStore(corpus), incoming) ≡
+    * minhashStore(corpus ∪ incoming)` (spec-pinned). */
+  def minhashStoreAppend(store: DataFrame, incoming: DataFrame,
+                         idCol: String, textCol: String, k: Int = 3,
+                         bands: Int = 8, rowsPerBand: Int = 4,
+                         portable: Boolean = false): DataFrame = {
+    if (!portable) graft.functions.GraftFunctions.register(store.sparkSession)
+    val sigOf: Column => Column =
+      if (portable) t => portableSigExpr(t, k, bands * rowsPerBand)
+      else t => call_function("graft_minhash_signature",
+        t, lit(k), lit(bands * rowsPerBand))
+    val inHashed = hashedDocs(incoming, idCol, textCol, sigOf)
+    store.unionByName(novelKeepers(inHashed, store))
+  }
+
+  /** Incoming keepers whose content is NOT in the store. Plan shape: the
+    * store is probed map-side (broadcast of the small incoming fp set);
+    * the store itself never shuffles. */
+  private def novelKeepers(inHashed: DataFrame, store: DataFrame): DataFrame = {
+    val hitFps = store.select(col("fp"))
+      .join(broadcast(inHashed.select(col("fp")).distinct()), "fp")
+      .select(col("fp")).distinct()
+    keeperStore(inHashed.join(broadcast(hitFps), Seq("fp"), "left_anti"))
+  }
+
+  /**
+   * Incremental MinHash+LSH near-dup pairs: all near-dup pairs with at
+   * least one side in `incoming` — incoming↔corpus and incoming↔incoming
+   * — against a corpus represented ONLY by its signature store plus its
+   * text table (touched just for candidate verification).
+   *
+   * Contract (spec-pinned): with ids assigned in ingest order (every
+   * incoming id greater than every corpus id — what any monotone ingest
+   * key gives), the output is EXACTLY the batch operator's pairs over
+   * `corpus ∪ incoming` restricted to pairs touching `incoming`; batch
+   * output over the corpus alone is unchanged. So
+   * `batch(corpus) ∪ incremental(incoming, store(corpus), corpus)`
+   * ≡ `batch(corpus ∪ incoming)`, and a pipeline can ingest daily
+   * without ever re-running the corpus-wide join. Exact incoming
+   * duplicates of corpus content star to the CORPUS keeper (id_a) with
+   * jaccard 1.0, mirroring the batch mega-bucket guard across the
+   * increment boundary.
+   *
+   * Plan shape at 100 TB: the store scan is joined map-side against the
+   * BROADCAST incoming fp set (exact hits) and the BROADCAST incoming
+   * band rows (LSH candidates) — the corpus-sized store is scanned once
+   * per ingest and never shuffled or re-signed; only candidate ids (a
+   * per-ingest-sized set) reach the text tables for the exact-jaccard
+   * verify. Incoming is signed once per reference in this composite plan
+   * — persist it if the batch is expensive to recompute.
+   */
+  def minhashLshPairsIncremental(incoming: DataFrame, store: DataFrame,
+                                 corpusText: DataFrame, idCol: String,
+                                 textCol: String, k: Int = 3, bands: Int = 8,
+                                 rowsPerBand: Int = 4,
+                                 tau: Double = 0.7): DataFrame = {
+    graft.functions.GraftFunctions.register(incoming.sparkSession)
+    minhashIncrementalCore(incoming, store, corpusText, idCol, textCol,
+      k, bands, rowsPerBand, tau,
+      t => call_function("graft_minhash_signature",
+        t, lit(k), lit(bands * rowsPerBand)),
+      portable = false)
+  }
+
+  /** Oracle twin of [[minhashLshPairsIncremental]] (md5 family): the
+    * DuckDB oracle runs the batch pipeline over the re-keyed union and
+    * filters to pairs touching the ingest — certifying the incremental
+    * path end to end (store probe, cross-increment stars, banded
+    * candidates, verify) against the batch semantics. */
+  def minhashLshPairsIncrementalPortable(incoming: DataFrame, store: DataFrame,
+                                         corpusText: DataFrame, idCol: String,
+                                         textCol: String, k: Int = 3,
+                                         bands: Int = 8, rowsPerBand: Int = 4,
+                                         tau: Double = 0.7): DataFrame =
+    minhashIncrementalCore(incoming, store, corpusText, idCol, textCol,
+      k, bands, rowsPerBand, tau,
+      t => portableSigExpr(t, k, bands * rowsPerBand), portable = true)
+
+  private def minhashIncrementalCore(incoming: DataFrame, store: DataFrame,
+                                     corpusText: DataFrame, idCol: String,
+                                     textCol: String, k: Int, bands: Int,
+                                     rowsPerBand: Int, tau: Double,
+                                     sigOf: Column => Column,
+                                     portable: Boolean): DataFrame = {
+    require(store.columns.toSeq == Seq("id", "fp", "sig"),
+      s"store must be a minhashStore frame (id, fp, sig); got " +
+        store.columns.mkString(", "))
+    val inDocs = incoming.select(col(idCol).as("id"), col(textCol).as("text"))
+    val inHashed = hashedDocs(incoming, idCol, textCol, sigOf)
+    // Exact-content hits: incoming rows duplicating corpus content star
+    // to the corpus keeper and are NOT banded (the batch mega-bucket
+    // guard, extended across the increment boundary). Broadcast the
+    // incoming side so the store scan stays map-side.
+    val hits = store.select(col("id").as("keeper"), col("fp"))
+      .join(broadcast(inHashed.select(col("id"), col("fp"))), "fp")
+    val crossStars = hits.select(col("keeper").as("id_a"),
+      col("id").as("id_b"), lit(1.0).as("jaccard"))
+    val hitFps = hits.select(col("fp")).distinct()
+    val novel = inHashed.join(broadcast(hitFps), Seq("fp"), "left_anti")
+    val inKeep = keeperStore(novel)
+    val inStars = novel
+      .join(inKeep.select(col("fp"), col("id").as("keeper")), "fp")
+      .filter(col("id") =!= col("keeper"))
+      .select(col("keeper").as("id_a"), col("id").as("id_b"),
+        lit(1.0).as("jaccard"))
+    // LSH candidates: corpus bands derive map-side from stored sigs; the
+    // small new-keeper band table broadcasts into them. id_b is always
+    // the incoming side (ingest-order ids make corpus < incoming).
+    val newBanded = bandedRows(inKeep, bands, rowsPerBand, portable)
+    val storeBanded = bandedRows(store.select(col("id"), col("sig")),
+      bands, rowsPerBand, portable)
+    def bandJoin(a: DataFrame, b: DataFrame): DataFrame =
+      a.alias("a").join(broadcast(b.alias("b")),
+          col("a.band") === col("b.band") &&
+            col("a.band_key") === col("b.band_key") &&
+            col("a.id") < col("b.id"))
+        .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+    val cand = bandJoin(storeBanded, newBanded)
+      .unionByName(bandJoin(newBanded, newBanded))
+      .dropDuplicates("id_a", "id_b")
+    // Verify: exact shingle jaccard, texts fetched for candidate ids only
+    // (id_a may be corpus or incoming; id_b is incoming).
+    val textA = corpusText
+      .select(col(idCol).as("id_a"), col(textCol).as("text_a"))
+      .unionByName(inDocs.select(col("id").as("id_a"), col("text").as("text_a")))
+    val verified = cand
+      .join(textA, Seq("id_a"))
+      .join(inDocs.select(col("id").as("id_b"), col("text").as("text_b")),
+        Seq("id_b"))
+      .withColumn("sh_a", shingles(col("text_a"), k))
+      .withColumn("sh_b", shingles(col("text_b"), k))
+      .withColumn("jaccard",
+        size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
+          size(array_union(col("sh_a"), col("sh_b"))).cast("double"))
+      .filter(col("jaccard") >= tau)
+      .select(col("id_a"), col("id_b"), col("jaccard"))
+    verified.unionByName(crossStars).unionByName(inStars)
   }
 
   /**

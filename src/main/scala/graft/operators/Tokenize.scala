@@ -120,8 +120,10 @@ object Tokenize {
    * Two execution paths, both producing the IDENTICAL merge sequence
    * (pinned by `TokenizeSpec`/`TokenizeScaleSpec`):
    *
-   *  - **Driver-local** (vocab rows ≤ `localVocabThreshold`, the default
-   *    regime): the (word, cnt) table is vocabulary-bounded — Heaps' law
+   *  - **Driver-local** (the default regime — taken whenever the vocab's
+   *    estimated heap footprint fits a quarter of driver memory; an
+   *    explicit `localVocabThreshold` adds a row cap, 0 forcing the
+   *    distributed path): the (word, cnt) table is vocabulary-bounded — Heaps' law
    *    puts it orders of magnitude below corpus size — so it collects
    *    like any other bounded model parameter (IVF centroids, DSIR
    *    histograms). Learning then runs in-process with an inverted
@@ -144,19 +146,22 @@ object Tokenize {
    * (word, cnt, toks) — the reusable tokenizer model.
    */
   def learnBpe(words: DataFrame, k: Int,
-               localVocabThreshold: Long = 4000000L,
+               localVocabThreshold: Long = -1L,
                batchLimit: Int = 64): BpeModel = {
     val seeded = words.select(col("word"), col("cnt"),
       chars(col("word")).as("toks"))
-    // Two-stage gate. The limit-probe row count is cheap for giant vocabs
-    // (stops scanning at threshold+1); but row count alone under-estimates
-    // driver footprint — 4M rows of per-character token arrays can be
-    // several GB of heap — so vocabs under the row gate are additionally
-    // gated on estimated bytes (each seed char becomes a String token plus
-    // pair-count/index entries, ~150 B/char) against a quarter of the
-    // driver heap. Either gate failing falls back to the distributed
-    // learner, which never collects the vocab.
-    val underRowGate =
+    // Local-path gate. The authoritative check is ESTIMATED BYTES (each
+    // seed char becomes a String token plus pair-count/index entries,
+    // ~150 B/char) against a quarter of the driver heap — row count alone
+    // under-estimates footprint, and a fixed row cap under-USES a big
+    // driver (the distributed tier's ~1-5 merges/pass is strictly worse
+    // whenever the vocab fits: a 128 GiB driver holds ~28M words of 8
+    // chars, 7× the old 4M-row cap). localVocabThreshold = -1 (default)
+    // means "byte gate decides"; an explicit value adds a row cap on top
+    // (0 forces the distributed path — soaks and equivalence specs use
+    // it). Either gate failing falls back to the distributed learner,
+    // which never collects the vocab.
+    val underRowGate = localVocabThreshold < 0L ||
       words.limit(math.min(localVocabThreshold, Int.MaxValue - 1L).toInt + 1)
         .count() <= localVocabThreshold
     val fitsDriver = underRowGate && {

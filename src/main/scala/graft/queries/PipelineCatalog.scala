@@ -256,6 +256,91 @@ object PipelineCatalog {
       |SELECT id_a, id_b, jaccard FROM verified WHERE jaccard >= 0.5
       |UNION ALL SELECT id_a, id_b, jaccard FROM dup_stars""".stripMargin
 
+  /** Incremental MinHash+LSH ingest screen — xxhash64 native scale path,
+    * rows-only (certified by the md5 twin below). Corpus = 3/4 of the
+    * documents table, ingest = the remaining quarter re-keyed into the
+    * monotone id range a real ingest assigns; the corpus side enters the
+    * plan only as its signature store plus candidate-id text lookups. */
+  val dedupMinhashInc: Q = (s, dir) => {
+    val docs = Tables.documents(s, dir)
+    val corpus = docs.filter(col("doc_id") % 4 =!= 2)
+    val incoming = docs.filter(col("doc_id") % 4 === 2)
+      .withColumn("doc_id", col("doc_id") + lit(10000000L))
+    Dedup.minhashLshPairsIncremental(incoming,
+      Dedup.minhashStore(corpus, "doc_id", "text"),
+      corpus, "doc_id", "text", tau = 0.5)
+  }
+
+  /** Portable incremental twin (md5 family, dedup_minhash_md5's
+    * certification scope and parameters): the oracle runs the BATCH
+    * pipeline over the re-keyed union and keeps pairs touching the
+    * ingest (id_b in the re-keyed range — ingest-order ids put the
+    * incoming side on id_b of every such pair), so the gate certifies
+    * incremental ≡ batch end to end: store probe, cross-increment
+    * keeper stars, banded candidate recall, exact-jaccard verify. */
+  val dedupMinhashIncMd5: Q = (s, dir) => {
+    val docs = Tables.documents(s, dir)
+    val corpus = docs.filter(col("doc_id") % 4 === 0)
+    val incoming = docs.filter(col("doc_id") % 4 === 2)
+      .withColumn("doc_id", col("doc_id") + lit(10000000L))
+    Dedup.minhashLshPairsIncrementalPortable(incoming,
+      Dedup.minhashStorePortable(corpus, "doc_id", "text",
+        k = 3, bands = 4, rowsPerBand = 2),
+      corpus, "doc_id", "text", k = 3, bands = 4, rowsPerBand = 2, tau = 0.5)
+  }
+
+  /** The batch md5 MinHash pipeline over the re-keyed corpus ∪ ingest
+    * union, restricted to pairs touching the ingest — the semantics the
+    * incremental operator promises to reproduce without corpus-sized
+    * work. */
+  val dedupMinhashIncMd5Sql: String =
+    """WITH t AS (
+      |  SELECT CASE WHEN doc_id % 4 = 2 THEN doc_id + 10000000
+      |              ELSE doc_id END AS id,
+      |         text, string_split(text, ' ') AS toks
+      |  FROM documents WHERE doc_id % 2 = 0
+      |), sh AS (
+      |  SELECT id, text,
+      |         list_distinct(list_transform(range(1, greatest(len(toks) - 1, 1)),
+      |           i -> array_to_string(toks[i:i+2], ' '))) AS shingles
+      |  FROM t
+      |), sg AS (
+      |  SELECT id, text, shingles,
+      |         list_transform(range(0, 8), p -> coalesce(
+      |           list_min(list_transform(shingles,
+      |             s -> substring(md5(s || '#' || CAST(p AS VARCHAR)), 17, 16))),
+      |           '')) AS sig,
+      |         md5(text) AS fp
+      |  FROM sh
+      |), keep AS (
+      |  SELECT fp, min(id) AS keeper FROM sg GROUP BY fp
+      |), dup_stars AS (
+      |  SELECT k.keeper AS id_a, f.id AS id_b, CAST(1.0 AS DOUBLE) AS jaccard
+      |  FROM sg f JOIN keep k ON f.fp = k.fp
+      |  WHERE f.id <> k.keeper
+      |), banded AS (
+      |  SELECT f.id, r.b AS band,
+      |         array_to_string(f.sig[r.b*2+1 : r.b*2+2], '|') AS band_key
+      |  FROM sg f JOIN keep k ON f.fp = k.fp AND f.id = k.keeper
+      |  CROSS JOIN range(0, 4) AS r(b)
+      |), cand AS (
+      |  SELECT DISTINCT a.id AS id_a, b.id AS id_b
+      |  FROM banded a JOIN banded b
+      |    ON a.band = b.band AND a.band_key = b.band_key AND a.id < b.id
+      |), verified AS (
+      |  SELECT c.id_a, c.id_b,
+      |         CAST(len(list_intersect(sa.shingles, sb.shingles)) AS DOUBLE) /
+      |         CAST(len(list_distinct(list_concat(sa.shingles, sb.shingles))) AS DOUBLE)
+      |           AS jaccard
+      |  FROM cand c
+      |  JOIN sh sa ON sa.id = c.id_a
+      |  JOIN sh sb ON sb.id = c.id_b
+      |)
+      |SELECT id_a, id_b, jaccard FROM verified
+      |WHERE jaccard >= 0.5 AND id_b >= 10000000
+      |UNION ALL
+      |SELECT id_a, id_b, jaccard FROM dup_stars WHERE id_b >= 10000000""".stripMargin
+
   /** SimHash near-dup pairs — xxhash64 signature, rows-only. */
   val dedupSimhash: Q = (s, dir) =>
     Dedup.simhashPairs(Tables.documents(s, dir), "doc_id", "text")
@@ -1764,6 +1849,8 @@ object PipelineCatalog {
     "dedup_incremental" -> dedupIncremental,
     "dedup_minhash" -> dedupMinhash,
     "dedup_minhash_md5" -> dedupMinhashMd5,
+    "dedup_minhash_inc" -> dedupMinhashInc,
+    "dedup_minhash_inc_md5" -> dedupMinhashIncMd5,
     "dedup_simhash_md5" -> dedupSimhashMd5,
     "sim_lsh_md5" -> simLshMd5,
     "dedup_simhash" -> dedupSimhash,
@@ -1823,6 +1910,7 @@ object PipelineCatalog {
     "dedup_jaccard" -> dedupJaccardSql,
     "fuzzy_pairs" -> fuzzyPairsSql,
     "dedup_minhash_md5" -> dedupMinhashMd5Sql,
+    "dedup_minhash_inc_md5" -> dedupMinhashIncMd5Sql,
     "dedup_simhash_md5" -> dedupSimhashMd5Sql,
     "dedup_clusters" -> dedupClustersSql,
     "dedup_keep" -> dedupKeepSql,

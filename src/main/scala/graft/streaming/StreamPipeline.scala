@@ -217,21 +217,25 @@ object StreamPipeline {
    * array in place, so even the reassembly exchange disappears.
    *
    * The literal-map trade-off: the inlined vocab lives in the PLAN, which
-   * is re-serialized every micro-batch — fine for the
-   * few-thousand-word vocabularies of the gate fixtures, a measured
-   * superlinear per-batch tax beyond that (local[8], 200-doc batches:
-   * 0.47 s/batch at 10k entries, 1.4 s at 50k, 5.1 s at 100k — vs a
-   * flat ~0.2 s for the broadcast form; PLANS.md r8). Vocabularies
-   * larger than `inlineVocabLimit` therefore switch to a TorrentBroadcast of the
-   * same (vocab map, merge rules) model: shipped to each executor ONCE
-   * for the query's lifetime instead of riding in every batch's plan,
-   * looked up by a segmentation function whose merge-fold fallback
+   * is re-serialized every micro-batch — a measured per-batch tax that
+   * is superlinear in vocab size and, per the round-9 `SegmentBench`
+   * sweep (local[8], 200-doc batches), ALREADY loses at every size
+   * measured: 0.39 s/batch at 1k entries, 0.61 s at 6k, 0.94 s at 10k —
+   * vs a FLAT 0.19 s for the broadcast expression at 1k through 100k.
+   * The default is therefore the codegen'd broadcast form for every
+   * vocab (`inlineVocabLimit = 0`): a TorrentBroadcast of the (vocab
+   * map, merge rules) model shipped to each executor ONCE for the
+   * query's lifetime instead of riding in every batch's plan, looked up
+   * by a segmentation expression whose merge-fold fallback
    * (`Tokenize.segmentWordLocal`) is the exact twin of the Catalyst
-   * fold. Still stateless, still append-mode-safe — the stream-static
-   * JOIN form of the batch segmenter is NOT available here because its
-   * per-doc reassembly aggregation would demand watermark state; the
-   * broadcast lookup keeps the pure-projection contract at any vocab
-   * size. Both forms are equivalence-pinned in `StreamPipelineSpec`.
+   * fold. Raising `inlineVocabLimit` opts small vocabs back into the
+   * pure-literal plan (no broadcast machinery — occasionally useful for
+   * plan golden-files). Still stateless, still append-mode-safe — the
+   * stream-static JOIN form of the batch segmenter is NOT available
+   * here because its per-doc reassembly aggregation would demand
+   * watermark state; the broadcast lookup keeps the pure-projection
+   * contract at any vocab size. Both forms are equivalence-pinned in
+   * `StreamPipelineSpec`.
    *
    * Emits every input column plus (n_words, n_subwords, subword_text) —
    * the same per-doc surface as `applyBpe` (equivalence pinned in
@@ -239,7 +243,7 @@ object StreamPipeline {
    */
   def bpeSegmentStream(docs: DataFrame, textCol: String,
                        model: graft.operators.Tokenize.BpeModel,
-                       inlineVocabLimit: Int = 10000): DataFrame = {
+                       inlineVocabLimit: Int = 0): DataFrame = {
     val vocab: Map[String, Seq[String]] = model.vocab
       .select(col("word"), col("toks")).collect()
       .map(r => r.getString(0) -> r.getSeq[String](1)).toMap

@@ -291,4 +291,75 @@ class DedupSpec extends SparkSuite {
     assert(byId(4L)._1 < 10L, "internal repetition must scrub something")
     assert(byId(5L) === ((0L, "")), "fully-duplicated doc scrubs to empty")
   }
+
+  // ------------------------------------------------------------------
+  // Incremental MinHash ingest screen: the contract is EXACT agreement
+  // with the batch operator over the union, restricted to pairs touching
+  // the ingest — under ingest-order ids (incoming > corpus), the pairs
+  // whose id_b is an incoming id.
+  // ------------------------------------------------------------------
+
+  private lazy val incCorpus = docs // ids 1-5 (base, nearDup, 2 distinct, base-dup)
+  private lazy val incBatch = Seq(
+    (10L, base),                                       // exact dup of corpus keeper 1
+    (11L, base.replace("brown fox", "red fox")),       // NEW near-dup of base
+    (12L, "novel ingest content about streaming watermark semantics and late data routing through keyed state machines with bounded buffers"),
+    (13L, "novel ingest content about streaming watermark semantics and late data routing through keyed state machines with bounded buffers"), // exact dup within ingest
+    (14L, distinct1.replace("petabytes", "exabytes")), // near-dup of corpus 3
+    (15L, base)                                        // second exact dup of keeper 1
+  ).toDF("doc_id", "text")
+
+  private def pairSet(df: org.apache.spark.sql.DataFrame): Set[(Long, Long, Double)] =
+    df.select("id_a", "id_b", "jaccard").as[(Long, Long, Double)].collect().toSet
+
+  test("incremental minhash ≡ batch over the union, both families") {
+    val union = incCorpus.unionByName(incBatch)
+    // native xxhash64 family, production 8×4 params
+    val batchNative = pairSet(Dedup.minhashLshPairs(union, "doc_id", "text",
+      k = 3, bands = 8, rowsPerBand = 4, tau = 0.5))
+    val incNative = pairSet(Dedup.minhashLshPairsIncremental(incBatch,
+      Dedup.minhashStore(incCorpus, "doc_id", "text"),
+      incCorpus, "doc_id", "text", k = 3, bands = 8, rowsPerBand = 4,
+      tau = 0.5))
+    assert(incNative === batchNative.filter(_._2 >= 10L),
+      "incremental must emit exactly the union-batch pairs touching the ingest")
+    // corpus-only pairs are untouched → the decomposition reassembles the batch run
+    val corpusNative = pairSet(Dedup.minhashLshPairs(incCorpus, "doc_id",
+      "text", k = 3, bands = 8, rowsPerBand = 4, tau = 0.5))
+    assert(corpusNative ++ incNative === batchNative)
+    // portable md5 family at the oracle gate's 4×2 params
+    val batchMd5 = pairSet(Dedup.minhashLshPairsPortable(union, "doc_id",
+      "text", k = 3, bands = 4, rowsPerBand = 2, tau = 0.5))
+    val incMd5 = pairSet(Dedup.minhashLshPairsIncrementalPortable(incBatch,
+      Dedup.minhashStorePortable(incCorpus, "doc_id", "text",
+        k = 3, bands = 4, rowsPerBand = 2),
+      incCorpus, "doc_id", "text", k = 3, bands = 4, rowsPerBand = 2,
+      tau = 0.5))
+    assert(incMd5 === batchMd5.filter(_._2 >= 10L))
+    // the cross-increment mega-bucket guard: ingest copies of corpus
+    // content star to the CORPUS keeper; ingest-internal dups to theirs
+    assert(incNative.contains((1L, 10L, 1.0)) && incNative.contains((1L, 15L, 1.0)))
+    assert(incNative.contains((12L, 13L, 1.0)))
+    // planted cross near-dups found; distinct2 (id 4) pairs with nothing
+    assert(incNative.exists(p => p._1 == 1L && p._2 == 11L))
+    assert(incNative.exists(p => p._1 == 3L && p._2 == 14L))
+    assert(!incNative.exists(p => p._1 == 4L))
+  }
+
+  test("minhashStoreAppend ≡ store rebuilt from the union") {
+    val union = incCorpus.unionByName(incBatch)
+    def storeSet(df: org.apache.spark.sql.DataFrame) =
+      df.select(col("id"), col("fp"), col("sig").cast("array<string>"))
+        .as[(Long, String, Seq[String])].collect().toSet
+    val appended = Dedup.minhashStoreAppend(
+      Dedup.minhashStore(incCorpus, "doc_id", "text"), incBatch,
+      "doc_id", "text")
+    assert(storeSet(appended) ===
+      storeSet(Dedup.minhashStore(union, "doc_id", "text")))
+    val appendedMd5 = Dedup.minhashStoreAppend(
+      Dedup.minhashStorePortable(incCorpus, "doc_id", "text"), incBatch,
+      "doc_id", "text", portable = true)
+    assert(storeSet(appendedMd5) ===
+      storeSet(Dedup.minhashStorePortable(union, "doc_id", "text")))
+  }
 }
