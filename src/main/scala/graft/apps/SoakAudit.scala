@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.execution.SparkPlan
 import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
 import org.apache.spark.sql.execution.exchange.{BroadcastExchangeLike, ShuffleExchangeLike}
-import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.functions.{col, lit}
 
 import graft.SparkEntry
 import graft.operators.Similarity
@@ -118,6 +118,35 @@ object SoakAudit {
       graft.operators.Dedup.resolveClusters(
         SparkEntry.queries("dedup_jaccard")(s, dir),
         localEdgeThreshold = 0L)),
+    // Incremental-minhash ingest soaks (r9): the design claim is that
+    // screening a FIXED-size ingest batch costs ~the store scan, flat in
+    // corpus size beyond it — the corpus is never re-signed or shuffled.
+    // _store builds the keeper store alone (the one-time corpus cost, ∝
+    // corpus); _inc builds it AND screens a fixed 1250-doc re-keyed
+    // ingest, so (_inc − _store) isolates the per-ingest cost, which
+    // must stay ~flat as the corpus scales 1× → 10× → 100×.
+    "soak_minhash_store" -> ((s, dir) =>
+      graft.operators.Dedup.minhashStore(
+        Tables.documents(s, dir), "doc_id", "text")),
+    "soak_minhash_inc" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      // copy 0 of any ScaleData output keeps ids 0-4999, so this is the
+      // SAME 1250 documents at every factor. Half re-ingest verbatim
+      // (exercising the exact-hit star path); half get a token appended —
+      // novel fp, high shingle overlap — so the banded candidate probe
+      // runs against the corpus-sized store too.
+      val incoming = docs.filter(col("doc_id") < 5000L &&
+          col("doc_id") % 4 === 0)
+        .withColumn("doc_id", col("doc_id") + lit(1000000000L))
+        .withColumn("text",
+          org.apache.spark.sql.functions.when(col("doc_id") % 8 === 0,
+              org.apache.spark.sql.functions.concat(col("text"),
+                lit(" zq9ingest")))
+            .otherwise(col("text")))
+      graft.operators.Dedup.minhashLshPairsIncremental(incoming,
+        graft.operators.Dedup.minhashStore(docs, "doc_id", "text"),
+        docs, "doc_id", "text", tau = 0.5)
+    }),
     // Production-vocabulary BPE learning (r8): k=1024 merges over the
     // corpus word table via the driver-local indexed learner — the soak
     // evidence that learning escaped the one-Spark-job-per-merge regime.
