@@ -64,9 +64,13 @@ object Bench {
     val total = if (results.nonEmpty) results.values.sum else 0.0
     // sf as a bare number (driver parses the JSON; a path string broke it)
     val sf = "sf([0-9.]+)".r.findFirstMatchIn(sfDir).map(_.group(1)).getOrElse("0")
+    // Locale.ROOT: a comma-decimal default locale would emit 12,5 and
+    // corrupt both JSON artifacts.
     def qjson(m: Seq[(String, Double)], fmt: String): String =
-      m.map { case (k, v) => "\"" + k + "\":" + fmt.format(v) }
-        .mkString("{", ",", "}")
+      m.map { case (k, v) =>
+        "\"" + k + "\":" + String.format(java.util.Locale.ROOT, fmt,
+          Double.box(v))
+      }.mkString("{", ",", "}")
     val byName = results.toSeq.sortBy(_._1)
     // Full-precision per-query medians + per-pass raw data go to the file
     // artifact (the judge reads bench_result.json directly; round 8's
@@ -84,11 +88,21 @@ object Bench {
     // keep the slowest-K queries (the ones a judge diffs) plus a pointer to
     // the full file artifact.
     val budget = 1900
-    val bySlowest = results.toSeq.sortBy(-_._2)
+    // Failures FIRST in the kept set: sorting by -time alone puts -1
+    // entries last, and truncation would cut exactly the queries a judge
+    // must see. An explicit `failed` list survives any truncation.
+    val failed = results.toSeq.filter(_._2 < 0).map(_._1).sorted
+    val bySlowest = results.toSeq.sortBy { case (_, v) =>
+      if (v < 0) Double.NegativeInfinity else -v
+    }
+    val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
     def line(k: Int): String = {
       val kept = qjson(bySlowest.take(k).sortBy(_._1), "%.3f")
-      s"""{"metric":"total","value":${"%.3f".format(total)},"unit":"sec",""" +
+      s"""{"metric":"total","value":${
+        String.format(java.util.Locale.ROOT, "%.3f", Double.box(total))
+      },"unit":"sec",""" +
       s""""sf":$sf,"passes":$passes,"n_queries":${results.size},""" +
+      s""""failed":$failedJson,""" +
       s""""queries_kept":$k,"full":"bench_result.json","queries":$kept}"""
     }
     val full = line(results.size)

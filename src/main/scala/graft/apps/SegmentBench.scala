@@ -14,11 +14,13 @@ import graft.streaming.StreamPipeline
  *
  * `runMain graft.apps.SegmentBench [vocabSizes...]` — for each size,
  * builds a deterministic synthetic model (seeded words, char-seed
- * segmentations, 200 merge rules), streams 5 × 200-doc batches of 50
- * in-vocab words each through `bpeSegmentStream`, and prints the mean
- * per-batch seconds of the last 3 batches for (a) whatever form the
- * size selects (inline below 10k, broadcast expression above) and the
- * batch-oracle row parity.
+ * segmentations, 24 merge rules), streams 5 × 200-doc batches of 50
+ * in-vocab words each (identical batch content for every form) through
+ * three pipelines — the production default (codegen'd broadcast
+ * expression), the forced inlined-literal form, and the retired r8
+ * Scala-UDF form — and prints each form's mean per-batch seconds over
+ * the last 3 batches plus its output row count (correctness parity
+ * between forms is pinned in `StreamPipelineSpec`, not here).
  */
 object SegmentBench {
 
@@ -53,10 +55,14 @@ object SegmentBench {
 
     sizes.foreach { n =>
       val (m, words) = model(spark, n)
-      val rnd = new scala.util.Random(13)
-      def batch(b: Int): Seq[(Long, String)] = (1 to 200).map { d =>
-        (b * 1000L + d,
-          (1 to 50).map(_ => words(rnd.nextInt(words.length))).mkString(" "))
+      // seeded per batch NUMBER, not per draw sequence, so every form
+      // streams byte-identical documents
+      def batch(b: Int): Seq[(Long, String)] = {
+        val rnd = new scala.util.Random(13 + b)
+        (1 to 200).map { d =>
+          (b * 1000L + d,
+            (1 to 50).map(_ => words(rnd.nextInt(words.length))).mkString(" "))
+        }
       }
       // r8's Scala-UDF fallback, reconstructed for same-harness comparison
       def udfForm(docs: DataFrame): DataFrame = {

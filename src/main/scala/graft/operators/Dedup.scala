@@ -138,14 +138,10 @@ object Dedup {
     // Candidate generation ships (id, band, band_hash) ONLY — at corpus
     // scale the 8× banded explode and the self-join shuffle never carry
     // document bodies; text re-joins for the (small) candidate set below.
-    val banded = sigs.select(col("id"),
-        posexplode(transform(
-          sequence(lit(0), lit(bands - 1)),
-          b => hash(slice(col("sig"), b * rowsPerBand + 1, lit(rowsPerBand)), b))))
-      .withColumnRenamed("pos", "band").withColumnRenamed("col", "band_hash")
+    val banded = bandedRows(sigs, bands, rowsPerBand, portable = false)
     val cand = banded.alias("a").join(banded.alias("b"),
         col("a.band") === col("b.band") &&
-          col("a.band_hash") === col("b.band_hash") &&
+          col("a.band_key") === col("b.band_key") &&
           col("a.id") < col("b.id"))
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
       .dropDuplicates("id_a", "id_b")
@@ -228,12 +224,7 @@ object Dedup {
         lit(1.0).as("jaccard"))
     val sigs = tagged.filter(col("id") === col("keeper"))
       .select(col("id"), col("sig"))
-    val banded = sigs.select(col("id"),
-        posexplode(transform(
-          sequence(lit(0), lit(bands - 1)),
-          b => concat_ws("|",
-            slice(col("sig"), b * rowsPerBand + 1, lit(rowsPerBand))))))
-      .withColumnRenamed("pos", "band").withColumnRenamed("col", "band_key")
+    val banded = bandedRows(sigs, bands, rowsPerBand, portable = true)
     val cand = banded.alias("a").join(banded.alias("b"),
         col("a.band") === col("b.band") &&
           col("a.band_key") === col("b.band_key") &&
@@ -263,10 +254,11 @@ object Dedup {
   // and `Similarity.semanticDedupIncremental`'s assigned corpus.
   // ---------------------------------------------------------------------
 
-  /** One band row per (keeper, band): `(id, band, band_key)`. The key
-    * expressions REPLICATE the batch operators' banding bit-for-bit
-    * (native: `hash(sigSlice, band)`; portable: '|'-joined hex rows) —
-    * the incremental ≡ batch equivalence contract depends on it. */
+  /** One band row per (keeper, band): `(id, band, band_key)` — the ONE
+    * banding definition (native: `hash(sigSlice, band)`; portable:
+    * '|'-joined hex rows), used by the batch operators and the
+    * incremental screen alike so the incremental ≡ batch equivalence
+    * contract can't drift through a one-sided edit. */
   private def bandedRows(sigs: DataFrame, bands: Int, rowsPerBand: Int,
                          portable: Boolean): DataFrame = {
     val keys =
@@ -367,8 +359,11 @@ object Dedup {
    *
    * Plan shape at 100 TB: the store scan is joined map-side against the
    * BROADCAST incoming fp set (exact hits) and the BROADCAST incoming
-   * band rows (LSH candidates) — the corpus-sized store is scanned once
-   * per ingest and never shuffled or re-signed; only candidate ids (a
+   * band rows (LSH candidates) — the corpus-sized store is never
+   * shuffled and the corpus never re-signed; the store is SCANNED a
+   * small constant number of times per ingest (the exact-fp probe
+   * feeds two branches, plus the band derivation — persist the store
+   * if those scans dominate), and only candidate ids (a
    * per-ingest-sized set) reach the text tables for the exact-jaccard
    * verify. Incoming is signed once per reference in this composite plan
    * — persist it if the batch is expensive to recompute.
@@ -732,7 +727,14 @@ object Dedup {
     // sizing AQE exists to guess. Restored in the finally (the returned
     // frame is a checkpoint, so downstream consumers re-plan under the
     // caller's own conf). Session-visible while the loop runs — the one
-    // documented side effect.
+    // documented side effect: queries the caller plans CONCURRENTLY on
+    // this session during the loop compile without AQE. The JVM-wide
+    // lock below keeps overlapping resolveClusters calls from racing the
+    // toggle itself (first caller's restore would re-enable AQE mid-loop
+    // for the second — silently reinstating the per-round re-shuffle);
+    // propagation loops on one driver serialize, which at their size
+    // they would effectively do anyway.
+    aqeLoopLock.synchronized {
     val aqeKey = "spark.sql.adaptive.enabled"
     val aqePrev = spark.conf.get(aqeKey, "true")
     spark.conf.set(aqeKey, "false")
@@ -835,7 +837,11 @@ object Dedup {
         f"resolveClusters total: ${(System.nanoTime() - tEnter) / 1e9}%.2f s")
     labels.select(col("id").as("doc_id"), col("label").as("cluster_id"))
     } finally spark.conf.set(aqeKey, aqePrev)
+    }
   }
+
+  /** Serializes the AQE-off propagation loops — see resolveClusters. */
+  private val aqeLoopLock = new Object
 
   /** Driver union-find over a materialized (s, t) pair frame that fits in
     * driver memory. Path-halving + union-by-size; the per-component min-id

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, Row}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.DataStreamWriter
 
-import graft.operators.{FreqSketch, Importance, Similarity, TextAnalysis}
+import graft.operators.{Dedup, FreqSketch, Importance, Similarity, TextAnalysis}
 import graft.sources.VersionedTable
 
 /**
@@ -197,6 +197,61 @@ object StreamPipeline {
             Seq(idCol))
           if (!kept.isEmpty) {
             VersionedTable.upsert(spark, corpusPath, kept, Seq(idCol))
+            ()
+          }
+        }
+    }
+
+  /**
+   * Streaming MinHash near-dup ingest — the streaming twin of
+   * [[graft.operators.Dedup.minhashLshPairsIncremental]], completing the
+   * ingest-dedup family ([[incrementalDedupStream]] = exact,
+   * [[semanticIngestStream]] = embedding, this = text near-dup).
+   *
+   * State under `statePath` (both `VersionedTable`-backed, so crashes
+   * mid-upsert roll back to the last committed version): `docs` — the
+   * kept corpus `(id, text)`; `store` — its keeper signature store. Each
+   * micro-batch screens against the store (the corpus is never re-signed
+   * and never shuffles; see the batch operator's plan notes), DROPS any
+   * batch document with a ≥ tau match to the kept corpus or to a
+   * lower-id document of the same batch (the same greedy keep-lowest-id
+   * rule as [[semanticIngestStream]] — every such match surfaces as an
+   * `id_b` of the pair output), and upserts the survivors into both
+   * tables. Requires ingest-order ids (monotone across batches) — the
+   * incremental operator's contract. Stream ≡ a left fold of the batch
+   * screen, pinned in `StreamPipelineSpec`.
+   */
+  def minhashIngestStream(stream: DataFrame, idCol: String, textCol: String,
+                          statePath: String, k: Int = 3, bands: Int = 8,
+                          rowsPerBand: Int = 4,
+                          tau: Double = 0.7): DataStreamWriter[Row] =
+    stream.writeStream.outputMode("append").foreachBatch {
+      (batch: DataFrame, _: Long) =>
+        if (!batch.isEmpty) {
+          val spark = batch.sparkSession
+          val storePath = s"$statePath/store"
+          val docsPath = s"$statePath/docs"
+          val pairs = VersionedTable.read(spark, storePath) match {
+            case Some(store) =>
+              Dedup.minhashLshPairsIncremental(batch, store,
+                VersionedTable.read(spark, docsPath).get,
+                idCol, textCol, k, bands, rowsPerBand, tau)
+            case None => // first batch: the union is the batch itself
+              Dedup.minhashLshPairs(batch, idCol, textCol, k, bands,
+                rowsPerBand, tau)
+          }
+          val kept = batch.join(
+            pairs.select(col("id_b").as(idCol)).distinct(),
+            Seq(idCol), "left_anti")
+          if (!kept.isEmpty) {
+            // every kept doc's content is novel by construction (exact
+            // dups of corpus or lower-id batch docs were dropped above),
+            // so the store delta is exactly the kept docs' keeper rows
+            VersionedTable.upsert(spark, storePath,
+              Dedup.minhashStore(kept, idCol, textCol, k, bands,
+                rowsPerBand), Seq("id"))
+            VersionedTable.upsert(spark, docsPath,
+              kept.select(col(idCol), col(textCol)), Seq(idCol))
             ()
           }
         }

@@ -182,6 +182,53 @@ class StreamPipelineSpec extends SparkSuite {
     assert(kept.size === 2)
   }
 
+  test("minhashIngestStream: kept corpus ≡ left fold of the incremental screen") {
+    import graft.operators.Dedup
+    import graft.sources.VersionedTable
+    val base = "the quick brown fox jumps over the lazy dog while the cat sleeps on the warm mat near the door and the birds sing in the tall green trees outside"
+    val other = "completely different content about distributed query engines processing petabytes of columnar data with vectorized execution and adaptive partitioning"
+    val batch1 = Seq((1L, base), (2L, other), (3L, base)) // 3 exact-dups 1
+    val batch2 = Seq(
+      (10L, base),                                   // exact dup of corpus 1
+      (11L, base.replace("lazy dog", "sleepy dog")), // near-dup of corpus 1
+      (12L, "novel second batch content about streaming watermark semantics and late data routing through keyed state machines"),
+      (13L, other.replace("petabytes", "exabytes"))) // near-dup of corpus 2
+    val statePath =
+      java.nio.file.Files.createTempDirectory("graft_mh_ingest").toString
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[(Long, String)]
+    val q = StreamPipeline.minhashIngestStream(
+        in.toDF().toDF("doc_id", "text"), "doc_id", "text", statePath,
+        tau = 0.5)
+      .start()
+    try {
+      in.addData(batch1)
+      q.processAllAvailable()
+      in.addData(batch2)
+      q.processAllAvailable()
+    } finally q.stop()
+    val streamedIds = VersionedTable.read(spark, s"$statePath/docs").get
+      .select("doc_id").as[Long].collect().toSet
+    // fold the same batches through the batch operators
+    val b1 = batch1.toDF("doc_id", "text")
+    val drop1 = Dedup.minhashLshPairs(b1, "doc_id", "text", tau = 0.5)
+      .select("id_b").as[Long].collect().toSet
+    val kept1 = batch1.filterNot(t => drop1(t._1))
+    val k1df = kept1.toDF("doc_id", "text")
+    val drop2 = Dedup.minhashLshPairsIncremental(
+        batch2.toDF("doc_id", "text"),
+        Dedup.minhashStore(k1df, "doc_id", "text"), k1df,
+        "doc_id", "text", tau = 0.5)
+      .select("id_b").as[Long].collect().toSet
+    val kept2 = batch2.map(_._1).filterNot(drop2)
+    assert(streamedIds === (kept1.map(_._1) ++ kept2).toSet)
+    assert(streamedIds === Set(1L, 2L, 12L),
+      "cross-batch exact AND near dups drop; only the novel doc survives")
+    // the signature store tracks the kept corpus exactly
+    assert(VersionedTable.read(spark, s"$statePath/store").get
+      .select("id").as[Long].collect().toSet === streamedIds)
+  }
+
   test("semanticIngestStream: final table ≡ left fold of incremental semantic dedup") {
     import graft.operators.Similarity
     import graft.sources.VersionedTable
