@@ -61,7 +61,9 @@ object Bench {
       val vs = allPasses.map(_(name))
       name -> (if (vs.exists(_ < 0)) -1.0 else vs.sorted.apply(vs.length / 2))
     }.toMap
-    val total = if (results.nonEmpty) results.values.sum else 0.0
+    // failures are surfaced in the `failed` list, not subtracted from the
+    // headline total via their -1 sentinels
+    val total = results.values.filter(_ >= 0).sum
     // sf as a bare number (driver parses the JSON; a path string broke it)
     val sf = "sf([0-9.]+)".r.findFirstMatchIn(sfDir).map(_.group(1)).getOrElse("0")
     // Locale.ROOT: a comma-decimal default locale would emit 12,5 and
@@ -95,14 +97,19 @@ object Bench {
     val bySlowest = results.toSeq.sortBy { case (_, v) =>
       if (v < 0) Double.NegativeInfinity else -v
     }
-    val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
+    // failed_count is always exact; the name list is capped so a
+    // mass-failure run (every name listed would alone exceed the 2000-char
+    // stdout tail) still prints a parseable line — full names are in the
+    // per-query map of the file artifact either way.
+    val failedJson = failed.take(20).map("\"" + _ + "\"")
+      .mkString("[", ",", "]")
     def line(k: Int): String = {
       val kept = qjson(bySlowest.take(k).sortBy(_._1), "%.3f")
       s"""{"metric":"total","value":${
         String.format(java.util.Locale.ROOT, "%.3f", Double.box(total))
       },"unit":"sec",""" +
       s""""sf":$sf,"passes":$passes,"n_queries":${results.size},""" +
-      s""""failed":$failedJson,""" +
+      s""""failed_count":${failed.size},"failed":$failedJson,""" +
       s""""queries_kept":$k,"full":"bench_result.json","queries":$kept}"""
     }
     val full = line(results.size)

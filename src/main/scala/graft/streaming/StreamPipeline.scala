@@ -233,27 +233,44 @@ object StreamPipeline {
           val docsPath = s"$statePath/docs"
           val pairs = VersionedTable.read(spark, storePath) match {
             case Some(store) =>
-              Dedup.minhashLshPairsIncremental(batch, store,
-                VersionedTable.read(spark, docsPath).get,
+              // The docs guard tolerates a legacy/tampered state dir; the
+              // upsert ORDER below (docs committed before store) is what
+              // guarantees crashes can't produce store-without-docs.
+              val corpus = VersionedTable.read(spark, docsPath)
+                .getOrElse(batch.select(col(idCol), col(textCol)).limit(0))
+              Dedup.minhashLshPairsIncremental(batch, store, corpus,
                 idCol, textCol, k, bands, rowsPerBand, tau)
             case None => // first batch: the union is the batch itself
               Dedup.minhashLshPairs(batch, idCol, textCol, k, bands,
                 rowsPerBand, tau)
           }
+          // persist: the screen plan behind `kept` is consumed by the
+          // emptiness probe and both upserts (each evaluating its input
+          // more than once) — without this the LSH screen re-runs ~7x
+          // per micro-batch
           val kept = batch.join(
-            pairs.select(col("id_b").as(idCol)).distinct(),
-            Seq(idCol), "left_anti")
-          if (!kept.isEmpty) {
-            // every kept doc's content is novel by construction (exact
-            // dups of corpus or lower-id batch docs were dropped above),
-            // so the store delta is exactly the kept docs' keeper rows
-            VersionedTable.upsert(spark, storePath,
-              Dedup.minhashStore(kept, idCol, textCol, k, bands,
-                rowsPerBand), Seq("id"))
-            VersionedTable.upsert(spark, docsPath,
-              kept.select(col(idCol), col(textCol)), Seq(idCol))
-            ()
-          }
+              pairs.select(col("id_b").as(idCol)).distinct(),
+              Seq(idCol), "left_anti")
+            .persist()
+          try {
+            if (!kept.isEmpty) {
+              // Docs BEFORE store: foreachBatch is at-least-once, and a
+              // replay against a store already holding the batch's own
+              // keepers would self-match every doc and drop it — docs
+              // lost, signatures orphaned. With docs first, a replay
+              // re-screens against the PRE-batch store (same decisions)
+              // and both upserts are idempotent on their keys.
+              VersionedTable.upsert(spark, docsPath,
+                kept.select(col(idCol), col(textCol)), Seq(idCol))
+              // every kept doc's content is novel by construction (exact
+              // dups of corpus or lower-id batch docs were dropped), so
+              // the store delta is exactly the kept docs' keeper rows
+              VersionedTable.upsert(spark, storePath,
+                Dedup.minhashStore(kept, idCol, textCol, k, bands,
+                  rowsPerBand), Seq("id"))
+              ()
+            }
+          } finally { kept.unpersist(); () }
         }
     }
 
