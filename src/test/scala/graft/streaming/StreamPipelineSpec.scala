@@ -229,6 +229,45 @@ class StreamPipelineSpec extends SparkSuite {
       .select("id").as[Long].collect().toSet === streamedIds)
   }
 
+  test("minhashIngestStream: at-least-once replays converge (docs-first commit)") {
+    import graft.sources.VersionedTable
+    val base = "the quick brown fox jumps over the lazy dog while the cat sleeps on the warm mat near the door and the birds sing in the tall green trees outside"
+    val other = "completely different content about distributed query engines processing petabytes of columnar data with vectorized execution and adaptive partitioning"
+    val batch = Seq((1L, base), (2L, other), (3L, base))
+    implicit val sqlCtx = spark.sqlContext
+    def deliver(statePath: String): Unit = {
+      val in = MemoryStream[(Long, String)]
+      val q = StreamPipeline.minhashIngestStream(
+          in.toDF().toDF("doc_id", "text"), "doc_id", "text", statePath,
+          tau = 0.5)
+        .start()
+      try { in.addData(batch); q.processAllAvailable() } finally q.stop()
+    }
+    def state(p: String): (Set[Long], Set[Long]) = (
+      VersionedTable.read(spark, s"$p/docs").get
+        .select("doc_id").as[Long].collect().toSet,
+      VersionedTable.read(spark, s"$p/store").get
+        .select("id").as[Long].collect().toSet)
+    // reference: one clean delivery
+    val p1 = java.nio.file.Files.createTempDirectory("graft_mh_replay").toString
+    deliver(p1)
+    val committed = state(p1)
+    assert(committed === ((Set(1L, 2L), Set(1L, 2L))))
+    // full replay of an already-committed batch: every doc exact-matches
+    // its own committed keeper and drops — state unchanged
+    deliver(p1)
+    assert(state(p1) === committed)
+    // crash-window replay: the only partial state the docs-first commit
+    // order can leave behind is docs-without-store; a redelivery must
+    // converge to the clean state (store-without-docs — the pre-fix
+    // order's artifact — would instead self-match and orphan the docs)
+    val p2 = java.nio.file.Files.createTempDirectory("graft_mh_replay2").toString
+    VersionedTable.upsert(spark, s"$p2/docs",
+      Seq((1L, base), (2L, other)).toDF("doc_id", "text"), Seq("doc_id"))
+    deliver(p2)
+    assert(state(p2) === committed)
+  }
+
   test("semanticIngestStream: final table ≡ left fold of incremental semantic dedup") {
     import graft.operators.Similarity
     import graft.sources.VersionedTable
