@@ -346,6 +346,49 @@ class DedupSpec extends SparkSuite {
     assert(!incNative.exists(p => p._1 == 4L))
   }
 
+  test("incremental minhash ≡ batch on random corpora (property)") {
+    // Random docs over a small vocabulary force rich collision structure:
+    // exact dup chains, near-dup mutations, and fresh content, split at a
+    // random point into corpus + monotonically re-keyed ingest. The
+    // incremental screen must reproduce the batch-union pairs touching
+    // the ingest EXACTLY — every seed, both directions of the split.
+    val words = Vector("alpha", "beta", "gamma", "delta", "epsilon",
+      "zeta", "eta", "theta", "iota", "kappa")
+    for (seed <- 1 to 4) {
+      val rnd = new scala.util.Random(seed)
+      val texts = scala.collection.mutable.ArrayBuffer.empty[String]
+      (0 until 24).foreach { _ =>
+        val t = rnd.nextInt(10) match {
+          case r if r < 3 && texts.nonEmpty => // exact dup of an earlier doc
+            texts(rnd.nextInt(texts.length))
+          case r if r < 6 && texts.nonEmpty => // one-word mutation
+            val ws = texts(rnd.nextInt(texts.length)).split(" ")
+            ws.updated(rnd.nextInt(ws.length),
+              words(rnd.nextInt(words.length))).mkString(" ")
+          case _ =>
+            Seq.fill(6 + rnd.nextInt(8))(words(rnd.nextInt(words.length)))
+              .mkString(" ")
+        }
+        texts += t
+      }
+      val cut = 12 + rnd.nextInt(8)
+      val corpus = texts.take(cut).zipWithIndex
+        .map { case (t, i) => (i.toLong, t) }.toSeq.toDF("doc_id", "text")
+      val ingest = texts.drop(cut).zipWithIndex
+        .map { case (t, i) => (1000L + i, t) }.toSeq.toDF("doc_id", "text")
+      val batchPairs = pairSet(Dedup.minhashLshPairs(
+        corpus.unionByName(ingest), "doc_id", "text",
+        k = 2, bands = 4, rowsPerBand = 2, tau = 0.4))
+      val incPairs = pairSet(Dedup.minhashLshPairsIncremental(ingest,
+        Dedup.minhashStore(corpus, "doc_id", "text", k = 2, bands = 4,
+          rowsPerBand = 2),
+        corpus, "doc_id", "text", k = 2, bands = 4, rowsPerBand = 2,
+        tau = 0.4))
+      assert(incPairs === batchPairs.filter(_._2 >= 1000L),
+        s"seed $seed: incremental diverged from the batch union")
+    }
+  }
+
   test("minhashStoreAppend ≡ store rebuilt from the union") {
     val union = incCorpus.unionByName(incBatch)
     def storeSet(df: org.apache.spark.sql.DataFrame) =
