@@ -84,18 +84,24 @@ object ScaleData {
     spark.sparkContext.setLogLevel("WARN")
 
     // one stride per key SPACE, so e.g. custkey shifts identically in
-    // customer and orders (strides always computed over ALL tables so a
-    // --tables run shifts by the same amounts as a full run)
+    // customer and orders (strides computed over every PRESENT table so a
+    // --tables run over a full source dir shifts by the same amounts as a
+    // full run; a partial source dir — e.g. re-scaling a previous
+    // --tables output — derives strides from the tables it holds)
     val tables = keyCols.keys.toSeq
+      .filter(t => new java.io.File(s"$srcDir/$t.parquet").exists())
     val loaded: Map[String, DataFrame] =
       tables.map(t => t -> spark.read.parquet(s"$srcDir/$t.parquet")).toMap
-    val stride: Map[String, Long] = keySpace.values.toSet.toSeq.map { space: String =>
-      val maxes = keyCols.flatMap { case (t, cols) =>
-        cols.filter(c => keySpace(c) == space).map { c =>
-          loaded(t).agg(max(col(c))).head().getLong(0)
+    val stride: Map[String, Long] = keySpace.values.toSet.toSeq.flatMap {
+      space: String =>
+        val maxes = keyCols.flatMap { case (t, cols) =>
+          cols.filter(c => loaded.contains(t) && keySpace(c) == space).map {
+            c => loaded(t).agg(max(col(c))).head().getLong(0)
+          }
         }
-      }
-      space -> (maxes.max + 1L)
+        // spaces with no present table get no stride; only written tables'
+        // spaces are ever looked up
+        if (maxes.isEmpty) None else Some(space -> (maxes.max + 1L))
     }.toMap
 
     Seq("region", "nation")
