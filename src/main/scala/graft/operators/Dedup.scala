@@ -438,14 +438,21 @@ object Dedup {
       .unionByName(bandJoin(newBanded, newBanded))
       .dropDuplicates("id_a", "id_b")
     // Verify: exact shingle jaccard, texts fetched for candidate ids only
-    // (id_a may be corpus or incoming; id_b is incoming).
+    // (id_a may be corpus or incoming; id_b is incoming). The candidate
+    // pair set is EXPLICITLY broadcast into the text scan — candidates
+    // are per-ingest-sized (bounded by ingest × near-dup cluster size),
+    // while without the hint AQE legitimately picks a sort-merge join
+    // once candidates outgrow the auto-broadcast threshold and the WHOLE
+    // corpus text shuffles: measured at the 5M-doc soak, the screen
+    // inflated 13× for 10× corpus; with the hint the corpus text is
+    // consumed map-only at every size.
     val textA = corpusText
       .select(col(idCol).as("id_a"), col(textCol).as("text_a"))
       .unionByName(inDocs.select(col("id").as("id_a"), col("text").as("text_a")))
-    val verified = cand
-      .join(textA, Seq("id_a"))
-      .join(inDocs.select(col("id").as("id_b"), col("text").as("text_b")),
-        Seq("id_b"))
+    val verified = textA
+      .join(broadcast(cand), Seq("id_a"))
+      .join(broadcast(inDocs.select(col("id").as("id_b"),
+        col("text").as("text_b"))), Seq("id_b"))
       .withColumn("sh_a", shingles(col("text_a"), k))
       .withColumn("sh_b", shingles(col("text_b"), k))
       .withColumn("jaccard",
