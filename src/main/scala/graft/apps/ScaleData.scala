@@ -90,15 +90,33 @@ object ScaleData {
     // --tables output — derives strides from the tables it holds)
     val tables = keyCols.keys.toSeq
       .filter(t => new java.io.File(s"$srcDir/$t.parquet").exists())
+    // a requested table that is not in the source dir is a caller error
+    // (typo, or scaling from the wrong dir) — fail loudly, never no-op
+    onlyTables.foreach { want =>
+      val missing = want -- tables.toSet -- Set("region", "nation")
+      require(missing.isEmpty,
+        s"--tables names absent from $srcDir: ${missing.mkString(", ")}")
+    }
     val loaded: Map[String, DataFrame] =
       tables.map(t => t -> spark.read.parquet(s"$srcDir/$t.parquet")).toMap
     val stride: Map[String, Long] = keySpace.values.toSet.toSeq.flatMap {
       space: String =>
-        val maxes = keyCols.flatMap { case (t, cols) =>
-          cols.filter(c => loaded.contains(t) && keySpace(c) == space).map {
-            c => loaded(t).agg(max(col(c))).head().getLong(0)
+        val members = keyCols.filter { case (t, _) => loaded.contains(t) }
+        val maxes = members.flatMap { case (t, cols) =>
+          cols.filter(c => keySpace(c) == space).flatMap { c =>
+            // empty tables contribute no max (null) — skip, don't NPE
+            Option(loaded(t).agg(max(col(c))).head().get(0))
+              .map(_.asInstanceOf[Number].longValue())
           }
         }
+        val absentShare = keyCols.exists { case (t, cols) =>
+          !loaded.contains(t) && cols.exists(c => keySpace(c) == space)
+        }
+        if (absentShare && maxes.nonEmpty)
+          System.err.println(s"[scale] WARN: key space '$space' stride " +
+            "derived from a SUBSET of its tables (others absent from " +
+            "the source dir) — outputs of this run will not join " +
+            "copies produced from a fuller dir")
         // spaces with no present table get no stride; only written tables'
         // spaces are ever looked up
         if (maxes.isEmpty) None else Some(space -> (maxes.max + 1L))

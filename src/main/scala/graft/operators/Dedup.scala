@@ -367,6 +367,16 @@ object Dedup {
    * per-ingest-sized set) reach the text tables for the exact-jaccard
    * verify. Incoming is signed once per reference in this composite plan
    * — persist it if the batch is expensive to recompute.
+   *
+   * The candidate/ingest broadcast hints are deliberate fail-loud
+   * bounds: candidates are sized by ingest × near-dup cluster size, so
+   * the only way they outgrow Spark's broadcast limit is an ingest doc
+   * near-dupping a corpus-scale cluster of DISTINCT texts — a state
+   * where the pair OUTPUT itself is corpus-sized and the screen's
+   * contract is moot. The hint makes that fail with a clear broadcast
+   * error instead of silently shuffling the whole corpus text table
+   * (the measured 13× cliff the hint exists to prevent); pre-cluster
+   * the corpus or raise tau rather than removing it.
    */
   def minhashLshPairsIncremental(incoming: DataFrame, store: DataFrame,
                                  corpusText: DataFrame, idCol: String,
