@@ -329,15 +329,19 @@ object Dedup {
     store.unionByName(novelKeepers(inHashed, store))
   }
 
-  /** Incoming keepers whose content is NOT in the store. Plan shape: the
-    * store is probed map-side (broadcast of the small incoming fp set);
-    * the store itself never shuffles. */
-  private def novelKeepers(inHashed: DataFrame, store: DataFrame): DataFrame = {
+  /** Incoming rows whose content (fp) is NOT in the store, any hashed
+    * schema. Plan shape: the store is probed map-side (broadcast of the
+    * small incoming fp set); the store itself never shuffles. */
+  private def novelRows(inHashed: DataFrame, store: DataFrame): DataFrame = {
     val hitFps = store.select(col("fp"))
       .join(broadcast(inHashed.select(col("fp")).distinct()), "fp")
       .select(col("fp")).distinct()
-    keeperStore(inHashed.join(broadcast(hitFps), Seq("fp"), "left_anti"))
+    inHashed.join(broadcast(hitFps), Seq("fp"), "left_anti")
   }
+
+  /** Incoming keepers whose content is NOT in the store. */
+  private def novelKeepers(inHashed: DataFrame, store: DataFrame): DataFrame =
+    keeperStore(novelRows(inHashed, store))
 
   /**
    * Incremental MinHash+LSH near-dup pairs: all near-dup pairs with at
@@ -507,8 +511,9 @@ object Dedup {
    * [[simhashPairs]] (one native xxhash64 per token) remains the scale
    * path. Same mega-bucket guard.
    */
-  def simhashPairsPortable(df: DataFrame, idCol: String, textCol: String,
-                           maxHamming: Int = 3): DataFrame = {
+  /** (id, fp, sig_hi, sig_lo) rows under the portable md5 family. */
+  private def simhashHashedPortable(df: DataFrame, idCol: String,
+                                    textCol: String): DataFrame = {
     val powers32 = array((0 until 32).map(i => lit(1L << i)): _*)
     def hexToLong(c: Column): Column = conv(c, 16, 10).cast("long")
     val toks = array_distinct(split(col(textCol), " "))
@@ -536,11 +541,28 @@ object Dedup {
     def bits(votes: Column): Column = aggregate(
       zip_with(votes, powers32, (v, p) => when(v > 0, p).otherwise(lit(0L))),
       lit(0L), (acc, b) => acc.bitwiseOR(b))
-    val hashed = df.select(col(idCol).as("id"),
+    df.select(col(idCol).as("id"),
         md5(col(textCol)).as("fp"), votesExpr.as("_votes"))
       .select(col("id"), col("fp"),
         bits(col("_votes").getField("vh")).as("sig_hi"),
         bits(col("_votes").getField("vl")).as("sig_lo"))
+  }
+
+  /** Portable-form pigeonhole banding over (sig_hi, sig_lo) halves —
+    * same 4×16-bit chunks as [[simhashBanded]], shared by the batch and
+    * incremental portable forms. */
+  private def simhashBandedPortable(sigs: DataFrame): DataFrame =
+    sigs.select(col("id"), col("sig_hi"), col("sig_lo"),
+        posexplode(array(
+          col("sig_lo").bitwiseAND(lit(0xFFFFL)),
+          shiftright(col("sig_lo"), 16).bitwiseAND(lit(0xFFFFL)),
+          col("sig_hi").bitwiseAND(lit(0xFFFFL)),
+          shiftright(col("sig_hi"), 16).bitwiseAND(lit(0xFFFFL)))))
+      .withColumnRenamed("pos", "band").withColumnRenamed("col", "chunk")
+
+  def simhashPairsPortable(df: DataFrame, idCol: String, textCol: String,
+                           maxHamming: Int = 3): DataFrame = {
+    val hashed = simhashHashedPortable(df, idCol, textCol)
     val keepers = hashed.groupBy(col("fp")).agg(min(col("id")).as("keeper"))
     val tagged = hashed.join(keepers, "fp")
     val dupPairs = tagged.filter(col("id") =!= col("keeper"))
@@ -548,13 +570,7 @@ object Dedup {
         lit(0).as("hamming"))
     val sigs = tagged.filter(col("id") === col("keeper"))
       .select(col("id"), col("sig_hi"), col("sig_lo"))
-    val banded = sigs.select(col("id"), col("sig_hi"), col("sig_lo"),
-      posexplode(array(
-        col("sig_lo").bitwiseAND(lit(0xFFFFL)),
-        shiftright(col("sig_lo"), 16).bitwiseAND(lit(0xFFFFL)),
-        col("sig_hi").bitwiseAND(lit(0xFFFFL)),
-        shiftright(col("sig_hi"), 16).bitwiseAND(lit(0xFFFFL)))))
-      .withColumnRenamed("pos", "band").withColumnRenamed("col", "chunk")
+    val banded = simhashBandedPortable(sigs)
     val a = banded.alias("a")
     val b = banded.alias("b")
     val keeperPairs = a.join(b,
@@ -582,12 +598,26 @@ object Dedup {
     * distinct content is banded; duplicates return as a linear
     * (keeper, dup, hamming = 0) star. The guard pass shuffles only
     * (fingerprint, id, sig); bodies stay out of every wide exchange. */
+  /** (id, fp, sig) rows under the native xxhash64 SimHash family. */
+  private def simhashHashed(df: DataFrame, idCol: String,
+                            textCol: String): DataFrame = {
+    graft.functions.GraftFunctions.register(df.sparkSession)
+    df.select(col(idCol).as("id"), md5(col(textCol)).as("fp"),
+      call_function("graft_simhash64", col(textCol)).as("sig"))
+  }
+
+  /** One (id, sig, band, chunk) row per 16-bit signature chunk — the ONE
+    * pigeonhole-banding definition shared by the batch and incremental
+    * native forms (hamming ≤ 3 ⟹ at least one of the 4 chunks equal). */
+  private def simhashBanded(sigs: DataFrame): DataFrame =
+    sigs.select(col("id"), col("sig"),
+        posexplode(array((0 until 4).map(b =>
+          shiftright(col("sig"), b * 16).bitwiseAND(lit(0xFFFFL))): _*)))
+      .withColumnRenamed("pos", "band").withColumnRenamed("col", "chunk")
+
   def simhashPairs(df: DataFrame, idCol: String, textCol: String,
                    maxHamming: Int = 3): DataFrame = {
-    graft.functions.GraftFunctions.register(df.sparkSession)
-    val hashed = df.select(col(idCol).as("id"),
-      md5(col(textCol)).as("fp"),
-      call_function("graft_simhash64", col(textCol)).as("sig"))
+    val hashed = simhashHashed(df, idCol, textCol)
     val keepers = hashed.groupBy(col("fp")).agg(min(col("id")).as("keeper"))
     val tagged = hashed.join(keepers, "fp")
     val dupPairs = tagged.filter(col("id") =!= col("keeper"))
@@ -595,10 +625,7 @@ object Dedup {
         lit(0).as("hamming"))
     val sigs = tagged.filter(col("id") === col("keeper"))
       .select(col("id"), col("sig"))
-    val banded = sigs.select(col("id"), col("sig"),
-      posexplode(array((0 until 4).map(b =>
-        shiftright(col("sig"), b * 16).bitwiseAND(lit(0xFFFFL))): _*)))
-      .withColumnRenamed("pos", "band").withColumnRenamed("col", "chunk")
+    val banded = simhashBanded(sigs)
     val a = banded.alias("a")
     val b = banded.alias("b")
     val keeperPairs = a.join(b,
@@ -611,6 +638,126 @@ object Dedup {
       .filter(col("hamming") <= maxHamming)
       .select(col("id_a"), col("id_b"), col("hamming"))
     keeperPairs.unionByName(dupPairs)
+  }
+
+  // ---------------------------------------------------------------------
+  // Incremental SimHash — the SimHash twin of the incremental MinHash
+  // screen (same ingest-order-id contract, same store discipline), for
+  // pipelines whose near-dup notion is Hamming distance over token-set
+  // fingerprints rather than shingle Jaccard. Simpler at scale than the
+  // MinHash form: the verify step is pure signature arithmetic, so no
+  // text table is ever touched — the corpus exists ONLY as its (id, fp,
+  // sig) store.
+  // ---------------------------------------------------------------------
+
+  /** Keeper SimHash store for a corpus: `(id, fp, sig)`, native family. */
+  def simhashStore(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    keeperStore(simhashHashed(df, idCol, textCol))
+
+  /** Portable-family store twin: `(id, fp, sig_hi, sig_lo)`. */
+  def simhashStorePortable(df: DataFrame, idCol: String,
+                           textCol: String): DataFrame =
+    keeperStoreHiLo(simhashHashedPortable(df, idCol, textCol))
+
+  private def keeperStoreHiLo(hashed: DataFrame): DataFrame =
+    hashed.groupBy(col("fp"))
+      .agg(min(struct(col("id"), col("sig_hi"), col("sig_lo"))).as("ks"))
+      .select(col("ks.id").as("id"), col("fp"),
+        col("ks.sig_hi").as("sig_hi"), col("ks.sig_lo").as("sig_lo"))
+
+  /** Append an ingest's novel contents to a SimHash store (either
+    * family — detected from the store schema). Same rebuild equivalence
+    * as [[minhashStoreAppend]], spec-pinned. */
+  def simhashStoreAppend(store: DataFrame, incoming: DataFrame,
+                         idCol: String, textCol: String): DataFrame =
+    if (store.columns.contains("sig_hi"))
+      store.unionByName(keeperStoreHiLo(
+        novelRows(simhashHashedPortable(incoming, idCol, textCol), store)))
+    else
+      store.unionByName(keeperStore(
+        novelRows(simhashHashed(incoming, idCol, textCol), store)))
+
+  /**
+   * Incremental SimHash near-dup pairs: all pairs with at least one side
+   * in `incoming`, against a corpus represented ONLY by its signature
+   * store — the store is scanned map-side (broadcast ingest fp set +
+   * band rows), never shuffled, and no text is read for verification
+   * (hamming is computed from the stored signatures). Same contract as
+   * [[minhashLshPairsIncremental]]: with ingest-order ids, output ≡ the
+   * batch operator's pairs over the union restricted to pairs touching
+   * the ingest (spec-pinned, both families).
+   */
+  def simhashPairsIncremental(incoming: DataFrame, store: DataFrame,
+                              idCol: String, textCol: String,
+                              maxHamming: Int = 3): DataFrame = {
+    val inHashed = simhashHashed(incoming, idCol, textCol)
+    val hits = store.select(col("id").as("keeper"), col("fp"))
+      .join(broadcast(inHashed.select(col("id"), col("fp"))), "fp")
+    val crossStars = hits.select(col("keeper").as("id_a"),
+      col("id").as("id_b"), lit(0).as("hamming"))
+    val novel = novelRows(inHashed, store)
+    val inKeep = keeperStore(novel)
+    val inStars = novel
+      .join(inKeep.select(col("fp"), col("id").as("keeper")), "fp")
+      .filter(col("id") =!= col("keeper"))
+      .select(col("keeper").as("id_a"), col("id").as("id_b"),
+        lit(0).as("hamming"))
+    val newBanded = simhashBanded(inKeep)
+    val storeBanded = simhashBanded(store.select(col("id"), col("sig")))
+    def bandJoin(x: DataFrame, y: DataFrame): DataFrame =
+      x.alias("a").join(broadcast(y.alias("b")),
+          col("a.band") === col("b.band") &&
+            col("a.chunk") === col("b.chunk") &&
+            col("a.id") < col("b.id"))
+        .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+          col("a.sig").as("sig_a"), col("b.sig").as("sig_b"))
+    val verified = bandJoin(storeBanded, newBanded)
+      .unionByName(bandJoin(newBanded, newBanded))
+      .dropDuplicates("id_a", "id_b")
+      .withColumn("hamming", bit_count(col("sig_a").bitwiseXOR(col("sig_b"))))
+      .filter(col("hamming") <= maxHamming)
+      .select(col("id_a"), col("id_b"), col("hamming"))
+    verified.unionByName(crossStars).unionByName(inStars)
+  }
+
+  /** Oracle twin of [[simhashPairsIncremental]] (md5 (hi, lo) family):
+    * the DuckDB gate runs the batch portable pipeline over the re-keyed
+    * union and keeps ingest-touching pairs. */
+  def simhashPairsIncrementalPortable(incoming: DataFrame, store: DataFrame,
+                                      idCol: String, textCol: String,
+                                      maxHamming: Int = 3): DataFrame = {
+    val inHashed = simhashHashedPortable(incoming, idCol, textCol)
+    val hits = store.select(col("id").as("keeper"), col("fp"))
+      .join(broadcast(inHashed.select(col("id"), col("fp"))), "fp")
+    val crossStars = hits.select(col("keeper").as("id_a"),
+      col("id").as("id_b"), lit(0).as("hamming"))
+    val novel = novelRows(inHashed, store)
+    val inKeep = keeperStoreHiLo(novel)
+    val inStars = novel
+      .join(inKeep.select(col("fp"), col("id").as("keeper")), "fp")
+      .filter(col("id") =!= col("keeper"))
+      .select(col("keeper").as("id_a"), col("id").as("id_b"),
+        lit(0).as("hamming"))
+    val newBanded = simhashBandedPortable(inKeep)
+    val storeBanded = simhashBandedPortable(
+      store.select(col("id"), col("sig_hi"), col("sig_lo")))
+    def bandJoin(x: DataFrame, y: DataFrame): DataFrame =
+      x.alias("a").join(broadcast(y.alias("b")),
+          col("a.band") === col("b.band") &&
+            col("a.chunk") === col("b.chunk") &&
+            col("a.id") < col("b.id"))
+        .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+          col("a.sig_hi").as("hi_a"), col("a.sig_lo").as("lo_a"),
+          col("b.sig_hi").as("hi_b"), col("b.sig_lo").as("lo_b"))
+    val verified = bandJoin(storeBanded, newBanded)
+      .unionByName(bandJoin(newBanded, newBanded))
+      .dropDuplicates("id_a", "id_b")
+      .withColumn("hamming",
+        bit_count(col("lo_a").bitwiseXOR(col("lo_b"))) +
+          bit_count(col("hi_a").bitwiseXOR(col("hi_b"))))
+      .filter(col("hamming") <= maxHamming)
+      .select(col("id_a"), col("id_b"), col("hamming"))
+    verified.unionByName(crossStars).unionByName(inStars)
   }
 
   /**

@@ -404,6 +404,89 @@ object PipelineCatalog {
       |SELECT id_a, id_b, hamming FROM cand WHERE hamming <= 3
       |UNION ALL SELECT id_a, id_b, hamming FROM dup_stars""".stripMargin
 
+  /** Incremental SimHash ingest screen — native scale path, rows-only
+    * (certified by the md5 twin below). Same corpus/ingest split and
+    * re-keying as the minhash incremental gates; the corpus enters the
+    * plan only as its signature store — the verify is pure signature
+    * arithmetic, no text fetch at all. */
+  val dedupSimhashInc: Q = (s, dir) => {
+    val docs = Tables.documents(s, dir)
+    val corpus = docs.filter(col("doc_id") % 4 =!= 2)
+    val incoming = docs.filter(col("doc_id") % 4 === 2)
+      .withColumn("doc_id", col("doc_id") + lit(10000000L))
+    Dedup.simhashPairsIncremental(incoming,
+      Dedup.simhashStore(corpus, "doc_id", "text"), "doc_id", "text")
+  }
+
+  /** Portable incremental twin (md5 (hi, lo) family, full-corpus scope
+    * like the batch md5 simhash gate): the oracle replays the batch
+    * pipeline over the re-keyed union, keeping ingest-touching pairs. */
+  val dedupSimhashIncMd5: Q = (s, dir) => {
+    val docs = Tables.documents(s, dir)
+    val corpus = docs.filter(col("doc_id") % 4 =!= 2)
+    val incoming = docs.filter(col("doc_id") % 4 === 2)
+      .withColumn("doc_id", col("doc_id") + lit(10000000L))
+    Dedup.simhashPairsIncrementalPortable(incoming,
+      Dedup.simhashStorePortable(corpus, "doc_id", "text"), "doc_id", "text")
+  }
+
+  /** The batch md5 SimHash pipeline over the re-keyed corpus ∪ ingest
+    * union, restricted to pairs touching the ingest. */
+  val dedupSimhashIncMd5Sql: String =
+    """WITH t AS (
+      |  SELECT CASE WHEN doc_id % 4 = 2 THEN doc_id + 10000000
+      |              ELSE doc_id END AS id,
+      |         text, list_distinct(string_split(text, ' ')) AS toks
+      |  FROM documents
+      |), h AS (
+      |  SELECT id, text,
+      |         list_transform(toks, tk -> {
+      |           'hi': list_reduce(list_transform(string_split(substring(md5(tk), 17, 8), ''),
+      |                   c -> CAST(strpos('0123456789abcdef', c) - 1 AS BIGINT)),
+      |                 (a, b) -> a * 16 + b),
+      |           'lo': list_reduce(list_transform(string_split(substring(md5(tk), 25, 8), ''),
+      |                   c -> CAST(strpos('0123456789abcdef', c) - 1 AS BIGINT)),
+      |                 (a, b) -> a * 16 + b)
+      |         }) AS th
+      |  FROM t
+      |), sg AS (
+      |  SELECT id, md5(text) AS fp,
+      |         CAST(list_sum(list_transform(range(0, 32), b -> CASE
+      |           WHEN list_sum(list_transform(th, x -> CASE
+      |                  WHEN (x.hi >> b) & 1 = 1 THEN 1 ELSE -1 END)) > 0
+      |           THEN (CAST(1 AS BIGINT) << b) ELSE 0 END)) AS BIGINT) AS sig_hi,
+      |         CAST(list_sum(list_transform(range(0, 32), b -> CASE
+      |           WHEN list_sum(list_transform(th, x -> CASE
+      |                  WHEN (x.lo >> b) & 1 = 1 THEN 1 ELSE -1 END)) > 0
+      |           THEN (CAST(1 AS BIGINT) << b) ELSE 0 END)) AS BIGINT) AS sig_lo
+      |  FROM h
+      |), keep AS (
+      |  SELECT fp, min(id) AS keeper FROM sg GROUP BY fp
+      |), dup_stars AS (
+      |  SELECT k.keeper AS id_a, f.id AS id_b, CAST(0 AS INT) AS hamming
+      |  FROM sg f JOIN keep k ON f.fp = k.fp WHERE f.id <> k.keeper
+      |), banded AS (
+      |  SELECT f.id, f.sig_hi, f.sig_lo, r.b AS band,
+      |         CASE r.b
+      |           WHEN 0 THEN f.sig_lo & 65535
+      |           WHEN 1 THEN (f.sig_lo >> 16) & 65535
+      |           WHEN 2 THEN f.sig_hi & 65535
+      |           ELSE (f.sig_hi >> 16) & 65535 END AS chunk
+      |  FROM sg f JOIN keep k ON f.fp = k.fp AND f.id = k.keeper
+      |  CROSS JOIN range(0, 4) AS r(b)
+      |), cand AS (
+      |  SELECT a.id AS id_a, b.id AS id_b,
+      |         min(CAST(bit_count(xor(a.sig_lo, b.sig_lo)) AS INT) +
+      |             CAST(bit_count(xor(a.sig_hi, b.sig_hi)) AS INT)) AS hamming
+      |  FROM banded a JOIN banded b
+      |    ON a.band = b.band AND a.chunk = b.chunk AND a.id < b.id
+      |  GROUP BY a.id, b.id
+      |)
+      |SELECT id_a, id_b, hamming FROM cand
+      |WHERE hamming <= 3 AND id_b >= 10000000
+      |UNION ALL
+      |SELECT id_a, id_b, hamming FROM dup_stars WHERE id_b >= 10000000""".stripMargin
+
   // ------------------------------------------------------------------
   // Similarity search (embeddings)
   // ------------------------------------------------------------------
@@ -1852,6 +1935,8 @@ object PipelineCatalog {
     "dedup_minhash_inc" -> dedupMinhashInc,
     "dedup_minhash_inc_md5" -> dedupMinhashIncMd5,
     "dedup_simhash_md5" -> dedupSimhashMd5,
+    "dedup_simhash_inc" -> dedupSimhashInc,
+    "dedup_simhash_inc_md5" -> dedupSimhashIncMd5,
     "sim_lsh_md5" -> simLshMd5,
     "dedup_simhash" -> dedupSimhash,
     "sim_bruteforce_topk" -> simBruteForce,
@@ -1912,6 +1997,7 @@ object PipelineCatalog {
     "dedup_minhash_md5" -> dedupMinhashMd5Sql,
     "dedup_minhash_inc_md5" -> dedupMinhashIncMd5Sql,
     "dedup_simhash_md5" -> dedupSimhashMd5Sql,
+    "dedup_simhash_inc_md5" -> dedupSimhashIncMd5Sql,
     "dedup_clusters" -> dedupClustersSql,
     "dedup_keep" -> dedupKeepSql,
     "dedup_spans" -> dedupSpansSql,

@@ -346,6 +346,39 @@ class DedupSpec extends SparkSuite {
     assert(!incNative.exists(p => p._1 == 4L))
   }
 
+  test("incremental simhash ≡ batch over the union, both families") {
+    val union = incCorpus.unionByName(incBatch)
+    def hamSet(df: org.apache.spark.sql.DataFrame): Set[(Long, Long, Int)] =
+      df.select(col("id_a"), col("id_b"), col("hamming").cast("int"))
+        .as[(Long, Long, Int)].collect().toSet
+    val batchNative = hamSet(Dedup.simhashPairs(union, "doc_id", "text"))
+    val incNative = hamSet(Dedup.simhashPairsIncremental(incBatch,
+      Dedup.simhashStore(incCorpus, "doc_id", "text"), "doc_id", "text"))
+    assert(incNative === batchNative.filter(_._2 >= 10L),
+      "incremental must emit exactly the union-batch pairs touching the ingest")
+    val corpusNative = hamSet(Dedup.simhashPairs(incCorpus, "doc_id", "text"))
+    assert(corpusNative ++ incNative === batchNative)
+    val batchMd5 = hamSet(Dedup.simhashPairsPortable(union, "doc_id", "text"))
+    val incMd5 = hamSet(Dedup.simhashPairsIncrementalPortable(incBatch,
+      Dedup.simhashStorePortable(incCorpus, "doc_id", "text"),
+      "doc_id", "text"))
+    assert(incMd5 === batchMd5.filter(_._2 >= 10L))
+    // cross-increment exact dups star to the corpus keeper at hamming 0
+    assert(incNative.contains((1L, 10L, 0)) && incNative.contains((1L, 15L, 0)))
+    assert(incNative.contains((12L, 13L, 0)))
+    // store append ≡ rebuild, both families (identity = (id, fp) rows)
+    def idFp(df: org.apache.spark.sql.DataFrame) =
+      df.select(col("id"), col("fp")).as[(Long, String)].collect().toSet
+    assert(idFp(Dedup.simhashStoreAppend(
+        Dedup.simhashStore(incCorpus, "doc_id", "text"),
+        incBatch, "doc_id", "text"))
+      === idFp(Dedup.simhashStore(union, "doc_id", "text")))
+    assert(idFp(Dedup.simhashStoreAppend(
+        Dedup.simhashStorePortable(incCorpus, "doc_id", "text"),
+        incBatch, "doc_id", "text"))
+      === idFp(Dedup.simhashStorePortable(union, "doc_id", "text")))
+  }
+
   test("incremental minhash ≡ batch on random corpora (property)") {
     // Random docs over a small vocabulary force rich collision structure:
     // exact dup chains, near-dup mutations, and fresh content, split at a
