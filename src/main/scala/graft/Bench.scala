@@ -61,9 +61,15 @@ object Bench {
       val vs = allPasses.map(_(name))
       name -> (if (vs.exists(_ < 0)) -1.0 else vs.sorted.apply(vs.length / 2))
     }.toMap
-    // failures are surfaced in the `failed` list, not subtracted from the
-    // headline total via their -1 sentinels
-    val total = results.values.filter(_ >= 0).sum
+    // Sum over SUCCESSFUL queries only (failures would subtract via their
+    // -1 sentinels). A partial sum must never be read as a full-registry
+    // number, so when anything failed the headline `value` is the -1
+    // sentinel and the partial sum is published separately as `total_ok`
+    // alongside `failed_count` — totals across runs with differing failure
+    // sets are not comparable and now cannot be compared by accident.
+    val totalOk = results.values.filter(_ >= 0).sum
+    val anyFailed = results.values.exists(_ < 0)
+    val total = if (anyFailed) -1.0 else totalOk
     // sf as a bare number (driver parses the JSON; a path string broke it)
     val sf = "sf([0-9.]+)".r.findFirstMatchIn(sfDir).map(_.group(1)).getOrElse("0")
     // Locale.ROOT: a comma-decimal default locale would emit 12,5 and
@@ -80,7 +86,8 @@ object Bench {
     val passJson = allPasses.map(p => qjson(p.toSeq.sortBy(_._1), "%.6f"))
       .mkString("[", ",", "]")
     val fullJson =
-      s"""{"metric":"total","value":$total,"unit":"sec","sf":$sf,""" +
+      s"""{"metric":"total","value":$total,"total_ok":$totalOk,""" +
+      s""""unit":"sec","sf":$sf,""" +
       s""""passes":$passes,"queries":${qjson(byName, "%.6f")},""" +
       s""""per_pass":$passJson}"""
     // The driver keeps only the last 2000 chars of stdout, so a 126-query
@@ -107,6 +114,8 @@ object Bench {
       val kept = qjson(bySlowest.take(k).sortBy(_._1), "%.3f")
       s"""{"metric":"total","value":${
         String.format(java.util.Locale.ROOT, "%.3f", Double.box(total))
+      },"total_ok":${
+        String.format(java.util.Locale.ROOT, "%.3f", Double.box(totalOk))
       },"unit":"sec",""" +
       s""""sf":$sf,"passes":$passes,"n_queries":${results.size},""" +
       s""""failed_count":${failed.size},"failed":$failedJson,""" +

@@ -3,7 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.DecimalType
+import org.apache.spark.sql.types.{ArrayType, DecimalType, LongType, StringType}
 import org.apache.spark.storage.StorageLevel
 
 /**
@@ -311,15 +311,33 @@ object Dedup {
     keeperStore(hashedDocs(df, idCol, textCol,
       t => portableSigExpr(t, k, bands * rowsPerBand)))
 
+  /** Signature family of a minhash store, derived from its schema — the
+    * ONLY authority on which family a store carries: portable (md5,
+    * `array<string>`) vs native (xxhash64, `array<long>`). Deriving (not
+    * a caller flag) prevents the silent-mixed-family failure mode where
+    * `unionByName` widens `long` → `string` and later screens miss
+    * near-dups with no error. */
+  private def minhashStoreIsPortable(store: DataFrame): Boolean =
+    store.schema.fields.find(_.name == "sig").map(_.dataType) match {
+      case Some(ArrayType(StringType, _)) => true
+      case Some(ArrayType(LongType, _))   => false
+      case other => throw new IllegalArgumentException(
+        "minhash store sig must be array<string> (portable md5 family) " +
+          s"or array<long> (native xxhash64 family); got $other")
+    }
+
   /** Store maintenance: append an ingested batch's NOVEL contents (fp not
     * already in the store, one keeper per new fp) so the next ingest
-    * screens against them. With ids assigned in ingest order,
+    * screens against them. The signature family (native xxhash64 vs
+    * portable md5) is DERIVED from the store's `sig` element type — like
+    * [[simhashStoreAppend]] — so an append can never mix families. With
+    * ids assigned in ingest order,
     * `minhashStoreAppend(minhashStore(corpus), incoming) ≡
-    * minhashStore(corpus ∪ incoming)` (spec-pinned). */
+    * minhashStore(corpus ∪ incoming)` (spec-pinned, both families). */
   def minhashStoreAppend(store: DataFrame, incoming: DataFrame,
                          idCol: String, textCol: String, k: Int = 3,
-                         bands: Int = 8, rowsPerBand: Int = 4,
-                         portable: Boolean = false): DataFrame = {
+                         bands: Int = 8, rowsPerBand: Int = 4): DataFrame = {
+    val portable = minhashStoreIsPortable(store)
     if (!portable) graft.functions.GraftFunctions.register(store.sparkSession)
     val sigOf: Column => Column =
       if (portable) t => portableSigExpr(t, k, bands * rowsPerBand)
@@ -418,6 +436,15 @@ object Dedup {
     require(store.columns.toSeq == Seq("id", "fp", "sig"),
       s"store must be a minhashStore frame (id, fp, sig); got " +
         store.columns.mkString(", "))
+    // Family check: both families share the column NAMES, so name checks
+    // alone would let a portable (md5) store through the native screen —
+    // band keys then never match and corpus candidate recall silently
+    // drops to zero. Fail loud on element-type mismatch instead.
+    require(minhashStoreIsPortable(store) == portable,
+      s"store signature family (${if (minhashStoreIsPortable(store)) "portable md5"
+        else "native xxhash64"}) does not match the requested screen " +
+        s"(${if (portable) "portable" else "native"}); build the store with " +
+        "the matching minhashStore/minhashStorePortable")
     val inDocs = incoming.select(col(idCol).as("id"), col(textCol).as("text"))
     val inHashed = hashedDocs(incoming, idCol, textCol, sigOf)
     // Exact-content hits: incoming rows duplicating corpus content star

@@ -165,9 +165,16 @@ object Tokenize {
       words.limit(math.min(localVocabThreshold, Int.MaxValue - 1L).toInt + 1)
         .count() <= localVocabThreshold
     val fitsDriver = underRowGate && {
-      val totalChars = words
-        .agg(coalesce(sum(length(col("word"))), lit(0L))).collect()(0).getLong(0)
-      totalChars * 150L <= Runtime.getRuntime.maxMemory() / 4
+      // Per-char AND per-word terms: chars dominate for long words, but
+      // each ROW also pays a fixed overhead (Row, ArrayBuffer header,
+      // boxed pairWords index entries) — a short-word-heavy vocabulary
+      // can undershoot a chars-only estimate severalfold, so price rows
+      // at ~400 B each alongside ~150 B/char.
+      val sized = words.agg(
+        coalesce(sum(length(col("word"))), lit(0L)),
+        count(lit(1))).collect()(0)
+      val (totalChars, numWords) = (sized.getLong(0), sized.getLong(1))
+      totalChars * 150L + numWords * 400L <= Runtime.getRuntime.maxMemory() / 4
     }
     if (fitsDriver) learnBpeLocal(seeded, k)
     else learnBpeDistributed(seeded, k, batchLimit)

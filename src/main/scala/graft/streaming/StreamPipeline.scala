@@ -220,6 +220,21 @@ object StreamPipeline {
    * tables. Requires ingest-order ids (monotone across batches) — the
    * incremental operator's contract. Stream ≡ a left fold of the batch
    * screen, pinned in `StreamPipelineSpec`.
+   *
+   * Drop policy (DELIBERATE): pairs are computed over the FULL batch,
+   * not iterated against survivors, so a doc whose only ≥ tau match was
+   * itself dropped is still dropped — e.g. a chain a<b<c with b≈a, c≈b,
+   * c≉a keeps only `a`. This keeps exactly the LOCAL MINIMA of the pair
+   * graph: strictly more than full connected-component resolution would
+   * (which keeps only component minima — [[graft.operators.Dedup.resolveClusters]]'
+   * keep-one-per-cluster policy) and strictly less than survivors-only
+   * screening. The conservative over-drop relative to survivors-only is
+   * the standard near-dup training-corpus trade (transitive chains are
+   * usually one mutated lineage); it is what makes the batch-granular
+   * fold deterministic in ONE pass — survivors-only would need an
+   * iterative within-batch loop and would break stream ≡ fold. Callers
+   * wanting component-exact keeps should run the batch
+   * [[graft.operators.Dedup.dedupKeep]] pipeline offline instead.
    */
   def minhashIngestStream(stream: DataFrame, idCol: String, textCol: String,
                           statePath: String, k: Int = 3, bands: Int = 8,

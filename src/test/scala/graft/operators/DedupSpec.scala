@@ -434,8 +434,33 @@ class DedupSpec extends SparkSuite {
       storeSet(Dedup.minhashStore(union, "doc_id", "text")))
     val appendedMd5 = Dedup.minhashStoreAppend(
       Dedup.minhashStorePortable(incCorpus, "doc_id", "text"), incBatch,
-      "doc_id", "text", portable = true)
+      "doc_id", "text")
     assert(storeSet(appendedMd5) ===
       storeSet(Dedup.minhashStorePortable(union, "doc_id", "text")))
+  }
+
+  test("store family is schema-derived; cross-family screens fail loud") {
+    // Append derives the family from the store schema: a portable store
+    // appended with default args must stay array<string> (no silent
+    // long->string widening into a mixed-family store).
+    val md5Store = Dedup.minhashStorePortable(incCorpus, "doc_id", "text")
+    val appended = Dedup.minhashStoreAppend(md5Store, incBatch, "doc_id", "text")
+    assert(appended.schema("sig").dataType ===
+      org.apache.spark.sql.types.ArrayType(
+        org.apache.spark.sql.types.StringType, false) ||
+      appended.schema("sig").dataType.simpleString == "array<string>")
+    // A portable store passed to the NATIVE screen (band keys can never
+    // match -> zero corpus recall) must throw, not silently miss dups.
+    val ex = intercept[IllegalArgumentException] {
+      Dedup.minhashLshPairsIncremental(incBatch, md5Store, incCorpus,
+        "doc_id", "text")
+    }
+    assert(ex.getMessage.contains("family"))
+    val ex2 = intercept[IllegalArgumentException] {
+      Dedup.minhashLshPairsIncrementalPortable(incBatch,
+        Dedup.minhashStore(incCorpus, "doc_id", "text"), incCorpus,
+        "doc_id", "text")
+    }
+    assert(ex2.getMessage.contains("family"))
   }
 }
