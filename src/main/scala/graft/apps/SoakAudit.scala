@@ -2,7 +2,7 @@ package graft.apps
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.execution.SparkPlan
-import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
 import org.apache.spark.sql.execution.exchange.{BroadcastExchangeLike, ShuffleExchangeLike}
 import org.apache.spark.sql.functions.{col, lit}
 
@@ -27,9 +27,15 @@ object SoakAudit {
 
   def countExchanges(plan: SparkPlan): (Int, Int) = {
     // AQE hides the final plan inside AdaptiveSparkPlanExec; walk the
-    // EXECUTED plan so runtime-demoted broadcasts are counted as built
+    // EXECUTED plan so runtime-demoted broadcasts are counted as built.
+    // Materialized stages are QueryStageExec LEAF nodes whose real
+    // subtree hangs off `plan()`, not `children` — a plain child-walk of
+    // an executed AQE plan sees ZERO exchanges (round-10 find); descend
+    // explicitly. ReusedExchangeExec is a leaf pointer at the original
+    // exchange, so each physical exchange still counts exactly once.
     def walk(p: SparkPlan): Seq[SparkPlan] = p match {
       case a: AdaptiveSparkPlanExec => walk(a.executedPlan)
+      case q: QueryStageExec => q +: walk(q.plan)
       case other => other +: other.children.flatMap(walk)
     }
     val nodes = walk(plan)

@@ -1,0 +1,255 @@
+package graft
+
+import scala.collection.mutable.ArrayBuffer
+
+import org.apache.spark.GraftTestBridge
+import org.apache.spark.scheduler.{SparkListener, SparkListenerStageSubmitted}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.QueryExecution
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.util.QueryExecutionListener
+
+import graft.operators.{Dedup, Similarity, TextAnalysis}
+
+/**
+ * Plan-shape flatness as a CI CONTRACT (the round-9 lesson made standing):
+ * both real round-9 finds — AQE demoting the minhash verify join into a
+ * full corpus-text shuffle at 5M docs, and AQE erasing checkpoint
+ * partitioning inside `resolveClusters` — were plan-shape regressions
+ * invisible at gate scale and only caught by soaking a decade up. This
+ * spec makes the invariant executable at test scale:
+ *
+ * Each scale-sensitive family runs at TWO in-test scales (1× and 20×)
+ * under an ADVERSARIAL broadcast regime — `autoBroadcastJoinThreshold`
+ * and its AQE twin set to -1 — which simulates at tiny data exactly what
+ * growing data does at 100 TB: the planner withdraws every broadcast the
+ * code did not explicitly claim. Under that regime the assertions are
+ * strict equalities:
+ *
+ *  - TOTAL shuffle-exchange count across all actions must not grow with
+ *    scale (growth = the plan re-planned itself into a different, worse
+ *    algorithm — e.g. a per-ingest-sized probe join demoting to a
+ *    corpus-wide sort-merge join);
+ *  - TOTAL broadcast-exchange count must not shrink with scale (every
+ *    scale-critical broadcast must be an explicit hint, so none can be
+ *    withdrawn by a threshold);
+ *  - map-only families must show ZERO shuffles at every scale.
+ *
+ * Counts come from a QueryExecutionListener over the EXECUTED plans of
+ * every action the operator triggers (AQE's final plan, not the initial
+ * one — runtime demotions are exactly what we're hunting), so internal
+ * model collects are audited along with the main query. The pre-fix
+ * round-9 verify join fails the broadcast equality here (it relied on the
+ * auto threshold); the pre-fix resolveClusters loop fails the stage-count
+ * equality below (AQE-erased checkpoint partitioning re-shuffles each
+ * round).
+ */
+class PlanScaleInvariantsSpec extends SparkSuite {
+
+  import spark.implicits._
+
+  // ---- deterministic in-test corpora -----------------------------------
+
+  /** Document corpus: seeded word soup, every 7th doc an exact dup of its
+    * predecessor and every 11th a near-dup (one token appended), so the
+    * screens exercise their exact-hit and banded-candidate paths. */
+  private def docCorpus(n: Int): DataFrame = {
+    val rnd = new scala.util.Random(42)
+    val vocab = Array.tabulate(60)(i => s"w${i}q${(i * 7) % 13}")
+    val base = Array.tabulate(n) { i =>
+      val words = Seq.fill(12)(vocab(rnd.nextInt(vocab.length)))
+      (i.toLong, words.mkString(" "))
+    }
+    val rows = base.map { case (id, t) =>
+      if (id % 7 == 3 && id > 0) (id, base((id - 1).toInt)._2)
+      else if (id % 11 == 5 && id > 0) (id, base((id - 1).toInt)._2 + " extra")
+      else (id, t)
+    }
+    spark.sparkContext.parallelize(rows.toIndexedSeq, 4).toDF("doc_id", "text")
+  }
+
+  /** Fixed-size ingest batch against any corpus: 40 docs, half exact
+    * copies of corpus heads (exact-star path), half mutated (banded
+    * candidate + verify path). Ids above any corpus id (ingest-order
+    * contract). */
+  private def ingestBatch(corpus: DataFrame): DataFrame =
+    corpus.filter(col("doc_id") < 40)
+      .withColumn("doc_id", col("doc_id") + lit(10000000L))
+      .withColumn("text",
+        when(col("doc_id") % 2 === 0, concat(col("text"), lit(" zz9")))
+          .otherwise(col("text")))
+
+  /** Embedding corpus: dim-8 deterministic vectors. */
+  private def vecCorpus(n: Int): DataFrame = {
+    val rows = Array.tabulate(n) { i =>
+      (i.toLong, Array.tabulate(8)(d => math.sin(i * 0.7 + d) + 0.01 * d))
+    }
+    spark.sparkContext.parallelize(rows.toIndexedSeq, 4)
+      .toDF("vec_id", "embedding")
+  }
+
+  // ---- measurement harness ---------------------------------------------
+
+  /** Total (shuffles, broadcasts) across the EXECUTED plan of every
+    * action `f` triggers, and the number of actions — AQE-final plans via
+    * QueryExecutionListener, listener bus drained before reading. */
+  private def actionShapes(f: => Unit): (Int, Int, Int) = {
+    val shapes = ArrayBuffer.empty[(Int, Int)]
+    val listener = new QueryExecutionListener {
+      override def onSuccess(funcName: String, qe: QueryExecution,
+                             durationNs: Long): Unit =
+        shapes.synchronized {
+          shapes += graft.apps.SoakAudit.countExchanges(qe.executedPlan); ()
+        }
+      override def onFailure(funcName: String, qe: QueryExecution,
+                             exception: Exception): Unit = ()
+    }
+    spark.listenerManager.register(listener)
+    try { f; GraftTestBridge.waitListenerBus(spark.sparkContext) }
+    finally spark.listenerManager.unregister(listener)
+    shapes.synchronized {
+      (shapes.map(_._1).sum, shapes.map(_._2).sum, shapes.length)
+    }
+  }
+
+  /** Run `f` with every auto-broadcast threshold disabled — the planner
+    * grants ONLY explicit broadcast hints, simulating corpus sides that
+    * outgrew the threshold. Restores defaults afterwards (session is
+    * shared across suites). */
+  private def noAutoBroadcast[A](f: => A): A = {
+    val keys = Seq("spark.sql.autoBroadcastJoinThreshold",
+      "spark.sql.adaptive.autoBroadcastJoinThreshold")
+    try { keys.foreach(spark.conf.set(_, "-1")); f }
+    finally keys.foreach(spark.conf.unset)
+  }
+
+  /** Assert the two-scale contract on an operator runner: shuffles must
+    * not grow, broadcasts must not shrink, action count must match (a
+    * changed action count means the code path itself branched on size —
+    * compare like with like before comparing shapes). */
+  private def assertFlat(family: String, pinned: (Int, Int))(
+      run: DataFrame => Unit)(mk: Int => DataFrame): Unit = noAutoBroadcast {
+    val (sh1, bc1, n1) = actionShapes(run(mk(200)))
+    val (sh20, bc20, n20) = actionShapes(run(mk(4000)))
+    // Absolute pin: cross-scale equality alone cannot see a DROPPED
+    // explicit broadcast hint — under the no-auto regime both scales
+    // demote identically, staying "flat" while the production plan lost
+    // its scale-critical broadcast. The pinned counts make that loud: a
+    // hint removed shows as shuffles+1 / broadcasts-1 here. If a
+    // deliberate refactor changes the plan, update the pin consciously.
+    assert((sh1, bc1) === pinned,
+      s"$family: plan shape (${sh1} shuffles, ${bc1} broadcasts) departed " +
+        s"from the pinned contract $pinned — if this refactor is " +
+        "intentional, re-derive and update the pin")
+    info(s"[$family] 1x: $sh1 shuffles / $bc1 broadcasts over $n1 actions; " +
+      s"20x: $sh20 / $bc20 over $n20")
+    // Counting-harness guard: these families genuinely shuffle (stores
+    // group by fp, screens aggregate) — an all-zero reading means the
+    // exchange walk went blind (the round-10 QueryStageExec find), which
+    // would green every contract trivially.
+    assert(sh1 > 0, s"$family: zero shuffles measured — exchange counting broke")
+    assert(n20 === n1, s"$family: action count changed with scale")
+    assert(sh20 <= sh1,
+      s"$family: shuffle-exchange count GREW with data scale ($sh1 -> $sh20)" +
+        " — the plan re-planned itself into a different algorithm")
+    assert(bc20 >= bc1,
+      s"$family: a broadcast DEMOTED with data scale ($bc1 -> $bc20 " +
+        "broadcasts) — a scale-critical broadcast is not an explicit hint")
+  }
+
+  // ---- the contracts ---------------------------------------------------
+
+  test("minhash incremental screen: plan shape flat 1x -> 20x, no auto-broadcast") {
+    assertFlat("minhash_inc", (7, 5)) { corpus =>
+      val store = Dedup.minhashStore(corpus, "doc_id", "text")
+      val pairs = Dedup.minhashLshPairsIncremental(ingestBatch(corpus), store,
+        corpus, "doc_id", "text", tau = 0.5)
+      assert(pairs.count() > 0)
+    }(docCorpus)
+  }
+
+  test("simhash incremental screen: plan shape flat 1x -> 20x, no auto-broadcast") {
+    assertFlat("simhash_inc", (8, 4)) { corpus =>
+      val store = Dedup.simhashStore(corpus, "doc_id", "text")
+      val pairs = Dedup.simhashPairsIncremental(ingestBatch(corpus), store,
+        "doc_id", "text", maxHamming = 8)
+      assert(pairs.count() > 0)
+    }(docCorpus)
+  }
+
+  test("semantic ingest: plan shape flat 1x -> 20x, no auto-broadcast") {
+    assertFlat("semantic_inc", (1, 0)) { corpus =>
+      val incoming = corpus.filter(col("vec_id") < 30)
+        .withColumn("vec_id", col("vec_id") + lit(10000000L))
+      val out = Similarity.semanticDedupIncremental(incoming, corpus,
+        "vec_id", "embedding", tau = 0.95, nCentroids = 8)
+      assert(out.count() > 0)
+    }(vecCorpus)
+  }
+
+  test("semantic decontamination (exact regime): plan shape flat 1x -> 20x") {
+    assertFlat("decontam_exact", (4, 1)) { corpus =>
+      val bench = corpus.filter(col("vec_id") % 37 === 0)
+        .withColumn("vec_id", col("vec_id") + lit(10000000L))
+      // grouped aggregate drive — a bare count() is join-cardinality-
+      // preserving and lets Catalyst skip the screen (SoakAudit lesson)
+      val verdicts = Similarity.semanticDecontaminate(corpus, bench,
+          "vec_id", "embedding", tau = 0.99)
+        .groupBy(col("clean")).agg(sum(col("n_hits")).as("h"))
+      assert(verdicts.count() > 0)
+    }(vecCorpus)
+  }
+
+  test("text family stays map-only at every scale: zero shuffles") {
+    noAutoBroadcast {
+      Seq(200, 4000).foreach { n =>
+        val (sh, _, _) = actionShapes {
+          // per-doc projection drive: no groupBy of our own, so any
+          // shuffle belongs to the operator (count()'s final single-
+          // partition agg exchange is excluded by driving via noop write)
+          TextAnalysis.qualityScore(docCorpus(n), "text")
+            .write.format("noop").mode("overwrite").save()
+        }
+        assert(sh === 0,
+          s"qualityScore must be map-only; saw $sh shuffles at n=$n")
+      }
+    }
+  }
+
+  test("resolveClusters SMJ tier: stage count flat at fixed diameter, 1x -> 20x") {
+    // Chains of FIXED length 4 (same graph diameter at both scales, so the
+    // pointer-doubling round count is identical) — only the chain COUNT
+    // scales. Any stage-count growth therefore means a round gained
+    // exchanges, which is exactly the AQE-erased-checkpoint-partitioning
+    // failure mode round 9 caught one decade up.
+    def chains(k: Int): DataFrame = {
+      val edges = (0 until k).flatMap { c =>
+        val b = c * 10L
+        Seq((b, b + 1), (b + 1, b + 2), (b + 2, b + 3))
+      }
+      spark.sparkContext.parallelize(edges, 4).toDF("id_a", "id_b")
+    }
+    def stages(k: Int): Int = {
+      val n = new java.util.concurrent.atomic.AtomicInteger()
+      val l = new SparkListener {
+        override def onStageSubmitted(s: SparkListenerStageSubmitted): Unit =
+          { n.incrementAndGet(); () }
+      }
+      spark.sparkContext.addSparkListener(l)
+      try {
+        val labels = Dedup.resolveClusters(chains(k),
+          localEdgeThreshold = 0L, broadcastNodeLimit = 0L)
+        assert(labels.filter(col("doc_id") === col("cluster_id")).count()
+          === k.toLong, "one keeper per chain")
+        GraftTestBridge.waitListenerBus(spark.sparkContext)
+      } finally spark.sparkContext.removeSparkListener(l)
+      n.get
+    }
+    val s1 = stages(300)
+    val s20 = stages(6000)
+    info(s"[resolveClusters] stages at 1x: $s1, 20x: $s20")
+    assert(s20 === s1,
+      s"stage count changed with scale at fixed diameter ($s1 -> $s20): " +
+        "a propagation round gained or lost exchanges")
+  }
+}
