@@ -39,12 +39,25 @@ object Relevance {
    * score = idf · tf·(k1+1) / (tf + k1·(1 − b + b·dl/avgdl))
    */
   def bm25TopTerms(docs: DataFrame, idCol: String, textCol: String,
-                   k: Int = 5, k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+                   k: Int = 5, k1: Double = 1.2, b: Double = 0.75,
+                   minDf: Long = 1L): DataFrame = {
     val terms = docs.select(col(idCol).as("doc_id"),
       explode(TextAnalysis.tokens(col(textCol))).as("term"))
     val tf = terms.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
     val dl = tf.groupBy("doc_id").agg(sum("tf").as("dl"))
-    val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    // Bounded-vocabulary knob (default off, oracle gate unchanged):
+    // `minDf > 1` prunes terms seen in fewer than minDf docs BEFORE the
+    // join-back, so the scored row set — and the per-doc ranking window
+    // behind it — stops scaling with the hapax tail of the vocabulary
+    // (the 100×-sweep superlinearity was exactly that tail; cf. the
+    // bigram LM's minCount pruning). Semantics under pruning: rare terms
+    // drop from every document's candidate set — deliberate for a
+    // quality-signal use (hapaxes are typos/OOV noise with near-maximal
+    // idf that would otherwise crowd out characteristic terms); df and
+    // n_docs are still computed over the FULL corpus, so surviving
+    // terms' scores are identical to the unpruned run's.
+    val dfreqAll = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val dfreq = if (minDf > 1L) dfreqAll.filter(col("df") >= minDf) else dfreqAll
     val stats = dl.agg(count(lit(1)).as("n_docs"),
       avg(col("dl").cast("double")).as("avgdl"))
     val scored = tf

@@ -1059,6 +1059,41 @@ object PipelineCatalog {
       |  FROM scored
       |) WHERE rn <= 5""".stripMargin
 
+  /** Bounded-vocabulary BM25: same scoring, terms with df < 3 pruned
+    * before the join-back — the scale knob that stops the scored row set
+    * growing with the hapax tail (surviving terms score identically; the
+    * oracle certifies both the pruning boundary and the arithmetic). */
+  val bm25TopTermsMinDf: Q = (s, dir) =>
+    Relevance.bm25TopTerms(Tables.documents(s, dir), "doc_id", "text",
+      k = 5, minDf = 3L)
+
+  val bm25TopTermsMinDfSql: String =
+    """WITH terms AS (
+      |  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+      |), tf AS (
+      |  SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf FROM terms GROUP BY doc_id, term
+      |), dl AS (
+      |  SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS dl FROM tf GROUP BY doc_id
+      |), dfreq AS (
+      |  SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY term
+      |  HAVING count(*) >= 3
+      |), stats AS (
+      |  SELECT CAST(count(*) AS BIGINT) AS n_docs, AVG(CAST(dl AS DOUBLE)) AS avgdl FROM dl
+      |), scored AS (
+      |  SELECT tf.doc_id, tf.term, tf.tf, dfreq.df,
+      |    round(
+      |      ln(1.0 + (CAST(n_docs AS DOUBLE) - CAST(df AS DOUBLE) + 0.5)
+      |               / (CAST(df AS DOUBLE) + 0.5))
+      |      * (CAST(tf.tf AS DOUBLE) * 2.2)
+      |      / (CAST(tf.tf AS DOUBLE) + 1.2 * (0.25 + 0.75 * CAST(dl AS DOUBLE) / avgdl)),
+      |      6) AS bm25_r
+      |  FROM tf JOIN dl USING (doc_id) JOIN dfreq USING (term) CROSS JOIN stats
+      |)
+      |SELECT doc_id, term, tf, df, bm25_r, CAST(rn AS INT) AS rn FROM (
+      |  SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY bm25_r DESC, term) AS rn
+      |  FROM scored
+      |) WHERE rn <= 5""".stripMargin
+
   /** CCNet-style quality signal: corpus-trained bigram-LM perplexity per
     * document (add-α = 0.5, minCount = 2 so once-seen bigrams exercise
     * the pruned/unseen branch). */
@@ -1976,6 +2011,7 @@ object PipelineCatalog {
     "pipeline_e2e" -> pipelineE2e,
     "table_profile" -> tableProfile,
     "bm25_top_terms" -> bm25TopTerms,
+    "bm25_top_terms_mindf" -> bm25TopTermsMinDf,
     "text_lm_ppl" -> textLmPpl,
     "vocab_top_terms" -> vocabTopTerms,
     "bpe_merges" -> bpeMerges,
@@ -2034,6 +2070,7 @@ object PipelineCatalog {
     "pipeline_e2e" -> pipelineE2eSql,
     "table_profile" -> tableProfileSql,
     "bm25_top_terms" -> bm25TopTermsSql,
+    "bm25_top_terms_mindf" -> bm25TopTermsMinDfSql,
     "text_lm_ppl" -> textLmPplSql,
     "vocab_top_terms" -> vocabTopTermsSql,
     "bpe_merges" -> bpeMergesSql,
