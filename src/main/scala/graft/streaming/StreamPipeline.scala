@@ -1,6 +1,6 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.{Column, DataFrame, Row}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.DataStreamWriter
 
@@ -36,19 +36,32 @@ object StreamPipeline {
    * Streaming decontamination: per-document overlap with a benchmark
    * n-gram set. The benchmark is a bounded model input (eval suites are
    * MBs while the corpus is unbounded), so its distinct gram fingerprints
-   * are collected ONCE at query-construction time and inlined as a literal
-   * array — the per-batch plan is then a pure projection: native
-   * `graft_ngram_hashes` per doc + one sorted-membership intersection.
-   * No stream-static join, no per-batch re-plan of the benchmark side, no
-   * state. (Same bounded-collect pattern as the IVF centroid literals —
+   * are collected ONCE at query-construction time. No stream-static
+   * join, no state; the per-batch plan is a pure projection in either
+   * regime. (Same bounded-collect pattern as the IVF centroid literals —
    * model parameters may drive to the driver; data never does.)
+   *
+   * Two regimes, same two-tier design the BPE segmenter measured and
+   * fenced (`SegmentBench` → `bpeSegmentStream`), same verdict
+   * (`DecontamBench`, PLANS.md round 10): the DEFAULT is the broadcast
+   * form for EVERY benchmark size (`inlineGramLimit = 0`) — the sorted
+   * set ships once per executor as a TorrentBroadcast probed by a
+   * codegen'd binary-search expression
+   * ([[graft.functions.GramOverlapCountExpr]]), flat ~0.2-0.3 s/batch
+   * from 1k through 500k grams. The literal `array_intersect` form
+   * (`inlineGramLimit >= |grams|`) re-serializes the set into every
+   * micro-batch's plan and LOSES at every size measured — 0.36 s/batch
+   * at 1k grams, 10 s at 500k — so it exists only as the opt-in
+   * zero-broadcast fallback. Regime equivalence is pinned in
+   * `StreamPipelineSpec`.
    *
    * Emits every input column plus (n_grams, n_contaminated,
    * contamination_frac); filter on the frac downstream to quarantine leaks.
    */
   def decontaminateStream(docs: DataFrame, textCol: String,
                           benchmark: DataFrame, benchTextCol: String,
-                          n: Int = 3): DataFrame = {
+                          n: Int = 3,
+                          inlineGramLimit: Int = 0): DataFrame = {
     graft.functions.GraftFunctions.register(docs.sparkSession)
     val benchGrams: Array[Long] = benchmark
       .select(explode(call_function("graft_ngram_hashes",
@@ -56,11 +69,21 @@ object StreamPipeline {
       .distinct().orderBy("g")
       .collect().map(_.getLong(0))
     val grams = call_function("graft_ngram_hashes", col(textCol), lit(n), lit(true))
+    val overlap: Column =
+      if (benchGrams.length <= inlineGramLimit)
+        size(array_intersect(col("_grams"), typedLit(benchGrams))).cast("long")
+      else {
+        val setBc = docs.sparkSession.sparkContext
+          .broadcast(new graft.functions.GramSet(benchGrams))
+        org.apache.spark.sql.GraftColumnBridge.column(
+          graft.functions.GramOverlapCountExpr(
+            org.apache.spark.sql.GraftColumnBridge.expression(col("_grams")),
+            setBc))
+      }
     docs
       .withColumn("_grams", grams)
       .withColumn("n_grams", size(col("_grams")).cast("long"))
-      .withColumn("n_contaminated",
-        size(array_intersect(col("_grams"), typedLit(benchGrams))).cast("long"))
+      .withColumn("n_contaminated", overlap)
       .drop("_grams")
       .withColumn("contamination_frac",
         when(col("n_grams") > 0,

@@ -44,6 +44,26 @@ class StreamPipelineSpec extends SparkSuite {
     assert(batch.nonEmpty && batch.exists(_._3 > 0),
       "fixture must contain a contaminated doc")
     assert(streamed === batch)
+
+    // Regime equivalence: the default is the broadcast binary-search
+    // probe (GramOverlapCountExpr, inlineGramLimit = 0); force the
+    // opt-in literal array_intersect regime — identical verdicts
+    // required.
+    val inBc = MemoryStream[(Long, String)]
+    val outBc = StreamPipeline.decontaminateStream(
+      inBc.toDF().toDF("doc_id", "text"), "text", bench, "text", 3,
+      inlineGramLimit = Int.MaxValue)
+    val qBc = outBc.writeStream.format("memory").queryName("decon_bc")
+      .outputMode("append").start()
+    try {
+      inBc.addData(corpusDocs)
+      qBc.processAllAvailable()
+    } finally qBc.stop()
+    val streamedBc = spark.table("decon_bc")
+      .select("doc_id", "n_grams", "n_contaminated", "contamination_frac")
+      .as[(Long, Long, Long, Double)].collect().toSet
+    assert(streamedBc === batch,
+      "broadcast-probe regime diverged from the literal regime")
   }
 
   test("ruleFilterStream keeps exactly the batch filter's keepers") {
