@@ -139,9 +139,22 @@ object ScaleData {
         case ("documents", Some(p)) =>
           val thr = lit((p * 1000000L).toLong)
           val toks = split(col("text"), " ")
+          // Variant tag = hash of the FINAL (shifted) doc_id and token
+          // position, folded into a bounded 1000-value space — NOT the
+          // per-run copy index. Copy-index tags made vocabulary growth
+          // depend on how a factor was STAGED (x2 then x3 stacked ~1~2
+          // suffixes where x6 spread ~1..~5 — measured 17% vocab
+          // divergence), which would invalidate every two-stage soak
+          // comparison; the hash tag is a function of the final corpus
+          // alone, so staging only changes it at the O(p²) double-
+          // mutation margin (pinned in ScaleDataSpec). The bounded space
+          // keeps growth Heaps-like: at most 1000 variants per base
+          // token, saturating identically under any staging.
           val mutated = transform(toks, (tok, idx) =>
             when(pmod(xxhash64(col("doc_id"), lit(i), idx), lit(1000000L)) < thr,
-              concat(tok, lit(s"~$i"))).otherwise(tok))
+              concat(tok, lit("~"),
+                pmod(xxhash64(col("doc_id"), idx), lit(1000L))))
+              .otherwise(tok))
           df.withColumn("text", array_join(mutated, " "))
             .withColumn("n_chars", length(col("text")))
         case _ => df

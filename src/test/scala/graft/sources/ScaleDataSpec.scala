@@ -91,4 +91,47 @@ class ScaleDataSpec extends SparkSuite {
     assert(pert.filter(array_max(col("delta")) === 0f).count() === 0,
       "every perturbed vector must actually differ")
   }
+
+  test("two-stage scaling ≡ one-stage in distribution (the soak contract)") {
+    // Every 1000x soak since round 9 builds its corpus in two stages
+    // (10x then x10 of the partial dir) because one stage at the full
+    // factor doesn't fit the build window. The soak comparisons are only
+    // valid if staging doesn't change the corpus DISTRIBUTION — same doc
+    // count, same near-dup rate, same vocabulary growth — so this spec
+    // owns that invariant at small factors: x2 then x3 vs x6, both with
+    // the soak's own --mutate-text flag. (Byte equality is impossible:
+    // copy indices differ between stagings and mutations are hash-seeded
+    // per copy; the contract is distributional.)
+    val src = "/root/testdata/sf0.001"
+    val twoA = Files.createTempDirectory("stage2").toString
+    val twoB = Files.createTempDirectory("stage2x3").toString
+    val one = Files.createTempDirectory("stage6").toString
+    val m = "--mutate-text=0.1"
+    graft.apps.ScaleData.main(Array(src, twoA, "2", "--tables=documents", m))
+    graft.apps.ScaleData.main(Array(twoA, twoB, "3", "--tables=documents", m))
+    graft.apps.ScaleData.main(Array(src, one, "6", "--tables=documents", m))
+
+    def stats(dir: String): (Long, Long, Long) = {
+      val d = spark.read.parquet(s"$dir/documents.parquet")
+      (d.count(),
+        d.select(col("text")).distinct().count(),
+        d.select(explode(split(col("text"), " ")).as("t"))
+          .distinct().count())
+    }
+    val (n2, distinct2, vocab2) = stats(twoB)
+    val (n1, distinct1, vocab1) = stats(one)
+    info(s"[two-stage] docs=$n2 distinctTexts=$distinct2 vocab=$vocab2; " +
+      s"[one-stage] docs=$n1 distinctTexts=$distinct1 vocab=$vocab1")
+    assert(n2 === n1, "doc count must match exactly")
+    def close(a: Long, b: Long, tol: Double, what: String): Unit =
+      assert(math.abs(a - b).toDouble / math.max(a, b) <= tol,
+        s"$what diverged beyond ${tol * 100}%: two-stage $a vs one-stage $b" +
+          " — a generator drift would silently invalidate every staged-soak" +
+          " comparison")
+    // dup RATE: distinct-text count tracks how many mutated copies
+    // collide back into exact dups; vocabulary growth tracks the mutated
+    // token tail the near-dup screens and BM25 soaks are sized by
+    close(distinct2, distinct1, 0.05, "distinct-text count (dup rate)")
+    close(vocab2, vocab1, 0.10, "distinct-token count (vocab growth)")
+  }
 }
