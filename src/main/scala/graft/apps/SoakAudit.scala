@@ -153,6 +153,62 @@ object SoakAudit {
         graft.operators.Dedup.minhashStore(docs, "doc_id", "text"),
         docs, "doc_id", "text", tau = 0.5)
     }),
+    // Incremental-SIMHASH ingest soaks (r10): same claim and method as
+    // the minhash pair — the store build is the one-time corpus cost,
+    // (_inc − _store) isolates the per-ingest screen, which reads NO
+    // text at all (hamming verify is pure signature arithmetic).
+    "soak_simhash_store" -> ((s, dir) =>
+      graft.operators.Dedup.simhashStore(
+        Tables.documents(s, dir), "doc_id", "text")),
+    "soak_simhash_inc" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val incoming = docs.filter(col("doc_id") < 5000L &&
+          col("doc_id") % 4 === 0)
+        .withColumn("doc_id", col("doc_id") + lit(1000000000L))
+        .withColumn("text",
+          org.apache.spark.sql.functions.when(col("doc_id") % 8 === 0,
+              org.apache.spark.sql.functions.concat(col("text"),
+                lit(" zq9ingest")))
+            .otherwise(col("text")))
+      graft.operators.Dedup.simhashPairsIncremental(incoming,
+        graft.operators.Dedup.simhashStore(docs, "doc_id", "text"),
+        "doc_id", "text", maxHamming = 3)
+    }),
+    // Semantic-ingest soaks (r10): the frozen-quantizer ingest path
+    // (semanticIngestStream's per-batch core). Quantizer trains on the
+    // FIXED base copy (vec_id < 2000 — identical at every factor), so
+    // the model is constant; _assign is the one-time corpus assignment
+    // (map-only), _inc adds a fixed ~1000-vector ingest screened via
+    // semanticDedupIncrementalAssigned — (_inc − _assign) is the
+    // per-ingest cost, which must stay ~flat as the corpus scales.
+    "soak_semantic_assign" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val cents = Similarity.trainQuantizer(
+        emb.filter(col("vec_id") < 2000L), "vec_id", "embedding",
+        nCentroids = -1)
+      Similarity.assignToQuantizer(emb, "vec_id", "embedding", cents)
+    }),
+    "soak_semantic_inc" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val cents = Similarity.trainQuantizer(
+        emb.filter(col("vec_id") < 2000L), "vec_id", "embedding",
+        nCentroids = -1)
+      val corpusA = Similarity.assignToQuantizer(emb, "vec_id", "embedding",
+        cents)
+      // fixed ingest: copy-0 vectors re-keyed; half verbatim (tau-1
+      // drops), half nudged in one dimension (near-miss verify work)
+      val incoming = emb.filter(col("vec_id") < 2000L &&
+          col("vec_id") % 2 === 0)
+        .withColumn("vec_id", col("vec_id") + lit(1000000000L))
+        .withColumn("embedding",
+          org.apache.spark.sql.functions.when(col("vec_id") % 4 === 0,
+            org.apache.spark.sql.functions.transform(col("embedding"),
+              (v, i) => org.apache.spark.sql.functions.when(i === 0,
+                v + lit(0.05f)).otherwise(v)))
+            .otherwise(col("embedding")))
+      Similarity.semanticDedupIncrementalAssigned(incoming, corpusA,
+        "vec_id", "embedding", cents, tau = 0.9)
+    }),
     // Production-vocabulary BPE learning (r8): k=1024 merges over the
     // corpus word table via the driver-local indexed learner — the soak
     // evidence that learning escaped the one-Spark-job-per-merge regime.

@@ -478,6 +478,73 @@ object Similarity {
     index.unionByName(encodePqIndex(model, newDf, idCol, vecCol))
 
   /**
+   * Quantizer-staleness signal for the append path: reconstruction
+   * residual `1 − cos(v, decode(encode(v)))` aggregated over `df` —
+   * how well the FROZEN codebooks still describe a batch of vectors.
+   * Map-only (literal codebooks, the same self-ADC arithmetic the
+   * search path uses) plus one tiny aggregate; cost is one pass over
+   * the measured batch, so measuring every increment is cheap relative
+   * to encoding it.
+   *
+   * Usage contract (pinned in `PqDriftSpec`): record the build-time
+   * baseline (`pqResidualStats` over the build corpus) next to the
+   * saved model; before [[appendToPqIndex]], measure the increment and
+   * compare with [[pqAppendIsStale]]. Rising residual means the
+   * arriving distribution has left the codebooks' fitted region —
+   * coarse lists mis-balance and the ADC shortlist loses recall (the
+   * drift failure measured in `PqDriftSpec`: recall collapses only
+   * AFTER the signal fires, so the trigger leads the damage). Rebuild
+   * ([[buildPqIndex]] over the accumulated corpus) restores both.
+   *
+   * Returns one row: (n_vectors, mean_residual, max_residual), 6-dp
+   * rounded like every cosine this module emits. Zero-norm vectors are
+   * excluded (no cosine defined).
+   */
+  def pqResidualStats(model: PqModel, df: DataFrame,
+                      idCol: String, vecCol: String): DataFrame = {
+    graft.functions.GraftFunctions.register(df.sparkSession)
+    require(!model.isEmpty, "cannot measure residuals against an empty model")
+    val ds = model.dim / model.books.length
+    val enc = df
+      .select(col(idCol).as("id"), col(vecCol).cast("array<double>").as("v"))
+      .withColumn("n", norm2(col("v")))
+      .filter(col("n") > 0)
+      .withColumn("codes", pqCodesFor(model.books, ds)(col("v")))
+      .withColumn("rn2", pqReconNorm2For(model.books)(col("codes")))
+      .withColumn("luts", pqLutsFor(model.books, ds)(col("v")))
+    val selfAdc = model.books.indices.map { j =>
+      element_at(element_at(col("luts"), j + 1),
+        element_at(col("codes"), j + 1) + 1)
+    }.reduce(_ + _)
+    enc
+      .withColumn("residual",
+        lit(1.0) - selfAdc / (col("n") * sqrt(col("rn2"))))
+      .agg(count(lit(1)).as("n_vectors"),
+        round(avg(col("residual")), 6).as("mean_residual"),
+        round(max(col("residual")), 6).as("max_residual"))
+  }
+
+  /**
+   * The documented rebuild trigger for [[appendToPqIndex]]: an increment
+   * is STALE when its mean reconstruction residual exceeds
+   * `ratio × baseline + slack` (baseline = the build-time
+   * `mean_residual`; `slack` absorbs noise when a tightly-clustered
+   * build corpus puts the baseline near zero). Fire ⇒ rebuild the index
+   * over the accumulated corpus instead of appending against the stale
+   * model. Thresholds are deployment policy; the defaults are the ones
+   * `PqDriftSpec` demonstrates firing before planted-group recall
+   * breaks.
+   */
+  def pqAppendIsStale(model: PqModel, baselineMeanResidual: Double,
+                      incoming: DataFrame, idCol: String, vecCol: String,
+                      ratio: Double = 2.0, slack: Double = 0.02): Boolean = {
+    val inc = pqResidualStats(model, incoming, idCol, vecCol)
+      .select(col("mean_residual")).head()
+    !inc.isNullAt(0) &&
+      inc.getDouble(0) > baselineMeanResidual * ratio + slack
+  }
+
+  /**
    * Query a prebuilt IVF-PQ index: probe the `nProbe` nearest coarse
    * lists, score candidates with asymmetric distance computation (ADC —
    * m table lookups per pair; the lookup tables are computed once per
@@ -666,6 +733,20 @@ object Similarity {
     val assigned = assignTo(cents)(prepVecs(df, idCol, vecCol))
     val dropped = tauNeighbors(assigned, assigned, tau, lowerIdOnly = true)
     withKeepFlag(assigned, dropped)
+  }
+
+  /** Map-side assignment of every row to its argmax centroid under a
+    * FROZEN quantizer: `(idCol, vecCol, cid)` — the pre-assigned corpus
+    * shape [[semanticDedupIncrementalAssigned]] consumes and the
+    * semantic ingest stream persists between batches. Pure projection
+    * (literal centroids), zero shuffle; building this once per corpus is
+    * the one-time cost the amortized ingest path never re-pays. */
+  def assignToQuantizer(df: DataFrame, idCol: String, vecCol: String,
+                        cents: Array[(Long, Seq[Double], Double)]): DataFrame = {
+    graft.functions.GraftFunctions.register(df.sparkSession)
+    require(cents.nonEmpty, "cannot assign against an empty quantizer")
+    assignTo(cents)(prepVecs(df, idCol, vecCol))
+      .select(col("id").as(idCol), col("v").as(vecCol), col("cid"))
   }
 
   /** The deterministic coarse quantizer as a standalone, persistable
