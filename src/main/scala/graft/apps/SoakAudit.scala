@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.execution.SparkPlan
 import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
 import org.apache.spark.sql.execution.exchange.{BroadcastExchangeLike, ShuffleExchangeLike}
-import org.apache.spark.sql.functions.{col, lit}
+import org.apache.spark.sql.functions.{col, count, lit}
 
 import graft.SparkEntry
 import graft.operators.Similarity
@@ -24,6 +24,32 @@ import graft.sources.Tables
  * broadcasts.
  */
 object SoakAudit {
+
+  /** Total (shuffles, broadcasts, actions) summed over the EXECUTED plan
+    * of every action `f` triggers — captured via QueryExecutionListener,
+    * so AQE's FINAL plans are measured (runtime broadcast demotions and
+    * stage re-plans included; a pre-execution `df.queryExecution
+    * .executedPlan` read shows only the initial adaptive plan). Listener
+    * bus is drained before the counts are read. Shared by the per-round
+    * soaks and `PlanScaleInvariantsSpec`. */
+  def actionShapes(spark: SparkSession)(f: => Unit): (Int, Int, Int) = {
+    val shapes = scala.collection.mutable.ArrayBuffer.empty[(Int, Int)]
+    val listener = new org.apache.spark.sql.util.QueryExecutionListener {
+      override def onSuccess(funcName: String,
+                             qe: org.apache.spark.sql.execution.QueryExecution,
+                             durationNs: Long): Unit =
+        shapes.synchronized { shapes += countExchanges(qe.executedPlan); () }
+      override def onFailure(funcName: String,
+                             qe: org.apache.spark.sql.execution.QueryExecution,
+                             exception: Exception): Unit = ()
+    }
+    spark.listenerManager.register(listener)
+    try { f; org.apache.spark.GraftListenerBridge.waitListenerBus(spark.sparkContext) }
+    finally spark.listenerManager.unregister(listener)
+    shapes.synchronized {
+      (shapes.map(_._1).sum, shapes.map(_._2).sum, shapes.length)
+    }
+  }
 
   def countExchanges(plan: SparkPlan): (Int, Int) = {
     // AQE hides the final plan inside AdaptiveSparkPlanExec; walk the
@@ -181,12 +207,18 @@ object SoakAudit {
     // (map-only), _inc adds a fixed ~1000-vector ingest screened via
     // semanticDedupIncrementalAssigned — (_inc − _assign) is the
     // per-ingest cost, which must stay ~flat as the corpus scales.
+    // Driven through a per-cid aggregate: a bare count() of a projection
+    // lets Catalyst prune the assignment expression and just count the
+    // scan (and a left-join screen with unique right keys is eliminated
+    // entirely under count() — the decontamDrive lesson, re-learned on
+    // this family in r10 when _inc measured FASTER than _assign at 20M).
     "soak_semantic_assign" -> ((s, dir) => {
       val emb = Tables.embeddings(s, dir)
       val cents = Similarity.trainQuantizer(
         emb.filter(col("vec_id") < 2000L), "vec_id", "embedding",
         nCentroids = -1)
       Similarity.assignToQuantizer(emb, "vec_id", "embedding", cents)
+        .groupBy(col("cid")).agg(count(lit(1)).as("n"))
     }),
     "soak_semantic_inc" -> ((s, dir) => {
       val emb = Tables.embeddings(s, dir)
@@ -208,6 +240,7 @@ object SoakAudit {
             .otherwise(col("embedding")))
       Similarity.semanticDedupIncrementalAssigned(incoming, corpusA,
         "vec_id", "embedding", cents, tau = 0.9)
+        .groupBy(col("keep")).agg(count(lit(1)).as("n"))
     }),
     // Production-vocabulary BPE learning (r8): k=1024 merges over the
     // corpus word table via the driver-local indexed learner — the soak
@@ -277,11 +310,16 @@ object SoakAudit {
         case None => println(s"$name\tUNKNOWN")
         case Some(fn) =>
           System.gc()
+          var rows = 0L
           val t0 = System.nanoTime()
-          val df = fn(spark, dir)
-          val rows = df.count()
+          // exchange counts come from the EXECUTED plans of every action
+          // the query triggers (r10: the old pre-execution read showed
+          // AQE's initial plan, blind to exactly the runtime demotions
+          // soaks exist to catch)
+          val (sh, bc, _) = actionShapes(spark) {
+            rows = fn(spark, dir).count()
+          }
           val sec = (System.nanoTime() - t0) / 1e9
-          val (sh, bc) = countExchanges(df.queryExecution.executedPlan)
           println(f"$name\t$sec%.2f\t$rows\t$sh\t$bc")
       }
     }

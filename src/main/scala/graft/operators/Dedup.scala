@@ -51,9 +51,18 @@ object Dedup {
    */
   def incrementalDedup(incoming: DataFrame, corpus: DataFrame,
                        idCol: String, textCol: String): DataFrame = {
-    val seen = corpus.select(md5(col(textCol)).as("_fp")).distinct()
-    exactDedup(incoming, idCol, textCol)
-      .join(seen, md5(col(textCol)) === col("_fp"), "left_anti")
+    // Map-side probe, not a direct anti-join against the corpus-sized
+    // fingerprint set: the ingest fp set broadcasts INTO the corpus scan
+    // (corpus consumed map-only), and only the hit fps — ingest-bounded —
+    // broadcast back into the anti-join. The direct form shuffles the
+    // whole corpus fingerprint set per ingest once the corpus outgrows
+    // the broadcast threshold (same pattern as novelRows; r10).
+    val deduped = exactDedup(incoming, idCol, textCol)
+    val inFps = deduped.select(md5(col(textCol)).as("_fp")).distinct()
+    val hitFps = corpus.select(md5(col(textCol)).as("_fp"))
+      .join(broadcast(inFps), "_fp").select(col("_fp")).distinct()
+    deduped.join(broadcast(hitFps), md5(col(textCol)) === col("_fp"),
+      "left_anti")
   }
 
   /** Word k-shingles of a document as an array column (codegen'd — no UDF).
@@ -458,8 +467,14 @@ object Dedup {
     val hitFps = hits.select(col("fp")).distinct()
     val novel = inHashed.join(broadcast(hitFps), Seq("fp"), "left_anti")
     val inKeep = keeperStore(novel)
+    // keeper side EXPLICITLY broadcast: both sides are ingest-bounded by
+    // contract, but the planner's size estimate for them scales with the
+    // backing corpus FILE (the ingest is typically a filtered slice of a
+    // growing table), so the join silently demoted to a sort-merge join
+    // — one extra scale-growing exchange — once the corpus hit ~500k
+    // docs (r10 executed-plan soak find, the r9 verify-join class).
     val inStars = novel
-      .join(inKeep.select(col("fp"), col("id").as("keeper")), "fp")
+      .join(broadcast(inKeep.select(col("fp"), col("id").as("keeper"))), "fp")
       .filter(col("id") =!= col("keeper"))
       .select(col("keeper").as("id_a"), col("id").as("id_b"),
         lit(1.0).as("jaccard"))
@@ -725,7 +740,9 @@ object Dedup {
     val novel = novelRows(inHashed, store)
     val inKeep = keeperStore(novel)
     val inStars = novel
-      .join(inKeep.select(col("fp"), col("id").as("keeper")), "fp")
+      // explicit broadcast: ingest-bounded side whose planner estimate
+      // scales with the corpus file — see minhashIncrementalCore
+      .join(broadcast(inKeep.select(col("fp"), col("id").as("keeper"))), "fp")
       .filter(col("id") =!= col("keeper"))
       .select(col("keeper").as("id_a"), col("id").as("id_b"),
         lit(0).as("hamming"))
@@ -761,7 +778,9 @@ object Dedup {
     val novel = novelRows(inHashed, store)
     val inKeep = keeperStoreHiLo(novel)
     val inStars = novel
-      .join(inKeep.select(col("fp"), col("id").as("keeper")), "fp")
+      // explicit broadcast: ingest-bounded side whose planner estimate
+      // scales with the corpus file — see minhashIncrementalCore
+      .join(broadcast(inKeep.select(col("fp"), col("id").as("keeper"))), "fp")
       .filter(col("id") =!= col("keeper"))
       .select(col("keeper").as("id_a"), col("id").as("id_b"),
         lit(0).as("hamming"))

@@ -787,20 +787,34 @@ object Similarity {
 
   /** ids of `b` rows with a ≥ τ cosine neighbor in `a`'s same cluster
     * (optionally only lower-id neighbors). Both frames carry
-    * (id, v, n, cid). */
+    * (id, v, n, cid). `broadcastB` — set by the INGEST paths, where `b`
+    * is the batch — explicitly broadcasts the b side so the corpus-sized
+    * `a` side is probed map-only: without the hint the planner
+    * shuffle-joins on cid, re-shuffling the whole corpus per ingest, and
+    * its estimate for the batch scales with the backing corpus FILE, so
+    * the shape also degrades with corpus growth (r10 soak find, the
+    * inStars class). Corpus×corpus callers leave it false — there the
+    * cid shuffle join IS the correct scale plan. */
   private def tauNeighbors(b: DataFrame, a: DataFrame, tau: Double,
-                           lowerIdOnly: Boolean): DataFrame = {
+                           lowerIdOnly: Boolean,
+                           broadcastB: Boolean = false): DataFrame = {
     val cond = col("a.cid") === col("b.cid") &&
       (if (lowerIdOnly) col("a.id") < col("b.id") else lit(true))
-    b.alias("b").join(a.alias("a"), cond)
+    val bSide = if (broadcastB) broadcast(b.alias("b")) else b.alias("b")
+    bSide.join(a.alias("a"), cond)
       .filter(round(dot(col("a.v"), col("b.v")) / (col("a.n") * col("b.n")), 6) >= tau)
       .select(col("b.id").as("id")).distinct()
   }
 
-  private def withKeepFlag(assigned: DataFrame, dropped: DataFrame): DataFrame =
-    assigned.join(dropped.withColumn("_drop", lit(true)), Seq("id"), "left")
+  /** `broadcastDropped`: ingest paths only (dropped ⊆ the batch's ids);
+    * corpus-scale callers leave the join to the planner. */
+  private def withKeepFlag(assigned: DataFrame, dropped: DataFrame,
+                           broadcastDropped: Boolean = false): DataFrame = {
+    val d = dropped.withColumn("_drop", lit(true))
+    assigned.join(if (broadcastDropped) broadcast(d) else d, Seq("id"), "left")
       .select(col("id"), col("cid"),
         coalesce(col("_drop"), lit(false)).unary_!.as("keep"))
+  }
 
   /**
    * Ingest-time twin of [[semanticDedup]]: score an `incoming` batch
@@ -852,9 +866,11 @@ object Similarity {
         col("cid"))
       .withColumn("n", norm2(col("v")))
     val incA = assignTo(cents)(prepVecs(incoming, idCol, vecCol))
-    val dropped = tauNeighbors(incA, corpusA, tau, lowerIdOnly = false)
-      .union(tauNeighbors(incA, incA, tau, lowerIdOnly = true)).distinct()
-    withKeepFlag(incA, dropped)
+    val dropped = tauNeighbors(incA, corpusA, tau, lowerIdOnly = false,
+        broadcastB = true)
+      .union(tauNeighbors(incA, incA, tau, lowerIdOnly = true,
+        broadcastB = true)).distinct()
+    withKeepFlag(incA, dropped, broadcastDropped = true)
   }
 
   /**

@@ -1,13 +1,9 @@
 package graft
 
-import scala.collection.mutable.ArrayBuffer
-
-import org.apache.spark.GraftTestBridge
+import org.apache.spark.GraftListenerBridge
 import org.apache.spark.scheduler.{SparkListener, SparkListenerStageSubmitted}
 import org.apache.spark.sql.DataFrame
-import org.apache.spark.sql.execution.QueryExecution
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.util.QueryExecutionListener
 
 import graft.operators.{Dedup, Similarity, TextAnalysis}
 
@@ -90,27 +86,11 @@ class PlanScaleInvariantsSpec extends SparkSuite {
 
   // ---- measurement harness ---------------------------------------------
 
-  /** Total (shuffles, broadcasts) across the EXECUTED plan of every
-    * action `f` triggers, and the number of actions — AQE-final plans via
-    * QueryExecutionListener, listener bus drained before reading. */
-  private def actionShapes(f: => Unit): (Int, Int, Int) = {
-    val shapes = ArrayBuffer.empty[(Int, Int)]
-    val listener = new QueryExecutionListener {
-      override def onSuccess(funcName: String, qe: QueryExecution,
-                             durationNs: Long): Unit =
-        shapes.synchronized {
-          shapes += graft.apps.SoakAudit.countExchanges(qe.executedPlan); ()
-        }
-      override def onFailure(funcName: String, qe: QueryExecution,
-                             exception: Exception): Unit = ()
-    }
-    spark.listenerManager.register(listener)
-    try { f; GraftTestBridge.waitListenerBus(spark.sparkContext) }
-    finally spark.listenerManager.unregister(listener)
-    shapes.synchronized {
-      (shapes.map(_._1).sum, shapes.map(_._2).sum, shapes.length)
-    }
-  }
+  /** Total (shuffles, broadcasts, actions) across the EXECUTED plan of
+    * every action — the shared SoakAudit harness (AQE-final plans via
+    * QueryExecutionListener, bus drained before reading). */
+  private def actionShapes(f: => Unit): (Int, Int, Int) =
+    graft.apps.SoakAudit.actionShapes(spark)(f)
 
   /** Run `f` with every auto-broadcast threshold disabled — the planner
     * grants ONLY explicit broadcast hints, simulating corpus sides that
@@ -160,7 +140,7 @@ class PlanScaleInvariantsSpec extends SparkSuite {
   // ---- the contracts ---------------------------------------------------
 
   test("minhash incremental screen: plan shape flat 1x -> 20x, no auto-broadcast") {
-    assertFlat("minhash_inc", (7, 5)) { corpus =>
+    assertFlat("minhash_inc", (6, 6)) { corpus =>
       val store = Dedup.minhashStore(corpus, "doc_id", "text")
       val pairs = Dedup.minhashLshPairsIncremental(ingestBatch(corpus), store,
         corpus, "doc_id", "text", tau = 0.5)
@@ -169,7 +149,7 @@ class PlanScaleInvariantsSpec extends SparkSuite {
   }
 
   test("simhash incremental screen: plan shape flat 1x -> 20x, no auto-broadcast") {
-    assertFlat("simhash_inc", (8, 4)) { corpus =>
+    assertFlat("simhash_inc", (7, 5)) { corpus =>
       val store = Dedup.simhashStore(corpus, "doc_id", "text")
       val pairs = Dedup.simhashPairsIncremental(ingestBatch(corpus), store,
         "doc_id", "text", maxHamming = 8)
@@ -178,12 +158,15 @@ class PlanScaleInvariantsSpec extends SparkSuite {
   }
 
   test("semantic ingest: plan shape flat 1x -> 20x, no auto-broadcast") {
-    assertFlat("semantic_inc", (1, 0)) { corpus =>
+    assertFlat("semantic_inc", (4, 2)) { corpus =>
       val incoming = corpus.filter(col("vec_id") < 30)
         .withColumn("vec_id", col("vec_id") + lit(10000000L))
       val out = Similarity.semanticDedupIncremental(incoming, corpus,
         "vec_id", "embedding", tau = 0.95, nCentroids = 8)
-      assert(out.count() > 0)
+      // grouped-aggregate drive: a bare count() of the keep frame lets
+      // Catalyst ELIMINATE the whole screen (left join with unique right
+      // keys, keep column pruned) — the decontamDrive lesson
+      assert(out.groupBy(col("keep")).agg(count(lit(1))).count() > 0)
     }(vecCorpus)
   }
 
@@ -241,7 +224,7 @@ class PlanScaleInvariantsSpec extends SparkSuite {
           localEdgeThreshold = 0L, broadcastNodeLimit = 0L)
         assert(labels.filter(col("doc_id") === col("cluster_id")).count()
           === k.toLong, "one keeper per chain")
-        GraftTestBridge.waitListenerBus(spark.sparkContext)
+        GraftListenerBridge.waitListenerBus(spark.sparkContext)
       } finally spark.sparkContext.removeSparkListener(l)
       n.get
     }
