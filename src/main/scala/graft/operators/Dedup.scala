@@ -590,17 +590,24 @@ object Dedup {
         bits(col("_votes").getField("vl")).as("sig_lo"))
   }
 
-  /** Portable-form pigeonhole banding over (sig_hi, sig_lo) halves —
-    * same 4×16-bit chunks as [[simhashBanded]], shared by the batch and
-    * incremental portable forms. */
-  private def simhashBandedPortable(sigs: DataFrame): DataFrame =
+  /** Portable-form pigeonhole banding over the (sig_hi, sig_lo) 32-bit
+    * halves — radius-derived chunk count like [[simhashBanded]] (the lo
+    * half takes the extra chunk when the count is odd); the default
+    * radius reproduces the historical 4×16 layout the oracle gates
+    * certify bit for bit. */
+  private def simhashBandedPortable(sigs: DataFrame,
+                                    maxHamming: Int): DataFrame = {
+    val c = simhashChunks(maxHamming)
+    val cLo = (c + 1) / 2
+    val pieces =
+      chunkRanges(32, cLo).map { case (off, w) =>
+        chunkOf(col("sig_lo"), off, w) } ++
+      chunkRanges(32, c - cLo).map { case (off, w) =>
+        chunkOf(col("sig_hi"), off, w) }
     sigs.select(col("id"), col("sig_hi"), col("sig_lo"),
-        posexplode(array(
-          col("sig_lo").bitwiseAND(lit(0xFFFFL)),
-          shiftright(col("sig_lo"), 16).bitwiseAND(lit(0xFFFFL)),
-          col("sig_hi").bitwiseAND(lit(0xFFFFL)),
-          shiftright(col("sig_hi"), 16).bitwiseAND(lit(0xFFFFL)))))
+        posexplode(array(pieces: _*)))
       .withColumnRenamed("pos", "band").withColumnRenamed("col", "chunk")
+  }
 
   def simhashPairsPortable(df: DataFrame, idCol: String, textCol: String,
                            maxHamming: Int = 3): DataFrame = {
@@ -612,7 +619,7 @@ object Dedup {
         lit(0).as("hamming"))
     val sigs = tagged.filter(col("id") === col("keeper"))
       .select(col("id"), col("sig_hi"), col("sig_lo"))
-    val banded = simhashBandedPortable(sigs)
+    val banded = simhashBandedPortable(sigs, maxHamming)
     val a = banded.alias("a")
     val b = banded.alias("b")
     val keeperPairs = a.join(b,
@@ -631,8 +638,10 @@ object Dedup {
   }
 
   /** SimHash near-dup candidate pairs within Hamming distance ≤ maxHamming,
-    * using 4×16-bit band bucketing (any doc pair with distance ≤ 3 shares at
-    * least one exact 16-bit band — pigeonhole).
+    * using pigeonhole band bucketing with `max(4, maxHamming + 1)` chunks —
+    * any pair within the radius shares at least one exact chunk, at EVERY
+    * radius (spec-pinned against the brute-force signature reference; the
+    * historical fixed 4×16 layout silently lost candidates above radius 3).
     *
     * Same mega-bucket guard as [[minhashLshPairs]]: identical documents
     * share the whole 64-bit signature, so an N-copy cluster would make all
@@ -648,13 +657,47 @@ object Dedup {
       call_function("graft_simhash64", col(textCol)).as("sig"))
   }
 
-  /** One (id, sig, band, chunk) row per 16-bit signature chunk — the ONE
+  /** Chunk count for a requested Hamming radius: pigeonhole needs
+    * `maxHamming + 1` chunks so every pair within the radius shares at
+    * least one untouched chunk; 4 is the floor (the historical 4×16
+    * layout, which the oracle gates pin at the default radius). Capped
+    * at 32 — beyond hamming 31 a 64-bit SimHash bucketing is
+    * meaningless (chunks of < 2 bits bucket everything together). */
+  private def simhashChunks(maxHamming: Int): Int = {
+    require(maxHamming >= 0 && maxHamming <= 31,
+      s"maxHamming must be in [0, 31]; got $maxHamming")
+    math.max(4, maxHamming + 1)
+  }
+
+  /** Contiguous (offset, width) bit ranges splitting `width` bits into
+    * `n` chunks, earlier chunks taking the remainder bits. */
+  private def chunkRanges(width: Int, n: Int): Seq[(Int, Int)] = {
+    val base = width / n
+    val extra = width % n
+    var off = 0
+    (0 until n).map { i =>
+      val w = base + (if (i < extra) 1 else 0)
+      val r = (off, w); off += w; r
+    }
+  }
+
+  private def chunkOf(sig: Column, off: Int, w: Int): Column =
+    shiftright(sig, off).bitwiseAND(lit((1L << w) - 1L))
+
+  /** One (id, sig, band, chunk) row per signature chunk — the ONE
     * pigeonhole-banding definition shared by the batch and incremental
-    * native forms (hamming ≤ 3 ⟹ at least one of the 4 chunks equal). */
-  private def simhashBanded(sigs: DataFrame): DataFrame =
+    * native forms. Chunk count DERIVES from the requested radius
+    * ([[simhashChunks]]): the historical fixed 4×16 layout silently
+    * lost candidate recall for any caller-raised `maxHamming > 3`
+    * (hamming 4+ pairs can touch all four chunks — r10 find); with
+    * `maxHamming + 1` chunks the guarantee holds at every radius, and
+    * the default radius keeps the exact 4×16 layout the oracle gates
+    * certify. */
+  private def simhashBanded(sigs: DataFrame, maxHamming: Int): DataFrame =
     sigs.select(col("id"), col("sig"),
-        posexplode(array((0 until 4).map(b =>
-          shiftright(col("sig"), b * 16).bitwiseAND(lit(0xFFFFL))): _*)))
+        posexplode(array(chunkRanges(64, simhashChunks(maxHamming)).map {
+          case (off, w) => chunkOf(col("sig"), off, w)
+        }: _*)))
       .withColumnRenamed("pos", "band").withColumnRenamed("col", "chunk")
 
   def simhashPairs(df: DataFrame, idCol: String, textCol: String,
@@ -667,7 +710,7 @@ object Dedup {
         lit(0).as("hamming"))
     val sigs = tagged.filter(col("id") === col("keeper"))
       .select(col("id"), col("sig"))
-    val banded = simhashBanded(sigs)
+    val banded = simhashBanded(sigs, maxHamming)
     val a = banded.alias("a")
     val b = banded.alias("b")
     val keeperPairs = a.join(b,
@@ -746,8 +789,9 @@ object Dedup {
       .filter(col("id") =!= col("keeper"))
       .select(col("keeper").as("id_a"), col("id").as("id_b"),
         lit(0).as("hamming"))
-    val newBanded = simhashBanded(inKeep)
-    val storeBanded = simhashBanded(store.select(col("id"), col("sig")))
+    val newBanded = simhashBanded(inKeep, maxHamming)
+    val storeBanded = simhashBanded(store.select(col("id"), col("sig")),
+      maxHamming)
     def bandJoin(x: DataFrame, y: DataFrame): DataFrame =
       x.alias("a").join(broadcast(y.alias("b")),
           col("a.band") === col("b.band") &&
@@ -784,9 +828,9 @@ object Dedup {
       .filter(col("id") =!= col("keeper"))
       .select(col("keeper").as("id_a"), col("id").as("id_b"),
         lit(0).as("hamming"))
-    val newBanded = simhashBandedPortable(inKeep)
+    val newBanded = simhashBandedPortable(inKeep, maxHamming)
     val storeBanded = simhashBandedPortable(
-      store.select(col("id"), col("sig_hi"), col("sig_lo")))
+      store.select(col("id"), col("sig_hi"), col("sig_lo")), maxHamming)
     def bandJoin(x: DataFrame, y: DataFrame): DataFrame =
       x.alias("a").join(broadcast(y.alias("b")),
           col("a.band") === col("b.band") &&

@@ -101,6 +101,58 @@ class DedupSpec extends SparkSuite {
     assert(!pairs.exists(p => Set(p._1, p._2) == Set(3L, 4L)))
   }
 
+  test("simhash banding recall holds at raised radii (brute-force reference)") {
+    // The fixed 4×16 layout only guarantees candidates for hamming ≤ 3;
+    // a caller-raised radius silently lost every pair whose differing
+    // bits touched all four chunks (r10 find — banding now derives
+    // maxHamming+1 chunks by pigeonhole). Reference: brute-force hamming
+    // over the PUBLIC store's keeper signatures.
+    val rnd = new scala.util.Random(97)
+    val vocab = Array.tabulate(40)(i => s"sw$i")
+    val bases = Array.tabulate(60)(d =>
+      (1 to 14).map(_ => vocab(rnd.nextInt(vocab.length))).mkString(" "))
+    // near-dup mates: one or two tokens swapped — assorted hamming radii
+    // mutated tokens are guaranteed ≠ the originals, so no exact dups
+    // sneak in (reference is over distinct-content keepers only)
+    val corpus = bases.zipWithIndex.flatMap { case (t, d) =>
+      val toks = t.split(" ")
+      def other(w: String): String =
+        vocab((vocab.indexOf(w) + 1 + rnd.nextInt(vocab.length - 1)) %
+          vocab.length)
+      val mut = toks.updated(0, other(toks(0)))
+        .updated(5, other(toks(5))).mkString(" ")
+      Seq((d * 2L, t), (d * 2L + 1L, mut))
+    }.toSeq.toDF("doc_id", "text")
+    val h = 7
+    val sigs = Dedup.simhashStore(corpus, "doc_id", "text")
+      .select(col("id"), col("sig")).as[(Long, Long)].collect()
+    val reference = (for {
+      (ia, sa) <- sigs; (ib, sb) <- sigs if ia < ib
+      d = java.lang.Long.bitCount(sa ^ sb) if d <= h
+    } yield (ia, ib, d)).toSet
+    assert(reference.exists(_._3 > 3),
+      "fixture must contain pairs beyond the old 4-chunk guarantee radius")
+    val banded = Dedup.simhashPairs(corpus, "doc_id", "text", maxHamming = h)
+      .select("id_a", "id_b", "hamming").as[(Long, Long, Int)].collect()
+      .map { case (a, b, d) => (a, b, d) }.toSet
+    assert(banded === reference,
+      "banded pairs must equal the brute-force signature reference at h=7")
+    // portable family: same guarantee over its own (hi, lo) signatures
+    val sigsP = Dedup.simhashStorePortable(corpus, "doc_id", "text")
+      .select(col("id"), col("sig_hi"), col("sig_lo"))
+      .as[(Long, Long, Long)].collect()
+    val refP = (for {
+      (ia, ha, la) <- sigsP; (ib, hb, lb) <- sigsP if ia < ib
+      d = java.lang.Long.bitCount(ha ^ hb) + java.lang.Long.bitCount(la ^ lb)
+      if d <= h
+    } yield (ia, ib, d)).toSet
+    val bandedP = Dedup.simhashPairsPortable(corpus, "doc_id", "text",
+        maxHamming = h)
+      .select("id_a", "id_b", "hamming").as[(Long, Long, Int)].collect().toSet
+    assert(bandedP === refP,
+      "portable banded pairs must equal the brute-force reference at h=7")
+  }
+
   test("simhashPairs survives a planted 500-copy mega-cluster") {
     val cluster = (100L until 600L).map(i => (i, base))
     val all = (Seq((1L, distinct1)) ++ cluster).toDF("doc_id", "text")
