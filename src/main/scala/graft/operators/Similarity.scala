@@ -749,6 +749,28 @@ object Similarity {
       .select(col("id").as(idCol), col("v").as(vecCol), col("cid"))
   }
 
+  /** [[assignToQuantizer]] with the codebook shipped as a TorrentBroadcast
+    * probed by a codegen'd argmax loop ([[graft.functions.CentroidArgmaxExpr]],
+    * bit-equivalent — spec-pinned, ties included). The literal form
+    * carries one struct literal PER CENTROID in the expression tree, so
+    * plan construction/optimization/codegen scale with the cell count —
+    * measured in `CidStoreBench`: at the √n sizing partition pruning
+    * wants (1414 cells at 2M vectors) the literal path pays minutes of
+    * plan work where this form is flat. Use this for production cell
+    * counts; the oracle gates keep the literal form at their pinned
+    * small sizes. */
+  def assignToQuantizerBroadcast(df: DataFrame, idCol: String, vecCol: String,
+                                 cents: Array[(Long, Seq[Double], Double)]): DataFrame = {
+    require(cents.nonEmpty, "cannot assign against an empty quantizer")
+    val bc = df.sparkSession.sparkContext
+      .broadcast(graft.functions.CentroidSet(cents))
+    df.select(col(idCol), col(vecCol),
+      org.apache.spark.sql.GraftColumnBridge.column(
+        graft.functions.CentroidArgmaxExpr(
+          org.apache.spark.sql.GraftColumnBridge.expression(
+            col(vecCol).cast("array<double>")), bc)).as("cid"))
+  }
+
   /** The deterministic coarse quantizer as a standalone, persistable
     * model: the same lowest-id sample (+ optional Lloyd rounds) the IVF
     * and SemDeDup paths train internally. Pass `nCentroids = -1` for the
@@ -859,18 +881,78 @@ object Similarity {
                                        corpusAssigned: DataFrame,
                                        idCol: String, vecCol: String,
                                        cents: Array[(Long, Seq[Double], Double)],
-                                       tau: Double): DataFrame = {
+                                       tau: Double,
+                                       broadcastAssign: Boolean = false): DataFrame = {
     graft.functions.GraftFunctions.register(incoming.sparkSession)
     val corpusA = corpusAssigned
       .select(col(idCol).as("id"), col(vecCol).cast("array<double>").as("v"),
         col("cid"))
       .withColumn("n", norm2(col("v")))
-    val incA = assignTo(cents)(prepVecs(incoming, idCol, vecCol))
+    // broadcastAssign: production cell counts — the literal assignment's
+    // plan size scales with the codebook (see assignToQuantizerBroadcast);
+    // bit-equivalent either way (spec-pinned), gates keep the default
+    val incA =
+      if (broadcastAssign)
+        assignToQuantizerBroadcast(incoming, idCol, vecCol, cents)
+          .select(col(idCol).as("id"),
+            col(vecCol).cast("array<double>").as("v"), col("cid"))
+          .withColumn("n", norm2(col("v")))
+      else assignTo(cents)(prepVecs(incoming, idCol, vecCol))
     val dropped = tauNeighbors(incA, corpusA, tau, lowerIdOnly = false,
         broadcastB = true)
       .union(tauNeighbors(incA, incA, tau, lowerIdOnly = true,
         broadcastB = true)).distinct()
     withKeepFlag(incA, dropped, broadcastDropped = true)
+  }
+
+  /**
+   * Persist a pre-assigned corpus ([[assignToQuantizer]] /
+   * [[semanticDedupIncrementalAssigned]] shape) PARTITIONED BY `cid` —
+   * the layout that makes the per-ingest probe sublinear in corpus
+   * size: [[semanticDedupIncrementalStored]] pushes the batch's cell
+   * set into the scan as a partition filter, so cells the batch does
+   * not touch are never read. With the √n auto quantizer a fixed-size
+   * batch touches at most |batch| of ~√n cells, so the probed fraction
+   * SHRINKS as the corpus grows (≤ 22% at 20M vectors for a 1000-vector
+   * batch) — the missing piece between the flat-shape soak evidence and
+   * a genuinely sublinear ingest at 100 TB.
+   */
+  def writeAssignedCorpus(corpusAssigned: DataFrame, path: String,
+                          idCol: String, vecCol: String): Unit =
+    // repartition by cid first: a raw partitionBy write emits up to
+    // (input partitions × cells) files — 22k for 16×1414 in the first
+    // CidStoreBench run — and the read side then pays per-file open
+    // cost; one shuffle at write time buys one file per cell
+    corpusAssigned.select(col(idCol), col(vecCol), col("cid"))
+      .repartition(col("cid"))
+      .write.mode("overwrite").partitionBy("cid").parquet(path)
+
+  /**
+   * [[semanticDedupIncrementalAssigned]] against a corpus persisted by
+   * [[writeAssignedCorpus]]: the batch assigns map-side, its DISTINCT
+   * cell ids (bounded by min(|batch|, centroids) — a model-parameter-
+   * sized collect) become an `isin` partition filter on the corpus
+   * read, and only the touched cells flow into the probe join. Same
+   * output as the unpruned form (a corpus row outside the batch's
+   * cells can never be a same-cell neighbor — spec-pinned equivalence),
+   * strictly less I/O.
+   */
+  def semanticDedupIncrementalStored(incoming: DataFrame, corpusPath: String,
+                                     idCol: String, vecCol: String,
+                                     cents: Array[(Long, Seq[Double], Double)],
+                                     tau: Double): DataFrame = {
+    graft.functions.GraftFunctions.register(incoming.sparkSession)
+    val batchCells = assignToQuantizerBroadcast(incoming, idCol, vecCol,
+        cents)
+      .select(col("cid")).distinct()
+      .collect().map(_.getLong(0))
+    // cast: partition-column type inference narrows small cid values to
+    // int on read; the assigned-corpus contract is long
+    val corpus = incoming.sparkSession.read.parquet(corpusPath)
+      .filter(col("cid").isin(batchCells: _*))
+      .select(col(idCol), col(vecCol), col("cid").cast("long"))
+    semanticDedupIncrementalAssigned(incoming, corpus, idCol, vecCol,
+      cents, tau, broadcastAssign = true)
   }
 
   /**

@@ -347,6 +347,69 @@ class SimilaritySpec extends SparkSuite {
     assert(inc === full)
   }
 
+  test("broadcast centroid argmax ≡ literal assignment, ties included") {
+    graft.functions.GraftFunctions.register(spark)
+    val corpus = spark.range(500).select(col("id").as("vec_id"),
+      expr("""transform(sequence(0, 7), i ->
+        cast(cast(if(i = vec_id % 8, 5.0, 0.1) as double) +
+        cast(xxhash64(vec_id, i) as double) / 4.6e18 as float)""" + ")")
+        .as("embedding"))
+    val cents = Similarity.trainQuantizer(corpus, "vec_id", "embedding",
+      nCentroids = 24, trainIters = 1)
+    // duplicate centroid vectors force exact score TIES, exercising the
+    // negcid (lowest-id-wins) tie-break in both implementations
+    val tied = cents ++ cents.take(3).map { case (cid, cv, cn) =>
+      (cid + 10000L, cv, cn) }
+    def assign(f: (org.apache.spark.sql.DataFrame, String, String,
+        Array[(Long, Seq[Double], Double)]) => org.apache.spark.sql.DataFrame) =
+      f(corpus, "vec_id", "embedding", tied)
+        .select(col("vec_id"), col("cid")).as[(Long, Long)].collect().toMap
+    val lit = assign(Similarity.assignToQuantizer)
+    val bc = assign(Similarity.assignToQuantizerBroadcast)
+    assert(bc === lit,
+      "broadcast argmax must match the literal assignment on every row")
+    // ties really occurred: no row may land on a duplicated high-id
+    // centroid (lowest id wins), and the duplicates must shadow rows
+    assert(lit.values.forall(_ < 10000L), "ties must resolve to the low id")
+  }
+
+  test("stored semantic ingest: cid-partition pruning, identical decisions") {
+    graft.functions.GraftFunctions.register(spark)
+    // 6 well-separated clusters of 15 vectors; batch touches only 2
+    val corpus = spark.range(90).select(col("id").as("vec_id"),
+      expr("""transform(sequence(0, 7), i ->
+        cast(cast(if(i = vec_id % 6, 10.0, 0.0) as double) +
+        cast(xxhash64(vec_id, i) as double) / 9.2e18 as float)""" + ")")
+        .as("embedding"))
+    val cents = Similarity.trainQuantizer(corpus, "vec_id", "embedding",
+      nCentroids = 6, trainIters = 2)
+    val corpusA = Similarity.assignToQuantizer(corpus, "vec_id", "embedding",
+      cents)
+    val dir = java.nio.file.Files.createTempDirectory("cidstore").toString
+    Similarity.writeAssignedCorpus(corpusA, dir, "vec_id", "embedding")
+    // batch: near-copies of clusters 0 and 1 only (+ tiny jitter)
+    val batch = corpus.filter(col("vec_id") < 2)
+      .withColumn("vec_id", col("vec_id") + lit(1000L))
+    val stored = Similarity.semanticDedupIncrementalStored(batch, dir,
+      "vec_id", "embedding", cents, tau = 0.9)
+    val unpruned = Similarity.semanticDedupIncrementalAssigned(batch, corpusA,
+      "vec_id", "embedding", cents, tau = 0.9)
+    def decisions(df: org.apache.spark.sql.DataFrame) =
+      df.select("id", "cid", "keep").as[(Long, Long, Boolean)].collect().toSet
+    assert(decisions(stored) === decisions(unpruned),
+      "pruned store must reproduce the unpruned decisions exactly")
+    assert(decisions(stored).forall(!_._3),
+      "near-copies of corpus vectors must be dropped")
+    // the scan must actually PRUNE: only the batch's cells appear as
+    // partition filters, and untouched cid directories are never listed
+    val scanStr = stored.queryExecution.executedPlan.toString
+    assert(scanStr.contains("PartitionFilters") && scanStr.contains("cid"),
+      s"corpus scan must carry a cid partition filter:\n$scanStr")
+    val touched = Similarity.assignToQuantizer(batch, "vec_id", "embedding",
+      cents).select("cid").distinct().as[Long].collect().toSet
+    assert(touched.size < 6, "fixture: batch must touch a strict cell subset")
+  }
+
   test("semanticDecontaminate flags eval-near vectors exhaustively, no clustering") {
     val bench = vecs.filter(col("vec_id") === 0L)
     val corpus = vecs.filter(col("vec_id") =!= 0L)
