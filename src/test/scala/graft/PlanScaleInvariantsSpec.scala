@@ -170,6 +170,25 @@ class PlanScaleInvariantsSpec extends SparkSuite {
     }(vecCorpus)
   }
 
+  test("stored semantic ingest: plan shape flat 1x -> 20x, no auto-broadcast") {
+    // the cid-partitioned persisted-store path (r10): same contract as
+    // its in-plan sibling — the pruned corpus scan plus ingest-bounded
+    // broadcast joins must keep their shape as the store grows
+    assertFlat("semantic_stored", (6, 2)) { corpus =>
+      val cents = Similarity.trainQuantizer(corpus, "vec_id", "embedding",
+        nCentroids = 8)
+      val dir = java.nio.file.Files.createTempDirectory("psi_cid").toString
+      Similarity.writeAssignedCorpus(
+        Similarity.assignToQuantizerBroadcast(corpus, "vec_id", "embedding",
+          cents), dir, "vec_id", "embedding")
+      val incoming = corpus.filter(col("vec_id") < 30)
+        .withColumn("vec_id", col("vec_id") + lit(10000000L))
+      val out = Similarity.semanticDedupIncrementalStored(incoming, dir,
+        "vec_id", "embedding", cents, tau = 0.95)
+      assert(out.groupBy(col("keep")).agg(count(lit(1))).count() > 0)
+    }(vecCorpus)
+  }
+
   test("semantic decontamination (exact regime): plan shape flat 1x -> 20x") {
     assertFlat("decontam_exact", (4, 1)) { corpus =>
       val bench = corpus.filter(col("vec_id") % 37 === 0)
