@@ -18,8 +18,10 @@ import org.apache.spark.storage.StorageLevel
  *    higher-order functions (no UDF); candidate generation explodes each doc
  *    into `bands` rows and groups by (band, bandHash) — the classic
  *    shuffle-light near-dup join; only same-bucket pairs are ever compared.
- *  - SimHash: 64-bit signature, bucketed by 4×16-bit chunks for candidate
- *    pairs within Hamming distance ≤ 3.
+ *  - SimHash: 64-bit signature, bucketed by block-combination tables whose
+ *    block count derives from the observed corpus scale (floor: the
+ *    historical 4×16-bit chunk layout) for candidate pairs within the
+ *    requested Hamming radius.
  *  - All hash families are seeded deterministically (xxhash64 with per-plane
  *    seed literals) so results are reproducible run-to-run — a correctness
  *    requirement for the oracle gate, and an operational one at scale.
@@ -590,27 +592,31 @@ object Dedup {
         bits(col("_votes").getField("vl")).as("sig_lo"))
   }
 
-  /** Portable-form pigeonhole banding over the (sig_hi, sig_lo) 32-bit
-    * halves — radius-derived chunk count like [[simhashBanded]] (the lo
-    * half takes the extra chunk when the count is odd); the default
-    * radius reproduces the historical 4×16 layout the oracle gates
-    * certify bit for bit. */
-  private def simhashBandedPortable(sigs: DataFrame,
-                                    maxHamming: Int): DataFrame = {
-    val c = simhashChunks(maxHamming)
-    val cLo = (c + 1) / 2
-    val pieces =
-      chunkRanges(32, cLo).map { case (off, w) =>
-        chunkOf(col("sig_lo"), off, w) } ++
-      chunkRanges(32, c - cLo).map { case (off, w) =>
-        chunkOf(col("sig_hi"), off, w) }
+  /** Portable-form combination banding over the (sig_hi, sig_lo) 32-bit
+    * halves — same derived layout as [[simhashBanded]]; blocks split
+    * lo-half-first (the lo half takes the extra block when the count is
+    * odd), so the floor layout reproduces the historical 4×16 tables the
+    * oracle gates were derived under bit for bit. */
+  private def simhashBandedPortable(sigs: DataFrame, maxHamming: Int,
+                                    blocks: Int): DataFrame = {
+    val bLo = (blocks + 1) / 2
+    val blockCols = (
+      chunkRanges(32, bLo).map { case (off, w) =>
+        (chunkOf(col("sig_lo"), off, w), w) } ++
+      chunkRanges(32, blocks - bLo).map { case (off, w) =>
+        (chunkOf(col("sig_hi"), off, w), w) }
+    ).toIndexedSeq
+    val keys = simhashCombos(blocks, maxHamming).map(tableKey(blockCols, _))
     sigs.select(col("id"), col("sig_hi"), col("sig_lo"),
-        posexplode(array(pieces: _*)))
+        posexplode(array(keys: _*)))
       .withColumnRenamed("pos", "band").withColumnRenamed("col", "chunk")
   }
 
   def simhashPairsPortable(df: DataFrame, idCol: String, textCol: String,
-                           maxHamming: Int = 3): DataFrame = {
+                           maxHamming: Int = 3,
+                           corpusHint: Long = -1L): DataFrame = {
+    val blocks = simhashBlocks(maxHamming,
+      if (corpusHint >= 0L) corpusHint else estimatedSigRows(df))
     val hashed = simhashHashedPortable(df, idCol, textCol)
     val keepers = hashed.groupBy(col("fp")).agg(min(col("id")).as("keeper"))
     val tagged = hashed.join(keepers, "fp")
@@ -619,7 +625,7 @@ object Dedup {
         lit(0).as("hamming"))
     val sigs = tagged.filter(col("id") === col("keeper"))
       .select(col("id"), col("sig_hi"), col("sig_lo"))
-    val banded = simhashBandedPortable(sigs, maxHamming)
+    val banded = simhashBandedPortable(sigs, maxHamming, blocks)
     val a = banded.alias("a")
     val b = banded.alias("b")
     val keeperPairs = a.join(b,
@@ -638,10 +644,12 @@ object Dedup {
   }
 
   /** SimHash near-dup candidate pairs within Hamming distance ≤ maxHamming,
-    * using pigeonhole band bucketing with `max(4, maxHamming + 1)` chunks —
-    * any pair within the radius shares at least one exact chunk, at EVERY
-    * radius (spec-pinned against the brute-force signature reference; the
-    * historical fixed 4×16 layout silently lost candidates above radius 3).
+    * using pigeonhole block-combination bucketing sized from the observed
+    * corpus scale ([[simhashBlocks]]) — any pair within the radius shares
+    * at least one exact table key, at EVERY radius and block count
+    * (spec-pinned against the brute-force signature reference, at mixed
+    * corpus hints). `corpusHint` overrides the planner-stats scale
+    * estimate when the caller knows the corpus size (< 0 = derive).
     *
     * Same mega-bucket guard as [[minhashLshPairs]]: identical documents
     * share the whole 64-bit signature, so an N-copy cluster would make all
@@ -657,16 +665,84 @@ object Dedup {
       call_function("graft_simhash64", col(textCol)).as("sig"))
   }
 
-  /** Chunk count for a requested Hamming radius: pigeonhole needs
-    * `maxHamming + 1` chunks so every pair within the radius shares at
-    * least one untouched chunk; 4 is the floor (the historical 4×16
-    * layout, which the oracle gates pin at the default radius). Capped
-    * at 32 — beyond hamming 31 a 64-bit SimHash bucketing is
-    * meaningless (chunks of < 2 bits bucket everything together). */
-  private def simhashChunks(maxHamming: Int): Int = {
+  /**
+   * Signature block count for a requested Hamming radius and an OBSERVED
+   * corpus scale — the SimHash twin of [[edgeShufflePartitions]]'s
+   * derive-from-data discipline (r11; the fixed 4×16 layout made random
+   * candidate collisions grow linearly with the corpus: ~tables·n²/2¹⁶
+   * pairs at any size, the one linear step left in the r10 soak ladder).
+   *
+   * Banding generalizes to block-COMBINATION tables (the standard
+   * construction from Manku et al., "Detecting Near-Duplicates for Web
+   * Crawling", WWW'07): split the 64 bits into `b` blocks and key one
+   * table per distinct `(b − maxHamming)`-block combination. A pair
+   * within the radius differs in ≤ maxHamming blocks, so it agrees on
+   * ≥ b − maxHamming and at least one table keys it identically — the
+   * pigeonhole guarantee holds at EVERY b ≥ maxHamming + 1, while key
+   * width grows to 64·(b−r)/b bits, shrinking random collisions
+   * exponentially at the price of C(b, r) tables (explode rows).
+   *
+   * `b` is the smallest block count whose expected random-collision
+   * volume (tables · n²/2^keyBits, the uniform-signature self-join
+   * model — the worst consumer; the incremental screens' n·m cross term
+   * is strictly smaller) stays within ~4n, i.e. candidates stay linear
+   * in the corpus. Floor: max(4, maxHamming+1), which at the default
+   * radius is EXACTLY the historical 4×16 single-chunk layout — small
+   * corpora and hint-less callers keep the certified gate plan. Caps:
+   * 32 blocks (2-bit blocks are the useful minimum) and 64 tables (the
+   * per-signature explode factor). Output pairs are layout-INVARIANT
+   * (banding only generates candidates; the hamming verify is exact),
+   * spec-pinned against the brute-force reference at mixed hints.
+   */
+  private[operators] def simhashBlocks(maxHamming: Int,
+                                       corpusCount: Long): Int = {
     require(maxHamming >= 0 && maxHamming <= 31,
       s"maxHamming must be in [0, 31]; got $maxHamming")
-    math.max(4, maxHamming + 1)
+    val floor = math.max(4, maxHamming + 1)
+    if (corpusCount <= 0L) return floor
+    val n = corpusCount.toDouble
+    def tables(b: Int): Double = {
+      val k = math.min(maxHamming, b - maxHamming)
+      (1 to k).foldLeft(1.0)((acc, i) => acc * (b - k + i) / i)
+    }
+    def collisions(b: Int): Double = {
+      val keyBits = 64.0 * (b - maxHamming) / b
+      tables(b) * n * n / math.pow(2.0, math.min(62.0, keyBits))
+    }
+    var b = floor
+    while (b < 32 && collisions(b) > 4.0 * n && tables(b + 1) <= 64.0) b += 1
+    b
+  }
+
+  /** Table key block-combinations for `blocks` blocks at the given
+    * radius: every `(blocks − maxHamming)`-subset, in deterministic
+    * lexicographic order (band index = combination index). At the floor
+    * layout (blocks = maxHamming + 1) these are the single-block subsets
+    * — the historical per-chunk tables, bit for bit. */
+  private[operators] def simhashCombos(blocks: Int,
+                                       maxHamming: Int): Seq[Seq[Int]] =
+    (0 until blocks).combinations(blocks - maxHamming).map(_.toSeq).toSeq
+
+  /** Concatenate a combination's block values (MSB-first fold) into one
+    * long table key — selected widths total ≤ 64 bits by construction. */
+  private def tableKey(blockCols: IndexedSeq[(Column, Int)],
+                       combo: Seq[Int]): Column =
+    combo.foldLeft(lit(0L)) { case (acc, bi) =>
+      val (c, w) = blockCols(bi)
+      shiftleft(acc, w).bitwiseOR(c)
+    }
+
+  /** Zero-cost corpus-scale estimate for banding-table sizing: the
+    * planner's size estimate over an assumed ~64-byte signature-row
+    * width. No action is triggered (the [[edgeShufflePartitions]]
+    * precedent counts a frame it already materializes; nothing here is),
+    * and the estimate errs only UPWARD when the frame still carries
+    * document text — wider rows ⇒ higher count ⇒ wider table keys than
+    * strictly needed, costing a few extra tables but never recall.
+    * Order-of-magnitude accuracy is all [[simhashBlocks]] consumes. */
+  private def estimatedSigRows(df: DataFrame): Long = {
+    val bytes = df.queryExecution.optimizedPlan.stats.sizeInBytes
+    (bytes / 64).min(BigInt(Long.MaxValue)).max(BigInt(1)).toLong
   }
 
   /** Contiguous (offset, width) bit ranges splitting `width` bits into
@@ -684,24 +760,28 @@ object Dedup {
   private def chunkOf(sig: Column, off: Int, w: Int): Column =
     shiftright(sig, off).bitwiseAND(lit((1L << w) - 1L))
 
-  /** One (id, sig, band, chunk) row per signature chunk — the ONE
+  /** One (id, sig, band, chunk) row per combination table — the ONE
     * pigeonhole-banding definition shared by the batch and incremental
-    * native forms. Chunk count DERIVES from the requested radius
-    * ([[simhashChunks]]): the historical fixed 4×16 layout silently
-    * lost candidate recall for any caller-raised `maxHamming > 3`
-    * (hamming 4+ pairs can touch all four chunks — r10 find); with
-    * `maxHamming + 1` chunks the guarantee holds at every radius, and
-    * the default radius keeps the exact 4×16 layout the oracle gates
-    * certify. */
-  private def simhashBanded(sigs: DataFrame, maxHamming: Int): DataFrame =
-    sigs.select(col("id"), col("sig"),
-        posexplode(array(chunkRanges(64, simhashChunks(maxHamming)).map {
-          case (off, w) => chunkOf(col("sig"), off, w)
-        }: _*)))
+    * native forms. Block count derives from the radius AND the observed
+    * corpus scale ([[simhashBlocks]]); band = table index, chunk = the
+    * table's concatenated block key. The r10 fixed-chunk form silently
+    * lost candidate recall above radius 3 (hamming 4+ pairs can touch
+    * all four chunks); combination tables keep the guarantee at every
+    * radius and every block count. */
+  private def simhashBanded(sigs: DataFrame, maxHamming: Int,
+                            blocks: Int): DataFrame = {
+    val blockCols = chunkRanges(64, blocks).map { case (off, w) =>
+      (chunkOf(col("sig"), off, w), w)
+    }.toIndexedSeq
+    val keys = simhashCombos(blocks, maxHamming).map(tableKey(blockCols, _))
+    sigs.select(col("id"), col("sig"), posexplode(array(keys: _*)))
       .withColumnRenamed("pos", "band").withColumnRenamed("col", "chunk")
+  }
 
   def simhashPairs(df: DataFrame, idCol: String, textCol: String,
-                   maxHamming: Int = 3): DataFrame = {
+                   maxHamming: Int = 3, corpusHint: Long = -1L): DataFrame = {
+    val blocks = simhashBlocks(maxHamming,
+      if (corpusHint >= 0L) corpusHint else estimatedSigRows(df))
     val hashed = simhashHashed(df, idCol, textCol)
     val keepers = hashed.groupBy(col("fp")).agg(min(col("id")).as("keeper"))
     val tagged = hashed.join(keepers, "fp")
@@ -710,7 +790,7 @@ object Dedup {
         lit(0).as("hamming"))
     val sigs = tagged.filter(col("id") === col("keeper"))
       .select(col("id"), col("sig"))
-    val banded = simhashBanded(sigs, maxHamming)
+    val banded = simhashBanded(sigs, maxHamming, blocks)
     val a = banded.alias("a")
     val b = banded.alias("b")
     val keeperPairs = a.join(b,
@@ -774,7 +854,12 @@ object Dedup {
    */
   def simhashPairsIncremental(incoming: DataFrame, store: DataFrame,
                               idCol: String, textCol: String,
-                              maxHamming: Int = 3): DataFrame = {
+                              maxHamming: Int = 3,
+                              corpusHint: Long = -1L): DataFrame = {
+    // table layout sizes from the STORE (the corpus side); both banded
+    // frames must share it or the band join keys are incomparable
+    val blocks = simhashBlocks(maxHamming,
+      if (corpusHint >= 0L) corpusHint else estimatedSigRows(store))
     val inHashed = simhashHashed(incoming, idCol, textCol)
     val hits = store.select(col("id").as("keeper"), col("fp"))
       .join(broadcast(inHashed.select(col("id"), col("fp"))), "fp")
@@ -789,9 +874,9 @@ object Dedup {
       .filter(col("id") =!= col("keeper"))
       .select(col("keeper").as("id_a"), col("id").as("id_b"),
         lit(0).as("hamming"))
-    val newBanded = simhashBanded(inKeep, maxHamming)
+    val newBanded = simhashBanded(inKeep, maxHamming, blocks)
     val storeBanded = simhashBanded(store.select(col("id"), col("sig")),
-      maxHamming)
+      maxHamming, blocks)
     def bandJoin(x: DataFrame, y: DataFrame): DataFrame =
       x.alias("a").join(broadcast(y.alias("b")),
           col("a.band") === col("b.band") &&
@@ -813,7 +898,10 @@ object Dedup {
     * union and keeps ingest-touching pairs. */
   def simhashPairsIncrementalPortable(incoming: DataFrame, store: DataFrame,
                                       idCol: String, textCol: String,
-                                      maxHamming: Int = 3): DataFrame = {
+                                      maxHamming: Int = 3,
+                                      corpusHint: Long = -1L): DataFrame = {
+    val blocks = simhashBlocks(maxHamming,
+      if (corpusHint >= 0L) corpusHint else estimatedSigRows(store))
     val inHashed = simhashHashedPortable(incoming, idCol, textCol)
     val hits = store.select(col("id").as("keeper"), col("fp"))
       .join(broadcast(inHashed.select(col("id"), col("fp"))), "fp")
@@ -828,9 +916,10 @@ object Dedup {
       .filter(col("id") =!= col("keeper"))
       .select(col("keeper").as("id_a"), col("id").as("id_b"),
         lit(0).as("hamming"))
-    val newBanded = simhashBandedPortable(inKeep, maxHamming)
+    val newBanded = simhashBandedPortable(inKeep, maxHamming, blocks)
     val storeBanded = simhashBandedPortable(
-      store.select(col("id"), col("sig_hi"), col("sig_lo")), maxHamming)
+      store.select(col("id"), col("sig_hi"), col("sig_lo")), maxHamming,
+      blocks)
     def bandJoin(x: DataFrame, y: DataFrame): DataFrame =
       x.alias("a").join(broadcast(y.alias("b")),
           col("a.band") === col("b.band") &&

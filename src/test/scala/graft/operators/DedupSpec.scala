@@ -151,6 +151,41 @@ class DedupSpec extends SparkSuite {
       .select("id_a", "id_b", "hamming").as[(Long, Long, Int)].collect().toSet
     assert(bandedP === refP,
       "portable banded pairs must equal the brute-force reference at h=7")
+    // scale-derived layouts (multi-block combination tables: at h=7 a
+    // 50M hint derives 9 blocks / 36 two-block tables) are
+    // output-invariant — the pigeonhole holds at every block count
+    val bandedWide = Dedup.simhashPairs(corpus, "doc_id", "text",
+        maxHamming = h, corpusHint = 50000000L)
+      .select("id_a", "id_b", "hamming").as[(Long, Long, Int)].collect().toSet
+    assert(bandedWide === reference,
+      "wide-key combination tables must equal the brute-force reference")
+    val bandedWideP = Dedup.simhashPairsPortable(corpus, "doc_id", "text",
+        maxHamming = h, corpusHint = 50000000L)
+      .select("id_a", "id_b", "hamming").as[(Long, Long, Int)].collect().toSet
+    assert(bandedWideP === refP,
+      "portable wide-key tables must equal the brute-force reference")
+  }
+
+  test("simhashBlocks derives the table layout from observed corpus scale") {
+    // hint-less / tiny corpora: the historical floor layout
+    assert(Dedup.simhashBlocks(3, -1L) === 4)
+    assert(Dedup.simhashBlocks(3, 0L) === 4)
+    assert(Dedup.simhashBlocks(3, 1000L) === 4)
+    // pigeonhole floor holds at every radius
+    assert(Dedup.simhashBlocks(7, 100L) === 8)
+    assert(Dedup.simhashBlocks(0, 100L) === 4)
+    // scale widens the keys: 5M keepers at r=3 outgrow 16-bit tables
+    val b5m = Dedup.simhashBlocks(3, 5000000L)
+    assert(b5m > 4, s"5M keepers must widen past the floor, got $b5m")
+    // monotone in corpus size
+    assert(Dedup.simhashBlocks(3, 100000000L) >= b5m)
+    // table-count cap: C(b, 3) <= 64 stops r=3 at 8 blocks
+    assert(Dedup.simhashBlocks(3, Long.MaxValue) === 8)
+    // block-count cap: radius 31's floor is already the 32-block cap
+    assert(Dedup.simhashBlocks(31, Long.MaxValue) === 32)
+    // combination enumeration: floor layout = single-block tables
+    assert(Dedup.simhashCombos(4, 3) === Seq(Seq(0), Seq(1), Seq(2), Seq(3)))
+    assert(Dedup.simhashCombos(9, 7).size === 36)
   }
 
   test("simhashPairs survives a planted 500-copy mega-cluster") {
@@ -408,6 +443,12 @@ class DedupSpec extends SparkSuite {
       Dedup.simhashStore(incCorpus, "doc_id", "text"), "doc_id", "text"))
     assert(incNative === batchNative.filter(_._2 >= 10L),
       "incremental must emit exactly the union-batch pairs touching the ingest")
+    // a scale-derived multi-block table layout is output-invariant
+    val incNativeWide = hamSet(Dedup.simhashPairsIncremental(incBatch,
+      Dedup.simhashStore(incCorpus, "doc_id", "text"), "doc_id", "text",
+      maxHamming = 3, corpusHint = 50000000L))
+    assert(incNativeWide === incNative,
+      "derived wide-key layout must not change incremental output")
     val corpusNative = hamSet(Dedup.simhashPairs(incCorpus, "doc_id", "text"))
     assert(corpusNative ++ incNative === batchNative)
     val batchMd5 = hamSet(Dedup.simhashPairsPortable(union, "doc_id", "text"))
