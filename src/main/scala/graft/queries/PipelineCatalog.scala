@@ -720,21 +720,23 @@ object PipelineCatalog {
     * and it's what `sim_ivfpq_search` measures in the bench (vs
     * `sim_ivfpq_topk`, which deliberately re-pays the build every call). */
   private val pqIndexCache =
-    new java.util.concurrent.ConcurrentHashMap[String, (Similarity.PqModel, org.apache.spark.sql.DataFrame)]()
+    new java.util.concurrent.ConcurrentHashMap[String, Similarity.ManagedPqIndex]()
 
   val simIvfPqSearch: Q = (s, dir) => {
     val key = s.sparkContext.applicationId + "|" + dir
-    val (model, index) = pqIndexCache.computeIfAbsent(key, _ => {
-      val (m, idx) = Similarity.buildPqIndex(Tables.embeddings(s, dir),
+    // ManagedPqIndex (r11): the cached handle carries the build-time
+    // drift baseline, so a long-lived session APPENDING batches through
+    // it gets the stale-check-then-rebuild contract instead of serving
+    // a drifted index forever (PqDriftSpec pins that path end to end).
+    // This gate never appends, so its search output and amortization
+    // are unchanged — the one extra build-time cost is the baseline
+    // residual pass, map-only over the corpus, paid once per session.
+    val handle = pqIndexCache.computeIfAbsent(key, _ =>
+      Similarity.managedPqIndex(Tables.embeddings(s, dir),
         "vec_id", "embedding", nCentroids = 16, m = 8, kSub = 16,
-        trainIters = 0, pqIters = 1)
-      val persisted = idx.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      persisted.count() // materialize once; later calls read the cached index
-      (m, persisted)
-    })
-    Similarity.searchPqIndex(model, index, Tables.embeddings(s, dir),
-      "vec_id", "embedding", col("id") % 100 === 0, k = 5,
-      nProbe = 4, rerankFactor = 4)
+        trainIters = 0, pqIters = 1))
+    handle.search(col("id") % 100 === 0, k = 5, nProbe = 4,
+      rerankFactor = 4)
   }
 
   /** Incremental IVF-PQ maintenance: the index is built (trained +

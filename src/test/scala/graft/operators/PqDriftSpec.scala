@@ -148,4 +148,32 @@ class PqDriftSpec extends SparkSuite {
         increment(90000L, 0.9), "vec_id", "embedding"),
       "after rebuild, the drifted distribution must no longer read stale")
   }
+
+  test("managed handle: drifted append rebuilds through the cached path, recall restored") {
+    graft.functions.GraftFunctions.register(spark)
+    // the session-lifetime handle (the r11 cache seam): appends consult
+    // the staleness signal instead of leaving it to the caller
+    val handle = Similarity.managedPqIndex(increment(0L, 0.0),
+      "vec_id", "embedding", nCentroids = 12, m = 2, kSub = 16,
+      trainIters = 3, pqIters = 2)
+    handle.append(increment(1000L, 0.0))
+    assert(handle.rebuilds === 0, "in-distribution append must NOT rebuild")
+    // a drifted increment fires the stale check ON THE CACHED HANDLE and
+    // rebuilds over the accumulated corpus instead of appending against
+    // the stale model (the r10 gap: the signal existed, nothing cached
+    // consulted it)
+    val driftBase = 2000L
+    handle.append(increment(driftBase, 0.9))
+    assert(handle.rebuilds === 1, "drift-stale append must trigger a rebuild")
+    val k = 5
+    val queryPred = (col("vec_id") >= driftBase) &&
+      (col("vec_id") < driftBase + 4L * groupSize) &&
+      ((col("vec_id") - driftBase) % groupSize === 0)
+    val res = handle.search(queryPred, k = k, nProbe = 1)
+      .select(col("cos")).as[Double].collect()
+    val r = res.count(_ >= 0.99).toDouble / (4 * k)
+    info(f"[managed] post-rebuild recall on the drifted increment: $r%.2f")
+    assert(r >= 0.8,
+      f"rebuild through the handle must restore planted recall (got $r%.2f)")
+  }
 }
