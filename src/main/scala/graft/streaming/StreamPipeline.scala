@@ -254,15 +254,29 @@ object StreamPipeline {
    * screening. The conservative over-drop relative to survivors-only is
    * the standard near-dup training-corpus trade (transitive chains are
    * usually one mutated lineage); it is what makes the batch-granular
-   * fold deterministic in ONE pass — survivors-only would need an
-   * iterative within-batch loop and would break stream ≡ fold. Callers
-   * wanting component-exact keeps should run the batch
+   * fold deterministic in ONE pass — survivors-only needs an
+   * iterative within-batch resolution (below). Callers wanting
+   * component-exact keeps should run the batch
    * [[graft.operators.Dedup.dedupKeep]] pipeline offline instead.
+   *
+   * `survivorsOnly` (r11, opt-in): drop a batch document only when its
+   * ≥ tau match is itself KEPT — the corpus side always is (the store
+   * holds only kept keepers), and within the batch documents resolve
+   * greedily in id order, so a chain a<b<c (b≈a, c≈b, c≉a) keeps
+   * {a, c} where the default keeps {a} (spec-pinned fixture). For
+   * corpora where transitive chains are NOT one mutated lineage, the
+   * default's over-drop loses genuinely distinct documents; this flag
+   * trades that for a driver-side greedy sweep over the batch's
+   * WITHIN-BATCH near-dup pairs — a collect bounded by the batch's own
+   * internal duplicate volume (the batch is an ingest slice; its pair
+   * list is micro-batch-sized, not corpus-sized), the same
+   * driver-bounded tier discipline as `Dedup.resolveClusters`.
    */
   def minhashIngestStream(stream: DataFrame, idCol: String, textCol: String,
                           statePath: String, k: Int = 3, bands: Int = 8,
                           rowsPerBand: Int = 4,
-                          tau: Double = 0.7): DataStreamWriter[Row] =
+                          tau: Double = 0.7,
+                          survivorsOnly: Boolean = false): DataStreamWriter[Row] =
     stream.writeStream.outputMode("append").foreachBatch {
       (batch: DataFrame, _: Long) =>
         if (!batch.isEmpty) {
@@ -282,13 +296,39 @@ object StreamPipeline {
               Dedup.minhashLshPairs(batch, idCol, textCol, k, bands,
                 rowsPerBand, tau)
           }
+          val dropIds: DataFrame =
+            if (!survivorsOnly)
+              pairs.select(col("id_b").as(idCol)).distinct()
+            else {
+              // Greedy survivors resolution in id order. Ingest-order ids
+              // (the incremental contract) put every store/corpus id below
+              // the batch minimum, and store rows are kept by definition —
+              // so sweeping pairs by ascending id_b with "drop b iff its
+              // id_a is not already dropped" decides each id exactly once
+              // (id_a < id_b always; a's fate is settled before any pair
+              // names it as a dropper). jaccard-1.0 pairs drop id_b
+              // UNCONDITIONALLY: identical shingle sets make similarity
+              // exactly transitive through id_a, so id_b matches whatever
+              // kept doc matched (or kept) id_a — the pair operator only
+              // bands KEEPERS, so a dropped-satellite's own corpus pairs
+              // are not in the list and must be inherited, not swept.
+              val collected = pairs.select(col("id_a").cast("long"),
+                  col("id_b").cast("long"), col("jaccard"))
+                .collect()
+                .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+                .sortBy(_._2)
+              val droppedSet = scala.collection.mutable.HashSet.empty[Long]
+              collected.foreach { case (a, b, j) =>
+                if (j >= 1.0 || !droppedSet.contains(a)) { droppedSet += b; () }
+              }
+              import spark.implicits._
+              droppedSet.toSeq.toDF(idCol)
+            }
           // persist: the screen plan behind `kept` is consumed by the
           // emptiness probe and both upserts (each evaluating its input
           // more than once) — without this the LSH screen re-runs ~7x
           // per micro-batch
-          val kept = batch.join(
-              pairs.select(col("id_b").as(idCol)).distinct(),
-              Seq(idCol), "left_anti")
+          val kept = batch.join(broadcast(dropIds), Seq(idCol), "left_anti")
             .persist()
           try {
             if (!kept.isEmpty) {

@@ -249,6 +249,56 @@ class StreamPipelineSpec extends SparkSuite {
       .select("id").as[Long].collect().toSet === streamedIds)
   }
 
+  test("minhashIngestStream survivors-only: chain keeps the ends, satellites inherit") {
+    import graft.sources.VersionedTable
+    // chain fixture (VERDICT r10 #6): a < b < c with b≈a, c≈b, c≉a —
+    // plus d, an exact dup of b. Token runs sized so jaccard(a,b) ≈
+    // jaccard(b,c) ≈ 0.69 ≥ τ but jaccard(a,c) ≈ 0.46 < τ.
+    val toks = (1 to 40).map(i => s"tok$i")
+    def text(repl: Map[Int, String]): String =
+      toks.zipWithIndex.map { case (t, i) => repl.getOrElse(i, t) }
+        .mkString(" ")
+    val a = text(Map.empty)
+    val b = text((5 to 9).map(i => i -> s"rb$i").toMap)
+    val c = text(((5 to 9).map(i => i -> s"rb$i") ++
+      (20 to 24).map(i => i -> s"rc$i")).toMap)
+    val batch = Seq((1L, a), (2L, b), (3L, c), (4L, b))
+    // fixture validity: exactly the chain pairs + the exact-dup star
+    val pairs = graft.operators.Dedup.minhashLshPairs(
+        batch.toDF("doc_id", "text"), "doc_id", "text",
+        k = 3, bands = 8, rowsPerBand = 2, tau = 0.5)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(pairs === Set((1L, 2L), (2L, 3L), (2L, 4L)),
+      s"chain fixture broke: $pairs")
+    def run(survivorsOnly: Boolean): (Set[Long], Set[Long]) = {
+      val statePath =
+        java.nio.file.Files.createTempDirectory("graft_mh_surv").toString
+      implicit val sqlCtx = spark.sqlContext
+      val in = MemoryStream[(Long, String)]
+      val q = StreamPipeline.minhashIngestStream(
+          in.toDF().toDF("doc_id", "text"), "doc_id", "text", statePath,
+          k = 3, bands = 8, rowsPerBand = 2, tau = 0.5,
+          survivorsOnly = survivorsOnly)
+        .start()
+      try { in.addData(batch); q.processAllAvailable() } finally q.stop()
+      (VersionedTable.read(spark, s"$statePath/docs").get
+        .select("doc_id").as[Long].collect().toSet,
+        VersionedTable.read(spark, s"$statePath/store").get
+          .select("id").as[Long].collect().toSet)
+    }
+    // default local-minima policy: every id_b drops — only the head stays
+    assert(run(survivorsOnly = false)._1 === Set(1L),
+      "default policy must keep only the chain head")
+    // survivors-only: c's only ≥ τ match (b) was itself dropped, so c
+    // survives; d (exact dup of dropped b) INHERITS the drop — its own
+    // corpus pairs are never emitted (only keepers are banded), so the
+    // jaccard-1.0 unconditional rule must catch it
+    val (docs, store) = run(survivorsOnly = true)
+    assert(docs === Set(1L, 3L),
+      "survivors-only must keep the chain ends and drop the exact satellite")
+    assert(store === docs, "signature store must track the kept corpus")
+  }
+
   test("minhashIngestStream: at-least-once replays converge (docs-first commit)") {
     import graft.sources.VersionedTable
     val base = "the quick brown fox jumps over the lazy dog while the cat sleeps on the warm mat near the door and the birds sing in the tall green trees outside"
