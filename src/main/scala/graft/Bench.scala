@@ -67,6 +67,11 @@ object Bench {
     // sentinel and the partial sum is published separately as `total_ok`
     // alongside `failed_count` — totals across runs with differing failure
     // sets are not comparable and now cannot be compared by accident.
+    // CONSUMER CONTRACT (ADVICE r10): `total_ok` is the authoritative
+    // wall-clock field; `value` is a trend convenience that equals
+    // total_ok on clean runs and -1 otherwise — trend tooling must skip
+    // (not plot) value = -1. Every BENCH_r*.json since r10 carries both,
+    // and the r10 driver round consumed the format without incident.
     val totalOk = results.values.filter(_ >= 0).sum
     val anyFailed = results.values.exists(_ < 0)
     val total = if (anyFailed) -1.0 else totalOk

@@ -55,7 +55,12 @@ object Relevance {
     // quality-signal use (hapaxes are typos/OOV noise with near-maximal
     // idf that would otherwise crowd out characteristic terms); df and
     // n_docs are still computed over the FULL corpus, so surviving
-    // terms' scores are identical to the unpruned run's.
+    // terms' scores are identical to the unpruned run's. COVERAGE
+    // CAVEAT (ADVICE r10): a document whose EVERY term falls below
+    // minDf disappears from the output entirely (the dfreq join-back is
+    // inner) — downstream joins keyed on doc_id must treat absence as
+    // "no characteristic terms", or left-join from the doc table; the
+    // default minDf = 1 emits every non-empty document.
     val dfreqAll = tf.groupBy("term").agg(count(lit(1)).as("df"))
     val dfreq = if (minDf > 1L) dfreqAll.filter(col("df") >= minDf) else dfreqAll
     val stats = dl.agg(count(lit(1)).as("n_docs"),
