@@ -21,9 +21,9 @@ object CidStoreBench {
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val emb = spark.read.parquet(s"$dir/embeddings.parquet")
-    // explicit cell count bypasses the -1 rule's 256 clamp (the clamp
-    // serves semanticDedup's per-cell pair scan; the ingest store wants
-    // true sqrt-n cells for pruning depth)
+    // -1 now derives TRUE sqrt-n cells: the 256 clamp was a literal-
+    // assignment artifact and lifted in r11 when the broadcast argmax
+    // became the large-model default (an explicit count still overrides)
     val cents = Similarity.trainQuantizer(emb, "vec_id", "embedding",
       nCentroids = cells)
     println(s"[cid] cells=${cents.length}")

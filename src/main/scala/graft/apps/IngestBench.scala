@@ -1,0 +1,192 @@
+package graft.apps
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Dedup, Similarity}
+import graft.sources.VersionedTable
+import graft.streaming.StreamPipeline
+
+/**
+ * Streaming-ingest throughput bench (r11, VERDICT #5): per-batch wall
+ * times and state growth for the three ingest screens — exact
+ * ([[StreamPipeline.incrementalDedupStream]]), text near-dup
+ * ([[StreamPipeline.minhashIngestStream]]), semantic
+ * ([[StreamPipeline.semanticIngestStream]]) — with the standing state
+ * PRELOADED from a corpus directory, so the measured number is the
+ * MARGINAL per-batch cost at that state size (the streaming twin of
+ * the batch soaks' `_inc − _store` isolation). Run at two corpus
+ * scales, a regression in any screen's per-batch cost or state-growth
+ * shape becomes a diffable number the way batch regressions are.
+ *
+ * `runMain graft.apps.IngestBench <dataDir> <mode> [nBatches] [batchSize]`
+ * with mode ∈ `exact | minhash | semantic`. Batches are deterministic
+ * re-keyed slices of the corpus base copy (ids monotone past the
+ * corpus — the ingest-order contract), half verbatim (exact/near-hit
+ * drop work) and half mutated (novel-content screen work), a fresh
+ * slice per batch. Emits one parseable line:
+ * `{"bench":"ingest","mode":...,"corpus_rows":N,"batch_sec":[...],
+ * "median_sec":M,"state_before":A,"state_after":B}`.
+ */
+object IngestBench {
+
+  private def median(xs: Seq[Double]): Double =
+    xs.sorted.apply(xs.length / 2)
+
+  def main(args: Array[String]): Unit = {
+    val Array(dir, mode) = args.take(2)
+    val nBatches = args.lift(2).map(_.toInt).getOrElse(5)
+    val batchSize = args.lift(3).map(_.toInt).getOrElse(1000)
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "16")
+    val spark = SparkSession.builder().master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+
+    val statePath =
+      java.nio.file.Files.createTempDirectory("graft_ingest_bench").toString
+
+    /** Batch `i`'s id window, wrapped so small corpora still yield
+      * `nBatches` non-empty slices (slices may then overlap across
+      * batches — harmless: re-keyed ids stay unique and overlapping
+      * verbatim content is exactly the drop work being measured). */
+    def window(i: Int, nRows: Long): (Long, Long) = {
+      val lo = (i.toLong * batchSize) % math.max(1L, nRows - batchSize + 1)
+      (lo, lo + batchSize)
+    }
+
+    /** Batch `i`: `batchSize` corpus rows re-keyed past the corpus;
+      * odd slots mutated so half the batch is novel content. */
+    def docBatch(docs: DataFrame, nRows: Long, i: Int): Seq[(Long, String)] = {
+      val (lo, hi) = window(i, nRows)
+      docs.filter(col("doc_id") >= lo && col("doc_id") < hi)
+        .select(col("doc_id"), col("text")).as[(Long, String)].collect()
+        .map { case (id, text) =>
+          val nid = 1000000000L + i.toLong * 10L * batchSize + id
+          (nid, if (id % 2 == 0) text else s"$text zq${i}mut")
+        }.toSeq
+    }
+
+    def vecBatch(emb: DataFrame, nRows: Long, i: Int): Seq[(Long, Seq[Double])] = {
+      val (lo, hi) = window(i, nRows)
+      // double end to end: the driver's sf tables carry float arrays but
+      // the ScaleData-perturbed soak corpora carry doubles; the screens
+      // cast to array<double> internally either way
+      emb.filter(col("vec_id") >= lo && col("vec_id") < hi)
+        .select(col("vec_id"), col("embedding").cast("array<double>"))
+        .as[(Long, Seq[Double])].collect()
+        .map { case (id, v) =>
+          val nid = 1000000000L + i.toLong * 10L * batchSize + id
+          (nid, if (id % 2 == 0) v
+                else v.zipWithIndex.map { case (x, d) =>
+                  if (d == 0) x + 0.05 else x })
+        }.toSeq
+    }
+
+    var corpusRows = 0L
+    var stateBefore = 0L
+    // (per-batch seconds, state row count after all batches)
+    val (times, stateAfter): (Seq[Double], Long) = mode match {
+      case "exact" =>
+        // stateless screen vs a static corpus + watermark dedup: drive
+        // through a memory sink; "state" is the corpus fingerprint set,
+        // which this screen never grows (it filters, callers upsert)
+        val docs = spark.read.parquet(s"$dir/documents.parquet")
+        corpusRows = docs.count()
+        stateBefore = corpusRows
+        val in = MemoryStream[(Long, java.sql.Timestamp, String)]
+        val out = StreamPipeline.incrementalDedupStream(
+          in.toDF().toDF("doc_id", "ts", "text"), "ts", "text",
+          "10 seconds", docs, "text")
+        val q = out.writeStream.format("memory").queryName("ingest_exact")
+          .outputMode("append").start()
+        try {
+          val ts = new java.sql.Timestamp(1000000L)
+          val t = (0 until nBatches).map { i =>
+            val b = docBatch(docs, corpusRows, i).map { case (id, tx) => (id, ts, tx) }
+            val t0 = System.nanoTime()
+            in.addData(b)
+            q.processAllAvailable()
+            (System.nanoTime() - t0) / 1e9
+          }
+          (t, corpusRows)
+        } finally q.stop()
+
+      case "minhash" =>
+        val docs = spark.read.parquet(s"$dir/documents.parquet")
+          .select(col("doc_id"), col("text"))
+        corpusRows = docs.count()
+        // preload the standing state: kept corpus = the exact-keeper
+        // docs (the stream's own invariant), store = their signatures
+        val keepers = Dedup.exactDedup(docs, "doc_id", "text")
+        VersionedTable.upsert(spark, s"$statePath/docs", keepers,
+          Seq("doc_id"))
+        VersionedTable.upsert(spark, s"$statePath/store",
+          Dedup.minhashStore(keepers, "doc_id", "text"), Seq("id"))
+        stateBefore = VersionedTable.read(spark, s"$statePath/docs")
+          .get.count()
+        val in = MemoryStream[(Long, String)]
+        val q = StreamPipeline.minhashIngestStream(
+            in.toDF().toDF("doc_id", "text"), "doc_id", "text",
+            statePath, tau = 0.5)
+          .start()
+        try {
+          val t = (0 until nBatches).map { i =>
+            val b = docBatch(docs, corpusRows, i)
+            val t0 = System.nanoTime()
+            in.addData(b)
+            q.processAllAvailable()
+            (System.nanoTime() - t0) / 1e9
+          }
+          (t, VersionedTable.read(spark, s"$statePath/docs").get.count())
+        } finally q.stop()
+
+      case "semantic" =>
+        val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+          .select(col("vec_id"), col("embedding"))
+        corpusRows = emb.count()
+        // preload: sqrt-n frozen quantizer (the production sizing — the
+        // r11 broadcast-argmax default path) + the assigned kept corpus
+        val cents = Similarity.trainQuantizer(emb, "vec_id", "embedding",
+          nCentroids = -1)
+        println(s"[ingest] quantizer cells=${cents.length}")
+        Similarity.centroidsToDF(cents, spark)
+          .repartition(1).write.mode("overwrite")
+          .parquet(s"$statePath/_quantizer")
+        VersionedTable.upsert(spark, s"$statePath/corpus",
+          Similarity.assignToQuantizer(emb, "vec_id", "embedding", cents),
+          Seq("vec_id"))
+        stateBefore = VersionedTable.read(spark, s"$statePath/corpus")
+          .get.count()
+        val in = MemoryStream[(Long, Seq[Double])]
+        val q = StreamPipeline.semanticIngestStream(
+            in.toDF().toDF("vec_id", "embedding"), "vec_id", "embedding",
+            tau = 0.9, statePath)
+          .start()
+        try {
+          val t = (0 until nBatches).map { i =>
+            val b = vecBatch(emb, corpusRows, i)
+            val t0 = System.nanoTime()
+            in.addData(b)
+            q.processAllAvailable()
+            (System.nanoTime() - t0) / 1e9
+          }
+          (t, VersionedTable.read(spark, s"$statePath/corpus").get.count())
+        } finally q.stop()
+
+      case other => sys.error(s"unknown mode: $other")
+    }
+
+    val secs = times.map(t => f"$t%.3f").mkString("[", ",", "]")
+    println(s"""{"bench":"ingest","mode":"$mode","dir":"$dir",""" +
+      s""""corpus_rows":$corpusRows,"batches":$nBatches,""" +
+      s""""batch_size":$batchSize,"batch_sec":$secs,""" +
+      f""""median_sec":${median(times)}%.3f,""" +
+      s""""state_before":$stateBefore,"state_after":$stateAfter}""")
+    spark.stop()
+  }
+}
