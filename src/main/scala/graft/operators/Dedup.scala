@@ -1342,12 +1342,35 @@ object Dedup {
    * The distance predicate uses the THRESHOLD form of levenshtein
    * (banded O(maxDist·len) dynamic program, −1 when the band is
    * exceeded) rather than the full O(len²) table.
+   *
+   * `maxDist ≤ 1` (the common typo radius) escapes the per-block
+   * quadratic entirely (r11): candidates come from DELETION-
+   * NEIGHBORHOOD blocking — the symmetric-delete construction behind
+   * SymSpell-style spell indexes. Each string emits itself plus every
+   * single-character-deletion variant; any pair within edit distance 1
+   * shares a variant (equal strings share all; a substitution at
+   * position p deletes to equality at p; an insertion's deletion IS the
+   * shorter string's self-variant), so grouping on (block, variant)
+   * generates a complete candidate set and the banded levenshtein
+   * verifies exactly. Cost becomes Σ bucket² over near-identical-string
+   * buckets (plus a ×(len+1) explode of short entity fields) instead of
+   * Σ block² — the sf1 registry sweep measured the gate binding's
+   * nationkey blocking at O(n²/25): 308 s at 10× data, where this path
+   * is linear-shaped. Output is IDENTICAL either way (spec-pinned
+   * equivalence); corpora dominated by one identical string still pay
+   * that string's quadratic OUTPUT (every pair qualifies at dist 0) —
+   * exact-dedup first when that is not wanted. `maxDist ≥ 2` keeps the
+   * chunked block scan (multi-deletion neighborhoods grow
+   * combinatorially; the block contract is the right tool there).
    */
   def editDistancePairs(df: DataFrame, idCol: String, strCol: String,
                         blockCol: String, maxDist: Int,
                         chunks: Int = 16): DataFrame = {
     require(maxDist >= 0, s"maxDist must be non-negative, got $maxDist")
     require(chunks >= 1, s"chunks must be positive, got $chunks")
+    if (maxDist <= 1)
+      return editDistancePairsNeighborhood(df, idCol, strCol, blockCol,
+        maxDist)
     val t = df.select(col(idCol).as("id"), col(blockCol).as("blk"),
       col(strCol).as("s"), length(col(strCol)).as("len"),
       pmod(xxhash64(col(idCol)), lit(chunks)).cast("int").as("ch"))
@@ -1367,6 +1390,37 @@ object Dedup {
       .filter(col("dist") >= 0)
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
         col("dist").cast("long").as("dist"))
+  }
+
+  /** The deletion-neighborhood candidate path of [[editDistancePairs]]
+    * for `maxDist ≤ 1` — see its scaladoc for the completeness argument.
+    * At maxDist = 0 the variant set degenerates to the string itself:
+    * a plain (block, string) equality self-join. */
+  private def editDistancePairsNeighborhood(df: DataFrame, idCol: String,
+                                            strCol: String, blockCol: String,
+                                            maxDist: Int): DataFrame = {
+    // self + every single-deletion variant, de-duplicated in place
+    // ("aa" deletes to "a" twice): keeps the explode linear in length
+    def variants(s: Column): Column =
+      if (maxDist == 0) array(s)
+      else array_distinct(transform(sequence(lit(0), length(s)), i =>
+        when(i === lit(0), s)
+          .otherwise(concat(s.substr(lit(1), i - lit(1)),
+            s.substr(i + lit(1), length(s) - i)))))
+    val t = df.select(col(idCol).as("id"), col(blockCol).as("blk"),
+        col(strCol).as("s"))
+      .select(col("id"), col("blk"), col("s"),
+        explode(variants(col("s"))).as("v"))
+    val a = t.alias("a")
+    val b = t.alias("b")
+    a.join(b, col("a.blk") === col("b.blk") && col("a.v") === col("b.v")
+        && col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+        col("a.s").as("sa"), col("b.s").as("sb"))
+      .dropDuplicates("id_a", "id_b")
+      .withColumn("dist", levenshtein(col("sa"), col("sb"), maxDist))
+      .filter(col("dist") >= 0)
+      .select(col("id_a"), col("id_b"), col("dist").cast("long").as("dist"))
   }
 
   /**

@@ -319,6 +319,39 @@ class DedupSpec extends SparkSuite {
     assert(exact === Set.empty)
   }
 
+  test("editDistancePairs neighborhood path ≡ brute force at radius 1") {
+    // the r11 deletion-neighborhood candidates (maxDist ≤ 1) must equal
+    // the all-pairs reference on a fixture exercising every edit kind:
+    // equality, substitution (first/middle/last), insertion, deletion,
+    // empty strings, and cross-block separation
+    def lev(a: String, b: String): Int = {
+      val d = Array.tabulate(a.length + 1, b.length + 1) { (i, j) =>
+        if (i == 0) j else if (j == 0) i else 0 }
+      for (i <- 1 to a.length; j <- 1 to b.length)
+        d(i)(j) = math.min(math.min(d(i - 1)(j) + 1, d(i)(j - 1) + 1),
+          d(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+      d(a.length)(b.length)
+    }
+    val rnd = new scala.util.Random(11)
+    val words = Seq("cat", "bat", "cut", "ca", "cats", "scat", "", "a",
+      "dog", "dig", "dog", "ogd") ++
+      (0 until 40).map(_ => (1 to 2 + rnd.nextInt(4))
+        .map(_ => ('a' + rnd.nextInt(3)).toChar).mkString)
+    val rows = words.zipWithIndex.map { case (w, i) =>
+      (i.toLong, w, s"b${i % 2}") }
+    val df = rows.toDF("id", "name", "blk")
+    val reference = (for {
+      (ia, sa, ba) <- rows; (ib, sb, bb) <- rows
+      if ia < ib && ba == bb && lev(sa, sb) <= 1
+    } yield (ia, ib, lev(sa, sb).toLong)).toSet
+    val got = Dedup.editDistancePairs(df, "id", "name", "blk", maxDist = 1)
+      .select("id_a", "id_b", "dist").as[(Long, Long, Long)].collect().toSet
+    assert(got === reference,
+      "neighborhood candidates must reproduce the brute-force pair set")
+    assert(reference.exists(_._3 == 0L) && reference.exists(_._3 == 1L),
+      "fixture must exercise both distance-0 and distance-1 pairs")
+  }
+
   test("duplicatedSpans flags shared and self-repeated n-token spans") {
     val span = (1 to 4).map(i => s"w$i").mkString(" ") // 4-token span
     val docs = Seq(
