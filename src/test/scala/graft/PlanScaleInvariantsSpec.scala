@@ -164,6 +164,22 @@ class PlanScaleInvariantsSpec extends SparkSuite {
     }(docCorpus)
   }
 
+  test("edit-distance neighborhood: plan shape flat 1x -> 20x, no auto-broadcast") {
+    // the r11 deletion-neighborhood path (maxDist <= 1): explode + one
+    // (blk, variant) self-join + candidate dedup — shuffle count must
+    // not grow with the table (the pre-r11 chunked block scan was the
+    // right shape but O(block^2) work on constant-cardinality blocks)
+    def nameCorpus(n: Int): DataFrame =
+      spark.range(n.toLong).select(col("id"),
+        concat(lit("Customer#"), lpad(col("id").cast("string"), 9, "0"))
+          .as("name"),
+        (col("id") % 25).as("blk"))
+    assertFlat("fuzzy_neighborhood", (3, 0)) { corpus =>
+      assert(Dedup.editDistancePairs(corpus, "id", "name", "blk",
+        maxDist = 1).count() >= 0)
+    }(nameCorpus)
+  }
+
   test("semantic ingest: plan shape flat 1x -> 20x, no auto-broadcast") {
     assertFlat("semantic_inc", (4, 2)) { corpus =>
       val incoming = corpus.filter(col("vec_id") < 30)
