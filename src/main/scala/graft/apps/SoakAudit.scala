@@ -101,11 +101,17 @@ object SoakAudit {
       Similarity.lshTopK(Tables.embeddings(s, dir), "vec_id", "embedding",
         fixedProbe, k = 5, planes = 8)),
     // SemDeDup at soak scale: √n-sized quantizer (the gate pins 16 for
-    // oracle determinism; production sizing is the auto rule, which keeps
-    // the per-cluster pair scan ~linear in corpus size)
+    // oracle determinism; production sizing is the auto rule — true √n
+    // since the r11 clamp lift — which keeps the per-cluster pair scan
+    // ~linear in corpus size). Driven through a keep-verdict aggregate:
+    // a bare count() of the keep frame lets Catalyst ELIMINATE the
+    // whole pair scan (left join with unique right keys + pruned keep
+    // column — the decontamDrive lesson, found again here in r11: the
+    // bare form measured 3.2 s flat at 2M vectors, i.e. nothing).
     "soak_semdedup" -> ((s, dir) =>
       Similarity.semanticDedup(Tables.embeddings(s, dir), "vec_id",
-        "embedding", tau = 0.3, nCentroids = -1)),
+        "embedding", tau = 0.3, nCentroids = -1)
+        .groupBy(col("keep")).agg(count(lit(1)).as("n"))),
     // Semantic-decontamination regime soaks (r8): benchmark grows 10×
     // (id%50 → id%5 slices of the embeddings table); _exact is the BNLJ
     // cosine screen (cost ∝ corpus × |benchmark|), _cells the IVF-cell
