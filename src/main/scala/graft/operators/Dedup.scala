@@ -1343,32 +1343,35 @@ object Dedup {
    * (banded O(maxDist·len) dynamic program, −1 when the band is
    * exceeded) rather than the full O(len²) table.
    *
-   * `maxDist ≤ 1` (the common typo radius) escapes the per-block
+   * `maxDist ≤ 2` (the common typo radii) escapes the per-block
    * quadratic entirely (r11): candidates come from DELETION-
    * NEIGHBORHOOD blocking — the symmetric-delete construction behind
-   * SymSpell-style spell indexes. Each string emits itself plus every
-   * single-character-deletion variant; any pair within edit distance 1
-   * shares a variant (equal strings share all; a substitution at
-   * position p deletes to equality at p; an insertion's deletion IS the
-   * shorter string's self-variant), so grouping on (block, variant)
-   * generates a complete candidate set and the banded levenshtein
-   * verifies exactly. Cost becomes Σ bucket² over near-identical-string
-   * buckets (plus a ×(len+1) explode of short entity fields) instead of
-   * Σ block² — the sf1 registry sweep measured the gate binding's
+   * SymSpell-style spell indexes. Each string emits every variant
+   * reachable by deleting up to `maxDist` characters (itself included);
+   * any pair within edit distance d shares such a variant (align the
+   * ≤ d edit operations: each substitution deletes its position from
+   * both sides, each insertion/deletion deletes one character from one
+   * side — the aligned common string is a ≤ d-deletion variant of
+   * each), so grouping on (block, variant) generates a complete
+   * candidate set and the banded levenshtein verifies exactly. Cost
+   * becomes Σ bucket² over near-identical-string buckets (plus an
+   * explode of ~len^maxDist short variants per entity field) instead
+   * of Σ block² — the sf1 registry sweep measured the gate binding's
    * nationkey blocking at O(n²/25): 308 s at 10× data, where this path
    * is linear-shaped. Output is IDENTICAL either way (spec-pinned
-   * equivalence); corpora dominated by one identical string still pay
-   * that string's quadratic OUTPUT (every pair qualifies at dist 0) —
-   * exact-dedup first when that is not wanted. `maxDist ≥ 2` keeps the
-   * chunked block scan (multi-deletion neighborhoods grow
-   * combinatorially; the block contract is the right tool there).
+   * against a brute-force reference at both radii); corpora dominated
+   * by one identical string still pay that string's quadratic OUTPUT
+   * (every pair qualifies at dist 0) — exact-dedup first when that is
+   * not wanted. `maxDist ≥ 3` keeps the chunked block scan
+   * (multi-deletion neighborhoods grow combinatorially; the block
+   * contract is the right tool there).
    */
   def editDistancePairs(df: DataFrame, idCol: String, strCol: String,
                         blockCol: String, maxDist: Int,
                         chunks: Int = 16): DataFrame = {
     require(maxDist >= 0, s"maxDist must be non-negative, got $maxDist")
     require(chunks >= 1, s"chunks must be positive, got $chunks")
-    if (maxDist <= 1)
+    if (maxDist <= 2)
       return editDistancePairsNeighborhood(df, idCol, strCol, blockCol,
         maxDist)
     val t = df.select(col(idCol).as("id"), col(blockCol).as("blk"),
@@ -1392,21 +1395,32 @@ object Dedup {
         col("dist").cast("long").as("dist"))
   }
 
+  /** Every single-character-deletion variant of `s` (empty array for an
+    * empty string — `sequence(1, 0)` would step BACKWARDS, not empty). */
+  private def delOnce(s: Column): Column =
+    when(length(s) === lit(0), array().cast("array<string>"))
+      .otherwise(transform(sequence(lit(1), length(s)), i =>
+        concat(s.substr(lit(1), i - lit(1)),
+          s.substr(i + lit(1), length(s) - i))))
+
   /** The deletion-neighborhood candidate path of [[editDistancePairs]]
-    * for `maxDist ≤ 1` — see its scaladoc for the completeness argument.
-    * At maxDist = 0 the variant set degenerates to the string itself:
-    * a plain (block, string) equality self-join. */
+    * for `maxDist ≤ 2` — see its scaladoc for the completeness argument.
+    * At maxDist = 0 the variant set degenerates to the string itself (a
+    * plain (block, string) equality self-join); at 2, the two-deletion
+    * variants come from deleting once more from each one-deletion
+    * variant (covers every unordered position pair, duplicates folded
+    * by the in-place distinct). */
   private def editDistancePairsNeighborhood(df: DataFrame, idCol: String,
                                             strCol: String, blockCol: String,
                                             maxDist: Int): DataFrame = {
-    // self + every single-deletion variant, de-duplicated in place
-    // ("aa" deletes to "a" twice): keeps the explode linear in length
-    def variants(s: Column): Column =
-      if (maxDist == 0) array(s)
-      else array_distinct(transform(sequence(lit(0), length(s)), i =>
-        when(i === lit(0), s)
-          .otherwise(concat(s.substr(lit(1), i - lit(1)),
-            s.substr(i + lit(1), length(s) - i)))))
+    def variants(s: Column): Column = maxDist match {
+      case 0 => array(s)
+      case 1 => array_distinct(concat(array(s), delOnce(s)))
+      case _ =>
+        val d1 = delOnce(s)
+        array_distinct(concat(array(s), d1,
+          flatten(transform(d1, v => delOnce(v)))))
+    }
     val t = df.select(col(idCol).as("id"), col(blockCol).as("blk"),
         col(strCol).as("s"))
       .select(col("id"), col("blk"), col("s"),

@@ -350,6 +350,17 @@ class DedupSpec extends SparkSuite {
       "neighborhood candidates must reproduce the brute-force pair set")
     assert(reference.exists(_._3 == 0L) && reference.exists(_._3 == 1L),
       "fixture must exercise both distance-0 and distance-1 pairs")
+    // radius 2: two-deletion neighborhoods (sub+sub, sub+ins, del+del,
+    // ... — the short random words hit every combination)
+    val ref2 = (for {
+      (ia, sa, ba) <- rows; (ib, sb, bb) <- rows
+      if ia < ib && ba == bb && lev(sa, sb) <= 2
+    } yield (ia, ib, lev(sa, sb).toLong)).toSet
+    val got2 = Dedup.editDistancePairs(df, "id", "name", "blk", maxDist = 2)
+      .select("id_a", "id_b", "dist").as[(Long, Long, Long)].collect().toSet
+    assert(got2 === ref2,
+      "radius-2 neighborhood candidates must reproduce brute force")
+    assert(ref2.exists(_._3 == 2L), "fixture must exercise distance-2 pairs")
   }
 
   test("duplicatedSpans flags shared and self-repeated n-token spans") {
