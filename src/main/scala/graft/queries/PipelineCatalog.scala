@@ -84,6 +84,21 @@ object PipelineCatalog {
       | AND abs(len(a.c_name) - len(b.c_name)) <= 1
       |WHERE levenshtein(a.c_name, b.c_name) <= 1""".stripMargin
 
+  /** Radius-2 twin of [[fuzzyPairs]]: certifies the two-deletion
+    * neighborhood candidate path (r11) end-to-end against a brute
+    * blocked scan in DuckDB. Distances 0..2, same blocking. */
+  val fuzzyPairsR2: Q = (s, dir) =>
+    Dedup.editDistancePairs(Tables.customer(s, dir),
+      "c_custkey", "c_name", "c_nationkey", maxDist = 2)
+
+  val fuzzyPairsR2Sql: String =
+    """SELECT a.c_custkey AS id_a, b.c_custkey AS id_b,
+      |       CAST(levenshtein(a.c_name, b.c_name) AS BIGINT) AS dist
+      |FROM customer a JOIN customer b
+      |  ON a.c_nationkey = b.c_nationkey AND a.c_custkey < b.c_custkey
+      | AND abs(len(a.c_name) - len(b.c_name)) <= 2
+      |WHERE levenshtein(a.c_name, b.c_name) <= 2""".stripMargin
+
   /** Cluster resolution over the blocked-Jaccard pairs: one row per doc in
     * any near-dup component, labeled with the component's min id. Oracle =
     * the same pair query + a recursive-CTE transitive closure. */
@@ -1963,6 +1978,7 @@ object PipelineCatalog {
     "dedup_exact" -> dedupExact,
     "dedup_jaccard" -> dedupJaccard,
     "fuzzy_pairs" -> fuzzyPairs,
+    "fuzzy_pairs_r2" -> fuzzyPairsR2,
     "dedup_clusters" -> dedupClusters,
     "dedup_keep" -> dedupKeep,
     "dedup_spans" -> dedupSpans,
@@ -2032,6 +2048,7 @@ object PipelineCatalog {
     "dedup_exact" -> dedupExactSql,
     "dedup_jaccard" -> dedupJaccardSql,
     "fuzzy_pairs" -> fuzzyPairsSql,
+    "fuzzy_pairs_r2" -> fuzzyPairsR2Sql,
     "dedup_minhash_md5" -> dedupMinhashMd5Sql,
     "dedup_minhash_inc_md5" -> dedupMinhashIncMd5Sql,
     "dedup_simhash_md5" -> dedupSimhashMd5Sql,

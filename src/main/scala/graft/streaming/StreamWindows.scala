@@ -110,6 +110,114 @@ object StreamWindows {
     }
   }
 
+  /** One [[allowedLatenessCount]] emission: the main fire or a
+    * per-late-element re-fire of the (key, window) count. */
+  final case class LatenessFire(key: String, window_end: Long, cnt: Long)
+
+  /** Internal state of [[allowedLatenessCount]] (public: Spark's encoder
+    * codegen cannot reach a private case class). */
+  final case class LatenessCountState(cnt: Long, fired: Boolean)
+
+  /**
+   * W7 — allowedLateness with EXACT re-fire timing (the full Flink
+   * `EventTimeTrigger` + `allowedLateness` lifecycle, not just the
+   * delayed-watermark result slice): keyed tumbling count where
+   *
+   *  - the window fires ONCE when the watermark passes its end
+   *    (event-time timer — Flink's `onEventTime` FIRE);
+   *  - each element arriving after that fire but before
+   *    `end + latenessSec` immediately re-fires the updated count — one
+   *    emission per late element (Flink's `onElement` FIRE when
+   *    `window.maxTimestamp <= currentWatermark`), not one batched
+   *    correction per trigger the way update-mode re-emission does;
+   *  - at `end + latenessSec` the window state is PURGED (Flink's
+   *    cleanup timer); a watermark that jumps both timers in one batch
+   *    fires-then-purges, matching Flink's in-order timer callbacks;
+   *  - elements for an expired window never reach the operator: Spark
+   *    drops them at the stateful-operator boundary and accounts them in
+   *    `numRowsDroppedByWatermark` — the drop boundary COINCIDES with
+   *    window expiry here because the operator watermarks the window-end
+   *    column with `watermarkDelay + latenessSec` delay, so "older than
+   *    the watermark" ⇔ `end + lateness < max(end seen) − delay`, Flink's
+   *    `isWindowLate` in window-end granularity. The DATA branch of the
+   *    side output (the rows themselves) is [[lateRowSideOutput]] (W8)
+   *    composed upstream with the same horizon — the same architecture as
+   *    Flink, where `sideOutputLateData` also captures rows OUTSIDE the
+   *    window operator.
+   *
+   * Internally every timer/completeness comparison runs in the DELAYED
+   * watermark domain (wmDelayed = true window-end watermark − lateness);
+   * a wmDelayed of 0 means "no progress yet" (Spark's initial watermark),
+   * so a window is complete iff `wmDelayed > 0 && wmDelayed ≥ end −
+   * lateness`. The watermark advances in window-end granularity (the
+   * repo's perEventUv convention): vs Flink's raw-event-time watermark it
+   * runs ahead by up to one window — add a window's width to
+   * `watermarkDelay` for strict parity. If the first completing batch
+   * also carries late elements for the window, their re-fires subsume the
+   * timer's main fire (Flink's element-before-timer interleaving); the
+   * fire count is unchanged. Startup transient: the delayed watermark is
+   * pinned at 0 until the stream advances past the lateness horizon, so
+   * windows ending within the first `latenessSec` of event time hold
+   * their main fire until then (their counts are complete when it
+   * lands). Ref: HotUrlApp.java:60-61 (allowedLateness(60 s) +
+   * sideOutputLateData).
+   */
+  def allowedLatenessCount(events: DataFrame, keyCol: String, tsCol: String,
+                           windowSize: String, watermarkDelaySec: Long,
+                           latenessSec: Long): Dataset[LatenessFire] = {
+    require(latenessSec >= 0, s"latenessSec must be >= 0, got $latenessSec")
+    require(watermarkDelaySec >= 0,
+      s"watermarkDelaySec must be >= 0, got $watermarkDelaySec")
+    val spark = events.sparkSession
+    import spark.implicits._
+    val lateMs = latenessSec * 1000L
+    val delayed = s"${watermarkDelaySec + latenessSec} seconds"
+    events
+      .select(col(keyCol).cast("string").as("k"),
+        window(col(tsCol), windowSize).getField("end").as("we"))
+      .withWatermark("we", delayed)
+      .as[(String, java.sql.Timestamp)]
+      .groupByKey { case (k, we) => (k, we.getTime / 1000L) }
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (kw: (String, Long), rows: Iterator[(String, java.sql.Timestamp)],
+         state: GroupState[LatenessCountState]) =>
+          val (key, we) = kw
+          val weMs = we * 1000L
+          val wm = state.getCurrentWatermarkMs() // DELAYED domain
+          if (state.hasTimedOut) {
+            val st = state.get
+            if (!st.fired && wm >= weMs) {
+              // watermark jumped main-fire AND cleanup: fire, then purge
+              state.remove()
+              Iterator.single(LatenessFire(key, we, st.cnt))
+            } else if (!st.fired) {
+              // main fire; keep state for re-fires until the cleanup timer
+              state.update(st.copy(fired = true))
+              state.setTimeoutTimestamp(math.max(weMs, wm + 1L))
+              Iterator.single(LatenessFire(key, we, st.cnt))
+            } else {
+              state.remove() // cleanup timer — purge
+              Iterator.empty
+            }
+          } else {
+            val complete = wm > 0L && wm >= weMs - lateMs
+            var st = state.getOption.getOrElse(LatenessCountState(0L, fired = false))
+            val out = ArrayBuffer.empty[LatenessFire]
+            rows.foreach { _ =>
+              st = st.copy(cnt = st.cnt + 1)
+              if (complete) { // window already complete: per-element re-fire
+                out += LatenessFire(key, we, st.cnt)
+                st = st.copy(fired = true)
+              }
+            }
+            state.update(st)
+            state.setTimeoutTimestamp(math.max(
+              if (st.fired) weMs else weMs - lateMs, wm + 1L))
+            out.iterator
+          }
+      }
+  }
+
   /** W5/W6 — tumbling event-time window count (empty keys = all-window). */
   def tumblingCountStream(df: DataFrame, tsCol: String, keys: Seq[String],
                           size: String, watermarkDelay: String): DataFrame = {

@@ -47,6 +47,51 @@ class LateDataSpec extends SparkSuite {
       s"window 120 must emit count 1 then corrected 2, got $rows")
   }
 
+  test("W7: exact Flink lateness lifecycle — fire, per-element re-fire, purge, drop") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(String, Long)]
+    // window 60 s, delay 0, lateness 121 s: window [0,60) completes once
+    // the true (window-end) watermark passes 60 and expires once it passes
+    // 181 — 121 (not 120) keeps the re-fire rows STRICTLY above the
+    // delayed watermark at the 180-end step below
+    val fires = StreamWindows.allowedLatenessCount(
+      input.toDS().select(col("_1").as("url"),
+        col("_2").cast("timestamp").as("ts")),
+      "url", "ts", windowSize = "60 seconds", watermarkDelaySec = 0L,
+      latenessSec = 121L)
+    val q = fires.writeStream.format("memory").queryName("w7exact")
+      .outputMode("append").start()
+    def w60(): Seq[Long] = spark.table("w7exact")
+      .filter(col("window_end") === 60L)
+      .select("cnt").as[Long].collect().toSeq.sorted
+    try {
+      input.addData(Seq(("/a", 10L), ("/a", 20L))) // window [0,60): cnt 2
+      q.processAllAvailable()
+      assert(w60().isEmpty, "no emission before the watermark passes the end")
+      input.addData(Seq(("/a", 150L)))  // after this batch: window-end wm 180 → 60
+      q.processAllAvailable()
+      input.addData(Seq(("/a", 160L)))  // batch runs with wm=60 → MAIN FIRE timer
+      q.processAllAvailable()
+      assert(w60() === Seq(2L), s"main fire once with cnt=2, got ${w60()}")
+      // two late-but-within-lateness elements: one re-fire EACH (3 then 4)
+      input.addData(Seq(("/a", 30L), ("/a", 40L)))
+      q.processAllAvailable()
+      assert(w60() === Seq(2L, 3L, 4L), s"per-late-element re-fires, got ${w60()}")
+      input.addData(Seq(("/a", 400L)))  // wm → 300 ≥ 60+120 → expired
+      q.processAllAvailable()
+      input.addData(Seq(("/a", 500L)))  // lets the purge timer run
+      q.processAllAvailable()
+      input.addData(Seq(("/a", 50L)))   // post-purge → dropped AND accounted
+      q.processAllAvailable()
+      assert(w60() === Seq(2L, 3L, 4L),
+        s"an expired element must not fire again, got ${w60()}")
+      val dropped = q.recentProgress
+        .flatMap(_.stateOperators.map(_.numRowsDroppedByWatermark)).sum
+      assert(dropped >= 1L,
+        "the expired element must be dropped at the operator boundary and accounted")
+    } finally q.stop()
+  }
+
   test("W8: row later than the horizon is dropped and accounted") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[(String, Long)]
