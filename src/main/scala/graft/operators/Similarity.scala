@@ -70,6 +70,34 @@ object Similarity {
       .select(col("query_id"), col("neighbor_id"), col("cos"), col("rn"))
   }
 
+  /**
+   * Filtered exact top-k: neighbors restricted to corpus rows satisfying
+   * `corpusPred` (a predicate over the ORIGINAL `df` columns — e.g. a
+   * metadata/label column), queries still drawn from the full table by
+   * `queryPred` (over the renamed `id`). The exact baseline for
+   * [[ivfTopKWhere]]: pre-filter-then-scan, so the predicate reaches the
+   * parquet scan (PushedFilters) and the scored join touches only
+   * matching rows — at 10% selectivity the pair volume drops 10× before
+   * any vector arithmetic runs.
+   */
+  def bruteForceTopKWhere(df: DataFrame, idCol: String, vecCol: String,
+                          queryPred: Column, corpusPred: Column,
+                          k: Int): DataFrame = {
+    graft.functions.GraftFunctions.register(df.sparkSession)
+    def prep(d: DataFrame): DataFrame =
+      d.select(col(idCol).as("id"), col(vecCol).cast("array<double>").as("v"))
+        .withColumn("n", norm2(col("v")))
+    val q = prep(df).filter(queryPred).alias("q")
+    val c = prep(df.filter(corpusPred)).alias("c")
+    val scored = c.join(broadcast(q), col("q.id") =!= col("c.id"))
+      .select(col("q.id").as("query_id"), col("c.id").as("neighbor_id"),
+        round(dot(col("q.v"), col("c.v")) / (col("q.n") * col("c.n")), 6).as("cos"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("neighbor_id").asc)
+    scored.withColumn("rn", row_number().over(w)).filter(col("rn") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("cos"), col("rn"))
+  }
+
   /** Deterministic pseudo-random hyperplane component for (plane, dim):
     * xxhash64 of the pair, scaled to [-1, 1). Cheap, seedable, and
     * reproducible across runs/engines. */
@@ -210,6 +238,58 @@ object Similarity {
     // Candidate (query, neighbor) pairs are structurally unique — each
     // corpus row has exactly one cid and a query's probe cids are distinct —
     // so no dropDuplicates pass (and its exchange) is needed.
+    val cand = assigned.join(broadcast(probes), "cid")
+      .filter(col("query_id") =!= col("id"))
+      .select(col("query_id"), col("id").as("neighbor_id"),
+        round(dot(col("qv"), col("v")) / (col("qn") * col("n")), 6).as("cos"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("neighbor_id").asc)
+    cand.withColumn("rn", row_number().over(w)).filter(col("rn") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("cos"), col("rn"))
+  }
+
+  /**
+   * Filtered IVF top-k: [[ivfTopK]] with neighbors restricted to corpus
+   * rows satisfying `corpusPred` (over the ORIGINAL `df` columns) — the
+   * shared-index + in-scan-filter design every production filtered-ANN
+   * serves from:
+   *
+   *  - the quantizer trains on the FULL corpus (the index is built once
+   *    and shared across predicates — per-predicate re-indexing does not
+   *    exist at 100 TB), so results match a pre-built index queried with
+   *    a filter;
+   *  - the predicate applies to the corpus scan BEFORE assignment and the
+   *    candidate join — it pushes down to the parquet scan, so only
+   *    matching rows are assigned, joined, or scored (filter-THEN-probe,
+   *    not probe-then-discard);
+   *  - recall under a selective predicate is the standard filtered-ANN
+   *    trade: probed cells hold ~selectivity × cell-size matching rows,
+   *    so scale `nProbe` by ~1/selectivity (or use
+   *    [[bruteForceTopKWhere]] below ~1% selectivity, where scanning the
+   *    filtered subset outright is cheaper than probing most of the
+   *    index).
+   */
+  def ivfTopKWhere(df: DataFrame, idCol: String, vecCol: String,
+                   queryPred: Column, corpusPred: Column, k: Int,
+                   nCentroids: Int = 16, nProbe: Int = 4,
+                   trainIters: Int = 0): DataFrame = {
+    graft.functions.GraftFunctions.register(df.sparkSession)
+    val base = df.select(col(idCol).as("id"), col(vecCol).cast("array<double>").as("v"))
+      .withColumn("n", norm2(col("v")))
+    val cents = trainCentroids(base, resolveNCentroids(base, nCentroids), trainIters)
+    if (cents.isEmpty) return emptyTopK(base)
+    def centScores(v: Column, n: Column): Column = centScoresFor(cents)(v, n)
+    val assigned = df.filter(corpusPred)
+      .select(col(idCol).as("id"), col(vecCol).cast("array<double>").as("v"))
+      .withColumn("n", norm2(col("v")))
+      .withColumn("cid",
+        -array_max(centScores(col("v"), col("n"))).getField("negcid"))
+    val probes = base.filter(queryPred)
+      .withColumn("c",
+        explode(slice(sort_array(centScores(col("v"), col("n")), asc = false),
+          1, nProbe)))
+      .select(col("id").as("query_id"), (-col("c.negcid")).as("cid"),
+        col("v").as("qv"), col("n").as("qn"))
     val cand = assigned.join(broadcast(probes), "cid")
       .filter(col("query_id") =!= col("id"))
       .select(col("query_id"), col("id").as("neighbor_id"),

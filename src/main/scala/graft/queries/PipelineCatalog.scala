@@ -617,6 +617,71 @@ object PipelineCatalog {
       |  FROM cand
       |) WHERE rn <= 5""".stripMargin
 
+  /** Filtered exact ANN: top-5 among `label = 3` corpus rows only —
+    * the metadata-constrained search baseline. Exact oracle. */
+  val simFilteredTopK: Q = (s, dir) =>
+    Similarity.bruteForceTopKWhere(Tables.embeddings(s, dir), "vec_id",
+      "embedding", col("id") % 100 === 0, col("label") === 3, k = 5)
+
+  val simFilteredTopKSql: String =
+    """WITH base AS (
+      |  SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v, label FROM embeddings
+      |), q AS (SELECT * FROM base WHERE id % 100 = 0),
+      |scored AS (
+      |  SELECT q.id AS query_id, c.id AS neighbor_id,
+      |         round(list_dot_product(q.v, c.v) /
+      |               (sqrt(list_dot_product(q.v, q.v)) * sqrt(list_dot_product(c.v, c.v))), 6) AS cos
+      |  FROM base c CROSS JOIN q
+      |  WHERE q.id <> c.id AND c.label = 3
+      |)
+      |SELECT query_id, neighbor_id, cos, rn FROM (
+      |  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id ASC) AS rn
+      |  FROM scored
+      |) WHERE rn <= 5""".stripMargin
+
+  /** Filtered IVF ANN: shared full-corpus quantizer, label predicate
+    * pushed into the corpus scan before assignment/probe; nProbe
+    * widened to 8 for the ~10% selectivity. Deterministic (lowest-id
+    * quantizer) → exact oracle replicating the algorithm in DuckDB. */
+  val simIvfFiltered: Q = (s, dir) =>
+    Similarity.ivfTopKWhere(Tables.embeddings(s, dir), "vec_id", "embedding",
+      col("id") % 100 === 0, col("label") === 3, k = 5,
+      nCentroids = 16, nProbe = 8)
+
+  val simIvfFilteredSql: String =
+    """WITH base AS (
+      |  SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v, label FROM embeddings
+      |), nn AS (
+      |  SELECT id, v, label, sqrt(list_dot_product(v, v)) AS nrm FROM base
+      |), cents AS (
+      |  SELECT id AS cid, v AS cv, nrm AS cn FROM nn ORDER BY id LIMIT 16
+      |), ranked AS (
+      |  SELECT s.id, s.cid, s.csim,
+      |         row_number() OVER (PARTITION BY s.id
+      |                            ORDER BY s.csim DESC, s.cid ASC) AS rk
+      |  FROM (SELECT nn.id, c.cid,
+      |               list_dot_product(nn.v, c.cv) / (nn.nrm * c.cn) AS csim
+      |        FROM nn CROSS JOIN cents c) s
+      |), assigned AS (
+      |  SELECT r.id, r.cid FROM ranked r JOIN nn ON nn.id = r.id
+      |  WHERE r.rk = 1 AND nn.label = 3
+      |), probes AS (
+      |  SELECT r.id AS query_id, r.cid, nn.v AS qv, nn.nrm AS qn
+      |  FROM ranked r JOIN nn ON nn.id = r.id
+      |  WHERE r.id % 100 = 0 AND r.rk <= 8
+      |), cand AS (
+      |  SELECT p.query_id, a.id AS neighbor_id,
+      |         round(list_dot_product(p.qv, nn.v) / (p.qn * nn.nrm), 6) AS cos
+      |  FROM assigned a JOIN probes p ON a.cid = p.cid
+      |  JOIN nn ON nn.id = a.id
+      |  WHERE p.query_id <> a.id
+      |)
+      |SELECT query_id, neighbor_id, cos, rn FROM (
+      |  SELECT *, row_number() OVER (PARTITION BY query_id
+      |                               ORDER BY cos DESC, neighbor_id ASC) AS rn
+      |  FROM cand
+      |) WHERE rn <= 5""".stripMargin
+
   /** IVF with a Lloyd-trained quantizer (2 rounds) — rows-only; the
     * training rounds are the map-side-assign + partial-agg-mean loop. */
   val simIvfTrained: Q = (s, dir) =>
@@ -1995,6 +2060,8 @@ object PipelineCatalog {
     "sim_bruteforce_topk" -> simBruteForce,
     "sim_lsh_topk" -> simLsh,
     "sim_ivf_topk" -> simIvf,
+    "sim_filtered_topk" -> simFilteredTopK,
+    "sim_ivf_filtered" -> simIvfFiltered,
     "sim_ivf_trained" -> simIvfTrained,
     "sim_ivfpq_topk" -> simIvfPq,
     "sim_ivfpq_det" -> simIvfPqDet,
@@ -2059,6 +2126,8 @@ object PipelineCatalog {
     "dedup_incremental" -> dedupIncrementalSql,
     "sim_bruteforce_topk" -> simBruteForceSql,
     "sim_ivf_topk" -> simIvfSql,
+    "sim_filtered_topk" -> simFilteredTopKSql,
+    "sim_ivf_filtered" -> simIvfFilteredSql,
     "sim_lsh_md5" -> simLshMd5Sql,
     "sim_ivfpq_det" -> simIvfPqDetSql,
     "sim_near_dup_md5" -> simNearDupMd5Sql,

@@ -41,6 +41,28 @@ class SimilaritySpec extends SparkSuite {
       s"nearest neighbor 1 must rank first among probed candidates, got $res")
   }
 
+  test("filtered ANN: predicate restricts neighbors; full-probe IVF equals brute force") {
+    // label = id % 2: queries from the full set, neighbors from odd ids only
+    val labeled = spark.range(60).select(col("id").as("vec_id"),
+      array((0 until 4).map(d =>
+        sin((col("id") + 1) * (d + 1)).cast("float")): _*).as("embedding"),
+      (col("id") % 2).cast("int").as("label"))
+    val bf = Similarity.bruteForceTopKWhere(labeled, "vec_id", "embedding",
+      col("id") % 20 === 0, col("label") === 1, k = 4)
+    val bfRows = bf.collect()
+    assert(bfRows.nonEmpty && bfRows.forall(_.getLong(1) % 2 == 1),
+      "every filtered neighbor must satisfy the corpus predicate")
+    // at nProbe = nCentroids the IVF probe covers every list → exact
+    val ivf = Similarity.ivfTopKWhere(labeled, "vec_id", "embedding",
+      col("id") % 20 === 0, col("label") === 1, k = 4,
+      nCentroids = 16, nProbe = 16)
+    assert(ivf.collect().toSet === bfRows.toSet,
+      "full-probe filtered IVF must equal the filtered brute force")
+    // a query that itself fails the predicate still gets (filtered) results
+    assert(bfRows.exists(_.getLong(0) % 2 == 0),
+      "queries are drawn from the full table, not the filtered subset")
+  }
+
   test("lshTopKPortable: near-identical vectors share the md5-plane bucket") {
     val res = Similarity.lshTopKPortable(vecs, "vec_id", "embedding",
         col("id") === 0L, k = 3, planes = 4)
