@@ -93,6 +93,14 @@ object SoakAudit {
     "soak_ivf_trained_fixedq" -> ((s, dir) =>
       Similarity.ivfTopK(Tables.embeddings(s, dir), "vec_id", "embedding",
         fixedProbe, k = 5, nCentroids = 16, nProbe = 4, trainIters = 2)),
+    // Filtered IVF (r11): same fixed probe set, neighbors restricted to
+    // label = 3 (~10% selectivity) with nProbe widened 4 → 8. Per-query
+    // cost must track ~selectivity × the unfiltered per-list scan (the
+    // predicate prunes the corpus BEFORE assignment/join), with the same
+    // flat exchange shape as soak_ivf_fixedq.
+    "soak_ivf_filtered_fixedq" -> ((s, dir) =>
+      Similarity.ivfTopKWhere(Tables.embeddings(s, dir), "vec_id", "embedding",
+        fixedProbe, col("label") === 3, k = 5, nCentroids = 16, nProbe = 8)),
     "soak_ivfpq_fixedq" -> ((s, dir) =>
       Similarity.ivfPqTopK(Tables.embeddings(s, dir), "vec_id", "embedding",
         fixedProbe, k = 5, nCentroids = 16, nProbe = 4,

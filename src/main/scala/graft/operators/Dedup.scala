@@ -1405,11 +1405,24 @@ object Dedup {
 
   /** The deletion-neighborhood candidate path of [[editDistancePairs]]
     * for `maxDist ≤ 2` — see its scaladoc for the completeness argument.
-    * At maxDist = 0 the variant set degenerates to the string itself (a
-    * plain (block, string) equality self-join); at 2, the two-deletion
-    * variants come from deleting once more from each one-deletion
-    * variant (covers every unordered position pair, duplicates folded
-    * by the in-place distinct). */
+    * At maxDist = 0 the variant set degenerates to the string itself (no
+    * cross-string candidates at all); at 2, the two-deletion variants
+    * come from deleting once more from each one-deletion variant (covers
+    * every unordered position pair, duplicates folded by the in-place
+    * distinct).
+    *
+    * Dedup-then-expand (r11): the variant join runs over DISTINCT
+    * (block, string) values only, and member pairs are expanded back
+    * afterwards — identical strings pair at distance 0 via a plain
+    * equality self-join, cross-string pairs inherit the distance of
+    * their string pair. Without this, a duplicate group of g members
+    * amplifies the candidate join by g² × variants-per-string (measured
+    * at the sf1 replica, where every name has ~10 exact copies: ~172
+    * radius-2 variants × 100 member pairs per name — a 2.6B-row
+    * intermediate; deduped, the variant join is Σ distinct-bucket² and
+    * the member expansion is sized by the true output). No broadcast
+    * hints: the distinct-pair and member sides both scale with the
+    * corpus by contract, so the planner's size-based choice stands. */
   private def editDistancePairsNeighborhood(df: DataFrame, idCol: String,
                                             strCol: String, blockCol: String,
                                             maxDist: Int): DataFrame = {
@@ -1421,20 +1434,52 @@ object Dedup {
         array_distinct(concat(array(s), d1,
           flatten(transform(d1, v => delOnce(v)))))
     }
-    val t = df.select(col(idCol).as("id"), col(blockCol).as("blk"),
-        col(strCol).as("s"))
-      .select(col("id"), col("blk"), col("s"),
-        explode(variants(col("s"))).as("v"))
+    val members = df.select(col(idCol).as("id"), col(blockCol).as("blk"),
+      col(strCol).as("s"))
+    // identical strings: every member pair, distance 0
+    val m1 = members.select(col("blk"), col("s"), col("id").as("ia"))
+    val m2 = members.select(col("blk"), col("s"), col("id").as("ib"))
+    val intra = m1.join(m2, Seq("blk", "s")).filter(col("ia") < col("ib"))
+      .select(col("ia").as("id_a"), col("ib").as("id_b"), lit(0L).as("dist"))
+    if (maxDist == 0) return intra
+    // distinct strings per block; rep = any stable order for the a<b cut
+    val reps = members.groupBy(col("blk"), col("s"))
+      .agg(min(col("id")).as("rep"))
+    // The variant join and the candidate dedup carry (blk, rep) LONGS
+    // only — variants as their 64-bit hash, strings fetched back from
+    // `reps` after the dedup: the pre-dedup pair stream is amplified by
+    // the shared-variant count of every true pair (~170× at radius 2),
+    // so its row width dominates the stage. A hash collision only ADDS
+    // a candidate pair, which the levenshtein verify below filters — no
+    // true pair can be lost (equal variants always hash equal).
+    val t = reps.select(col("blk"), col("rep"),
+      explode(variants(col("s"))).as("v0"))
+      .select(col("blk"), col("rep"), xxhash64(col("v0")).as("v"))
     val a = t.alias("a")
     val b = t.alias("b")
-    a.join(b, col("a.blk") === col("b.blk") && col("a.v") === col("b.v")
-        && col("a.id") < col("b.id"))
-      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
-        col("a.s").as("sa"), col("b.s").as("sb"))
-      .dropDuplicates("id_a", "id_b")
+    val candPairs = a.join(b,
+        col("a.blk") === col("b.blk") && col("a.v") === col("b.v")
+          && col("a.rep") < col("b.rep"))
+      .select(col("a.blk").as("blk"), col("a.rep").as("ra"),
+        col("b.rep").as("rb"))
+      .dropDuplicates("blk", "ra", "rb")
+    val stringPairs = candPairs
+      .join(reps.select(col("blk"), col("rep").as("ra"), col("s").as("sa")),
+        Seq("blk", "ra"))
+      .join(reps.select(col("blk"), col("rep").as("rb"), col("s").as("sb")),
+        Seq("blk", "rb"))
       .withColumn("dist", levenshtein(col("sa"), col("sb"), maxDist))
       .filter(col("dist") >= 0)
-      .select(col("id_a"), col("id_b"), col("dist").cast("long").as("dist"))
+    // expand each surviving string pair over both member groups
+    val cross = stringPairs
+      .join(members.select(col("blk"), col("s").as("sa"), col("id").as("ia")),
+        Seq("blk", "sa"))
+      .join(members.select(col("blk"), col("s").as("sb"), col("id").as("ib")),
+        Seq("blk", "sb"))
+      .select(least(col("ia"), col("ib")).as("id_a"),
+        greatest(col("ia"), col("ib")).as("id_b"),
+        col("dist").cast("long").as("dist"))
+    cross.unionByName(intra)
   }
 
   /**
