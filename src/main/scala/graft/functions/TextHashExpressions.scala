@@ -296,6 +296,7 @@ object GraftFunctions {
     "graft_jaccard_sorted" -> (args => JaccardSortedExpr(args(0), args(1))),
     "graft_dot" -> (args => DotProductExpr(args(0), args(1))),
     "graft_lsh_bucket" -> (args => LshBucketExpr(args(0), args(1))),
+    "graft_random_project" -> (args => RandomProjectExpr(args(0), args(1))),
     // Spark's own runtime-filter bloom expressions, exposed as callable
     // functions so the library can build EXPLICIT sketch-pruned joins
     // (Joins.bloomSemiJoin) rather than waiting for InjectRuntimeFilter's

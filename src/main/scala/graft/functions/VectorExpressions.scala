@@ -37,6 +37,31 @@ object VectorOps {
     acc
   }
 
+  /** Random projection of a double array onto `outDim` pseudo-random
+    * hyperplanes — the SAME (plane, dim) component stream as [[lshBucket]]
+    * (xxhash64-derived, in-order accumulation), so `lshBucket(v, d)` bit p
+    * equals `randomProject(v, d)(p) >= 0`: the LSH bucket is the 1-bit
+    * quantization of this projection. Planes derive from hashes, so any
+    * executor reproduces them with no broadcast or model state. */
+  def randomProject(v: ArrayData, outDim: Int): ArrayData = {
+    val n = v.numElements()
+    val out = new Array[Double](outDim)
+    var p = 0
+    while (p < outDim) {
+      val seedP = XXH64.hashInt(p, TextHash.XXHASH_DEFAULT_SEED)
+      var proj = 0.0
+      var i = 0
+      while (i < n) {
+        val h = XXH64.hashInt(i, seedP)
+        proj += v.getDouble(i) * (h.toDouble / Long.MaxValue.toDouble)
+        i += 1
+      }
+      out(p) = proj
+      p += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
   /** `planes`-bit random-hyperplane bucket of a double array — bit-identical
     * to the declarative `Similarity.lshSignature`. */
   def lshBucket(v: ArrayData, planes: Int): Long = {
@@ -71,6 +96,25 @@ case class DotProductExpr(left: Expression, right: Expression)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     defineCodeGen(ctx, ev, (a, b) => s"graft.functions.VectorOps.dot($a, $b)")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
+/** graft_random_project(array<double>, outDim) → array<double>. */
+case class RandomProjectExpr(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+  override def nullable: Boolean = left.nullable
+
+  override protected def nullSafeEval(v: Any, outDim: Any): Any =
+    VectorOps.randomProject(v.asInstanceOf[ArrayData], outDim.asInstanceOf[Int])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      (v, d) => s"graft.functions.VectorOps.randomProject($v, $d)")
 
   override protected def withNewChildrenInternal(
       newLeft: Expression, newRight: Expression): Expression =

@@ -145,6 +145,49 @@ object Similarity {
       .select(col("query_id"), col("neighbor_id"), col("cos"), col("rn"))
   }
 
+  /**
+   * Random-projection dimensionality reduction (Johnson–Lindenstrauss):
+   * map each vector onto `outDim` deterministic pseudo-random hyperplanes
+   * — the cheap embedding shrink for dedup pre-passes, ANN preprocessing,
+   * or storage (JL: pairwise distances are preserved within ε for
+   * outDim = O(log n / ε²)). Output: (id, rp: array<double>).
+   *
+   * Scale shape: one codegen'd expression per row
+   * ([[graft.functions.RandomProjectExpr]]), map-only — no shuffle, no
+   * model state, no broadcast; the planes derive from (plane, dim)
+   * hashes, so every executor reproduces them locally at any fan-out.
+   * The component stream is [[lshSignature]]'s, so bit p of the LSH
+   * bucket equals `rp[p] >= 0` — hyperplane LSH is exactly the 1-bit
+   * quantization of this projection (spec-pinned).
+   */
+  def randomProjection(df: DataFrame, idCol: String, vecCol: String,
+                       outDim: Int): DataFrame = {
+    require(outDim >= 1, s"outDim must be positive, got $outDim")
+    graft.functions.GraftFunctions.register(df.sparkSession)
+    df.select(col(idCol).as("id"),
+      call_function("graft_random_project",
+        col(vecCol).cast("array<double>"), lit(outDim)).as("rp"))
+  }
+
+  /** Engine-portable twin of [[randomProjection]]: md5-derived plane
+    * components and an explicit in-order fold (the [[lshTopKPortable]]
+    * arithmetic), components rounded to 6 decimals — DuckDB replays the
+    * fold with `list_reduce` bit-identically, putting the projection
+    * under the exact oracle. The native xxhash64 form is the scale
+    * path. */
+  def randomProjectionPortable(df: DataFrame, idCol: String, vecCol: String,
+                               outDim: Int): DataFrame = {
+    require(outDim >= 1, s"outDim must be positive, got $outDim")
+    val v = col(vecCol).cast("array<double>")
+    val projs = array((0 until outDim).map { p =>
+      round(aggregate(
+        zip_with(v, sequence(lit(0), size(v) - 1),
+          (x, i) => x * planeComponentPortable(p, i)),
+        lit(0.0), (acc, x) => acc + x), 6)
+    }: _*)
+    df.select(col(idCol).as("id"), projs.as("rp"))
+  }
+
   /** Engine-portable plane component: md5-derived pseudo-random in
     * [−1, 1), exact in double (8 hex chars < 2^32 ≤ 2^53). */
   private def planeComponentPortable(plane: Int, dim: Column): Column =

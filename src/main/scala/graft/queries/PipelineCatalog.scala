@@ -617,6 +617,41 @@ object PipelineCatalog {
       |  FROM cand
       |) WHERE rn <= 5""".stripMargin
 
+  /** Random-projection dimensionality reduction, md5-portable twin:
+    * embeddings → 4 dims, exploded to (id, p, val) scalar rows for the
+    * hash compare. The in-order `list_reduce` fold replays Spark's
+    * `aggregate` bit-identically (the sim_lsh_md5 parity, here on the
+    * VALUES, not just the signs). */
+  val rpProjectMd5: Q = (s, dir) =>
+    Similarity.randomProjectionPortable(Tables.embeddings(s, dir),
+      "vec_id", "embedding", outDim = 4)
+      .select(col("id"), posexplode(col("rp")))
+      .select(col("id"), col("pos").cast("long").as("p"), col("col").as("val"))
+
+  val rpProjectMd5Sql: String =
+    """WITH base AS (
+      |  SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+      |), planes AS (SELECT unnest(range(0, 4)) AS p)
+      |SELECT b.id, planes.p,
+      |       round(list_reduce(
+      |         list_transform(range(1, len(b.v) + 1), i -> b.v[i] * (
+      |           list_reduce(list_transform(
+      |             string_split(substring(md5(CAST(planes.p AS VARCHAR) || '#' ||
+      |               CAST(i - 1 AS VARCHAR)), 1, 8), ''),
+      |             c -> CAST(strpos('0123456789abcdef', c) - 1 AS DOUBLE)),
+      |             (a, b) -> a * 16 + b) / 4294967296.0 * 2 - 1)),
+      |         (a, b) -> a + b), 6) AS val
+      |FROM base b CROSS JOIN planes""".stripMargin
+
+  /** Native xxhash64 random projection (the map-only codegen'd scale
+    * path) — rows-only; rpProjectMd5 is its oracle-certified twin and
+    * SimilaritySpec pins the LSH sign coherence. */
+  val rpProject: Q = (s, dir) =>
+    Similarity.randomProjection(Tables.embeddings(s, dir),
+      "vec_id", "embedding", outDim = 4)
+      .select(col("id"), posexplode(col("rp")))
+      .select(col("id"), col("pos").cast("long").as("p"), col("col").as("val"))
+
   /** Filtered exact ANN: top-5 among `label = 3` corpus rows only —
     * the metadata-constrained search baseline. Exact oracle. */
   val simFilteredTopK: Q = (s, dir) =>
@@ -2069,6 +2104,8 @@ object PipelineCatalog {
     "sim_ivfpq_append" -> simIvfPqAppend,
     "sim_near_dup_md5" -> simNearDupMd5,
     "sim_quantize_int8" -> simQuantize,
+    "rp_project_md5" -> rpProjectMd5,
+    "rp_project" -> rpProject,
     "sim_near_dup" -> simNearDup,
     "semantic_dedup" -> semanticDedup,
     "semantic_dedup_inc" -> semanticDedupInc,
@@ -2128,6 +2165,7 @@ object PipelineCatalog {
     "sim_ivf_topk" -> simIvfSql,
     "sim_filtered_topk" -> simFilteredTopKSql,
     "sim_ivf_filtered" -> simIvfFilteredSql,
+    "rp_project_md5" -> rpProjectMd5Sql,
     "sim_lsh_md5" -> simLshMd5Sql,
     "sim_ivfpq_det" -> simIvfPqDetSql,
     "sim_near_dup_md5" -> simNearDupMd5Sql,

@@ -41,6 +41,30 @@ class SimilaritySpec extends SparkSuite {
       s"nearest neighbor 1 must rank first among probed candidates, got $res")
   }
 
+  test("randomProjection: LSH bucket bits are the projection's signs; deterministic") {
+    val df = spark.range(50).select(col("id").as("vec_id"),
+      array((0 until 6).map(d =>
+        sin((col("id") + 1) * (d + 1)).cast("float")): _*).as("embedding"))
+    val rp = Similarity.randomProjection(df, "vec_id", "embedding", outDim = 8)
+    val sig = df.select(col("vec_id").as("id"),
+      Similarity.lshSignature(col("embedding").cast("array<double>"), 8).as("bucket"))
+    val joined = rp.join(sig, "id")
+      .select(col("id"), col("rp"), col("bucket"))
+      .as[(Long, Seq[Double], Long)].collect()
+    assert(joined.nonEmpty)
+    joined.foreach { case (id, proj, bucket) =>
+      assert(proj.length === 8)
+      proj.zipWithIndex.foreach { case (x, p) =>
+        assert((x >= 0) === ((bucket & (1L << p)) != 0L),
+          s"vec $id plane $p: projection sign must be the LSH bucket bit")
+      }
+    }
+    // determinism: a second evaluation is bit-identical
+    val again = Similarity.randomProjection(df, "vec_id", "embedding", outDim = 8)
+      .as[(Long, Seq[Double])].collect().toMap
+    joined.foreach { case (id, proj, _) => assert(again(id) === proj) }
+  }
+
   test("filtered ANN: predicate restricts neighbors; full-probe IVF equals brute force") {
     // label = id % 2: queries from the full set, neighbors from odd ids only
     val labeled = spark.range(60).select(col("id").as("vec_id"),
