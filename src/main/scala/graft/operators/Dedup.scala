@@ -1445,31 +1445,39 @@ object Dedup {
     // distinct strings per block; rep = any stable order for the a<b cut
     val reps = members.groupBy(col("blk"), col("s"))
       .agg(min(col("id")).as("rep"))
-    // The variant join and the candidate dedup carry (blk, rep) LONGS
-    // only — variants as their 64-bit hash, strings fetched back from
-    // `reps` after the dedup: the pre-dedup pair stream is amplified by
-    // the shared-variant count of every true pair (~170× at radius 2),
-    // so its row width dominates the stage. A hash collision only ADDS
-    // a candidate pair, which the levenshtein verify below filters — no
-    // true pair can be lost (equal variants always hash equal).
-    val t = reps.select(col("blk"), col("rep"),
-      explode(variants(col("s"))).as("v0"))
-      .select(col("blk"), col("rep"), xxhash64(col("v0")).as("v"))
-    val a = t.alias("a")
-    val b = t.alias("b")
-    val candPairs = a.join(b,
-        col("a.blk") === col("b.blk") && col("a.v") === col("b.v")
-          && col("a.rep") < col("b.rep"))
-      .select(col("a.blk").as("blk"), col("a.rep").as("ra"),
-        col("b.rep").as("rb"))
-      .dropDuplicates("blk", "ra", "rb")
-    val stringPairs = candPairs
-      .join(reps.select(col("blk"), col("rep").as("ra"), col("s").as("sa")),
-        Seq("blk", "ra"))
-      .join(reps.select(col("blk"), col("rep").as("rb"), col("s").as("sb")),
-        Seq("blk", "rb"))
+    // Candidate generation is ONE groupBy over (blk, variant-hash) —
+    // variants as xxhash64 (a collision only ADDS a candidate; the
+    // verify filters it — no true pair can be lost, equal variants
+    // always hash equal) — with within-bucket pairs emitted by an
+    // in-expression combination walk and levenshtein-verified MAP-SIDE
+    // right off the explode. A true pair shares ~variants-per-string
+    // candidates (~170 at radius 2); generated this way the amplified
+    // stream costs re-evaluations of the banded levenshtein, never a
+    // shuffle row — only the ~output-sized survivors reach the dedup.
+    // (A degenerate block of very short strings can still bucket
+    // together on a shared tiny variant — Σ bucket² is the operator's
+    // inherent candidate cost in any formulation.)
+    val t = reps.select(col("blk"), col("rep"), col("s"),
+        explode(variants(col("s"))).as("v0"))
+      .select(col("blk"), xxhash64(col("v0")).as("v"),
+        struct(col("rep"), col("s")).as("m"))
+    val buckets = t.groupBy(col("blk"), col("v"))
+      .agg(sort_array(collect_list(col("m"))).as("ms"))
+      .filter(size(col("ms")) > 1)
+    val stringPairs = buckets.select(col("blk"),
+        explode(flatten(transform(
+          sequence(lit(1), size(col("ms")) - 1),
+          i => transform(slice(col("ms"), i + 1, size(col("ms")) - i),
+            m2 => struct(
+              element_at(col("ms"), i).getField("rep").as("ra"),
+              element_at(col("ms"), i).getField("s").as("sa"),
+              m2.getField("rep").as("rb"),
+              m2.getField("s").as("sb")))))).as("pr"))
+      .select(col("blk"), col("pr.ra").as("ra"), col("pr.sa").as("sa"),
+        col("pr.rb").as("rb"), col("pr.sb").as("sb"))
       .withColumn("dist", levenshtein(col("sa"), col("sb"), maxDist))
       .filter(col("dist") >= 0)
+      .dropDuplicates("blk", "ra", "rb")
     // expand each surviving string pair over both member groups
     val cross = stringPairs
       .join(members.select(col("blk"), col("s").as("sa"), col("id").as("ia")),

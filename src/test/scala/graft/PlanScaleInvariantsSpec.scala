@@ -167,18 +167,20 @@ class PlanScaleInvariantsSpec extends SparkSuite {
   test("edit-distance neighborhood: plan shape flat 1x -> 20x, no auto-broadcast") {
     // the r11 deletion-neighborhood path (maxDist <= 2), dedup-then-
     // expand form: distinct-string groupBy + intra-group equality
-    // self-join + (blk, variant-hash) self-join over distinct strings
-    // carrying LONGS only + candidate dedup + two rep-string fetch
-    // joins + two member-expansion joins — 11 shuffles, all sized by
-    // distinct strings / true output (the pre-expand form was (3,0)
-    // but amplified the variant join by group² × variants on
-    // duplicate-heavy corpora); count must not grow with the table
+    // self-join + ONE (blk, variant-hash) groupBy whose buckets emit
+    // within-bucket pairs in-expression, levenshtein-verified map-side
+    // BEFORE any dedup shuffle + two member-expansion joins — 8
+    // shuffles, all sized by distinct strings / true output (the
+    // pre-expand form was (3,0) but amplified the variant join by
+    // group² × variants on duplicate-heavy corpora; the join-based
+    // expand form shuffled the ~170×-amplified candidate stream);
+    // count must not grow with the table
     def nameCorpus(n: Int): DataFrame =
       spark.range(n.toLong).select(col("id"),
         concat(lit("Customer#"), lpad(col("id").cast("string"), 9, "0"))
           .as("name"),
         (col("id") % 25).as("blk"))
-    assertFlat("fuzzy_neighborhood", (11, 0)) { corpus =>
+    assertFlat("fuzzy_neighborhood", (8, 0)) { corpus =>
       assert(Dedup.editDistancePairs(corpus, "id", "name", "blk",
         maxDist = 1).count() >= 0)
     }(nameCorpus)
