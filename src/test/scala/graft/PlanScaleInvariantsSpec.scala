@@ -231,6 +231,30 @@ class PlanScaleInvariantsSpec extends SparkSuite {
     }(vecCorpus)
   }
 
+  test("random projection stays map-only at every scale: zero shuffles") {
+    noAutoBroadcast {
+      Seq(200, 4000).foreach { n =>
+        val (sh, _, _) = actionShapes {
+          Similarity.randomProjection(vecCorpus(n), "vec_id", "embedding",
+            outDim = 8).write.format("noop").mode("overwrite").save()
+        }
+        assert(sh === 0,
+          s"randomProjection must be map-only; saw $sh shuffles at n=$n")
+      }
+    }
+  }
+
+  test("filtered IVF: plan shape flat 1x -> 20x, no auto-broadcast") {
+    // shared full-corpus quantizer, predicate into the corpus scan, probes
+    // explicitly broadcast — the corpus must never shuffle before the rank
+    assertFlat("ivf_filtered", (2, 1)) { corpus =>
+      val labeled = corpus.withColumn("label", (col("vec_id") % 2).cast("int"))
+      assert(Similarity.ivfTopKWhere(labeled, "vec_id", "embedding",
+        col("id") % 50 === 0, col("label") === 1, k = 3,
+        nCentroids = 8, nProbe = 4).count() >= 0)
+    }(vecCorpus)
+  }
+
   test("text family stays map-only at every scale: zero shuffles") {
     noAutoBroadcast {
       Seq(200, 4000).foreach { n =>
