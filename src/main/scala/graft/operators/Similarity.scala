@@ -840,6 +840,35 @@ object Similarity {
   }
 
   /**
+   * Filtered IVF-PQ top-k: the compressed-index member of the filtered-ANN
+   * family ([[bruteForceTopKWhere]] exact / [[ivfTopKWhere]] uncompressed).
+   * The model and index cover the FULL corpus (one shared index across
+   * predicates); the index rows are then restricted to ids matching
+   * `corpusPred` (over the ORIGINAL `df` columns) via a semi-join with the
+   * predicate's pushed-down metadata scan, so ADC scoring, the shortlist,
+   * and the exact re-rank all run over matching rows only. At 100 TB the
+   * semi-join is the one extra corpus-scale exchange — a deployment
+   * filtering on a fixed attribute should CARRY that attribute in the
+   * index (store it next to the codes at build time and push the filter
+   * into the index scan; the (id, cid, codes, rn2) index is plain parquet,
+   * so that is an extra column, not a format change). Recall under
+   * selectivity follows the [[ivfTopKWhere]] trade: widen `nProbe` /
+   * `rerankFactor` by ~1/selectivity.
+   */
+  def ivfPqTopKWhere(df: DataFrame, idCol: String, vecCol: String,
+                     queryPred: Column, corpusPred: Column, k: Int,
+                     nCentroids: Int = 16, nProbe: Int = 4,
+                     m: Int = 8, kSub: Int = 16,
+                     trainIters: Int = 0, pqIters: Int = 1,
+                     rerankFactor: Int = 4): DataFrame = {
+    val (model, index) = buildPqIndex(df, idCol, vecCol,
+      nCentroids, m, kSub, trainIters, pqIters)
+    val allowed = df.filter(corpusPred).select(col(idCol).as("id"))
+    searchPqIndex(model, index.join(allowed, Seq("id"), "left_semi"),
+      df, idCol, vecCol, queryPred, k, nProbe, rerankFactor)
+  }
+
+  /**
    * Scalar int8 quantization of an embedding column — the 4× memory cut
    * for vector indexes (and the storage format ANN serving stacks
    * expect). Per-vector symmetric scale = max|x|/127;

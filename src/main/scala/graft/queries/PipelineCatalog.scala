@@ -827,6 +827,27 @@ object PipelineCatalog {
       |  FROM rer
       |) WHERE rn <= 5""".stripMargin
 
+  /** Filtered IVF-PQ (deterministic twin): the compressed-index member
+    * of the filtered-ANN family — shared full-corpus model/index, index
+    * rows semi-joined to `label = 3` before ADC/shortlist/re-rank. */
+  val simIvfPqFilteredDet: Q = (s, dir) =>
+    Similarity.ivfPqTopKWhere(Tables.embeddings(s, dir), "vec_id", "embedding",
+      col("id") % 100 === 0, col("label") === 3, k = 5,
+      nCentroids = 16, nProbe = 4, m = 8, kSub = 16,
+      trainIters = 0, pqIters = 0)
+
+  /** [[simIvfPqDetSql]] with the label predicate applied exactly where
+    * the Spark path applies it — the index rows entering the probe join
+    * (`assigned`); model, codes, LUTs, and queries stay full-corpus. */
+  val simIvfPqFilteredDetSql: String = simIvfPqDetSql
+    .replace(
+      "SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings",
+      "SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v, label FROM embeddings")
+    .replace(
+      "SELECT id, cid FROM cranked WHERE rk = 1",
+      "SELECT c.id, c.cid FROM cranked c JOIN base b ON b.id = c.id " +
+        "WHERE c.rk = 1 AND b.label = 3")
+
   /** Session-lifetime IVF-PQ index cache keyed by (application, sfDir):
     * the build half of [[Similarity.ivfPqTopK]] runs ONCE per corpus and
     * the encoded index is persisted; every later call pays search cost
@@ -2100,6 +2121,7 @@ object PipelineCatalog {
     "sim_ivf_trained" -> simIvfTrained,
     "sim_ivfpq_topk" -> simIvfPq,
     "sim_ivfpq_det" -> simIvfPqDet,
+    "sim_ivfpq_filtered_det" -> simIvfPqFilteredDet,
     "sim_ivfpq_search" -> simIvfPqSearch,
     "sim_ivfpq_append" -> simIvfPqAppend,
     "sim_near_dup_md5" -> simNearDupMd5,
@@ -2168,6 +2190,7 @@ object PipelineCatalog {
     "rp_project_md5" -> rpProjectMd5Sql,
     "sim_lsh_md5" -> simLshMd5Sql,
     "sim_ivfpq_det" -> simIvfPqDetSql,
+    "sim_ivfpq_filtered_det" -> simIvfPqFilteredDetSql,
     "sim_near_dup_md5" -> simNearDupMd5Sql,
     "semantic_dedup" -> semanticDedupSql,
     "semantic_dedup_inc" -> semanticDedupIncSql,

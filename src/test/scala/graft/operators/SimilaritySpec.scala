@@ -87,6 +87,26 @@ class SimilaritySpec extends SparkSuite {
       "queries are drawn from the full table, not the filtered subset")
   }
 
+  test("filtered IVF-PQ: predicate restricts neighbors; exhaustive search equals brute force") {
+    val labeled = spark.range(40).select(col("id").as("vec_id"),
+      array((0 until 8).map(d =>
+        sin((col("id") + 1) * (d + 1)).cast("float")): _*).as("embedding"),
+      (col("id") % 2).cast("int").as("label"))
+    // nProbe = nCentroids and a shortlist wider than the corpus → the
+    // exact re-rank sees every matching candidate → equals brute force
+    val pq = Similarity.ivfPqTopKWhere(labeled, "vec_id", "embedding",
+      col("id") % 10 === 0, col("label") === 1, k = 3,
+      nCentroids = 4, nProbe = 4, m = 4, kSub = 8,
+      trainIters = 0, pqIters = 0, rerankFactor = 20)
+    val pqRows = pq.collect()
+    assert(pqRows.nonEmpty && pqRows.forall(_.getLong(1) % 2 == 1),
+      "every filtered PQ neighbor must satisfy the corpus predicate")
+    val bf = Similarity.bruteForceTopKWhere(labeled, "vec_id", "embedding",
+      col("id") % 10 === 0, col("label") === 1, k = 3)
+    assert(pqRows.toSet === bf.collect().toSet,
+      "exhaustive filtered PQ must equal the filtered brute force")
+  }
+
   test("lshTopKPortable: near-identical vectors share the md5-plane bucket") {
     val res = Similarity.lshTopKPortable(vecs, "vec_id", "embedding",
         col("id") === 0L, k = 3, planes = 4)
