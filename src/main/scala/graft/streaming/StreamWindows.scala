@@ -164,17 +164,52 @@ object StreamWindows {
    */
   def allowedLatenessCount(events: DataFrame, keyCol: String, tsCol: String,
                            windowSize: String, watermarkDelaySec: Long,
-                           latenessSec: Long): Dataset[LatenessFire] = {
+                           latenessSec: Long): Dataset[LatenessFire] =
+    latenessLifecycle(
+      events.select(col(keyCol).cast("string").as("k"),
+        window(col(tsCol), windowSize).getField("end").as("we")),
+      watermarkDelaySec, latenessSec)
+
+  /**
+   * Sliding-window form of [[allowedLatenessCount]] — the reference's
+   * actual allowedLateness shape (HotUrlApp.java:58-61: 10 min / 5 s
+   * sliding + lateness 60 s). Each event fans out to its size/slide
+   * containing windows; every (key, window) then runs the SAME exact
+   * lifecycle (timer fire, per-late-element re-fire, purge, engine drop
+   * at expiry). State is per (key, window-end), bounded by the lateness
+   * horizon exactly as in the tumbling form.
+   */
+  def allowedLatenessSlidingCount(events: DataFrame, keyCol: String,
+                                  tsCol: String, sizeSec: Long, slideSec: Long,
+                                  watermarkDelaySec: Long,
+                                  latenessSec: Long): Dataset[LatenessFire] = {
+    require(sizeSec > 0 && slideSec > 0 && sizeSec % slideSec == 0,
+      s"size must be a positive multiple of slide, got $sizeSec/$slideSec")
+    // containing windows [e-size, e): e runs from the first slide
+    // boundary AFTER ts to the last one within ts+size, step slide
+    val tsSec = unix_timestamp(col(tsCol).cast("timestamp"))
+    val firstEnd = (floor(tsSec / slideSec) + 1L) * slideSec
+    val ends = sequence(firstEnd,
+      floor(tsSec / slideSec) * slideSec + sizeSec, lit(slideSec))
+    latenessLifecycle(
+      events.select(col(keyCol).cast("string").as("k"),
+        explode(ends).as("we0"))
+        .select(col("k"), col("we0").cast("timestamp").as("we")),
+      watermarkDelaySec, latenessSec)
+  }
+
+  /** Shared (key, window-end) lateness processor of the two forms above:
+    * `pairs` carries one row per (key, containing-window end). */
+  private def latenessLifecycle(pairs: DataFrame, watermarkDelaySec: Long,
+                                latenessSec: Long): Dataset[LatenessFire] = {
     require(latenessSec >= 0, s"latenessSec must be >= 0, got $latenessSec")
     require(watermarkDelaySec >= 0,
       s"watermarkDelaySec must be >= 0, got $watermarkDelaySec")
-    val spark = events.sparkSession
+    val spark = pairs.sparkSession
     import spark.implicits._
     val lateMs = latenessSec * 1000L
     val delayed = s"${watermarkDelaySec + latenessSec} seconds"
-    events
-      .select(col(keyCol).cast("string").as("k"),
-        window(col(tsCol), windowSize).getField("end").as("we"))
+    pairs
       .withWatermark("we", delayed)
       .as[(String, java.sql.Timestamp)]
       .groupByKey { case (k, we) => (k, we.getTime / 1000L) }

@@ -92,6 +92,38 @@ class LateDataSpec extends SparkSuite {
     } finally q.stop()
   }
 
+  test("W7 sliding: exact lifecycle fans out to every containing window") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(String, Long)]
+    // 60 s / 30 s sliding (the reference's allowedLateness shape), so an
+    // event at t<30 belongs to windows ending 30 AND 60
+    val fires = StreamWindows.allowedLatenessSlidingCount(
+      input.toDS().select(col("_1").as("url"),
+        col("_2").cast("timestamp").as("ts")),
+      "url", "ts", sizeSec = 60L, slideSec = 30L,
+      watermarkDelaySec = 0L, latenessSec = 121L)
+    val q = fires.writeStream.format("memory").queryName("w7slide")
+      .outputMode("append").start()
+    def w(end: Long): Seq[Long] = spark.table("w7slide")
+      .filter(col("window_end") === end)
+      .select("cnt").as[Long].collect().toSeq.sorted
+    try {
+      input.addData(Seq(("/a", 10L), ("/a", 20L)))
+      q.processAllAvailable()
+      assert(w(30L).isEmpty && w(60L).isEmpty, "no emission before the end passes")
+      input.addData(Seq(("/a", 90L)))   // after: window-end wm 150 → 29
+      q.processAllAvailable()
+      input.addData(Seq(("/a", 95L)))   // batch at wm=29 → both timers fire
+      q.processAllAvailable()
+      assert(w(30L) === Seq(2L) && w(60L) === Seq(2L),
+        s"both containing windows main-fire with cnt=2, got ${w(30L)}/${w(60L)}")
+      input.addData(Seq(("/a", 5L)))    // late, within lateness for both
+      q.processAllAvailable()
+      assert(w(30L) === Seq(2L, 3L) && w(60L) === Seq(2L, 3L),
+        s"the late element re-fires EACH containing window, got ${w(30L)}/${w(60L)}")
+    } finally q.stop()
+  }
+
   test("W8: row later than the horizon is dropped and accounted") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[(String, Long)]
