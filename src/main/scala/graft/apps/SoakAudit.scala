@@ -101,6 +101,10 @@ object SoakAudit {
     "soak_ivf_filtered_fixedq" -> ((s, dir) =>
       Similarity.ivfTopKWhere(Tables.embeddings(s, dir), "vec_id", "embedding",
         fixedProbe, col("label") === 3, k = 5, nCentroids = 16, nProbe = 8)),
+    "soak_ivfpq_filtered_fixedq" -> ((s, dir) =>
+      Similarity.ivfPqTopKWhere(Tables.embeddings(s, dir), "vec_id", "embedding",
+        fixedProbe, col("label") === 3, k = 5, nCentroids = 16, nProbe = 8,
+        m = 8, kSub = 16, pqIters = 1)),
     "soak_ivfpq_fixedq" -> ((s, dir) =>
       Similarity.ivfPqTopK(Tables.embeddings(s, dir), "vec_id", "embedding",
         fixedProbe, k = 5, nCentroids = 16, nProbe = 4,

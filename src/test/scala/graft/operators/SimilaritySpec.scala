@@ -105,6 +105,17 @@ class SimilaritySpec extends SparkSuite {
       col("id") % 10 === 0, col("label") === 1, k = 3)
     assert(pqRows.toSet === bf.collect().toSet,
       "exhaustive filtered PQ must equal the filtered brute force")
+    // a predicate matching nothing yields empty results, not an error
+    Seq(
+      Similarity.bruteForceTopKWhere(labeled, "vec_id", "embedding",
+        col("id") % 10 === 0, col("label") === 99, k = 3),
+      Similarity.ivfTopKWhere(labeled, "vec_id", "embedding",
+        col("id") % 10 === 0, col("label") === 99, k = 3, nCentroids = 4),
+      Similarity.ivfPqTopKWhere(labeled, "vec_id", "embedding",
+        col("id") % 10 === 0, col("label") === 99, k = 3,
+        nCentroids = 4, m = 4, kSub = 8, pqIters = 0)
+    ).foreach(df => assert(df.count() === 0,
+      "an unsatisfiable corpus predicate must return zero rows"))
   }
 
   test("lshTopKPortable: near-identical vectors share the md5-plane bucket") {
