@@ -339,9 +339,15 @@ object StreamWindows {
                           orderCol: String, tieBreak: String, n: Int,
                           statePath: String,
                           retain: (DataFrame, DataFrame) => DataFrame =
-                            (state, _) => state)(
+                            (state, _) => state,
+                          // "update" for windowed-agg feeds; "append" when
+                          // the feed is an append-mode stateful operator
+                          // (e.g. allowedLateness* fires — their re-fires
+                          // carry the corrected count as new rows, and the
+                          // latest-wins upsert merges them identically)
+                          outputMode: String = "update")(
       sink: (DataFrame, Long) => Unit): DataStreamWriter[org.apache.spark.sql.Row] =
-    counts.writeStream.outputMode("update").foreachBatch {
+    counts.writeStream.outputMode(outputMode).foreachBatch {
       (batch: DataFrame, batchId: Long) =>
         // update mode runs no-data batches to advance the watermark; they
         // can't change any rank, so skip the state churn entirely
@@ -361,14 +367,23 @@ object StreamWindows {
               .map(_.getName.drop(1).toLong).sorted
           else Array.empty[Long]
         val keyCols = partCols :+ tieBreak
+        // One row per key per batch before the upsert: an update-mode agg
+        // feed already satisfies this, but an append-mode lateness feed
+        // can carry several re-fires of the SAME key in one batch — keep
+        // the highest count (fires are monotone per key).
+        val wB = org.apache.spark.sql.expressions.Window
+          .partitionBy(keyCols.map(col): _*).orderBy(col(orderCol).desc)
+        val latest = batch.withColumn("_rnb",
+            org.apache.spark.sql.functions.row_number().over(wB))
+          .filter(col("_rnb") === 1).drop("_rnb")
         val merged0 = versions.lastOption match {
           case Some(vmax) =>
             val prev = spark.read.parquet(
               new org.apache.hadoop.fs.Path(root, s"v$vmax").toString)
-            prev.join(batch, keyCols, "left_anti").unionByName(batch)
-          case None => batch
+            prev.join(latest, keyCols, "left_anti").unionByName(latest)
+          case None => latest
         }
-        val merged = retain(merged0, batch)
+        val merged = retain(merged0, latest)
         val next = new org.apache.hadoop.fs.Path(root,
           s"v${versions.lastOption.getOrElse(-1L) + 1L}")
         merged.write.mode("overwrite").parquet(next.toString)

@@ -64,6 +64,48 @@ class TopNStreamSpec extends SparkSuite {
       s"operator-emitted ranks $lastEmission must equal batch oracle $batchOracle")
   }
 
+  test("exact-lateness fires drive the rank table: a late element corrects the leader") {
+    implicit val sqlCtx = spark.sqlContext
+    // the reference's HotUrl2 composition end to end: allowedLateness
+    // window fires (append mode, per-late-element re-fires) upserted into
+    // the top-N state table — a late burst flips the window's rank 1
+    val input = MemoryStream[(String, Long)]
+    val fires = StreamWindows.allowedLatenessCount(
+      input.toDS().select(col("_1").as("url"),
+        col("_2").cast("timestamp").as("ts")),
+      "url", "ts", windowSize = "60 seconds", watermarkDelaySec = 0L,
+      latenessSec = 121L).toDF()
+    val perBatch = scala.collection.mutable.ArrayBuffer[Set[(String, Long, Long, Int)]]()
+    val statePath = java.nio.file.Files.createTempDirectory("graft_topn_late").toString
+    val q = StreamWindows.topNPerWindowStream(
+        fires, Seq("window_end"), "cnt", "key", 1, statePath,
+        outputMode = "append") {
+      (ranked: DataFrame, _: Long) =>
+        perBatch += ranked.select("key", "window_end", "cnt", "rn")
+          .as[(String, Long, Long, Int)].collect().toSet
+    }.start()
+    try {
+      input.addData(Seq(("/a", 10L), ("/b", 11L), ("/b", 12L)))
+      q.processAllAvailable()                // window [0,60): a=1, b=2
+      input.addData(Seq(("/x", 150L)))       // window-end wm 180 → 59
+      q.processAllAvailable()
+      input.addData(Seq(("/x", 160L)))       // timers fire → mains emitted
+      q.processAllAvailable()
+      val afterMain = perBatch.flatten.filter(_._2 == 60L)
+      assert(afterMain.exists(r => r._1 == "/b" && r._3 == 2L && r._4 == 1),
+        s"on-time leader of window 60 must be /b with 2, got $afterMain")
+      // TWO late /a elements in one batch: re-fires 2 then 3; the upsert
+      // must keep the LAST (3) and flip rank 1 to /a
+      input.addData(Seq(("/a", 20L), ("/a", 30L)))
+      q.processAllAvailable()
+      val finalW60 = perBatch.reverse.collectFirst {
+        case rows if rows.exists(_._2 == 60L) => rows.filter(_._2 == 60L)
+      }.get
+      assert(finalW60 === Set(("/a", 60L, 3L, 1)),
+        s"the late burst must make /a the corrected leader with 3, got $finalW60")
+    } finally q.stop()
+  }
+
   test("retain predicate bounds the state table without touching live windows") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[(Long, Long)]
