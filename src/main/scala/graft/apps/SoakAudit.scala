@@ -285,7 +285,37 @@ object SoakAudit {
     // scale" fixture, now reproducible). Ignores the data dir.
     "soak_bpe_zipf200k" -> ((s, _) =>
       graft.operators.Tokenize.mergesDf(
-        graft.operators.Tokenize.learnBpe(zipfWords(s, 200000), k = 1024))))
+        graft.operators.Tokenize.learnBpe(zipfWords(s, 200000), k = 1024))),
+    // Containment dedup at soak scale (r11 s3): the stop-shingle cap is
+    // the load-bearing knob — pair volume is Σ df² and the mutated-copy
+    // families push shared-shingle df up with the corpus, so the soak
+    // runs the CAPPED regime a production corpus would (evidence capped
+    // at df ≤ 64; tau low enough that capped lower bounds still emit).
+    // Driven through a per-container aggregate (inner join + two
+    // aggregates — not optimizer-eliminable).
+    "soak_containment" -> ((s, dir) =>
+      graft.operators.Dedup.containmentPairs(Tables.documents(s, dir),
+          "doc_id", "text", k = 3, tau = 0.3, maxDf = 64L)
+        .groupBy(col("container_id")).agg(count(lit(1)).as("n_contained"))
+        .groupBy().agg(count(lit(1)).as("containers"),
+          org.apache.spark.sql.functions.sum(col("n_contained")).as("pairs"))),
+    // Integer PageRank over the customer↔supplier trade graph, 10
+    // iterations. Per-iteration exchange count must be FLAT in corpus
+    // size (the loop compiles its own fixed shapes with AQE off); time
+    // grows with edges × iterations.
+    "soak_graphrank" -> ((s, dir) => {
+      val cs = Tables.orders(s, dir)
+        .join(Tables.lineitem(s, dir), col("o_orderkey") === col("l_orderkey"))
+        .select(org.apache.spark.sql.functions.concat(lit("c"),
+            col("o_custkey").cast("string")).as("src"),
+          org.apache.spark.sql.functions.concat(lit("s"),
+            col("l_suppkey").cast("string")).as("dst"))
+        .distinct()
+      val sym = cs.union(cs.select(col("dst").as("src"), col("src").as("dst")))
+      graft.operators.GraphRank.pageRank(sym, "src", "dst", iters = 10)
+        .groupBy().agg(count(lit(1)).as("nodes"),
+          org.apache.spark.sql.functions.sum(col("rank_int")).as("mass"))
+    }))
 
   /** 200k-scale deterministic Zipfian word table: seeded random words,
     * index suffix for distinctness, counts ~ 1e7/(rank+10). */

@@ -1184,7 +1184,10 @@ object Dedup {
   }
 
   /** Serializes the AQE-off propagation loops — see resolveClusters. */
-  private val aqeLoopLock = new Object
+  // Shared with every AQE-toggling iterative loop in the package (e.g.
+  // GraphRank.pageRank): overlapping loops must serialize on ONE lock or
+  // the first finisher's restore re-enables AQE mid-loop for the other.
+  private[operators] val aqeLoopLock = new Object
 
   /** Driver union-find over a materialized (s, t) pair frame that fits in
     * driver memory. Path-halving + union-by-size; the per-component min-id
@@ -1285,6 +1288,67 @@ object Dedup {
         when(col("n_spans") > 0,
           col("n_dup_spans").cast("double") / col("n_spans").cast("double"))
           .otherwise(lit(0.0)))
+  }
+
+  /**
+   * Asymmetric k-shingle CONTAINMENT pairs — the doc-inside-doc relation
+   * symmetric Jaccard cannot see: a short document quoted whole inside a
+   * long one has Jaccard |A|/|B| (→ 0 as B grows) but containment
+   * C(A→B) = |S_A ∩ S_B| / |S_A| = 1. Emits every ORDERED pair with
+   * C(contained → container) ≥ `tau` over word k-shingle sets (the
+   * training-data use: drop the contained side, keep the superset doc —
+   * boilerplate-wrapped articles, quote-inflated posts, partial crawls).
+   *
+   * Candidate generation needs no blocking column: the inverted shingle
+   * index IS the blocker. Shape at scale — one map-side pass builds each
+   * doc's distinct shingle-hash set ([[shingleHashes]]: 8-byte hashes,
+   * no gram strings); postings `(shingle, id, n_sh)` explode map-side;
+   * one shuffle on the shingle hash joins the postings against
+   * themselves; the matched stream carries ID PAIRS only (never text)
+   * into one `(contained, container)` count aggregate. Pair volume is
+   * Σ_g df(g)² over shingle document-frequencies — the `maxDf` cap
+   * bounds that sum by dropping postings of shingles seen in more than
+   * `maxDf` docs BEFORE the join (stop-shingles: boilerplate phrases
+   * carry no containment evidence but dominate df²). The cap prunes
+   * EVIDENCE, not candidates' denominators: `n_sh` stays the full set
+   * size, so capped containment is a deterministic LOWER BOUND on true
+   * containment (a pair can drop below tau, never rise above it) — and
+   * both regimes stay exactly oracle-checkable in SQL.
+   *
+   * Docs with fewer than `minShingles` shingles (shorter than k tokens,
+   * or below the floor) are excluded from both sides — containment over
+   * a near-empty set is noise (everything "contains" the empty doc).
+   * Values equal string-shingle containment up to 64-bit collisions
+   * (the [[jaccardPairs]] precedent).
+   */
+  def containmentPairs(df: DataFrame, idCol: String, textCol: String,
+                       k: Int = 3, tau: Double = 0.5,
+                       minShingles: Int = 1, maxDf: Long = 0L): DataFrame = {
+    require(tau > 0.0, "containment tau must be positive (tau <= 0 keeps every colliding pair)")
+    val base = df
+      .select(col(idCol).as("id"), shingleHashes(col(textCol), k).as("sh"))
+      .withColumn("n_sh", size(col("sh")).cast("long"))
+      .filter(col("n_sh") >= math.max(minShingles, 1).toLong)
+    val posts = base.select(col("id"), col("n_sh"), explode(col("sh")).as("s"))
+    val kept =
+      if (maxDf > 0L) {
+        // Stop-shingle set is bounded by total-postings / maxDf; at any
+        // sane cap it is model-parameter-sized, but the anti-join is left
+        // un-hinted so the planner can pick broadcast when stats allow.
+        val hot = posts.groupBy(col("s")).agg(count(lit(1)).as("_df"))
+          .filter(col("_df") > maxDf).select(col("s"))
+        posts.join(hot, Seq("s"), "left_anti")
+      } else posts
+    val a = kept.alias("a")
+    val b = kept.alias("b")
+    a.join(b, col("a.s") === col("b.s") && col("a.id") =!= col("b.id"))
+      .groupBy(col("a.id").as("contained_id"), col("b.id").as("container_id"),
+        col("a.n_sh").as("n_sh"))
+      .agg(count(lit(1)).as("overlap"))
+      .filter(col("overlap").cast("double") >= lit(tau) * col("n_sh").cast("double"))
+      .select(col("contained_id"), col("container_id"),
+        round(col("overlap").cast("double") / col("n_sh").cast("double"), 6)
+          .as("containment"))
   }
 
   /**

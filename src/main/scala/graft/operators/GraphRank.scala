@@ -1,0 +1,123 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
+
+/**
+ * Link-graph centrality for corpus curation: fixed-point (integer-scaled)
+ * PageRank. A web-scale data pipeline weighs documents by the authority of
+ * their source (domain/page link graph) — the classic pre-LLM curation
+ * signal (CommonCrawl-style domain ranking) and a first-class graph
+ * operator alongside the connected-components resolver in [[Dedup]].
+ *
+ * Determinism design — why INTEGER ranks: floating-point PageRank is not
+ * reproducible across engines or even across partitionings of the same
+ * cluster (FP addition is not associative; a shuffle's merge order moves
+ * the low bits, and iteration compounds them). Here rank mass is a 64-bit
+ * integer in units of 1/`scale`; every per-edge contribution truncates
+ * (`rank div out_degree`), every damped update truncates
+ * (`(damp · Σ) div 100`), and integer addition is associative — so ANY
+ * execution order yields bit-identical ranks, and the DuckDB oracle
+ * reproduces them exactly with no rounding epsilon. The cost is a
+ * deterministic downward mass leak of < 1/`scale` per truncation —
+ * irrelevant at scale = 1e12 — plus the standard dangling-node leak
+ * (nodes with no out-edges absorb mass; symmetrize the edge set if that
+ * matters for the use case).
+ *
+ * Iteration discipline (the [[Dedup.resolveClusters]] pattern): the edge
+ * set and per-iteration ranks are `localCheckpoint`ed so round k+1's plan
+ * compiles over a materialized leaf, not k rounds of nested joins; the
+ * loop compiles with AQE off (checkpoints only capture their partitioning
+ * under a fixed plan — see resolveClusters' scaladoc) with the shuffle
+ * width hand-derived from the observed edge count, and ranks/edges meet
+ * on the same hash(key) layout each round: per iteration the only data
+ * exchanged is the (dst, contribution) pair stream — two longs per edge,
+ * never adjacency lists.
+ */
+object GraphRank {
+
+  /**
+   * @param edges  (srcCol, dstCol) directed edge frame; duplicates are
+   *               collapsed (multi-edges count once — pre-aggregate a
+   *               weight column upstream if multiplicity should matter)
+   * @param iters  fixed power-iteration count (deterministic ranks; no
+   *               convergence test, so the plan/cost is known up front)
+   * @param scale  rank-mass denominator: initial rank = scale div N
+   * @param dampNum damping numerator in percent (85 = the classic 0.85)
+   * @return (node, rank_int) — rank_int in units of 1/scale
+   */
+  def pageRank(edges: DataFrame, srcCol: String, dstCol: String,
+               iters: Int = 10, scale: Long = 1000000000000L,
+               dampNum: Long = 85L,
+               targetEdgesPerPartition: Long = 4000000L): DataFrame = {
+    require(iters >= 1, "pageRank needs at least one iteration")
+    require(scale > 0L && dampNum >= 0L && dampNum <= 100L,
+      "scale must be positive and dampNum a percentage")
+    val spark = edges.sparkSession
+    // Distinct once, checkpoint once: every iteration joins this frame.
+    val e = edges
+      .select(col(srcCol).as("s"), col(dstCol).as("t"))
+      .filter(col("s").isNotNull && col("t").isNotNull)
+      .distinct()
+      .localCheckpoint(false, StorageLevel.MEMORY_AND_DISK)
+    val nEdges = e.count()
+    require(nEdges > 0L, "pageRank over an empty edge set")
+    val nP = Dedup.edgeShufflePartitions(
+      spark.sessionState.conf.numShufflePartitions, nEdges,
+      targetEdgesPerPartition)
+    Dedup.aqeLoopLock.synchronized {
+      val aqeKey = "spark.sql.adaptive.enabled"
+      val partKey = "spark.sql.shuffle.partitions"
+      val aqePrev = spark.conf.get(aqeKey, "true")
+      val partPrev = spark.conf.get(partKey)
+      spark.conf.set(aqeKey, "false")
+      // Aggregates inside the loop must land on the SAME width as the
+      // explicit nP repartitions, or every round pays a re-widening
+      // exchange on one join side.
+      spark.conf.set(partKey, nP.toString)
+      try {
+        // Edges keyed by src (the per-round join key); out-degree rides on
+        // the same layout. Both are loop-invariant.
+        val eBySrc = e.repartition(nP, col("s"))
+          .localCheckpoint(false, StorageLevel.MEMORY_AND_DISK)
+        val deg = eBySrc.groupBy(col("s")).agg(count(lit(1)).as("d"))
+          .localCheckpoint(false, StorageLevel.MEMORY_AND_DISK)
+        val nodes = e.select(col("s").as("n"))
+          .union(e.select(col("t").as("n")))
+          .distinct()
+          .repartition(nP, col("n"))
+          .localCheckpoint(false, StorageLevel.MEMORY_AND_DISK)
+        val nNodes = nodes.count()
+        // Driver Long arithmetic mirrors the oracle's integer division
+        // exactly: ((100-damp)·scale div 100) div N, truncating.
+        val initRank = scale / nNodes
+        val baseRank = ((100L - dampNum) * scale / 100L) / nNodes
+        var ranks = nodes.select(col("n"), lit(initRank).as("r"))
+          .localCheckpoint(false, StorageLevel.MEMORY_AND_DISK)
+        for (_ <- 1 to iters) {
+          // rank/deg meet on hash(n)=hash(s); the edge join fans each
+          // src's truncated contribution out per edge; the ONLY exchange
+          // of the round groups (t, contrib) onto hash(t) — the same
+          // layout `nodes` (and next round's ranks) already hold.
+          val contrib = ranks
+            .join(deg, ranks("n") === deg("s"))
+            .select(deg("s").as("cs"), expr("r div d").as("c"))
+          val sums = eBySrc
+            .join(contrib, eBySrc("s") === contrib("cs"))
+            .groupBy(col("t")).agg(sum(col("c")).as("cin"))
+          ranks = nodes
+            .join(sums, nodes("n") === sums("t"), "left")
+            .select(col("n"),
+              (lit(baseRank)
+                + expr(s"($dampNum * coalesce(cin, 0L)) div 100")).as("r"))
+            .localCheckpoint(false, StorageLevel.MEMORY_AND_DISK)
+        }
+        ranks.select(col("n").as("node"), col("r").as("rank_int"))
+      } finally {
+        spark.conf.set(aqeKey, aqePrev)
+        spark.conf.set(partKey, partPrev)
+      }
+    }
+  }
+}

@@ -83,6 +83,110 @@ object Relevance {
   }
 
   /**
+   * BM25 retrieval: the top-k documents for a QUERY STRING — the search
+   * direction of [[bm25TopTerms]] (which ranks terms within a doc). Emits
+   * (doc_id, score, rn) for the k highest-scoring documents, rank ordered
+   * by (score desc, doc_id asc); score = Σ over matched query terms of
+   * the per-term BM25 weight (same idf/k1/b formula as [[bm25TopTerms]],
+   * per-term weights rounded to 6 decimals before the sum, the sum
+   * rounded again — reproducible across engines).
+   *
+   * Scale shape: the query's term set is a driver-side literal, so the
+   * token filter runs INSIDE the map-side array (tokens are filtered
+   * against the query set before the explode) — the explode emits only
+   * matching (doc, term) rows and `dl` rides along from the same pass,
+   * so no corpus-sized join materializes. Corpus scalars (N, avgdl) are
+   * one map-side aggregate over doc lengths; per-query-term df is an
+   * aggregate of the already-tiny matched stream; both broadcast back.
+   * The final top-k is `orderBy.limit` (TakeOrdered: per-partition heaps
+   * + a k-row driver merge), never a global sort. Repeated queries over
+   * a frozen corpus should use [[bm25Index]]/[[bm25SearchIndexed]],
+   * which replace the corpus scan with a term-pruned index read.
+   */
+  def bm25Search(docs: DataFrame, idCol: String, textCol: String,
+                 query: String, k: Int = 10,
+                 k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    val qTerms = query.split(" ").filter(_.nonEmpty).distinct.toSeq
+    require(qTerms.nonEmpty, "bm25Search needs a non-empty query")
+    val dl = docs.select(col(idCol).as("doc_id"),
+      size(TextAnalysis.tokens(col(textCol))).cast("long").as("dl"))
+    val stats = dl.agg(count(lit(1)).as("n_docs"),
+      avg(col("dl").cast("double")).as("avgdl"))
+    val matched = docs.select(col(idCol).as("doc_id"),
+        TextAnalysis.tokens(col(textCol)).as("tk"))
+      .select(col("doc_id"), size(col("tk")).cast("long").as("dl"),
+        explode(filter(col("tk"), t => t.isInCollection(qTerms))).as("term"))
+    val tfq = matched.groupBy("doc_id", "dl", "term")
+      .agg(count(lit(1)).as("tf"))
+    val dfq = tfq.groupBy("term").agg(count(lit(1)).as("df"))
+    rankBm25Scores(scoreBm25(tfq, dfq, stats, k1, b), k)
+  }
+
+  /** Shared scoring tail of the scanned and indexed search paths:
+    * per-(doc, term) BM25 weight from a (doc_id, dl, term, tf) stream
+    * plus broadcast df / corpus stats. */
+  private def scoreBm25(tfq: DataFrame, dfq: DataFrame, stats: DataFrame,
+                        k1: Double, b: Double): DataFrame =
+    tfq.join(broadcast(dfq), "term")
+      .crossJoin(broadcast(stats))
+      .withColumn("ts", round(
+        log(lit(1.0) + (col("n_docs").cast("double") - col("df").cast("double") + lit(0.5))
+          / (col("df").cast("double") + lit(0.5)))
+          * (col("tf").cast("double") * lit(k1 + 1.0))
+          / (col("tf").cast("double")
+            + lit(k1) * (lit(1.0 - b) + lit(b) * col("dl").cast("double") / col("avgdl"))), 6))
+
+  private def rankBm25Scores(scored: DataFrame, k: Int): DataFrame = {
+    val agg = scored.groupBy("doc_id").agg(round(sum(col("ts")), 6).as("score"))
+    val w = Window.orderBy(col("score").desc, col("doc_id").asc)
+    agg.orderBy(col("score").desc, col("doc_id").asc).limit(k)
+      .withColumn("rn", row_number().over(w))
+      .select(col("doc_id"), col("score"), col("rn"))
+  }
+
+  /**
+   * Persist the BM25 inverted index for a frozen corpus: a postings
+   * table (term, doc_id, tf, dl) clustered and sorted by term, plus the
+   * corpus scalars (n_docs, avgdl) as a one-row `_stats` table. The
+   * term-clustered sort is the scale lever: every row group's term
+   * min/max is tight, so a query's `term IN (...)` pushes down to the
+   * parquet footer and skips the row groups of every other term —
+   * [[bm25SearchIndexed]] reads O(postings of the query terms), not the
+   * corpus.
+   */
+  def bm25Index(docs: DataFrame, idCol: String, textCol: String,
+                path: String): Unit = {
+    val terms = docs.select(col(idCol).as("doc_id"),
+        TextAnalysis.tokens(col(textCol)).as("tk"))
+      .select(col("doc_id"), size(col("tk")).cast("long").as("dl"),
+        explode(col("tk")).as("term"))
+    val postings = terms.groupBy("doc_id", "dl", "term")
+      .agg(count(lit(1)).as("tf"))
+    postings
+      .repartition(col("term")).sortWithinPartitions("term")
+      .write.mode("overwrite").parquet(s"$path/postings")
+    postings.agg(count_distinct(col("doc_id")).as("n_docs"),
+        (sum(col("tf")).cast("double")
+          / count_distinct(col("doc_id")).cast("double")).as("avgdl"))
+      .write.mode("overwrite").parquet(s"$path/_stats")
+  }
+
+  /** Query a [[bm25Index]]: identical output contract to [[bm25Search]]
+    * over the corpus the index was built from (spec-pinned equivalence),
+    * with the corpus scan replaced by a term-pruned postings read. */
+  def bm25SearchIndexed(spark: org.apache.spark.sql.SparkSession, path: String,
+                        query: String, k: Int = 10,
+                        k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    val qTerms = query.split(" ").filter(_.nonEmpty).distinct.toSeq
+    require(qTerms.nonEmpty, "bm25SearchIndexed needs a non-empty query")
+    val tfq = spark.read.parquet(s"$path/postings")
+      .filter(col("term").isin(qTerms: _*))
+    val dfq = tfq.groupBy("term").agg(count(lit(1)).as("df"))
+    val stats = spark.read.parquet(s"$path/_stats")
+    rankBm25Scores(scoreBm25(tfq, dfq, stats, k1, b), k)
+  }
+
+  /**
    * Corpus vocabulary top-k: global term frequencies and document
    * frequencies, ranked by total count — the vocabulary-building /
    * corpus-statistics pass of a data build.

@@ -30,6 +30,37 @@ object Sampling {
                           keepPct: Double): DataFrame =
     df.filter(hashBucket(col(keyCol)) < math.round(keepPct * Buckets))
 
+  /**
+   * Leakage-safe train/val/test split: assignment by NEAR-DUP GROUP, not
+   * by row. A per-row hash split puts two near-identical documents on
+   * opposite sides of the train/test wall — the classic eval-leakage bug
+   * a dedup pipeline exists to prevent. Here the near-dup pairs (any
+   * `(id_a, id_b)` frame — Jaccard, MinHash, SimHash, semantic) resolve
+   * to connected components ([[Dedup.resolveClusters]]); every member of
+   * a component inherits the split of the component id, and singletons
+   * (docs in no pair) split by their own id. By construction NO pair —
+   * and no transitive chain of pairs — ever crosses a split boundary
+   * (spec-pinned), and the assignment is recomputable from the corpus
+   * alone: same engine-portable md5 bucket as [[splitColumn]].
+   *
+   * Scale: cost is the cluster resolution (tiered: driver union-find
+   * below the edge gate, checkpointed pointer-doubling above); the split
+   * itself is one left join of the corpus against the (much smaller)
+   * non-singleton membership plus a map-side hash — no extra shuffle
+   * beyond the join.
+   */
+  def leakageSafeSplit(docs: DataFrame, idCol: String, pairs: DataFrame,
+                       trainPct: Double = 0.8, valPct: Double = 0.1,
+                       idA: String = "id_a", idB: String = "id_b"): DataFrame = {
+    val clusters = Dedup.resolveClusters(pairs, idA, idB)
+      .select(col("doc_id").as("_cid_key"), col("cluster_id"))
+    docs.select(col(idCol).as("doc_id"))
+      .join(clusters, col("doc_id") === col("_cid_key"), "left")
+      .withColumn("group_id", coalesce(col("cluster_id"), col("doc_id")))
+      .select(col("doc_id"), col("group_id"),
+        splitColumn(col("group_id"), trainPct, valPct).as("split"))
+  }
+
   /** Reproducible train/val/test assignment from the key alone. */
   def splitColumn(key: Column, trainPct: Double, valPct: Double): Column = {
     val b = hashBucket(key)

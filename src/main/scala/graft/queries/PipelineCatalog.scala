@@ -2091,6 +2091,160 @@ object PipelineCatalog {
       |FROM f""".stripMargin
 
   // ------------------------------------------------------------------
+  // Round-11 s3: containment dedup, BM25 retrieval, leakage-safe split,
+  // link-graph rank
+  // ------------------------------------------------------------------
+
+  /** Asymmetric doc-inside-doc containment over 3-shingle sets: every
+    * ordered pair with ≥ 50% of the contained side's shingles present in
+    * the container. tau chosen against the planted near-dup families. */
+  val dedupContainment: Q = (s, dir) =>
+    Dedup.containmentPairs(Tables.documents(s, dir), "doc_id", "text",
+      k = 3, tau = 0.5)
+
+  private def containmentSqlAt(tau: Double, maxDf: Long): String = {
+    val kept =
+      if (maxDf > 0L)
+        s"""), kept AS (
+           |  SELECT * FROM posts
+           |  WHERE sh NOT IN (SELECT sh FROM posts GROUP BY sh HAVING count(*) > $maxDf)""".stripMargin
+      else "), kept AS (\n  SELECT * FROM posts"
+    s"""WITH toks AS (
+       |  SELECT doc_id, string_split(text, ' ') AS t FROM documents
+       |), shs AS (
+       |  SELECT doc_id,
+       |         list_distinct([t[i] || ' ' || t[i+1] || ' ' || t[i+2]
+       |                        FOR i IN generate_series(1, len(t) - 2)]) AS s
+       |  FROM toks WHERE len(t) >= 3
+       |), base AS (
+       |  SELECT doc_id, s, CAST(len(s) AS BIGINT) AS n_sh FROM shs WHERE len(s) >= 1
+       |), posts AS (
+       |  SELECT doc_id, n_sh, unnest(s) AS sh FROM base
+       |$kept
+       |)
+       |SELECT a.doc_id AS contained_id, b.doc_id AS container_id,
+       |       round(CAST(count(*) AS DOUBLE) / a.n_sh, 6) AS containment
+       |FROM kept a JOIN kept b ON a.sh = b.sh AND a.doc_id <> b.doc_id
+       |GROUP BY 1, 2, a.n_sh
+       |HAVING CAST(count(*) AS DOUBLE) >= $tau * CAST(a.n_sh AS DOUBLE)""".stripMargin
+  }
+
+  val dedupContainmentSql: String = containmentSqlAt(0.5, 0L)
+
+  /** The hot-shingle (stop-shingle) cap regime: postings of shingles seen
+    * in more than maxDf docs drop before the pair join; tau lowered so the
+    * capped lower bound still certifies the planted pairs. The cap BINDS
+    * at this corpus (p99 shingle df = 4 > cap 3), so the gate certifies
+    * the pruned arithmetic, not a no-op flag. */
+  val dedupContainmentCapped: Q = (s, dir) =>
+    Dedup.containmentPairs(Tables.documents(s, dir), "doc_id", "text",
+      k = 3, tau = 0.4, minShingles = 1, maxDf = 3L)
+
+  val dedupContainmentCappedSql: String = containmentSqlAt(0.4, 3L)
+
+  /** BM25 retrieval: top-10 documents for a fixed 3-term query (one rare
+    * planted marker + two mid-frequency vocabulary terms). */
+  val bm25SearchQ: Q = (s, dir) =>
+    Relevance.bm25Search(Tables.documents(s, dir), "doc_id", "text",
+      "dup vector key", k = 10)
+
+  val bm25SearchSql: String =
+    """WITH dl AS (
+      |  SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS dl FROM documents
+      |), stats AS (
+      |  SELECT CAST(count(*) AS BIGINT) AS n_docs, AVG(CAST(dl AS DOUBLE)) AS avgdl FROM dl
+      |), terms AS (
+      |  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+      |), tfq AS (
+      |  SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf FROM terms
+      |  WHERE term IN ('dup', 'vector', 'key') GROUP BY doc_id, term
+      |), dfq AS (
+      |  SELECT term, CAST(count(*) AS BIGINT) AS df FROM tfq GROUP BY term
+      |), scored AS (
+      |  SELECT tfq.doc_id,
+      |    round(ln(1.0 + (CAST(n_docs AS DOUBLE) - CAST(df AS DOUBLE) + 0.5)
+      |                   / (CAST(df AS DOUBLE) + 0.5))
+      |          * (CAST(tf AS DOUBLE) * 2.2)
+      |          / (CAST(tf AS DOUBLE) + 1.2 * (0.25 + 0.75 * CAST(dl AS DOUBLE) / avgdl)),
+      |          6) AS ts
+      |  FROM tfq JOIN dfq USING (term) JOIN dl USING (doc_id) CROSS JOIN stats
+      |), agg AS (
+      |  SELECT doc_id, round(SUM(ts), 6) AS score FROM scored GROUP BY doc_id
+      |)
+      |SELECT doc_id, score, CAST(rn AS INT) AS rn FROM (
+      |  SELECT *, row_number() OVER (ORDER BY score DESC, doc_id) AS rn FROM agg
+      |) WHERE rn <= 10""".stripMargin
+
+  /** Leakage-safe split over the Jaccard near-dup graph: every doc gets
+    * train/val/test from its connected component's id, so no near-dup
+    * chain crosses the eval wall. */
+  val splitGroups: Q = (s, dir) =>
+    Sampling.leakageSafeSplit(Tables.documents(s, dir), "doc_id",
+      dedupJaccard(s, dir), trainPct = 0.8, valPct = 0.1)
+
+  val splitGroupsSql: String = {
+    val closure = dedupClustersSql.substring(
+      0, dedupClustersSql.indexOf("SELECT s AS doc_id"))
+    closure +
+      s"""SELECT d.doc_id,
+         |       COALESCE(c.cluster_id, d.doc_id) AS group_id,
+         |       CASE WHEN ${duckHashBucketMod("COALESCE(c.cluster_id, d.doc_id)", 1000)} < 800 THEN 'train'
+         |            WHEN ${duckHashBucketMod("COALESCE(c.cluster_id, d.doc_id)", 1000)} < 900 THEN 'val'
+         |            ELSE 'test' END AS split
+         |FROM documents d
+         |LEFT JOIN (
+         |  SELECT s AS doc_id, least(s, min(t)) AS cluster_id FROM reach GROUP BY s
+         |) c ON d.doc_id = c.doc_id""".stripMargin
+  }
+
+  /** Integer fixed-point PageRank over the symmetrized customer↔supplier
+    * trade graph (orders ⋈ lineitem, distinct partner pairs), 10
+    * iterations — bit-exact in ANY execution order, so the oracle needs
+    * no rounding epsilon. */
+  val graphRank: Q = (s, dir) => {
+    val cs = Tables.orders(s, dir)
+      .join(Tables.lineitem(s, dir), col("o_orderkey") === col("l_orderkey"))
+      .select(concat(lit("c"), col("o_custkey").cast("string")).as("src"),
+        concat(lit("s"), col("l_suppkey").cast("string")).as("dst"))
+      .distinct()
+    val sym = cs.union(cs.select(col("dst").as("src"), col("src").as("dst")))
+    GraphRank.pageRank(sym, "src", "dst", iters = 10)
+  }
+
+  val graphRankSql: String = {
+    val head =
+      """WITH e AS (
+        |  SELECT DISTINCT 'c' || CAST(o_custkey AS VARCHAR) AS s,
+        |                  's' || CAST(l_suppkey AS VARCHAR) AS t
+        |  FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+        |), es AS (
+        |  SELECT s, t FROM e UNION SELECT t, s FROM e
+        |), deg AS (
+        |  SELECT s, CAST(count(*) AS BIGINT) AS d FROM es GROUP BY s
+        |), nodes AS (
+        |  SELECT s AS n FROM es UNION SELECT t FROM es
+        |), nn AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS cnt FROM nodes
+        |), r0 AS (
+        |  SELECT n, 1000000000000 // cnt AS r FROM nodes CROSS JOIN nn
+        |)""".stripMargin
+    val iters = (1 to 10).map { i =>
+      s""", r$i AS (
+         |  SELECT nodes.n,
+         |         CAST(((15 * 1000000000000) // 100) // nn.cnt
+         |           + (85 * COALESCE(c.si, 0)) // 100 AS BIGINT) AS r
+         |  FROM nodes CROSS JOIN nn
+         |  LEFT JOIN (
+         |    SELECT es.t AS n, CAST(SUM(p.r // deg.d) AS BIGINT) AS si
+         |    FROM r${i - 1} p JOIN deg ON p.n = deg.s JOIN es ON es.s = p.n
+         |    GROUP BY es.t
+         |  ) c ON nodes.n = c.n
+         |)""".stripMargin
+    }.mkString("")
+    head + iters + "\nSELECT n AS node, r AS rank_int FROM r10"
+  }
+
+  // ------------------------------------------------------------------
   // Registry
   // ------------------------------------------------------------------
 
@@ -2098,6 +2252,11 @@ object PipelineCatalog {
     "dedup_exact_groups" -> dedupExactGroups,
     "dedup_exact" -> dedupExact,
     "dedup_jaccard" -> dedupJaccard,
+    "dedup_containment" -> dedupContainment,
+    "dedup_containment_capped" -> dedupContainmentCapped,
+    "bm25_search" -> bm25SearchQ,
+    "split_groups" -> splitGroups,
+    "graph_rank" -> graphRank,
     "fuzzy_pairs" -> fuzzyPairs,
     "fuzzy_pairs_r2" -> fuzzyPairsR2,
     "dedup_clusters" -> dedupClusters,
@@ -2173,6 +2332,11 @@ object PipelineCatalog {
     "dedup_exact_groups" -> dedupExactGroupsSql,
     "dedup_exact" -> dedupExactSql,
     "dedup_jaccard" -> dedupJaccardSql,
+    "dedup_containment" -> dedupContainmentSql,
+    "dedup_containment_capped" -> dedupContainmentCappedSql,
+    "bm25_search" -> bm25SearchSql,
+    "split_groups" -> splitGroupsSql,
+    "graph_rank" -> graphRankSql,
     "fuzzy_pairs" -> fuzzyPairsSql,
     "fuzzy_pairs_r2" -> fuzzyPairsR2Sql,
     "dedup_minhash_md5" -> dedupMinhashMd5Sql,

@@ -600,4 +600,55 @@ class DedupSpec extends SparkSuite {
     }
     assert(ex2.getMessage.contains("family"))
   }
+
+  // ---- containmentPairs: the asymmetric doc-inside-doc relation ----
+
+  // doc 11 is a verbatim 12-token slice of doc 10: containment(11→10)=1
+  // while Jaccard(10,11) is small and containment(10→11) is small.
+  private lazy val containDocs = Seq(
+    (10L, base),
+    (11L, base.split(" ").slice(5, 17).mkString(" ")),
+    (12L, distinct1)
+  ).toDF("doc_id", "text")
+
+  test("containment: a doc sliced from a bigger doc is fully contained, not vice versa") {
+    val pairs = Dedup.containmentPairs(containDocs, "doc_id", "text",
+        k = 3, tau = 0.9)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(pairs.contains((11L, 10L)) && pairs((11L, 10L)) === 1.0,
+      s"slice must be contained in its source: $pairs")
+    assert(!pairs.contains((10L, 11L)),
+      "the big doc is NOT contained in its slice (asymmetry)")
+    assert(!pairs.keySet.exists(p => p._1 == 12L || p._2 == 12L),
+      "unrelated doc must not pair")
+    // symmetric Jaccard misses the same relation at the same threshold
+    val jac = Dedup.jaccardPairs(
+      containDocs.withColumn("blk", lit("x")), "doc_id", "text", "blk", 0.9)
+    assert(jac.count() === 0L, "Jaccard at 0.9 cannot see the containment")
+  }
+
+  test("containment: maxDf cap prunes evidence (lower bound), never raises it") {
+    val uncapped = Dedup.containmentPairs(containDocs, "doc_id", "text",
+        k = 3, tau = 0.1)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    // cap at df > 1: every shingle shared by the slice and its source is
+    // in 2 docs, so ALL evidence for (11→10) drops
+    val capped = Dedup.containmentPairs(containDocs, "doc_id", "text",
+        k = 3, tau = 0.1, maxDf = 1L)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(capped.isEmpty,
+      s"df>1 cap must remove all cross-doc shingle evidence: $capped")
+    capped.foreach { case (k2, v) => assert(v <= uncapped(k2)) }
+  }
+
+  test("containment: docs below minShingles (or shorter than k tokens) are excluded") {
+    val tiny = Seq((1L, "a b"), (2L, "a b c d e"), (3L, "a b c d e")).toDF("doc_id", "text")
+    val pairs = Dedup.containmentPairs(tiny, "doc_id", "text", k = 3, tau = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // doc 1 has zero 3-shingles -> excluded; 2 and 3 are identical
+    assert(pairs === Set((2L, 3L), (3L, 2L)))
+    val floored = Dedup.containmentPairs(tiny, "doc_id", "text", k = 3,
+      tau = 0.5, minShingles = 4)
+    assert(floored.count() === 0L, "3-shingle count 3 < floor 4 excludes both")
+  }
 }

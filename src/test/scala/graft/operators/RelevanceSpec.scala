@@ -113,4 +113,41 @@ class RelevanceSpec extends SparkSuite {
     assert(ppl(1L) < ppl(2L),
       s"repetitive doc must be more predictable: $ppl")
   }
+
+  // ---- bm25Search: the retrieval direction ----
+
+  test("bm25Search: ranks docs by summed matched-term score, doc-id tiebreak") {
+    val hits = Relevance.bm25Search(corpus, "doc_id", "text",
+        "apple cherry", k = 10)
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getInt(2)))
+    assert(hits.map(_._1).toSet === Set(1L, 2L, 3L),
+      "every doc matches at least one query term")
+    assert(hits.map(_._3).toSeq === (1 to 3), "ranks are dense 1..n")
+    // doc 3 matches cherry twice (tf=2), doc 2 once; doc 1 matches the
+    // rarer apple — scores must be strictly ordered by the BM25 sum
+    val byDoc = hits.map(h => h._1 -> h._2).toMap
+    assert(byDoc(3L) > byDoc(2L), "higher tf on the same term ranks higher")
+    // a term absent from the corpus contributes nothing and breaks nothing
+    val same = Relevance.bm25Search(corpus, "doc_id", "text",
+        "apple cherry zzz-missing", k = 10)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toMap
+    assert(same === byDoc)
+    // k caps the output
+    assert(Relevance.bm25Search(corpus, "doc_id", "text", "the", k = 2)
+      .count() === 2L)
+  }
+
+  test("bm25SearchIndexed: identical output to the scanned path, term filter pushed to parquet") {
+    val dir = java.nio.file.Files.createTempDirectory("bm25idx").toString
+    Relevance.bm25Index(corpus, "doc_id", "text", dir)
+    val scanned = Relevance.bm25Search(corpus, "doc_id", "text",
+      "apple cherry", k = 10).collect().map(_.toSeq).toSeq
+    val indexed = Relevance.bm25SearchIndexed(spark, dir,
+      "apple cherry", k = 10)
+    assert(indexed.collect().map(_.toSeq).toSeq === scanned)
+    // the query's term set must reach the postings scan as a pushed filter
+    val plan = indexed.queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters") && plan.contains("In(term"),
+      s"term IN (...) must push down to the postings read:\n$plan")
+  }
 }

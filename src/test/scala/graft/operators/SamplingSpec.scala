@@ -200,4 +200,40 @@ class SamplingSpec extends SparkSuite {
     assert(p.contains("WindowGroupLimit"),
       s"rank-then-filter must pre-trim map-side:\n$p")
   }
+
+  // ---- leakageSafeSplit: near-dup groups never cross the eval wall ----
+
+  test("leakageSafeSplit: transitive near-dup chains land on ONE side") {
+    val docs = spark.range(500).select(col("id").as("doc_id"))
+    // chains: (1,2,3) via 1-2, 2-3; (10,11); the rest singletons
+    val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("id_a", "id_b")
+    val split = Sampling.leakageSafeSplit(docs, "doc_id", pairs)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getString(2))).toMap
+    assert(split.size === 500, "every doc gets exactly one assignment")
+    // chain members share group AND split — including the transitive 1-3
+    assert(Set(1L, 2L, 3L).map(split(_)).size === 1,
+      s"chain must collapse to one (group, split): ${split.filterKeys(Set(1L, 2L, 3L))}")
+    assert(split(10L) === split(11L))
+    // no pair crosses the wall (the property the operator exists for)
+    Seq((1L, 2L), (2L, 3L), (1L, 3L), (10L, 11L)).foreach { case (a, b) =>
+      assert(split(a)._2 === split(b)._2, s"leak: $a/${split(a)} vs $b/${split(b)}")
+    }
+    // singletons split by their own id, identically to splitColumn
+    val own = docs.filter(!col("doc_id").isin(1L, 2L, 3L, 10L, 11L))
+      .select(col("doc_id"),
+        Sampling.splitColumn(col("doc_id"), 0.8, 0.1).as("s"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    own.foreach { case (id, s) => assert(split(id)._2 === s) }
+    // rough fractions hold on 500 keys
+    val frac = split.values.groupBy(_._2).view.mapValues(_.size / 500.0).toMap
+    assert(frac("train") > 0.7 && frac("train") < 0.9, frac.toString)
+  }
+
+  test("leakageSafeSplit is recomputable: identical assignment on re-run") {
+    val docs = spark.range(200).select(col("id").as("doc_id"))
+    val pairs = Seq((5L, 6L)).toDF("id_a", "id_b")
+    val a = Sampling.leakageSafeSplit(docs, "doc_id", pairs).collect().toSeq
+    val b = Sampling.leakageSafeSplit(docs, "doc_id", pairs).collect().toSeq
+    assert(a.toSet === b.toSet)
+  }
 }
