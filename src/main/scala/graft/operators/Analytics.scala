@@ -1,0 +1,116 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/**
+ * Event-log product analytics: ordered funnel conversion and cohort
+ * retention. The reference computes the single-pair version of the funnel
+ * twice — OrderPayDetectApp chains create→pay inside a 15-minute horizon
+ * (CEP and process-function variants, reference
+ * gmall-flink-200621/gmall-realtime/…/OrderPayDetectApp; see
+ * [[graft.streaming.Cep]] for the streaming mapping) — this generalizes
+ * that two-step pattern to a k-step batch funnel, and adds the cohort
+ * retention matrix every event-analytics suite pairs with it.
+ *
+ * Engine-parity conventions (SURVEY.md §7.4): event time is an integer
+ * epoch-seconds column, the retention bucket is integer floor-division,
+ * and every aggregate is a count or an integer sum — both operators are
+ * bit-exact in ANSI SQL with no rounding epsilon.
+ */
+object Analytics {
+
+  /**
+   * Per-user earliest-completion times of an ordered funnel: `t1` is the
+   * user's first `steps(0)` event; `t_i` is the first `steps(i-1)` event
+   * STRICTLY after `t_{i-1}` (the reference's create→pay rule: the pay
+   * must follow the create) and, with `horizon > 0`, within `horizon`
+   * seconds of `t1` (the 15-minute-timeout generalization). Greedy
+   * earliest-first matching — the standard funnel semantics: taking the
+   * earliest completion of every prefix can never lose a completion of a
+   * longer prefix, so reach counts are maximal.
+   *
+   * Returns one frame per step: frame i has `(u, t1 … t_i)`, one row per
+   * user who reached step i.
+   *
+   * Scale shape: every join and aggregate is keyed on the user column —
+   * frame i never exceeds one row per user, the event log is filtered to
+   * a single step type before it shuffles, and the carried `t_j` columns
+   * are functionally dependent on `u` (no row growth through the
+   * chain). No window over the raw log, no per-user event collection:
+   * memory per task is one group row, so a power user with millions of
+   * events costs aggregation time, not heap.
+   */
+  def funnelUserTimes(df: DataFrame, userCol: String, tsCol: String,
+                      typeCol: String, steps: Seq[String],
+                      horizon: Long = 0L): Seq[DataFrame] = {
+    require(steps.nonEmpty, "funnel needs at least one step")
+    require(steps.distinct.length == steps.length,
+      s"funnel steps must be distinct: $steps")
+    val base = df.select(col(userCol).as("u"),
+      col(tsCol).cast("long").as("ts"), col(typeCol).as("et"))
+    val frames = Seq.newBuilder[DataFrame]
+    var reach = base.filter(col("et") === steps.head)
+      .groupBy("u").agg(min("ts").as("t1"))
+    frames += reach
+    for (i <- 2 to steps.length) {
+      val within: Column =
+        if (horizon > 0L) col("ts") <= col("t1") + horizon else lit(true)
+      reach = base.filter(col("et") === steps(i - 1))
+        .join(reach, Seq("u"))
+        .filter(col("ts") > col(s"t${i - 1}") && within)
+        .groupBy(col("u") +: (1 until i).map(j => col(s"t$j")): _*)
+        .agg(min("ts").as(s"t$i"))
+      frames += reach
+    }
+    frames.result()
+  }
+
+  /**
+   * The funnel report over [[funnelUserTimes]]: per step, how many users
+   * reached it and the total seconds from funnel entry (`Σ (t_i − t1)`,
+   * an exact integer — divide by `users` downstream for the mean lag;
+   * the sum is emitted instead of the mean so the gate stays
+   * epsilon-free). Output `(step, step_name, users, sum_lag)`.
+   */
+  def funnelSteps(df: DataFrame, userCol: String, tsCol: String,
+                  typeCol: String, steps: Seq[String],
+                  horizon: Long = 0L): DataFrame =
+    funnelUserTimes(df, userCol, tsCol, typeCol, steps, horizon)
+      .zipWithIndex.map { case (f, idx) =>
+        val i = idx + 1
+        f.agg(count(lit(1)).as("users"),
+            coalesce(sum(col(s"t$i") - col("t1")), lit(0L)).as("sum_lag"))
+          .select(lit(i).as("step"), lit(steps(idx)).as("step_name"),
+            col("users"), col("sum_lag"))
+      }.reduce(_ unionByName _)
+
+  /**
+   * Cohort retention matrix: bucket time by integer floor-division
+   * (`bucket` seconds per cell, default daily), cohort a user at their
+   * first active bucket, and count distinct users active at each
+   * `(cohort, offset)` cell. Output `(cohort_day, day_offset, users)`
+   * with integer day indices (epoch-day, not a date type — timezone-free
+   * and bit-identical across engines).
+   *
+   * Scale shape: the one unavoidable big shuffle is the `(user, day)`
+   * distinct over the raw log (map-side partial distinct first); after
+   * it every frame is ≤ users × active-days rows. The cohort join is
+   * keyed on the user column against a one-row-per-user frame, and the
+   * final aggregate needs no `countDistinct` — the join preserves the
+   * distinctness of `(u, d)`, so a plain count suffices.
+   */
+  def cohortRetention(df: DataFrame, userCol: String, tsCol: String,
+                      bucket: Long = 86400L): DataFrame = {
+    require(bucket > 0L, s"bucket must be positive: $bucket")
+    val act = df.select(col(userCol).as("u"),
+        floor(col(tsCol).cast("long") / lit(bucket)).cast("long").as("d"))
+      .distinct()
+    val first = act.groupBy("u").agg(min("d").as("cohort"))
+    act.join(first, Seq("u"))
+      .withColumn("day_offset", col("d") - col("cohort"))
+      .groupBy("cohort", "day_offset")
+      .agg(count(lit(1)).as("users"))
+      .select(col("cohort").as("cohort_day"), col("day_offset"), col("users"))
+  }
+}

@@ -1668,6 +1668,54 @@ object Catalog {
        |       count(*) AS cnt
        |FROM e GROUP BY 1""".stripMargin
 
+  /** Ordered funnel view→click→purchase with a 1-day horizon — the
+    * k-step batch generalization of the reference's create→pay-within-
+    * 15-min pattern (OrderPayDetectApp). Integer-seconds event time and
+    * integer lag sums keep the gate epsilon-free. */
+  val funnelStepsQ: Q = (s, dir) => {
+    val e = events(s, dir).select(col("user_id"), col("sec"), col("event_type"))
+    Analytics.funnelSteps(e, "user_id", "sec", "event_type",
+      Seq("view", "click", "purchase"), horizon = 86400L)
+  }
+
+  /** DuckDB twin: the same earliest-completion CTE chain. `sum(BIGINT)`
+    * is HUGEINT in DuckDB (→ float through pandas) — cast back. */
+  val funnelStepsSql: String =
+    s"""$eventsCte,
+       |s1 AS (SELECT user_id AS u, min(sec) AS t1 FROM e
+       |       WHERE event_type = 'view' GROUP BY 1),
+       |s2 AS (SELECT e.user_id AS u, s1.t1 AS t1, min(e.sec) AS t2 FROM e
+       |       JOIN s1 ON e.user_id = s1.u
+       |       WHERE e.event_type = 'click' AND e.sec > s1.t1
+       |         AND e.sec <= s1.t1 + 86400 GROUP BY 1, 2),
+       |s3 AS (SELECT e.user_id AS u, s2.t1 AS t1, min(e.sec) AS t3 FROM e
+       |       JOIN s2 ON e.user_id = s2.u
+       |       WHERE e.event_type = 'purchase' AND e.sec > s2.t2
+       |         AND e.sec <= s2.t1 + 86400 GROUP BY 1, 2)
+       |SELECT 1 AS step, 'view' AS step_name, count(*) AS users,
+       |       CAST(0 AS BIGINT) AS sum_lag FROM s1
+       |UNION ALL
+       |SELECT 2, 'click', count(*),
+       |       CAST(coalesce(sum(t2 - t1), 0) AS BIGINT) FROM s2
+       |UNION ALL
+       |SELECT 3, 'purchase', count(*),
+       |       CAST(coalesce(sum(t3 - t1), 0) AS BIGINT) FROM s3""".stripMargin
+
+  /** Daily cohort retention matrix over events — integer epoch-day
+    * cohorts, exact counts. */
+  val retentionCohortQ: Q = (s, dir) => {
+    val e = events(s, dir).select(col("user_id"), col("sec"))
+    Analytics.cohortRetention(e, "user_id", "sec")
+  }
+
+  val retentionCohortSql: String =
+    s"""$eventsCte,
+       |a AS (SELECT DISTINCT user_id, sec // 86400 AS d FROM e),
+       |f AS (SELECT user_id, min(d) AS cohort FROM a GROUP BY 1)
+       |SELECT cohort AS cohort_day, d - cohort AS day_offset,
+       |       count(*) AS users
+       |FROM a JOIN f USING (user_id) GROUP BY 1, 2""".stripMargin
+
   // ------------------------------------------------------------------
   // Registry — the driver contract (SparkEntry.queries / oracleSql).
   // Every operator claimed done in SURVEY.md §2 must appear in `all`;
@@ -1740,7 +1788,9 @@ object Catalog {
     "reconcile" -> reconcile,
     "value_sum_daily" -> valueSumDaily,
     "value_percentiles" -> valuePercentiles,
-    "value_percentiles_approx" -> valuePercentilesApprox)
+    "value_percentiles_approx" -> valuePercentilesApprox,
+    "funnel_steps" -> funnelStepsQ,
+    "retention_cohort" -> retentionCohortQ)
 
   val oracles: Map[String, String] = PipelineCatalog.oracles ++ Map(
     "q1_agg" -> q1AggSql,
@@ -1811,5 +1861,7 @@ object Catalog {
     "reconcile" -> reconcileSql,
     "value_sum_daily" -> valueSumDailySql,
     // value_percentiles_approx: sketch estimate — rows-only by design
-    "value_percentiles" -> valuePercentilesSql)
+    "value_percentiles" -> valuePercentilesSql,
+    "funnel_steps" -> funnelStepsSql,
+    "retention_cohort" -> retentionCohortSql)
 }
