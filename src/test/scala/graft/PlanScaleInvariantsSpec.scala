@@ -5,7 +5,7 @@ import org.apache.spark.scheduler.{SparkListener, SparkListenerStageSubmitted}
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
-import graft.operators.{Dedup, Similarity, TextAnalysis}
+import graft.operators.{Dedup, GraphRank, Similarity, TextAnalysis}
 
 /**
  * Plan-shape flatness as a CI CONTRACT (the round-9 lesson made standing):
@@ -269,6 +269,56 @@ class PlanScaleInvariantsSpec extends SparkSuite {
           s"qualityScore must be map-only; saw $sh shuffles at n=$n")
       }
     }
+  }
+
+  test("containment screen (capped regime): plan shape flat 1x -> 20x, no auto-broadcast") {
+    // the production regime is CAPPED (maxDf bounds pair volume at
+    // Σ df² ≤ postings × maxDf): stop-shingle aggregate + anti-join +
+    // shingle self-join + containment groupBy. All exchanges keyed on
+    // shingle/pair columns — none sized by a size-dependent branch, so
+    // the count must hold as the corpus grows. Grouped-aggregate drive
+    // (SOAK DRIVE RULE). Derived: hot-aggregate + anti-join pair +
+    // self-join pair + containment groupBy + drive aggregate.
+    assertFlat("containment_capped", (6, 0)) { corpus =>
+      val pairs = Dedup.containmentPairs(corpus, "doc_id", "text",
+        k = 3, tau = 0.3, maxDf = 64L)
+      assert(pairs.groupBy(col("container_id"))
+        .agg(count(lit(1))).count() >= 0)
+    }(docCorpus)
+  }
+
+  test("pageRank: stage count flat at fixed iterations, 1x -> 20x") {
+    // The loop compiles its own fixed shapes (AQE off, hand-derived
+    // width): at a FIXED iteration count the stage count must not move
+    // with graph size — growth would mean an iteration gained exchanges
+    // (the AQE-erased-checkpoint-partitioning failure mode) or a
+    // loop-invariant frame stopped being reused.
+    def ring(k: Int): DataFrame = {
+      val edges = (0 until k).map(i => (i.toLong, ((i + 1) % k).toLong))
+      spark.sparkContext.parallelize(edges, 4).toDF("src", "dst")
+    }
+    def stages(k: Int): Int = {
+      val n = new java.util.concurrent.atomic.AtomicInteger()
+      val l = new SparkListener {
+        override def onStageSubmitted(s: SparkListenerStageSubmitted): Unit =
+          { n.incrementAndGet(); () }
+      }
+      spark.sparkContext.addSparkListener(l)
+      try {
+        val ranks = GraphRank.pageRank(ring(k), "src", "dst", iters = 3)
+        // on a symmetric-degree ring every node holds exactly scale/k
+        assert(ranks.select(countDistinct(col("rank_int"))).head.getLong(0)
+          === 1L, "ring ranks must be uniform")
+        GraftListenerBridge.waitListenerBus(spark.sparkContext)
+      } finally spark.sparkContext.removeSparkListener(l)
+      n.get
+    }
+    val s1 = stages(300)
+    val s20 = stages(6000)
+    info(s"[pageRank] stages at 1x: $s1, 20x: $s20")
+    assert(s20 === s1,
+      s"stage count changed with scale at fixed iters ($s1 -> $s20): " +
+        "an iteration gained or lost exchanges")
   }
 
   test("resolveClusters SMJ tier: stage count flat at fixed diameter, 1x -> 20x") {
