@@ -1302,16 +1302,27 @@ object Dedup {
    * Candidate generation needs no blocking column: the inverted shingle
    * index IS the blocker. Shape at scale — one map-side pass builds each
    * doc's distinct shingle-hash set ([[shingleHashes]]: 8-byte hashes,
-   * no gram strings); postings `(shingle, id, n_sh)` explode map-side;
-   * one shuffle on the shingle hash joins the postings against
-   * themselves; the matched stream carries ID PAIRS only (never text)
-   * into one `(contained, container)` count aggregate. Pair volume is
-   * Σ_g df(g)² over shingle document-frequencies — the `maxDf` cap
-   * bounds that sum by dropping postings of shingles seen in more than
-   * `maxDf` docs BEFORE the join (stop-shingles: boilerplate phrases
-   * carry no containment evidence but dominate df²). The cap prunes
-   * EVIDENCE, not candidates' denominators: `n_sh` stays the full set
-   * size, so capped containment is a deterministic LOWER BOUND on true
+   * no gram strings); the pair scan then runs DEDUP-THEN-EXPAND (the
+   * duplicate-amplification discipline [[editDistancePairs]] set):
+   * containment depends only on the shingle SETS, so docs are first
+   * collapsed to one representative per distinct (sorted) set, postings
+   * `(shingle, rid, n_sh)` explode from the representatives only, one
+   * shuffle on the shingle hash joins those postings against themselves,
+   * and the `(contained, container)` count aggregate runs at set level
+   * before surviving pairs expand back over group members (identical-set
+   * groups pair internally at `n_kept / n_sh` — 1.0 uncapped). Without
+   * the collapse, pair volume is Σ_g df(g)² over MEMBER document
+   * frequencies, and a duplicate-heavy corpus (the exact thing a dedup
+   * operator is pointed at) amplifies every df by its copy count —
+   * measured 39× time for 10× data on a 10×-replica corpus; collapsed,
+   * the scan is Σ df² over DISTINCT sets plus output-sized expansion.
+   * The `maxDf` cap bounds the remaining sum by dropping postings of
+   * shingles seen in more than `maxDf` docs — MEMBER-level df, i.e. the
+   * group-size-weighted representative count, so capping is unchanged by
+   * the collapse (stop-shingles: boilerplate phrases carry no
+   * containment evidence but dominate df²). The cap prunes EVIDENCE,
+   * not candidates' denominators: `n_sh` stays the full set size, so
+   * capped containment is a deterministic LOWER BOUND on true
    * containment (a pair can drop below tau, never rise above it) — and
    * both regimes stay exactly oracle-checkable in SQL.
    *
@@ -1329,26 +1340,61 @@ object Dedup {
       .select(col(idCol).as("id"), shingleHashes(col(textCol), k).as("sh"))
       .withColumn("n_sh", size(col("sh")).cast("long"))
       .filter(col("n_sh") >= math.max(minShingles, 1).toLong)
-    val posts = base.select(col("id"), col("n_sh"), explode(col("sh")).as("s"))
+    // collapse to one representative per distinct shingle SET (sorted —
+    // shingleHashes preserves encounter order); the window attaches the
+    // member → representative mapping without a second array join
+    val w = Window.partitionBy(sort_array(col("sh")))
+    val withRep = base
+      .withColumn("rid", min(col("id")).over(w))
+      .withColumn("grp", count(lit(1)).over(w))
+    val reps = withRep.filter(col("id") === col("rid"))
+      .select(col("rid"), col("sh"), col("n_sh"), col("grp"))
+    val posts = reps.select(col("rid"), col("n_sh"), col("grp"),
+      explode(col("sh")).as("s"))
     val kept =
       if (maxDf > 0L) {
-        // Stop-shingle set is bounded by total-postings / maxDf; at any
-        // sane cap it is model-parameter-sized, but the anti-join is left
+        // member-level df = group-size-weighted representative count, so
+        // the cap binds exactly as it would uncollapsed. Stop-shingle set
+        // is bounded by total-postings / maxDf; the anti-join is left
         // un-hinted so the planner can pick broadcast when stats allow.
-        val hot = posts.groupBy(col("s")).agg(count(lit(1)).as("_df"))
+        val hot = posts.groupBy(col("s")).agg(sum(col("grp")).as("_df"))
           .filter(col("_df") > maxDf).select(col("s"))
         posts.join(hot, Seq("s"), "left_anti")
       } else posts
     val a = kept.alias("a")
     val b = kept.alias("b")
-    a.join(b, col("a.s") === col("b.s") && col("a.id") =!= col("b.id"))
-      .groupBy(col("a.id").as("contained_id"), col("b.id").as("container_id"),
+    val repPairs = a
+      .join(b, col("a.s") === col("b.s") && col("a.rid") =!= col("b.rid"))
+      .groupBy(col("a.rid").as("ra"), col("b.rid").as("rb"),
         col("a.n_sh").as("n_sh"))
       .agg(count(lit(1)).as("overlap"))
       .filter(col("overlap").cast("double") >= lit(tau) * col("n_sh").cast("double"))
-      .select(col("contained_id"), col("container_id"),
+      .select(col("ra"), col("rb"),
         round(col("overlap").cast("double") / col("n_sh").cast("double"), 6)
           .as("containment"))
+    val members = withRep.select(col("id"), col("rid"))
+    val cross = repPairs
+      .join(members.as("ma"), col("ma.rid") === col("ra"))
+      .join(members.as("mb"), col("mb.rid") === col("rb"))
+      .select(col("ma.id").as("contained_id"), col("mb.id").as("container_id"),
+        col("containment"))
+    // identical-set groups pair internally: overlap is the group's KEPT
+    // shingle count (its whole set uncapped), exactly what the
+    // uncollapsed join would have counted for two equal sets
+    val intra = kept.groupBy(col("rid"), col("n_sh"), col("grp"))
+      .agg(count(lit(1)).as("n_kept"))
+      .filter(col("grp") >= 2L &&
+        col("n_kept").cast("double") >= lit(tau) * col("n_sh").cast("double"))
+      .select(col("rid").as("irid"),
+        round(col("n_kept").cast("double") / col("n_sh").cast("double"), 6)
+          .as("containment"))
+    val intraPairs = intra
+      .join(members.as("ma"), col("ma.rid") === col("irid"))
+      .join(members.as("mb"), col("mb.rid") === col("irid"))
+      .filter(col("ma.id") =!= col("mb.id"))
+      .select(col("ma.id").as("contained_id"), col("mb.id").as("container_id"),
+        col("containment"))
+    cross.unionByName(intraPairs)
   }
 
   /**

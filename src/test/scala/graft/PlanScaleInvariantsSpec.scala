@@ -273,13 +273,14 @@ class PlanScaleInvariantsSpec extends SparkSuite {
 
   test("containment screen (capped regime): plan shape flat 1x -> 20x, no auto-broadcast") {
     // the production regime is CAPPED (maxDf bounds pair volume at
-    // Σ df² ≤ postings × maxDf): stop-shingle aggregate + anti-join +
-    // shingle self-join + containment groupBy. All exchanges keyed on
-    // shingle/pair columns — none sized by a size-dependent branch, so
-    // the count must hold as the corpus grows. Grouped-aggregate drive
-    // (SOAK DRIVE RULE). Derived: hot-aggregate + anti-join pair +
-    // self-join pair + containment groupBy + drive aggregate.
-    assertFlat("containment_capped", (6, 0)) { corpus =>
+    // Σ df² ≤ postings × maxDf) and DEDUP-THEN-EXPAND (set-collapse
+    // window + rep-level hot-aggregate/anti-join/self-join/containment
+    // groupBy + member-expansion joins for cross and intra pairs +
+    // drive aggregate — every exchange sized by distinct sets or true
+    // output, never the member-amplified pair stream). More exchanges
+    // than the pre-collapse form's 6, but none grows a new one with
+    // corpus size, which is what this contract certifies.
+    assertFlat("containment_capped", (18, 0)) { corpus =>
       val pairs = Dedup.containmentPairs(corpus, "doc_id", "text",
         k = 3, tau = 0.3, maxDf = 64L)
       assert(pairs.groupBy(col("container_id"))

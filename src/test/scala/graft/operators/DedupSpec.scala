@@ -651,4 +651,38 @@ class DedupSpec extends SparkSuite {
       tau = 0.5, minShingles = 4)
     assert(floored.count() === 0L, "3-shingle count 3 < floor 4 excludes both")
   }
+
+  test("containment: dedup-then-expand is bit-equal to the naive pair scan on a duplicate-heavy corpus") {
+    // 4 copies of every containDocs row (the replica shape that made the
+    // member-level df² scan 39x at sf1), plus one mutated copy so the
+    // collapse has both identical-set groups and near-identical sets.
+    // Brute force over the same xxhash shingle sets is the ground truth
+    // for BOTH regimes (uncapped and a binding member-level cap).
+    val dup = (0 until 4).flatMap { c =>
+      Seq((10L + 100 * c, base),
+        (11L + 100 * c, base.split(" ").slice(5, 17).mkString(" ")),
+        (12L + 100 * c, distinct1))
+    } :+ (999L, base + " mutated")
+    val df = dup.toDF("doc_id", "text")
+    def brute(tau: Double, maxDf: Long): Map[(Long, Long), Double] = {
+      val sets = df.select(col("doc_id"),
+          Dedup.shingleHashes(col("text"), 3).as("sh"))
+        .collect().map(r => r.getLong(0) -> r.getSeq[Long](1).toSet)
+        .filter(_._2.nonEmpty)
+      val dfreq = sets.flatMap(_._2).groupBy(identity).map { case (s, o) => s -> o.length.toLong }
+      val keep = (s: Long) => maxDf <= 0L || dfreq(s) <= maxDf
+      (for {
+        (ia, sa) <- sets; (ib, sb) <- sets if ia != ib
+        ov = sa.intersect(sb).count(keep)
+        if ov.toDouble >= tau * sa.size
+      } yield (ia, ib) ->
+        BigDecimal(ov.toDouble / sa.size).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble).toMap
+    }
+    for ((tau, cap) <- Seq((0.5, 0L), (0.3, 6L))) {
+      val got = Dedup.containmentPairs(df, "doc_id", "text", k = 3,
+          tau = tau, maxDf = cap)
+        .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+      assert(got === brute(tau, cap), s"mismatch at tau=$tau cap=$cap")
+    }
+  }
 }
