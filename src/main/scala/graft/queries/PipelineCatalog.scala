@@ -2244,11 +2244,60 @@ object PipelineCatalog {
     head + iters + "\nSELECT n AS node, r AS rank_int FROM r10"
   }
 
+  /** Robust median/MAD outlier screen over document size features
+    * (n_chars + whitespace token count) — data-derived quality
+    * calibration the fixed-threshold rule filter cannot give. Exact
+    * medians; the gate is epsilon-free through the 6-dp z rounding. */
+  val qualityOutliersQ: Q = (s, dir) => {
+    val d = Tables.documents(s, dir)
+      .select(col("doc_id"), col("n_chars"),
+        size(split(col("text"), " ")).cast("long").as("n_tok"))
+    RobustStats.robustOutliers(d, "doc_id", Seq("n_chars", "n_tok"))
+  }
+
+  val qualityOutliersSql: String =
+    """WITH f AS (
+      |  SELECT doc_id, CAST(n_chars AS DOUBLE) AS n_chars,
+      |         CAST(len(string_split(text, ' ')) AS DOUBLE) AS n_tok
+      |  FROM documents
+      |), med AS (
+      |  SELECT quantile_cont(n_chars, 0.5) AS m_c,
+      |         quantile_cont(n_tok, 0.5) AS m_t FROM f
+      |), mad AS (
+      |  SELECT quantile_cont(abs(n_chars - m_c), 0.5) AS d_c,
+      |         quantile_cont(abs(n_tok - m_t), 0.5) AS d_t
+      |  FROM f CROSS JOIN med
+      |), z AS (
+      |  SELECT doc_id,
+      |    round(CASE WHEN d_c > 0 THEN (n_chars - m_c) / (d_c * 1.4826) END, 6) AS n_chars_z,
+      |    round(CASE WHEN d_t > 0 THEN (n_tok - m_t) / (d_t * 1.4826) END, 6) AS n_tok_z
+      |  FROM f CROSS JOIN med CROSS JOIN mad
+      |)
+      |SELECT doc_id, n_chars_z, n_tok_z,
+      |  CAST(CAST(coalesce(abs(n_chars_z) > 3.5, false) AS INT)
+      |     + CAST(coalesce(abs(n_tok_z) > 3.5, false) AS INT) AS BIGINT) AS n_outlier_feats,
+      |  coalesce(abs(n_chars_z) > 3.5, false)
+      |    OR coalesce(abs(n_tok_z) > 3.5, false) AS is_outlier
+      |FROM z""".stripMargin
+
+  /** Sketch twin of [[qualityOutliersQ]]: `approx_percentile` medians and
+    * MADs (bounded memory, mergeable partials — the 100 TB path where the
+    * exact percentile would buffer the corpus column). Approximate ⇒
+    * rows-only gate; the exact twin certifies the arithmetic. */
+  val qualityOutliersApproxQ: Q = (s, dir) => {
+    val d = Tables.documents(s, dir)
+      .select(col("doc_id"), col("n_chars"),
+        size(split(col("text"), " ")).cast("long").as("n_tok"))
+    RobustStats.robustOutliersApprox(d, "doc_id", Seq("n_chars", "n_tok"))
+  }
+
   // ------------------------------------------------------------------
   // Registry
   // ------------------------------------------------------------------
 
   val all: Map[String, Q] = Map(
+    "quality_outliers" -> qualityOutliersQ,
+    "quality_outliers_approx" -> qualityOutliersApproxQ,
     "dedup_exact_groups" -> dedupExactGroups,
     "dedup_exact" -> dedupExact,
     "dedup_jaccard" -> dedupJaccard,
@@ -2329,6 +2378,8 @@ object PipelineCatalog {
     "mm_features" -> mmFeatures)
 
   val oracles: Map[String, String] = Map(
+    "quality_outliers" -> qualityOutliersSql,
+    // quality_outliers_approx: sketch medians — rows-only by design
     "dedup_exact_groups" -> dedupExactGroupsSql,
     "dedup_exact" -> dedupExactSql,
     "dedup_jaccard" -> dedupJaccardSql,

@@ -1,0 +1,68 @@
+package graft.operators
+
+import graft.SparkSuite
+
+/**
+ * Median/MAD outlier screen: hand-computed fixture pinning the robust
+ * center/scale arithmetic, the planted-outlier flag, the MAD=0
+ * degenerate feature (null z, never flags), and exact ≡ approx at
+ * small n (the sketch is exact below its accuracy budget).
+ */
+class RobustStatsSpec extends SparkSuite {
+
+  import spark.implicits._
+
+  // 9 inliers at 100±{0..4} plus one planted monster. Interpolated
+  // median of the 10 values (sorted 98..105, 1000) is 101.5; MAD =
+  // interpolated median of |x-101.5| = {0.5×3, 1.5×2, 2.5×2, 3.5×2,
+  // 898.5} = 2.0
+  private val xs =
+    Seq(100L, 101L, 102L, 99L, 103L, 98L, 104L, 105L, 101L, 1000L)
+  private lazy val df = xs.zipWithIndex
+    .map { case (x, i) => (i.toLong, x, 7L) } // f2 constant -> MAD 0
+    .toDF("id", "f1", "f2")
+
+  test("robust z: median center, MAD*1.4826 scale, planted outlier flagged") {
+    val out = RobustStats.robustOutliers(df, "id", Seq("f1", "f2"))
+      .collect().map(r => r.getLong(0) ->
+        (Option(r.get(1)).map(_.asInstanceOf[Double]),
+          Option(r.get(2)).map(_.asInstanceOf[Double]),
+          r.getLong(3), r.getBoolean(4))).toMap
+    // monster: z = (1000 - 101.5) / (2 * 1.4826) = 303.01...
+    val mz = out(9L)._1.get
+    assert(math.abs(mz - 898.5 / (2 * 1.4826)) < 1e-4)
+    assert(out(9L)._3 === 1L && out(9L)._4, "monster must flag")
+    // a near-median inlier: z small, no flag
+    assert(math.abs(out(0L)._1.get - (-1.5 / (2 * 1.4826))) < 1e-4)
+    assert(!out(0L)._4)
+    // constant feature: MAD 0 -> null z everywhere, never a flag
+    assert(out.values.forall(_._2.isEmpty), "MAD=0 feature must yield null z")
+    assert(out.values.map(_._3).sum === 1L, "only the monster flags")
+  }
+
+  test("approx twin: same verdicts, close z (sketch median is an element, not interpolated)") {
+    // approx_percentile returns an ACTUAL element (101), where the exact
+    // percentile interpolates (101.5) — so z's differ slightly by design;
+    // the verdicts and the outlier magnitude must agree.
+    def byId(d: org.apache.spark.sql.DataFrame) =
+      d.collect().map(r => r.getLong(0) ->
+        (Option(r.get(1)).map(_.asInstanceOf[Double]), r.getBoolean(4))).toMap
+    val exact = byId(RobustStats.robustOutliers(df, "id", Seq("f1", "f2")))
+    val approx = byId(RobustStats.robustOutliersApprox(df, "id", Seq("f1", "f2")))
+    assert(approx.keySet === exact.keySet)
+    exact.foreach { case (id, (ez, eo)) =>
+      assert(approx(id)._2 === eo, s"verdict mismatch for $id")
+      assert(math.abs(approx(id)._1.get - ez.get) <= 0.5 + 0.01 * math.abs(ez.get),
+        s"z too far for $id: ${approx(id)._1} vs $ez")
+    }
+  }
+
+  test("all-outlier-free corpus flags nothing") {
+    val calm = (0 until 20).map(i => (i.toLong, 50L + (i % 5))).toDF("id", "f1")
+    val out = RobustStats.robustOutliers(calm, "id", Seq("f1"))
+    assert(out.filter(col("is_outlier")).count() === 0L)
+    assert(out.count() === 20L)
+  }
+
+  private def col(n: String) = org.apache.spark.sql.functions.col(n)
+}
