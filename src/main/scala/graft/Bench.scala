@@ -38,14 +38,42 @@ object Bench {
     val names = SparkEntry.queries.toSeq
       .filter { case (name, _) => wanted.forall(_.contains(name)) }
       .sortBy(_._1)
+    // Wall-clock-independent trend signal (r11 VERDICT #2): per-query
+    // shuffle-write bytes and completed-stage counts, captured by a stage
+    // listener and drained (GraftListenerBridge) before each read. The
+    // checkpoint-loop family (graph_rank, split_groups, dedup_keep,
+    // dedup_clusters) swings up to 4× on box state in wall-clock while
+    // these fields are plan-determined — pin THEM as that family's
+    // primary round-over-round trend, wall-clock as the secondary.
+    val shufBytes = new java.util.concurrent.atomic.AtomicLong(0L)
+    val stageCnt = new java.util.concurrent.atomic.AtomicLong(0L)
+    spark.sparkContext.addSparkListener(
+      new org.apache.spark.scheduler.SparkListener {
+        override def onStageCompleted(
+            s: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit = {
+          shufBytes.addAndGet(
+            s.stageInfo.taskMetrics.shuffleWriteMetrics.bytesWritten)
+          stageCnt.incrementAndGet(); ()
+        }
+      })
+    val planTrend =
+      scala.collection.mutable.Map.empty[String, List[(Long, Long)]]
     def onePass(): Map[String, Double] = names.map { case (name, fn) =>
       // JMH-style hygiene: collect the previous query's garbage outside the
       // measured window, or a random query absorbs a full-GC pause.
       System.gc()
+      org.apache.spark.GraftListenerBridge.waitListenerBus(spark.sparkContext)
+      shufBytes.set(0L); stageCnt.set(0L)
       val t0 = System.nanoTime()
       val ok = try { fn(spark, sfDir).count(); true }
                catch { case _: Throwable => false }
-      name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
+      val sec = (System.nanoTime() - t0) / 1e9
+      org.apache.spark.GraftListenerBridge.waitListenerBus(spark.sparkContext)
+      planTrend.synchronized {
+        planTrend(name) =
+          (shufBytes.get(), stageCnt.get()) :: planTrend.getOrElse(name, Nil)
+      }
+      name -> (if (ok) sec else -1.0)
     }.toMap
     // Per-query MEDIANS across full-registry passes, 3 passes by default —
     // single runs drift 1.1-1.3× ambient on this box and phantom sub-second
@@ -90,10 +118,19 @@ object Bench {
     // verdict parsed it for all 126 queries).
     val passJson = allPasses.map(p => qjson(p.toSeq.sortBy(_._1), "%.6f"))
       .mkString("[", ",", "]")
+    // Per-query (shuffle_bytes, stages) medians across passes — plan-
+    // determined fields, so pass-to-pass agreement is itself a sanity
+    // signal (retries/speculation would show as inter-pass spread).
+    val planJson = planTrend.toSeq.sortBy(_._1).map { case (name, vs) =>
+      val bs = vs.map(_._1).sorted.apply(vs.length / 2)
+      val st = vs.map(_._2).sorted.apply(vs.length / 2)
+      "\"" + name + "\":{\"shuffle_bytes\":" + bs + ",\"stages\":" + st + "}"
+    }.mkString("{", ",", "}")
     val fullJson =
       s"""{"metric":"total","value":$total,"total_ok":$totalOk,""" +
       s""""unit":"sec","sf":$sf,""" +
       s""""passes":$passes,"queries":${qjson(byName, "%.6f")},""" +
+      s""""plan_trend":$planJson,""" +
       s""""per_pass":$passJson}"""
     // The driver keeps only the last 2000 chars of stdout, so a 126-query
     // full-precision line can never parse from the tail (rounds 1-8 all

@@ -26,9 +26,14 @@ object Analytics {
    * STRICTLY after `t_{i-1}` (the reference's create→pay rule: the pay
    * must follow the create) and, with `horizon > 0`, within `horizon`
    * seconds of `t1` (the 15-minute-timeout generalization). Greedy
-   * earliest-first matching — the standard funnel semantics: taking the
-   * earliest completion of every prefix can never lose a completion of a
-   * longer prefix, so reach counts are maximal.
+   * earliest-first matching: taking the earliest completion of every
+   * prefix can never lose a completion of a longer prefix, so reach
+   * counts are maximal GIVEN the fixed anchor `t1` = the user's first
+   * entry event. There is no re-entry: a user whose first entry times
+   * out but whose later re-entry would complete within its own horizon
+   * counts as not converting — the reference's order-timeout semantics
+   * (one order, one 15-minute clock), which differs from the re-entry-
+   * window funnels some analytics tools offer (ADVICE r11).
    *
    * Returns one frame per step: frame i has `(u, t1 … t_i)`, one row per
    * user who reached step i.
@@ -62,6 +67,66 @@ object Analytics {
         .groupBy(col("u") +: (1 until i).map(j => col(s"t$j")): _*)
         .agg(min("ts").as(s"t$i"))
       frames += reach
+    }
+    frames.result()
+  }
+
+  /**
+   * Single-scan twin of [[funnelUserTimes]] for DEEP funnels (r11
+   * VERDICT #6): the k-frame form filters the event log once per step —
+   * the right trade at k ≤ 3 (bounded memory: one group row per user,
+   * ever), but k full scans of a 100 TB log at k = 6+. This form reads
+   * the log ONCE: events are filtered to funnel step types BEFORE the
+   * shuffle, grouped per (user, step) into sorted time arrays, and the
+   * greedy chain walks those arrays in one codegen'd expression per
+   * user. The trade is heap-shaped, not scan-shaped: per-user state is
+   * the user's own funnel-step timestamps (power users cost array
+   * memory here, where the k-scan form costs them nothing) — pick by
+   * corpus: deep funnel over bounded per-user activity → this; shallow
+   * funnel or unbounded per-user event counts → [[funnelUserTimes]].
+   * Output is IDENTICAL (spec-pinned equality at several k × horizon
+   * points): one frame per step, frame i = (u, t1 … t_i).
+   */
+  def funnelUserTimesOneScan(df: DataFrame, userCol: String, tsCol: String,
+                             typeCol: String, steps: Seq[String],
+                             horizon: Long = 0L): Seq[DataFrame] = {
+    require(steps.nonEmpty, "funnel needs at least one step")
+    require(steps.distinct.length == steps.length,
+      s"funnel steps must be distinct: $steps")
+    val stepIdx = steps.zipWithIndex.toMap
+    val idxCol = steps.foldLeft(lit(-1)) { (acc, s) =>
+      when(col("et") === s, lit(stepIdx(s))).otherwise(acc)
+    }
+    // one scan, one shuffle: (u, step) sorted time arrays
+    val perStep = df.select(col(userCol).as("u"),
+        col(tsCol).cast("long").as("ts"), col(typeCol).as("et"))
+      .filter(col("et").isin(steps: _*))
+      .select(col("u"), col("ts"), idxCol.as("si"))
+      .groupBy(col("u"), col("si"))
+      .agg(sort_array(collect_list(col("ts"))).as("tss"))
+      .groupBy(col("u"))
+      .pivot("si", steps.indices.map(i => i: Any))
+      .agg(first(col("tss")))
+    // greedy chain: t1 = first step-0 time; t_i = first step-(i-1) time
+    // strictly after t_{i-1} (and ≤ t1 + horizon when set). filter() +
+    // array_min on the sorted per-step array IS the "first after" scan.
+    val named = steps.indices.foldLeft(perStep) { (d, i) =>
+      d.withColumnRenamed(i.toString, s"_a$i")
+    }
+    val withT1 = named.filter(col("_a0").isNotNull)
+      .withColumn("t1", element_at(col("_a0"), 1))
+    val frames = Seq.newBuilder[DataFrame]
+    var cur = withT1
+    frames += cur.select(col("u"), col("t1"))
+    for (i <- 2 to steps.length) {
+      val prev = col(s"t${i - 1}")
+      val hi: Column =
+        if (horizon > 0L) col("t1") + horizon else lit(Long.MaxValue)
+      cur = cur
+        .withColumn(s"t$i", array_min(filter(col(s"_a${i - 1}"),
+          x => x > prev && x <= hi)))
+        .filter(col(s"t$i").isNotNull)
+      frames += cur.select(col("u") +: (1 to i).map(j => col(s"t$j")): _*)
     }
     frames.result()
   }

@@ -739,10 +739,19 @@ object Dedup {
     * and the estimate errs only UPWARD when the frame still carries
     * document text — wider rows ⇒ higher count ⇒ wider table keys than
     * strictly needed, costing a few extra tables but never recall.
-    * Order-of-magnitude accuracy is all [[simhashBlocks]] consumes. */
+    * Order-of-magnitude accuracy is all [[simhashBlocks]] consumes.
+    * Plans with NO computed stats (LogicalRDD, streaming micro-batch
+    * sources) report the `spark.sql.defaultSizeInBytes` sentinel, not a
+    * size — that would silently select the maximum table layout (up to
+    * a 56-64× per-signature explode) on a tiny in-memory frame, so any
+    * estimate at or above the sentinel is treated as "no estimate" and
+    * falls back to the floor layout (ADVICE r11). Output is
+    * banding-invariant either way; only the explode factor moves. */
   private def estimatedSigRows(df: DataFrame): Long = {
     val bytes = df.queryExecution.optimizedPlan.stats.sizeInBytes
-    (bytes / 64).min(BigInt(Long.MaxValue)).max(BigInt(1)).toLong
+    val sentinel = BigInt(df.sparkSession.sessionState.conf.defaultSizeInBytes)
+    if (bytes >= sentinel) 1L
+    else (bytes / 64).min(BigInt(Long.MaxValue)).max(BigInt(1)).toLong
   }
 
   /** Contiguous (offset, width) bit ranges splitting `width` bits into
@@ -1342,8 +1351,12 @@ object Dedup {
       .filter(col("n_sh") >= math.max(minShingles, 1).toLong)
     // collapse to one representative per distinct shingle SET (sorted —
     // shingleHashes preserves encounter order); the window attaches the
-    // member → representative mapping without a second array join
-    val w = Window.partitionBy(sort_array(col("sh")))
+    // member → representative mapping without a second array join. The
+    // window keys on an 8-byte xxhash64 FINGERPRINT of the sorted set,
+    // not the set itself, so the collapse exchange carries the array
+    // once (in the row) instead of twice (key AND value) — same 64-bit
+    // collision contract as [[jaccardPairs]]' shingle hashing (r12).
+    val w = Window.partitionBy(xxhash64(sort_array(col("sh"))))
     val withRep = base
       .withColumn("rid", min(col("id")).over(w))
       .withColumn("grp", count(lit(1)).over(w))
@@ -1513,8 +1526,20 @@ object Dedup {
         concat(s.substr(lit(1), i - lit(1)),
           s.substr(i + lit(1), length(s) - i))))
 
+  /** Bucket-size boundary between the two neighborhood pair regimes: at
+    * or below it, a bucket's pairs come from the in-expression
+    * combination walk (one array, ≤ cap²/2 ≈ 32k structs per row);
+    * above it, from the streamed self-join. 256 members is far above
+    * any near-identical-string bucket a real entity corpus produces and
+    * far below the array size that threatens an executor. */
+  private[operators] val neighborhoodBucketCap = 256
+
   /** The deletion-neighborhood candidate path of [[editDistancePairs]]
     * for `maxDist ≤ 2` — see its scaladoc for the completeness argument.
+    * (`chunks` does not apply here: it parallelizes the ≥ 3 block scan;
+    * this path's fan-out is the (blk, variant) hash itself, and its
+    * degenerate-bucket hazard is closed by [[neighborhoodBucketCap]],
+    * not by chunking.)
     * At maxDist = 0 the variant set degenerates to the string itself (no
     * cross-string candidates at all); at 2, the two-deletion variants
     * come from deleting once more from each one-deletion variant (covers
@@ -1533,9 +1558,10 @@ object Dedup {
     * the member expansion is sized by the true output). No broadcast
     * hints: the distinct-pair and member sides both scale with the
     * corpus by contract, so the planner's size-based choice stands. */
-  private def editDistancePairsNeighborhood(df: DataFrame, idCol: String,
-                                            strCol: String, blockCol: String,
-                                            maxDist: Int): DataFrame = {
+  private[graft] def editDistancePairsNeighborhood(
+      df: DataFrame, idCol: String, strCol: String, blockCol: String,
+      maxDist: Int,
+      bucketCap: Int = neighborhoodBucketCap): DataFrame = {
     def variants(s: Column): Column = maxDist match {
       case 0 => array(s)
       case 1 => array_distinct(concat(array(s), delOnce(s)))
@@ -1555,7 +1581,7 @@ object Dedup {
     // distinct strings per block; rep = any stable order for the a<b cut
     val reps = members.groupBy(col("blk"), col("s"))
       .agg(min(col("id")).as("rep"))
-    // Candidate generation is ONE groupBy over (blk, variant-hash) —
+    // Candidate generation is ONE shuffle onto (blk, variant-hash) —
     // variants as xxhash64 (a collision only ADDS a candidate; the
     // verify filters it — no true pair can be lost, equal variants
     // always hash equal) — with within-bucket pairs emitted by an
@@ -1567,14 +1593,29 @@ object Dedup {
     // (A degenerate block of very short strings can still bucket
     // together on a shared tiny variant — Σ bucket² is the operator's
     // inherent candidate cost in any formulation.)
+    //
+    // Two bucket regimes (ADVICE r11): the pair walk materializes a
+    // bucket's full O(bucket²) pair-struct array in ONE row before the
+    // explode — fine at the typical near-identical-string bucket size,
+    // fatal when a degenerate bucket is huge (every 1-2-char string
+    // reaches "" at radius ≥ 1), where a single row would hold billions
+    // of structs. A window count over the SAME (blk, v) partitioning
+    // (no extra exchange) sizes each bucket first; buckets above
+    // [[neighborhoodBucketCap]] members stream their pairs through a
+    // co-partitioned self-join instead — identical pairs, identical
+    // struct-order orientation, one pair per ROW instead of per array
+    // slot. Both regimes verify map-side before the dedup shuffle.
     val t = reps.select(col("blk"), col("rep"), col("s"),
         explode(variants(col("s"))).as("v0"))
       .select(col("blk"), xxhash64(col("v0")).as("v"),
         struct(col("rep"), col("s")).as("m"))
-    val buckets = t.groupBy(col("blk"), col("v"))
+    val wbv = Window.partitionBy(col("blk"), col("v"))
+    val tc = t.withColumn("bs", count(lit(1)).over(wbv))
+      .filter(col("bs") > 1)
+    val buckets = tc.filter(col("bs") <= bucketCap)
+      .groupBy(col("blk"), col("v"))
       .agg(sort_array(collect_list(col("m"))).as("ms"))
-      .filter(size(col("ms")) > 1)
-    val stringPairs = buckets.select(col("blk"),
+    val smallPairs = buckets.select(col("blk"),
         explode(flatten(transform(
           sequence(lit(1), size(col("ms")) - 1),
           i => transform(slice(col("ms"), i + 1, size(col("ms")) - i),
@@ -1585,6 +1626,17 @@ object Dedup {
               m2.getField("s").as("sb")))))).as("pr"))
       .select(col("blk"), col("pr.ra").as("ra"), col("pr.sa").as("sa"),
         col("pr.rb").as("rb"), col("pr.sb").as("sb"))
+    val tBig = tc.filter(col("bs") > bucketCap)
+      .select(col("blk"), col("v"), col("m"))
+    val bigPairs = tBig.alias("x")
+      .join(tBig.alias("y"), col("x.blk") === col("y.blk")
+        && col("x.v") === col("y.v") && col("x.m") < col("y.m"))
+      .select(col("x.blk").as("blk"),
+        col("x.m").getField("rep").as("ra"),
+        col("x.m").getField("s").as("sa"),
+        col("y.m").getField("rep").as("rb"),
+        col("y.m").getField("s").as("sb"))
+    val stringPairs = smallPairs.unionByName(bigPairs)
       .withColumn("dist", levenshtein(col("sa"), col("sb"), maxDist))
       .filter(col("dist") >= 0)
       .dropDuplicates("blk", "ra", "rb")

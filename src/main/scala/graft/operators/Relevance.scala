@@ -165,15 +165,22 @@ object Relevance {
     postings
       .repartition(col("term")).sortWithinPartitions("term")
       .write.mode("overwrite").parquet(s"$path/postings")
-    postings.agg(count_distinct(col("doc_id")).as("n_docs"),
-        (sum(col("tf")).cast("double")
-          / count_distinct(col("doc_id")).cast("double")).as("avgdl"))
+    // `_stats` derives from the DOC frame, exactly as [[bm25Search]]
+    // computes it — postings-derived stats would exclude any doc whose
+    // tokens explode to nothing (null/empty text), shifting idf and
+    // avgdl and breaking the indexed path's exact equivalence on such
+    // corpora (ADVICE r11).
+    docs.select(col(idCol).as("doc_id"),
+        size(TextAnalysis.tokens(col(textCol))).cast("long").as("dl"))
+      .agg(count(lit(1)).as("n_docs"),
+        avg(col("dl").cast("double")).as("avgdl"))
       .write.mode("overwrite").parquet(s"$path/_stats")
   }
 
   /** Query a [[bm25Index]]: identical output contract to [[bm25Search]]
-    * over the corpus the index was built from (spec-pinned equivalence),
-    * with the corpus scan replaced by a term-pruned postings read. */
+    * over the corpus the index was built from (spec-pinned equivalence,
+    * null-text docs included — `_stats` comes from the doc frame), with
+    * the corpus scan replaced by a term-pruned postings read. */
   def bm25SearchIndexed(spark: org.apache.spark.sql.SparkSession, path: String,
                         query: String, k: Int = 10,
                         k1: Double = 1.2, b: Double = 0.75): DataFrame = {

@@ -581,17 +581,33 @@ object Similarity {
    * the initial corpus and for every later increment alike.
    */
   def encodePqIndex(model: PqModel, df: DataFrame,
-                    idCol: String, vecCol: String): DataFrame = {
+                    idCol: String, vecCol: String): DataFrame =
+    encodePqIndexWith(model, df, idCol, vecCol, Nil)
+
+  /**
+   * [[encodePqIndex]] carrying filter attributes NEXT TO the codes: the
+   * deployment shape for filtered search on a fixed attribute (tenant,
+   * language, license class). The index is plain (id, cid, codes, rn2,
+   * attrs…) columns — persisted as parquet, a predicate over `attrCols`
+   * pushes down to the INDEX scan itself ([[ivfPqTopKAttr]]), removing
+   * the corpus-scale semi-join [[ivfPqTopKWhere]] pays to reconstruct
+   * the attribute from the metadata table. Still map-only, zero shuffle.
+   */
+  def encodePqIndexWith(model: PqModel, df: DataFrame,
+                        idCol: String, vecCol: String,
+                        attrCols: Seq[String]): DataFrame = {
     graft.functions.GraftFunctions.register(df.sparkSession)
     require(!model.isEmpty, "cannot encode against an empty model")
     val ds = model.dim / model.books.length
-    df.select(col(idCol).as("id"), col(vecCol).cast("array<double>").as("v"))
+    df.select(col(idCol).as("id") +: col(vecCol).cast("array<double>").as("v")
+        +: attrCols.map(col): _*)
       .withColumn("n", norm2(col("v")))
       .withColumn("cid",
         -array_max(centScoresFor(model.cents)(col("v"), col("n"))).getField("negcid"))
       .withColumn("codes", pqCodesFor(model.books, ds)(col("v")))
       .withColumn("rn2", pqReconNorm2For(model.books)(col("codes")))
-      .select(col("id"), col("cid"), col("codes"), col("rn2"))
+      .select(col("id") +: col("cid") +: col("codes") +: col("rn2")
+        +: attrCols.map(col): _*)
   }
 
   /**
@@ -848,12 +864,11 @@ object Similarity {
    * predicate's pushed-down metadata scan, so ADC scoring, the shortlist,
    * and the exact re-rank all run over matching rows only. At 100 TB the
    * semi-join is the one extra corpus-scale exchange — a deployment
-   * filtering on a fixed attribute should CARRY that attribute in the
-   * index (store it next to the codes at build time and push the filter
-   * into the index scan; the (id, cid, codes, rn2) index is plain parquet,
-   * so that is an extra column, not a format change). Recall under
-   * selectivity follows the [[ivfTopKWhere]] trade: widen `nProbe` /
-   * `rerankFactor` by ~1/selectivity.
+   * filtering on a FIXED attribute should use [[ivfPqTopKAttr]] instead,
+   * which carries the attribute in the index at build time and pushes
+   * the filter into the index scan itself. Recall under selectivity
+   * follows the [[ivfTopKWhere]] trade: widen `nProbe` / `rerankFactor`
+   * by ~1/selectivity.
    */
   def ivfPqTopKWhere(df: DataFrame, idCol: String, vecCol: String,
                      queryPred: Column, corpusPred: Column, k: Int,
@@ -866,6 +881,54 @@ object Similarity {
     val allowed = df.filter(corpusPred).select(col(idCol).as("id"))
     searchPqIndex(model, index.join(allowed, Seq("id"), "left_semi"),
       df, idCol, vecCol, queryPred, k, nProbe, rerankFactor)
+  }
+
+  /**
+   * Attribute-carrying filtered IVF-PQ top-k — the production shape for
+   * filtered search on a FIXED attribute (r11 VERDICT #4): the index is
+   * built ONCE over the full corpus with `attrCols` stored next to the
+   * codes ([[encodePqIndexWith]]), and `indexPred` (over those carried
+   * columns) applies DIRECTLY to the index rows — on a persisted parquet
+   * index the predicate pushes down to the index scan's row groups, and
+   * no corpus-scale semi-join exists anywhere in the plan. Output is
+   * identical to [[ivfPqTopKWhere]] with the equivalent corpus predicate
+   * (spec-pinned): the same full-corpus model, the same restricted index
+   * rows, the same ADC/shortlist/re-rank tail.
+   */
+  def ivfPqTopKAttr(df: DataFrame, idCol: String, vecCol: String,
+                    queryPred: Column, indexPred: Column,
+                    attrCols: Seq[String], k: Int,
+                    nCentroids: Int = 16, nProbe: Int = 4,
+                    m: Int = 8, kSub: Int = 16,
+                    trainIters: Int = 0, pqIters: Int = 1,
+                    rerankFactor: Int = 4): DataFrame = {
+    val (model, index) = buildPqIndexWith(df, idCol, vecCol, attrCols,
+      nCentroids, m, kSub, trainIters, pqIters)
+    if (model.isEmpty) return emptyTopK(prepVecs(df, idCol, vecCol))
+    searchPqIndex(model, index.filter(indexPred),
+      df, idCol, vecCol, queryPred, k, nProbe, rerankFactor)
+  }
+
+  /** [[buildPqIndex]] with carried filter attributes: train on the full
+    * corpus, encode with `attrCols` stored next to the codes. Persist
+    * the returned index as parquet and query it with
+    * [[searchPqIndex]]`(model, index.filter(attrPred), …)` — the
+    * attribute predicate then prunes the index scan itself. */
+  def buildPqIndexWith(df: DataFrame, idCol: String, vecCol: String,
+                       attrCols: Seq[String],
+                       nCentroids: Int = 16, m: Int = 8, kSub: Int = 16,
+                       trainIters: Int = 0, pqIters: Int = 1)
+      : (PqModel, DataFrame) = {
+    graft.functions.GraftFunctions.register(df.sparkSession)
+    val base = prepVecs(df, idCol, vecCol)
+    val model = PqModel(
+      trainCentroids(base, resolveNCentroids(base, nCentroids), trainIters),
+      trainPqBooks(base, m, kSub, pqIters))
+    if (model.isEmpty) return (model, base.limit(0)
+      .select(col("id") +: lit(0L).as("cid")
+        +: typedlit(Seq.empty[Int]).as("codes") +: lit(0.0).as("rn2")
+        +: attrCols.map(c => lit(null).as(c)): _*))
+    (model, encodePqIndexWith(model, df, idCol, vecCol, attrCols))
   }
 
   /**

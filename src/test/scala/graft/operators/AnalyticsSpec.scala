@@ -83,4 +83,57 @@ class AnalyticsSpec extends SparkSuite {
       .collect().map(x => (x.getLong(0), x.getLong(1), x.getLong(2))).toSet
     assert(r === Set((0L, 0L, 2L), (0L, 1L, 2L)))
   }
+
+  // ---- single-scan twin (r12): frame-for-frame equality with the k-scan
+  // form, across step depths and horizons, on a seeded random event log
+  // that mixes repeats, out-of-order steps, non-funnel noise events, and
+  // users missing arbitrary steps.
+
+  private def assertOneScanEqual(steps: Seq[String], horizon: Long,
+                                 rows: Seq[(String, Long, String)]): Unit = {
+    val df = rows.toDF("user", "ts", "et")
+    val a = Analytics.funnelUserTimes(df, "user", "ts", "et", steps, horizon)
+    val b = Analytics.funnelUserTimesOneScan(df, "user", "ts", "et", steps,
+      horizon)
+    assert(a.length === b.length)
+    a.zip(b).zipWithIndex.foreach { case ((fa, fb), i) =>
+      assert(fa.columns.toSeq === fb.columns.toSeq, s"frame $i columns")
+      assert(fa.exceptAll(fb).isEmpty && fb.exceptAll(fa).isEmpty,
+        s"frame $i rows differ (steps=$steps horizon=$horizon)")
+    }
+  }
+
+  private def randomLog(seed: Long, users: Int, events: Int,
+                        types: Seq[String]): Seq[(String, Long, String)] = {
+    val rnd = new scala.util.Random(seed)
+    (1 to events).map { _ =>
+      (s"u${rnd.nextInt(users)}", rnd.nextInt(1000).toLong,
+        types(rnd.nextInt(types.length)))
+    }
+  }
+
+  test("one-scan funnel equals the k-scan form at k=3, no horizon") {
+    assertOneScanEqual(Seq("a", "b", "c"), 0L,
+      randomLog(7L, 40, 600, Seq("a", "b", "c", "x", "y")))
+  }
+
+  test("one-scan funnel equals the k-scan form at k=3 with horizon") {
+    assertOneScanEqual(Seq("a", "b", "c"), 120L,
+      randomLog(11L, 40, 600, Seq("a", "b", "c", "x")))
+  }
+
+  test("one-scan funnel equals the k-scan form at k=6 (deep funnel)") {
+    val steps = Seq("s1", "s2", "s3", "s4", "s5", "s6")
+    assertOneScanEqual(steps, 0L,
+      randomLog(13L, 30, 1500, steps :+ "noise"))
+    assertOneScanEqual(steps, 400L,
+      randomLog(17L, 30, 1500, steps :+ "noise"))
+  }
+
+  test("one-scan funnel: tie at t_{i-1} is not after; entry-anchored horizon") {
+    assertOneScanEqual(Seq("a", "b", "c"), 100L, Seq(
+      ("u1", 0L, "a"), ("u1", 0L, "b"), ("u1", 5L, "c"),   // tie not after
+      ("u2", 0L, "a"), ("u2", 50L, "b"), ("u2", 150L, "c") // c outside horizon
+    ))
+  }
 }

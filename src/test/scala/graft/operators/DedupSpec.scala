@@ -361,6 +361,22 @@ class DedupSpec extends SparkSuite {
     assert(got2 === ref2,
       "radius-2 neighborhood candidates must reproduce brute force")
     assert(ref2.exists(_._3 == 2L), "fixture must exercise distance-2 pairs")
+    // Degenerate-bucket regime (ADVICE r11): a bucketCap of 1 routes
+    // EVERY multi-member variant bucket through the streamed self-join
+    // (no in-expression pair array anywhere); cap 2 exercises the mixed
+    // split. Both must still reproduce brute force exactly — the two
+    // regimes generate the same pairs with the same orientation. The
+    // fixture's many short same-alphabet strings share tiny deletion
+    // variants ("" at radius ≥ 1), exactly the degenerate shape the cap
+    // protects against.
+    for (cap <- Seq(1, 2); dist <- Seq(1, 2)) {
+      val ref = if (dist == 1) reference else ref2
+      val capped = Dedup.editDistancePairsNeighborhood(df, "id", "name",
+          "blk", maxDist = dist, bucketCap = cap)
+        .select("id_a", "id_b", "dist").as[(Long, Long, Long)].collect().toSet
+      assert(capped === ref,
+        s"self-join bucket regime (cap=$cap, maxDist=$dist) must equal brute force")
+    }
   }
 
   test("duplicatedSpans flags shared and self-repeated n-token spans") {

@@ -150,4 +150,22 @@ class RelevanceSpec extends SparkSuite {
     assert(plan.contains("PushedFilters") && plan.contains("In(term"),
       s"term IN (...) must push down to the postings read:\n$plan")
   }
+
+  test("bm25SearchIndexed equals the scanned path on a corpus with null/empty text") {
+    // ADVICE r11: postings-derived stats excluded token-less docs,
+    // shifting n_docs/avgdl vs the scanned path. `_stats` now derives
+    // from the doc frame, so the equivalence must hold bit-for-bit on
+    // corpora containing null-text and empty-text rows.
+    val withNulls = corpus.unionByName(Seq(
+      (90L, null.asInstanceOf[String]), (91L, ""), (92L, "   ")
+    ).toDF("doc_id", "text"))
+    val dir = java.nio.file.Files.createTempDirectory("bm25idx_null").toString
+    Relevance.bm25Index(withNulls, "doc_id", "text", dir)
+    val scanned = Relevance.bm25Search(withNulls, "doc_id", "text",
+      "apple cherry", k = 10).collect().map(_.toSeq).toSeq
+    val indexed = Relevance.bm25SearchIndexed(spark, dir,
+      "apple cherry", k = 10).collect().map(_.toSeq).toSeq
+    assert(indexed === scanned,
+      "doc-frame _stats must make the indexed path exact on null-text corpora")
+  }
 }

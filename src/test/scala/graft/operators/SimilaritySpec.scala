@@ -118,6 +118,41 @@ class SimilaritySpec extends SparkSuite {
       "an unsatisfiable corpus predicate must return zero rows"))
   }
 
+  test("attribute-carrying PQ index equals the semi-join form; filter pushes into the index scan") {
+    val labeled = spark.range(40).select(col("id").as("vec_id"),
+      array((0 until 8).map(d =>
+        sin((col("id") + 1) * (d + 1)).cast("float")): _*).as("embedding"),
+      (col("id") % 2).cast("int").as("label"))
+    // in-plan form: identical output to ivfPqTopKWhere on the same params
+    val attr = Similarity.ivfPqTopKAttr(labeled, "vec_id", "embedding",
+      col("id") % 10 === 0, col("label") === 1, Seq("label"), k = 3,
+      nCentroids = 4, nProbe = 4, m = 4, kSub = 8,
+      trainIters = 0, pqIters = 0, rerankFactor = 20)
+    val semi = Similarity.ivfPqTopKWhere(labeled, "vec_id", "embedding",
+      col("id") % 10 === 0, col("label") === 1, k = 3,
+      nCentroids = 4, nProbe = 4, m = 4, kSub = 8,
+      trainIters = 0, pqIters = 0, rerankFactor = 20)
+    assert(attr.collect().toSet === semi.collect().toSet,
+      "attribute-carried filter must equal the semi-join form")
+    // deployment form: persist the index, read back with the predicate —
+    // the attribute filter must reach the parquet scan (PushedFilters),
+    // and the search over the persisted index must equal the in-plan form
+    val (model, idx) = Similarity.buildPqIndexWith(labeled,
+      "vec_id", "embedding", Seq("label"),
+      nCentroids = 4, m = 4, kSub = 8, trainIters = 0, pqIters = 0)
+    val dir = java.nio.file.Files.createTempDirectory("pq_attr_idx").toString
+    idx.write.mode("overwrite").parquet(dir)
+    val pruned = spark.read.parquet(dir).filter(col("label") === 1)
+    val plan = pruned.queryExecution.executedPlan.toString
+    assert(plan.contains("EqualTo(label,1)"),
+      s"label predicate must push down to the index scan (PushedFilters):\n$plan")
+    val fromDisk = Similarity.searchPqIndex(model, pruned, labeled,
+      "vec_id", "embedding", col("id") % 10 === 0, k = 3,
+      nProbe = 4, rerankFactor = 20)
+    assert(fromDisk.collect().toSet === semi.collect().toSet,
+      "persisted attribute-carrying index must produce identical results")
+  }
+
   test("lshTopKPortable: near-identical vectors share the md5-plane bucket") {
     val res = Similarity.lshTopKPortable(vecs, "vec_id", "embedding",
         col("id") === 0L, k = 3, planes = 4)
