@@ -86,7 +86,35 @@ object SoakAudit {
   private def decontamDrive(df: DataFrame): DataFrame =
     df.groupBy(col("clean"))
       .agg(org.apache.spark.sql.functions.sum(col("n_hits")).as("total_hits"))
+  /** Deep-funnel soak drive (r12): 6 step types derived by splitting
+    * each real event type on second-parity (the events table carries 5
+    * types) — a cost-shape probe at the depth where the k-scan form
+    * pays k passes over the log. `oneScan` switches to the single-scan
+    * twin ([[graft.operators.Analytics.funnelUserTimesOneScan]]);
+    * output equality is spec-pinned, the soak records the trade. The
+    * drive aggregates the LAST frame (users + lag sum) so the whole
+    * chain executes. */
+  private val funnelK6Steps =
+    Seq("view0", "click0", "purchase0", "view1", "click1", "purchase1")
+  private def funnelK6Drive(s: SparkSession, dir: String,
+                            oneScan: Boolean): DataFrame = {
+    import org.apache.spark.sql.functions.{concat, expr, sum}
+    val e = Tables.events(s, dir)
+      .withColumn("sec", expr("ts div 1000000000"))
+      .withColumn("et6",
+        concat(col("event_type"), (col("sec") % 2).cast("string")))
+    val frames =
+      if (oneScan) graft.operators.Analytics.funnelUserTimesOneScan(
+        e, "user_id", "sec", "et6", funnelK6Steps, horizon = 604800L)
+      else graft.operators.Analytics.funnelUserTimes(
+        e, "user_id", "sec", "et6", funnelK6Steps, horizon = 604800L)
+    frames.last.agg(count(lit(1)).as("users"),
+      sum(col("t6")).as("lag6"))
+  }
+
   val soakQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "soak_funnel_k6" -> ((s, dir) => funnelK6Drive(s, dir, oneScan = false)),
+    "soak_funnel_k6_one" -> ((s, dir) => funnelK6Drive(s, dir, oneScan = true)),
     "soak_ivf_fixedq" -> ((s, dir) =>
       Similarity.ivfTopK(Tables.embeddings(s, dir), "vec_id", "embedding",
         fixedProbe, k = 5, nCentroids = 16, nProbe = 4)),
