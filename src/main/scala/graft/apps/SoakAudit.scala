@@ -133,6 +133,15 @@ object SoakAudit {
       Similarity.ivfPqTopKWhere(Tables.embeddings(s, dir), "vec_id", "embedding",
         fixedProbe, col("label") === 3, k = 5, nCentroids = 16, nProbe = 8,
         m = 8, kSub = 16, pqIters = 1)),
+    // Attribute-carrying twin (r12): label rides IN the index, the
+    // predicate prunes the index rows directly — per the deployment
+    // shape the semi-join form's scaladoc prescribes. Same fixed probe
+    // set and parameters as soak_ivfpq_filtered_fixedq; the exchange
+    // delta between the two IS the corpus-scale semi-join.
+    "soak_ivfpq_attr_fixedq" -> ((s, dir) =>
+      Similarity.ivfPqTopKAttr(Tables.embeddings(s, dir), "vec_id", "embedding",
+        fixedProbe, col("label") === 3, Seq("label"), k = 5,
+        nCentroids = 16, nProbe = 8, m = 8, kSub = 16, pqIters = 1)),
     "soak_ivfpq_fixedq" -> ((s, dir) =>
       Similarity.ivfPqTopK(Tables.embeddings(s, dir), "vec_id", "embedding",
         fixedProbe, k = 5, nCentroids = 16, nProbe = 4,

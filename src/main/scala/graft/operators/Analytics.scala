@@ -141,8 +141,23 @@ object Analytics {
   def funnelSteps(df: DataFrame, userCol: String, tsCol: String,
                   typeCol: String, steps: Seq[String],
                   horizon: Long = 0L): DataFrame =
-    funnelUserTimes(df, userCol, tsCol, typeCol, steps, horizon)
-      .zipWithIndex.map { case (f, idx) =>
+    stepReport(funnelUserTimes(df, userCol, tsCol, typeCol, steps, horizon),
+      steps)
+
+  /** [[funnelSteps]] over the single-scan reach frames — identical
+    * output (the frames are spec-pinned equal), one log scan instead of
+    * k. Gate-certified against the same exact oracle as the k-scan
+    * form. */
+  def funnelStepsOneScan(df: DataFrame, userCol: String, tsCol: String,
+                         typeCol: String, steps: Seq[String],
+                         horizon: Long = 0L): DataFrame =
+    stepReport(
+      funnelUserTimesOneScan(df, userCol, tsCol, typeCol, steps, horizon),
+      steps)
+
+  private def stepReport(frames: Seq[DataFrame],
+                         steps: Seq[String]): DataFrame =
+    frames.zipWithIndex.map { case (f, idx) =>
         val i = idx + 1
         f.agg(count(lit(1)).as("users"),
             coalesce(sum(col(s"t$i") - col("t1")), lit(0L)).as("sum_lag"))

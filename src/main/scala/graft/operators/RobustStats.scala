@@ -54,6 +54,62 @@ object RobustStats {
     score(df, idCol, featureCols, zThreshold,
       f => expr(s"approx_percentile($f, 0.5, $accuracy)").cast("double"))
 
+  /**
+   * Winsorization — the screen's complement: instead of FLAGGING tail
+   * rows ([[robustOutliers]]), clamp every feature into its
+   * [pLo, pHi] percentile band so downstream statistics (means,
+   * regressions, per-feature normalizers) are computed on capped
+   * values. The standard pre-normalization step a feature pipeline
+   * runs over heavy-tailed corpus features (doc length, link counts).
+   *
+   * One aggregation pass collects BOTH cut points of every feature
+   * into a single broadcast row (the [[robustOutliers]] pattern — no
+   * driver collect); clamping is then map-side `least`/`greatest`.
+   * Exactness matches the screen: Spark `percentile` ≡ DuckDB
+   * `quantile_cont` under the 6-dp rounding contract; a NULL feature
+   * value stays NULL. The exact form buffers the value multiset in the
+   * aggregate (one global group — fine at gate scale); the
+   * 100 TB path is [[winsorizeApprox]] (mergeable sketch cut points,
+   * rows-only by design).
+   *
+   * Output: `(idCol, <f>_w … per feature)`, 6 dp.
+   */
+  def winsorize(df: DataFrame, idCol: String, featureCols: Seq[String],
+                pLo: Double = 0.05, pHi: Double = 0.95): DataFrame =
+    clampAt(df, idCol, featureCols, pLo, pHi,
+      (f, p) => expr(s"percentile($f, $p)"))
+
+  /** [[winsorize]] with `approx_percentile` cut points — the
+    * bounded-memory scale path; approximate ⇒ rows-only gate. */
+  def winsorizeApprox(df: DataFrame, idCol: String,
+                      featureCols: Seq[String],
+                      pLo: Double = 0.05, pHi: Double = 0.95,
+                      accuracy: Int = 10000): DataFrame =
+    clampAt(df, idCol, featureCols, pLo, pHi,
+      (f, p) => expr(s"approx_percentile($f, $p, $accuracy)").cast("double"))
+
+  private def clampAt(df: DataFrame, idCol: String,
+                      featureCols: Seq[String], pLo: Double, pHi: Double,
+                      cut: (String, Double) => org.apache.spark.sql.Column)
+      : DataFrame = {
+    require(featureCols.nonEmpty, "winsorize needs at least one feature")
+    require(0.0 <= pLo && pLo < pHi && pHi <= 1.0,
+      s"need 0 <= pLo < pHi <= 1: ($pLo, $pHi)")
+    val base = df.select(col(idCol) +: featureCols.map(f =>
+      col(f).cast("double").as(f)): _*)
+    val cutExprs = featureCols.flatMap(f => Seq(
+      cut(f, pLo).as(s"_lo_$f"), cut(f, pHi).as(s"_hi_$f")))
+    val cuts = base.agg(cutExprs.head, cutExprs.tail: _*)
+    // Spark's least/greatest SKIP nulls (return the extreme of the
+    // non-null arguments) — guard explicitly so a null feature value
+    // stays null instead of clamping to the low cut point.
+    base.crossJoin(broadcast(cuts))
+      .select(col(idCol) +: featureCols.map(f =>
+        when(col(f).isNull, lit(null)).otherwise(
+          round(least(greatest(col(f), col(s"_lo_$f")), col(s"_hi_$f")), 6))
+          .as(s"${f}_w")): _*)
+  }
+
   private def score(df: DataFrame, idCol: String, featureCols: Seq[String],
                     zThreshold: Double,
                     median: String => org.apache.spark.sql.Column): DataFrame = {

@@ -1678,6 +1678,16 @@ object Catalog {
       Seq("view", "click", "purchase"), horizon = 86400L)
   }
 
+  /** The single-scan funnel twin (r12), certified against the SAME exact
+    * oracle as [[funnelStepsQ]] — one log scan instead of k, per-user
+    * step-time arrays instead of bounded group rows (the deep-funnel
+    * trade; see `Analytics.funnelUserTimesOneScan`). */
+  val funnelStepsOneScanQ: Q = (s, dir) => {
+    val e = events(s, dir).select(col("user_id"), col("sec"), col("event_type"))
+    Analytics.funnelStepsOneScan(e, "user_id", "sec", "event_type",
+      Seq("view", "click", "purchase"), horizon = 86400L)
+  }
+
   /** DuckDB twin: the same earliest-completion CTE chain. `sum(BIGINT)`
     * is HUGEINT in DuckDB (→ float through pandas) — cast back. */
   val funnelStepsSql: String =
@@ -1790,6 +1800,7 @@ object Catalog {
     "value_percentiles" -> valuePercentiles,
     "value_percentiles_approx" -> valuePercentilesApprox,
     "funnel_steps" -> funnelStepsQ,
+    "funnel_steps_onescan" -> funnelStepsOneScanQ,
     "retention_cohort" -> retentionCohortQ)
 
   val oracles: Map[String, String] = PipelineCatalog.oracles ++ Map(
@@ -1863,5 +1874,6 @@ object Catalog {
     // value_percentiles_approx: sketch estimate — rows-only by design
     "value_percentiles" -> valuePercentilesSql,
     "funnel_steps" -> funnelStepsSql,
+    "funnel_steps_onescan" -> funnelStepsSql,
     "retention_cohort" -> retentionCohortSql)
 }

@@ -2308,6 +2308,44 @@ object PipelineCatalog {
     RobustStats.robustOutliers(d, "doc_id", Seq("n_chars", "n_tok"))
   }
 
+  /** Winsorized features (r12): the outlier screen's complement — clamp
+    * each feature into its exact [p05, p95] band before downstream
+    * normalization. Exact-percentile cut points ≡ DuckDB quantile_cont
+    * (the value_percentiles contract). */
+  val qualityWinsorizedQ: Q = (s, dir) => {
+    val d = Tables.documents(s, dir)
+      .select(col("doc_id"), col("n_chars"),
+        size(split(col("text"), " ")).cast("long").as("n_tok"))
+    RobustStats.winsorize(d, "doc_id", Seq("n_chars", "n_tok"))
+  }
+
+  val qualityWinsorizedSql: String =
+    """WITH f AS (
+      |  SELECT doc_id, CAST(n_chars AS DOUBLE) AS n_chars,
+      |         CAST(len(string_split(text, ' ')) AS DOUBLE) AS n_tok
+      |  FROM documents
+      |), cuts AS (
+      |  SELECT quantile_cont(n_chars, 0.05) AS lo_c,
+      |         quantile_cont(n_chars, 0.95) AS hi_c,
+      |         quantile_cont(n_tok, 0.05) AS lo_t,
+      |         quantile_cont(n_tok, 0.95) AS hi_t FROM f
+      |)
+      |SELECT doc_id,
+      |  CASE WHEN n_chars IS NULL THEN NULL
+      |       ELSE round(least(greatest(n_chars, lo_c), hi_c), 6) END AS n_chars_w,
+      |  CASE WHEN n_tok IS NULL THEN NULL
+      |       ELSE round(least(greatest(n_tok, lo_t), hi_t), 6) END AS n_tok_w
+      |FROM f CROSS JOIN cuts""".stripMargin
+
+  /** Sketch-cut-point twin — the bounded-memory 100 TB path;
+    * approximate ⇒ rows-only, verdict agreement spec-pinned. */
+  val qualityWinsorizedApproxQ: Q = (s, dir) => {
+    val d = Tables.documents(s, dir)
+      .select(col("doc_id"), col("n_chars"),
+        size(split(col("text"), " ")).cast("long").as("n_tok"))
+    RobustStats.winsorizeApprox(d, "doc_id", Seq("n_chars", "n_tok"))
+  }
+
   val qualityOutliersSql: String =
     """WITH f AS (
       |  SELECT doc_id, CAST(n_chars AS DOUBLE) AS n_chars,
@@ -2351,6 +2389,8 @@ object PipelineCatalog {
   val all: Map[String, Q] = Map(
     "quality_outliers" -> qualityOutliersQ,
     "quality_outliers_approx" -> qualityOutliersApproxQ,
+    "quality_winsorized" -> qualityWinsorizedQ,
+    "quality_winsorized_approx" -> qualityWinsorizedApproxQ,
     "dedup_exact_groups" -> dedupExactGroups,
     "dedup_exact" -> dedupExact,
     "dedup_jaccard" -> dedupJaccard,
@@ -2435,6 +2475,8 @@ object PipelineCatalog {
   val oracles: Map[String, String] = Map(
     "quality_outliers" -> qualityOutliersSql,
     // quality_outliers_approx: sketch medians — rows-only by design
+    "quality_winsorized" -> qualityWinsorizedSql,
+    // quality_winsorized_approx: sketch cut points — rows-only by design
     "dedup_exact_groups" -> dedupExactGroupsSql,
     "dedup_exact" -> dedupExactSql,
     "dedup_jaccard" -> dedupJaccardSql,

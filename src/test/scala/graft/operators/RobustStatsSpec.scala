@@ -57,6 +57,39 @@ class RobustStatsSpec extends SparkSuite {
     }
   }
 
+  test("winsorize clamps to hand-computed percentile cut points; nulls stay null") {
+    // 1..20 plus a null: quantile_cont(0.05) over 1..20 = 1.95,
+    // quantile_cont(0.95) = 19.05 — values below/above clamp, inner
+    // values pass through, the null row stays null.
+    val rows = (1 to 20).map(i => (i.toLong, Some(i.toDouble))) :+
+      (21L, None: Option[Double])
+    val d = rows.toDF("id", "f1")
+    val w = RobustStats.winsorize(d, "id", Seq("f1"), pLo = 0.05, pHi = 0.95)
+      .collect().map(r => r.getLong(0) -> Option(r.get(1))).toMap
+    assert(w(1L) === Some(1.95) && w(2L) === Some(2.0))
+    assert(w(20L) === Some(19.05) && w(19L) === Some(19.0))
+    assert(w(10L) === Some(10.0))
+    assert(w(21L) === None, "null feature values must stay null")
+    assert(w.size === 21)
+  }
+
+  test("winsorize approx twin: element cut points within one inter-element gap") {
+    // the sketch cut point is an ACTUAL element, the exact one
+    // interpolates — on a dense fixture they differ by at most one
+    // inter-element gap. (On a heavy tail the two cut points can be far
+    // apart by design — the sketch clamps at a data value; certify with
+    // the exact gate, run the sketch at corpus scale.)
+    val d = (1 to 20).map(i => (i.toLong, i.toLong)).toDF("id", "f1")
+    val exact = RobustStats.winsorize(d, "id", Seq("f1"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val approx = RobustStats.winsorizeApprox(d, "id", Seq("f1"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(approx.keySet === exact.keySet)
+    exact.foreach { case (id, e) =>
+      assert(math.abs(approx(id) - e) <= 1.0, s"$id: ${approx(id)} vs $e")
+    }
+  }
+
   test("all-outlier-free corpus flags nothing") {
     val calm = (0 until 20).map(i => (i.toLong, 50L + (i % 5))).toDF("id", "f1")
     val out = RobustStats.robustOutliers(calm, "id", Seq("f1"))
