@@ -110,6 +110,79 @@ object RobustStats {
           .as(s"${f}_w")): _*)
   }
 
+  /**
+   * Equal-frequency (quantile) binning — feature discretization for
+   * curriculum buckets, stratified sampling keys, and monotone-feature
+   * models: bin i of `nBins` holds values between the i/n and (i+1)/n
+   * exact percentiles. `bin(x) = Σ_{i=1..n-1} [x > cut_i]` — ties at a
+   * cut point fall to the LOWER bin, degenerate cut points (repeated
+   * values) simply never increment, so heavy ties produce fewer
+   * occupied bins rather than arbitrary splits. Same shape as
+   * [[winsorize]]: one aggregation row with every feature's interior
+   * cut points (broadcast), then a map-side comparison sum — and the
+   * same exactness contract (Spark `percentile` ≡ DuckDB
+   * `quantile_cont`; comparisons and sums are integer). NULL feature →
+   * NULL bin. Output: `(idCol, <f>_bin … per feature)` as longs.
+   */
+  def quantileBins(df: DataFrame, idCol: String, featureCols: Seq[String],
+                   nBins: Int = 10): DataFrame = {
+    require(featureCols.nonEmpty, "binning needs at least one feature")
+    require(nBins >= 2, s"need at least 2 bins: $nBins")
+    val base = df.select(col(idCol) +: featureCols.map(f =>
+      col(f).cast("double").as(f)): _*)
+    val cutExprs = featureCols.flatMap(f => (1 until nBins).map(i =>
+      expr(s"percentile($f, ${i.toDouble / nBins})").as(s"_c${i}_$f")))
+    val cuts = base.agg(cutExprs.head, cutExprs.tail: _*)
+    base.crossJoin(broadcast(cuts))
+      .select(col(idCol) +: featureCols.map { f =>
+        val bin = (1 until nBins).map(i =>
+          (col(f) > col(s"_c${i}_$f")).cast("long")).reduce(_ + _)
+        when(col(f).isNull, lit(null)).otherwise(bin).as(s"${f}_bin")
+      }: _*)
+  }
+
+  /**
+   * Pearson correlation matrix over integer-valued features, computed
+   * from EXACT integer moment sums (n, Σx, Σx², Σxy as longs — the
+   * commutative-monoid aggregates whose distributed partial aggregation
+   * is order-insensitive, unlike a float `corr` accumulator), with the
+   * float formula applied ONCE per pair to the finished sums:
+   * `corr = (nΣxy − ΣxΣy) / sqrt((nΣx² − (Σx)²)(nΣy² − (Σy)²))` —
+   * bit-reproducible across any partitioning, engine-exact at the 6-dp
+   * contract. A zero-variance feature yields NULL (no direction on a
+   * constant). Long moments bound the corpus: |Σxy| < 2⁶³ needs
+   * n·max|x|·max|y| below ~9.2e18 — fine for count-like features at
+   * any realistic shard; pre-scale or shard the sums when values are
+   * large. Output: one row per unordered pair (fa < fb by position),
+   * `(feature_a, feature_b, corr_r)`.
+   */
+  def corrMatrix(df: DataFrame, featureCols: Seq[String]): DataFrame = {
+    require(featureCols.length >= 2, "corrMatrix needs at least 2 features")
+    val base = df.select(featureCols.map(f =>
+      col(f).cast("long").as(f)): _*)
+    val moments =
+      Seq(count(lit(1)).as("_n")) ++
+      featureCols.map(f => sum(col(f)).as(s"_s_$f")) ++
+      featureCols.map(f => sum(col(f) * col(f)).as(s"_q_$f")) ++
+      featureCols.combinations(2).map { case Seq(a, b) =>
+        sum(col(a) * col(b)).as(s"_p_${a}_$b")
+      }.toSeq
+    val m = base.agg(moments.head, moments.tail: _*)
+    val pairs = featureCols.combinations(2).map { case Seq(a, b) =>
+      val n = col("_n").cast("double")
+      val num = n * col(s"_p_${a}_$b").cast("double") -
+        col(s"_s_$a").cast("double") * col(s"_s_$b").cast("double")
+      val va = n * col(s"_q_$a").cast("double") -
+        col(s"_s_$a").cast("double") * col(s"_s_$a").cast("double")
+      val vb = n * col(s"_q_$b").cast("double") -
+        col(s"_s_$b").cast("double") * col(s"_s_$b").cast("double")
+      m.select(lit(a).as("feature_a"), lit(b).as("feature_b"),
+        when(va > 0.0 && vb > 0.0,
+          round(num / (sqrt(va) * sqrt(vb)), 6)).as("corr_r"))
+    }.toSeq
+    pairs.reduce(_ unionByName _)
+  }
+
   private def score(df: DataFrame, idCol: String, featureCols: Seq[String],
                     zThreshold: Double,
                     median: String => org.apache.spark.sql.Column): DataFrame = {

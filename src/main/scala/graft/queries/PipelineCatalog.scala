@@ -2337,6 +2337,89 @@ object PipelineCatalog {
       |       ELSE round(least(greatest(n_tok, lo_t), hi_t), 6) END AS n_tok_w
       |FROM f CROSS JOIN cuts""".stripMargin
 
+  /** Equal-frequency binning (r12): decile bins over the doc features —
+    * discretization keys for curriculum/stratification. Exact interior
+    * cut points; tie-to-lower-bin is pure comparison arithmetic, so the
+    * gate is epsilon-free past the quantile_cont-parity cut points. */
+  val qualityBinsQ: Q = (s, dir) => {
+    val d = Tables.documents(s, dir)
+      .select(col("doc_id"), col("n_chars"),
+        size(split(col("text"), " ")).cast("long").as("n_tok"))
+    RobustStats.quantileBins(d, "doc_id", Seq("n_chars", "n_tok"), nBins = 10)
+  }
+
+  val qualityBinsSql: String = {
+    def cuts(f: String) = (1 until 10)
+      .map(i => s"quantile_cont($f, 0.$i) AS c${i}_$f").mkString(",\n      |         ")
+    def bin(f: String) = (1 until 10)
+      .map(i => s"CAST($f > c${i}_$f AS BIGINT)").mkString(" + ")
+    s"""WITH f AS (
+       |  SELECT doc_id, CAST(n_chars AS DOUBLE) AS n_chars,
+       |         CAST(len(string_split(text, ' ')) AS DOUBLE) AS n_tok
+       |  FROM documents
+       |), cuts AS (
+       |  SELECT ${cuts("n_chars")},
+       |         ${cuts("n_tok")} FROM f
+       |)
+       |SELECT doc_id,
+       |  CASE WHEN n_chars IS NULL THEN NULL ELSE ${bin("n_chars")} END AS n_chars_bin,
+       |  CASE WHEN n_tok IS NULL THEN NULL ELSE ${bin("n_tok")} END AS n_tok_bin
+       |FROM f CROSS JOIN cuts""".stripMargin
+  }
+
+  /** Pearson correlation matrix (r12) from exact integer moment sums —
+    * order-insensitive longs under distributed partial aggregation, the
+    * float formula applied once per pair to the finished sums, so the
+    * value is bit-reproducible and the gate exact. */
+  val featureCorrQ: Q = (s, dir) => {
+    val d = Tables.documents(s, dir)
+      .select(col("n_chars"),
+        size(split(col("text"), " ")).cast("long").as("n_tok"),
+        length(regexp_replace(col("text"), "[^ ]", "")).cast("long")
+          .as("n_spaces"))
+    RobustStats.corrMatrix(d, Seq("n_chars", "n_tok", "n_spaces"))
+  }
+
+  val featureCorrSql: String =
+    """WITH f AS (
+      |  SELECT CAST(n_chars AS BIGINT) AS a,
+      |         CAST(len(string_split(text, ' ')) AS BIGINT) AS b,
+      |         CAST(len(regexp_replace(text, '[^ ]', '', 'g')) AS BIGINT) AS c
+      |  FROM documents
+      |), m AS (
+      |  SELECT CAST(count(*) AS BIGINT) AS n,
+      |         CAST(sum(a) AS BIGINT) AS sa, CAST(sum(b) AS BIGINT) AS sb,
+      |         CAST(sum(c) AS BIGINT) AS sc,
+      |         CAST(sum(a*a) AS BIGINT) AS qa, CAST(sum(b*b) AS BIGINT) AS qb,
+      |         CAST(sum(c*c) AS BIGINT) AS qc,
+      |         CAST(sum(a*b) AS BIGINT) AS pab,
+      |         CAST(sum(a*c) AS BIGINT) AS pac,
+      |         CAST(sum(b*c) AS BIGINT) AS pbc
+      |  FROM f
+      |), pairs AS (
+      |  SELECT 'n_chars' AS feature_a, 'n_tok' AS feature_b,
+      |         CAST(n AS DOUBLE) * pab - CAST(sa AS DOUBLE) * CAST(sb AS DOUBLE) AS num,
+      |         CAST(n AS DOUBLE) * qa - CAST(sa AS DOUBLE) * CAST(sa AS DOUBLE) AS va,
+      |         CAST(n AS DOUBLE) * qb - CAST(sb AS DOUBLE) * CAST(sb AS DOUBLE) AS vb
+      |  FROM m
+      |  UNION ALL
+      |  SELECT 'n_chars', 'n_spaces',
+      |         CAST(n AS DOUBLE) * pac - CAST(sa AS DOUBLE) * CAST(sc AS DOUBLE),
+      |         CAST(n AS DOUBLE) * qa - CAST(sa AS DOUBLE) * CAST(sa AS DOUBLE),
+      |         CAST(n AS DOUBLE) * qc - CAST(sc AS DOUBLE) * CAST(sc AS DOUBLE)
+      |  FROM m
+      |  UNION ALL
+      |  SELECT 'n_tok', 'n_spaces',
+      |         CAST(n AS DOUBLE) * pbc - CAST(sb AS DOUBLE) * CAST(sc AS DOUBLE),
+      |         CAST(n AS DOUBLE) * qb - CAST(sb AS DOUBLE) * CAST(sb AS DOUBLE),
+      |         CAST(n AS DOUBLE) * qc - CAST(sc AS DOUBLE) * CAST(sc AS DOUBLE)
+      |  FROM m
+      |)
+      |SELECT feature_a, feature_b,
+      |  CASE WHEN va > 0 AND vb > 0
+      |       THEN round(num / (sqrt(va) * sqrt(vb)), 6) END AS corr_r
+      |FROM pairs""".stripMargin
+
   /** Sketch-cut-point twin — the bounded-memory 100 TB path;
     * approximate ⇒ rows-only, verdict agreement spec-pinned. */
   val qualityWinsorizedApproxQ: Q = (s, dir) => {
@@ -2391,6 +2474,8 @@ object PipelineCatalog {
     "quality_outliers_approx" -> qualityOutliersApproxQ,
     "quality_winsorized" -> qualityWinsorizedQ,
     "quality_winsorized_approx" -> qualityWinsorizedApproxQ,
+    "quality_bins" -> qualityBinsQ,
+    "feature_corr" -> featureCorrQ,
     "dedup_exact_groups" -> dedupExactGroups,
     "dedup_exact" -> dedupExact,
     "dedup_jaccard" -> dedupJaccard,
@@ -2477,6 +2562,8 @@ object PipelineCatalog {
     // quality_outliers_approx: sketch medians — rows-only by design
     "quality_winsorized" -> qualityWinsorizedSql,
     // quality_winsorized_approx: sketch cut points — rows-only by design
+    "quality_bins" -> qualityBinsSql,
+    "feature_corr" -> featureCorrSql,
     "dedup_exact_groups" -> dedupExactGroupsSql,
     "dedup_exact" -> dedupExactSql,
     "dedup_jaccard" -> dedupJaccardSql,

@@ -90,6 +90,38 @@ class RobustStatsSpec extends SparkSuite {
     }
   }
 
+  test("quantileBins: dense values spread evenly, ties fall to the lower bin, nulls stay null") {
+    // 1..10 with nBins=5: interior cuts at p20/p40/p60/p80 over 1..10 =
+    // 2.8, 4.6, 6.4, 8.2 -> bins {1,2}=0 {3,4}=1 {5,6}=2 {7,8}=3 {9,10}=4
+    val rows = (1 to 10).map(i => (i.toLong, Some(i.toDouble))) :+
+      (11L, None: Option[Double])
+    val d = rows.toDF("id", "f1")
+    val b = RobustStats.quantileBins(d, "id", Seq("f1"), nBins = 5)
+      .collect().map(r => r.getLong(0) -> Option(r.get(1))).toMap
+    (1 to 10).foreach { i =>
+      assert(b(i.toLong) === Some(((i - 1) / 2).toLong), s"value $i")
+    }
+    assert(b(11L) === None, "null feature -> null bin")
+    // heavy ties: a constant feature lands entirely in bin 0
+    val const = (0 until 8).map(i => (i.toLong, 5.0)).toDF("id", "f1")
+    assert(RobustStats.quantileBins(const, "id", Seq("f1"), nBins = 4)
+      .collect().forall(_.getLong(1) === 0L))
+  }
+
+  test("corrMatrix: hand-checked signs and magnitudes; constant feature yields null") {
+    // y = 2x exactly (corr 1), z = -x (corr -1 with x), w constant
+    val d = (1 to 12).map(i => (i.toLong, 2L * i, -i.toLong, 7L))
+      .toDF("x", "y", "z", "w")
+    val m = RobustStats.corrMatrix(d, Seq("x", "y", "z", "w"))
+      .collect().map(r => (r.getString(0), r.getString(1)) -> Option(r.get(2)))
+      .toMap
+    assert(m(("x", "y")) === Some(1.0))
+    assert(m(("x", "z")) === Some(-1.0))
+    assert(m(("y", "z")) === Some(-1.0))
+    assert(m(("x", "w")) === None, "constant feature has no direction")
+    assert(m.size === 6, "one row per unordered pair")
+  }
+
   test("all-outlier-free corpus flags nothing") {
     val calm = (0 until 20).map(i => (i.toLong, 50L + (i % 5))).toDF("id", "f1")
     val out = RobustStats.robustOutliers(calm, "id", Seq("f1"))
