@@ -232,6 +232,114 @@ object Relevance {
   }
 
   /**
+   * All-pairs TF-IDF cosine similarity above `tau` — the classic APSS
+   * operator (Bayardo et al. 2007's problem statement): every document
+   * pair whose TF-IDF vectors' cosine reaches the threshold, via an
+   * inverted index instead of the O(n²) scan. Complements the dedup
+   * family's set-based measures ([[graft.operators.Dedup.jaccardPairs]]
+   * sees token SETS, containment sees subset overlap) with the weighted
+   * measure retrieval stacks use: rare shared terms count for more,
+   * boilerplate counts for almost nothing.
+   *
+   * Shape at scale — the four dedup-then-expand disciplines (the r11
+   * duplicate-amplification audit rule):
+   *  - documents collapse to one representative per distinct sorted
+   *    token list (8-byte xxhash64 fingerprint as the collapse key, the
+   *    [[graft.operators.Dedup.containmentPairs]] contract) — identical
+   *    texts share one vector, so the pair scan runs at distinct-vector
+   *    level and a duplicate-heavy corpus cannot amplify Σ df²;
+   *  - `df` is MEMBER-level (group-size-weighted), so idf — and the
+   *    `maxDf` stop-term cap — bind exactly as they would uncollapsed;
+   *  - the pair join is postings⋈postings on the term, grouped to one
+   *    row per candidate pair; only pairs sharing ≥ 1 kept term ever
+   *    materialize (Σ df² over kept postings, the operator's inherent
+   *    cost — `maxDf` is the lever, exactly [[bm25TopTerms]]' minDf
+   *    economics in reverse);
+   *  - surviving rep pairs expand to member pairs sized by true output;
+   *    identical-text groups pair internally at their (capped) self-
+   *    cosine — 1.0 uncapped.
+   *
+   * Exactness: every float reduction is an IN-ORDER fold over a
+   * term-sorted list (norms: Σw², pair dots: Σ wa·wb — the
+   * `list_reduce` discipline of the IVF-PQ det oracle), so the value is
+   * bit-reproducible under any partitioning and the DuckDB twin replays
+   * it exactly. The `maxDf` cap drops postings of terms seen in more
+   * than `maxDf` member docs BEFORE the pair join but AFTER norms, so
+   * capped cosine is a deterministic LOWER BOUND on true cosine (a pair
+   * can only drop below tau, never rise) — both regimes exact-oracle.
+   * Docs with a zero-norm vector (every term corpus-universal, or no
+   * tokens) join no pairs. Output: (id_a, id_b, cos_r), id_a < id_b.
+   */
+  def cosinePairs(docs: DataFrame, idCol: String, textCol: String,
+                  tau: Double, maxDf: Long = 0L): DataFrame = {
+    require(tau > 0.0, "cosinePairs tau must be positive")
+    val members = docs.select(col(idCol).as("id"),
+        TextAnalysis.tokens(col(textCol)).as("tk"))
+      .withColumn("fp", xxhash64(sort_array(col("tk"))))
+    val w = Window.partitionBy(col("fp"))
+    val withRep = members
+      .withColumn("rid", min(col("id")).over(w))
+      .withColumn("grp", count(lit(1)).over(w))
+    val reps = withRep.filter(col("id") === col("rid"))
+      .select(col("rid"), col("tk"), col("grp"))
+    val nDocs = members.agg(count(lit(1)).as("n_docs"))
+    val tf = reps.select(col("rid"), col("grp"), explode(col("tk")).as("term"))
+      .groupBy(col("rid"), col("grp"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy(col("term")).agg(sum(col("grp")).as("df"))
+    val weighted = tf.join(dfreq, "term").crossJoin(broadcast(nDocs))
+      .select(col("rid"), col("grp"), col("term"), col("df"),
+        (col("tf").cast("double")
+          * log(col("n_docs").cast("double") / col("df").cast("double")))
+          .as("wt"))
+    // in-order fold for the norm: bit-reproducible under any partitioning
+    val norms = weighted.groupBy(col("rid"))
+      .agg(aggregate(
+        array_sort(collect_list(struct(col("term"), col("wt")))),
+        lit(0.0),
+        (acc, x) => acc + x.getField("wt") * x.getField("wt")).as("n2"))
+      .filter(col("n2") > 0.0)
+      .select(col("rid"), sqrt(col("n2")).as("nrm"))
+    val posts0 = weighted.join(norms, "rid")
+      .select(col("rid"), col("grp"), col("term"), col("df"),
+        (col("wt") / col("nrm")).as("wn"))
+    val posts =
+      if (maxDf > 0L) posts0.filter(col("df") <= maxDf) else posts0
+    val a = posts.alias("a")
+    val b = posts.alias("b")
+    val pairCos = a
+      .join(b, col("a.term") === col("b.term") && col("a.rid") < col("b.rid"))
+      .select(col("a.rid").as("ra"), col("b.rid").as("rb"),
+        col("a.term").as("term"), (col("a.wn") * col("b.wn")).as("p"))
+      .groupBy(col("ra"), col("rb"))
+      .agg(round(aggregate(
+        array_sort(collect_list(struct(col("term"), col("p")))),
+        lit(0.0), (acc, x) => acc + x.getField("p")), 6).as("cos_r"))
+      .filter(col("cos_r") >= tau)
+    val mem = withRep.select(col("id"), col("rid"))
+    val cross = pairCos
+      .join(mem.as("ma"), col("ma.rid") === col("ra"))
+      .join(mem.as("mb"), col("mb.rid") === col("rb"))
+      .select(least(col("ma.id"), col("mb.id")).as("id_a"),
+        greatest(col("ma.id"), col("mb.id")).as("id_b"), col("cos_r"))
+    // identical-text groups: capped self-cosine over KEPT postings
+    val intra = posts.filter(col("grp") >= 2L)
+      .groupBy(col("rid"))
+      .agg(round(aggregate(
+        array_sort(collect_list(struct(col("term"), col("wn")))),
+        lit(0.0), (acc, x) => acc + x.getField("wn") * x.getField("wn")),
+        6).as("cos_r"))
+      .filter(col("cos_r") >= tau)
+      .withColumnRenamed("rid", "irid")
+    val intraPairs = intra
+      .join(mem.as("ma"), col("ma.rid") === col("irid"))
+      .join(mem.as("mb"), col("mb.rid") === col("irid"))
+      .filter(col("ma.id") < col("mb.id"))
+      .select(col("ma.id").as("id_a"), col("mb.id").as("id_b"), col("cos_r"))
+    cross.unionByName(intraPairs)
+  }
+
+  /**
    * Corpus-trained bigram-LM perplexity per document — the CCNet-style
    * quality signal (Wenzek et al. 2020 rank documents by LM perplexity;
    * here the model is the corpus's own bigram statistics instead of an

@@ -2206,6 +2206,81 @@ object PipelineCatalog {
       |  SELECT *, row_number() OVER (ORDER BY score DESC, doc_id) AS rn FROM agg
       |) WHERE rn <= 10""".stripMargin
 
+  /** All-pairs TF-IDF cosine similarity (r12): the weighted APSS member
+    * of the pair family — `maxDf = 50` binds HARD on this corpus
+    * (median member-level df is ~78% of the corpus: boilerplate
+    * vocabulary carries no similarity evidence and dominates Σ df²),
+    * so the gate certifies the capped lower-bound arithmetic on the
+    * planted near-dup pairs, the regime the operator runs at scale.
+    * Every float reduction is an in-order term-sorted fold, replayed
+    * exactly by the oracle's list_reduce chain. */
+  val textCosinePairsQ: Q = (s, dir) =>
+    Relevance.cosinePairs(Tables.documents(s, dir), "doc_id", "text",
+      tau = 0.3, maxDf = 50L)
+
+  val textCosinePairsSql: String =
+    """WITH m AS (
+      |  SELECT doc_id AS id, string_split(text, ' ') AS tk FROM documents
+      |), g AS (
+      |  SELECT list_sort(tk) AS key, min(id) AS rid, count(*) AS grp
+      |  FROM m GROUP BY list_sort(tk)
+      |), mem AS (
+      |  SELECT m.id, g.rid FROM m JOIN g ON list_sort(m.tk) = g.key
+      |), reps AS (
+      |  SELECT g.rid, m.tk, g.grp FROM g JOIN m ON m.id = g.rid
+      |), n AS (
+      |  SELECT CAST(count(*) AS BIGINT) AS n_docs FROM m
+      |), tf AS (
+      |  SELECT rid, grp, term, CAST(count(*) AS BIGINT) AS tf
+      |  FROM (SELECT rid, grp, unnest(tk) AS term FROM reps)
+      |  GROUP BY rid, grp, term
+      |), dfq AS (
+      |  SELECT term, CAST(sum(grp) AS BIGINT) AS df FROM tf GROUP BY term
+      |), wtd AS (
+      |  SELECT tf.rid, tf.grp, tf.term, dfq.df,
+      |         CAST(tf.tf AS DOUBLE)
+      |           * ln(CAST(n_docs AS DOUBLE) / CAST(df AS DOUBLE)) AS wt
+      |  FROM tf JOIN dfq USING (term) CROSS JOIN n
+      |), nrm AS (
+      |  SELECT rid, sqrt(n2) AS nrm FROM (
+      |    SELECT rid,
+      |           list_reduce(list(wt * wt ORDER BY term), (x, y) -> x + y) AS n2
+      |    FROM wtd GROUP BY rid
+      |  ) WHERE n2 > 0
+      |), posts AS (
+      |  SELECT w.rid, w.grp, w.term, w.wt / nrm.nrm AS wn
+      |  FROM wtd w JOIN nrm USING (rid)
+      |  WHERE w.df <= 50
+      |), pair AS (
+      |  SELECT ra, rb, cos_r FROM (
+      |    SELECT a.rid AS ra, b.rid AS rb,
+      |           round(list_reduce(list(a.wn * b.wn ORDER BY a.term),
+      |                 (x, y) -> x + y), 6) AS cos_r
+      |    FROM posts a JOIN posts b ON a.term = b.term AND a.rid < b.rid
+      |    GROUP BY a.rid, b.rid
+      |  ) WHERE cos_r >= 0.3
+      |), crossp AS (
+      |  SELECT least(ma.id, mb.id) AS id_a, greatest(ma.id, mb.id) AS id_b,
+      |         p.cos_r
+      |  FROM pair p
+      |  JOIN mem ma ON ma.rid = p.ra
+      |  JOIN mem mb ON mb.rid = p.rb
+      |), intra AS (
+      |  SELECT rid, cos_r FROM (
+      |    SELECT rid,
+      |           round(list_reduce(list(wn * wn ORDER BY term),
+      |                 (x, y) -> x + y), 6) AS cos_r
+      |    FROM posts WHERE grp >= 2 GROUP BY rid
+      |  ) WHERE cos_r >= 0.3
+      |), intrap AS (
+      |  SELECT ma.id AS id_a, mb.id AS id_b, i.cos_r
+      |  FROM intra i
+      |  JOIN mem ma ON ma.rid = i.rid
+      |  JOIN mem mb ON mb.rid = i.rid
+      |  WHERE ma.id < mb.id
+      |)
+      |SELECT * FROM crossp UNION ALL SELECT * FROM intrap""".stripMargin
+
   /** The indexed BM25 read path (r12): [[Relevance.bm25Index]] persisted
     * ONCE per (application, sfDir) — term-clustered postings parquet +
     * doc-frame `_stats` — then queried via
@@ -2483,6 +2558,7 @@ object PipelineCatalog {
     "dedup_containment_capped" -> dedupContainmentCapped,
     "bm25_search" -> bm25SearchQ,
     "bm25_search_indexed" -> bm25SearchIndexedQ,
+    "text_cosine_pairs" -> textCosinePairsQ,
     "split_groups" -> splitGroups,
     "graph_rank" -> graphRank,
     "fuzzy_pairs" -> fuzzyPairs,
@@ -2571,6 +2647,7 @@ object PipelineCatalog {
     "dedup_containment_capped" -> dedupContainmentCappedSql,
     "bm25_search" -> bm25SearchSql,
     "bm25_search_indexed" -> bm25SearchSql,
+    "text_cosine_pairs" -> textCosinePairsSql,
     "split_groups" -> splitGroupsSql,
     "graph_rank" -> graphRankSql,
     "fuzzy_pairs" -> fuzzyPairsSql,

@@ -151,6 +151,65 @@ class RelevanceSpec extends SparkSuite {
       s"term IN (...) must push down to the postings read:\n$plan")
   }
 
+  test("cosinePairs ≡ brute-force TF-IDF cosine; cap is a lower bound; duplicates expand") {
+    // corpus with: two exact duplicates (9, 10), a near-dup pair sharing
+    // rare terms (1, 2), unrelated docs, and a doc of only corpus-
+    // universal terms (zero idf everywhere -> zero norm -> excluded)
+    val docs = Seq(
+      (1L, "alpha beta gamma delta common"),
+      (2L, "alpha beta gamma epsilon common"),
+      (3L, "zeta eta theta iota common"),
+      (4L, "kappa lambda mu nu common"),
+      (9L, "alpha beta dup dup common"),
+      (10L, "alpha beta dup dup common"),
+      (11L, "common common common common")
+    ).toDF("doc_id", "text")
+    // brute force: member-level df, tf·ln(n/df), cosine of every pair
+    val rows = docs.collect().map(r => r.getLong(0) -> r.getString(1).split(" ").toSeq)
+    val n = rows.length.toDouble
+    val dfm = rows.flatMap { case (_, tk) => tk.distinct }
+      .groupBy(identity).map { case (t, xs) => t -> xs.length.toLong }
+    def vec(tk: Seq[String]): Map[String, Double] =
+      tk.groupBy(identity).map { case (t, xs) =>
+        t -> xs.length.toDouble * math.log(n / dfm(t).toDouble) }
+    def cos(a: Map[String, Double], b: Map[String, Double]): Option[Double] = {
+      val na = math.sqrt(a.values.map(x => x * x).sum)
+      val nb = math.sqrt(b.values.map(x => x * x).sum)
+      if (na == 0 || nb == 0) None
+      else Some((a.keySet & b.keySet).toSeq.sorted
+        .map(t => (a(t) / na) * (b(t) / nb)).sum)
+    }
+    val vecs = rows.map { case (id, tk) => id -> vec(tk) }.toMap
+    val tau = 0.2
+    val ref = (for {
+      (ia, va) <- vecs.toSeq; (ib, vb) <- vecs.toSeq
+      if ia < ib
+      c <- cos(va, vb) if (ia, ib) != (0L, 0L)
+      if math.rint(c * 1e6) / 1e6 >= tau
+      if (va.keySet & vb.keySet).nonEmpty
+    } yield (ia, ib)).toSet
+    val got = Relevance.cosinePairs(docs, "doc_id", "text", tau)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(got.map(p => (p._1, p._2)).toSet === ref,
+      "uncapped pair set must equal brute-force TF-IDF cosine")
+    // values match brute force at 6 dp
+    got.foreach { case (a, b, c) =>
+      val bf = math.rint(cos(vecs(a), vecs(b)).get * 1e6) / 1e6
+      assert(math.abs(c - bf) < 2e-6, s"($a,$b): $c vs $bf")
+    }
+    // exact duplicates pair at 1.0
+    assert(got.collectFirst { case (9L, 10L, c) => c } === Some(1.0))
+    // zero-norm doc never pairs
+    assert(got.forall(p => p._1 != 11L && p._2 != 11L))
+    // cap: every capped cosine <= its uncapped value (lower bound), and
+    // the capped pair set is a subset
+    val capped = Relevance.cosinePairs(docs, "doc_id", "text", 0.2, maxDf = 2L)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val full = got.map(p => (p._1, p._2) -> p._3).toMap
+    assert(capped.keySet.subsetOf(full.keySet))
+    capped.foreach { case (k, c) => assert(c <= full(k) + 1e-9, s"$k") }
+  }
+
   test("bm25SearchIndexed equals the scanned path on a corpus with null/empty text") {
     // ADVICE r11: postings-derived stats excluded token-less docs,
     // shifting n_docs/avgdl vs the scanned path. `_stats` now derives
