@@ -5,7 +5,7 @@ import org.apache.spark.scheduler.{SparkListener, SparkListenerStageSubmitted}
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
-import graft.operators.{Dedup, GraphRank, Similarity, TextAnalysis}
+import graft.operators.{Dedup, GraphRank, Relevance, Similarity, TextAnalysis}
 
 /**
  * Plan-shape flatness as a CI CONTRACT (the round-9 lesson made standing):
@@ -184,6 +184,35 @@ class PlanScaleInvariantsSpec extends SparkSuite {
       assert(Dedup.editDistancePairs(corpus, "id", "name", "blk",
         maxDist = 1).count() >= 0)
     }(nameCorpus)
+  }
+
+  test("TF-IDF cosine pairs (capped regime): plan shape flat 1x -> 20x, no auto-broadcast") {
+    // dedup-then-expand APSS (r12): fingerprint collapse window, tf/df
+    // aggregations, in-order-fold norms, capped postings self-join,
+    // pair fold, member expansions — count must not move with corpus
+    // size (drive through a verdict-style aggregate so nothing prunes).
+    // Corpus NOTE: docCorpus's fixed 60-word vocabulary makes every df
+    // grow linearly with n, so a fixed cap either empties the postings
+    // (AQE empty-relation propagation then collapses the whole plan —
+    // found deriving this pin) or stops binding; this corpus gives each
+    // doc rare neighbor-shared terms (df ≤ 3 at every scale, kept) plus
+    // three common terms (df = n/3, capped) so BOTH regimes stay
+    // exercised at both scales. Every 13th doc duplicates its
+    // predecessor so the intra (identical-text) branch runs too.
+    def cosCorpus(n: Int): DataFrame = {
+      val base = Array.tabulate(n)(i =>
+        (i.toLong, s"r$i r${i + 1} r${i + 2} c${i % 3} c${(i + 1) % 3}"))
+      val rows = base.map { case (id, t) =>
+        if (id % 13 == 4 && id > 0) (id, base((id - 1).toInt)._2) else (id, t)
+      }
+      spark.sparkContext.parallelize(rows.toIndexedSeq, 4)
+        .toDF("doc_id", "text")
+    }
+    assertFlat("cosine_pairs", (20, 1)) { corpus =>
+      assert(Relevance.cosinePairs(corpus, "doc_id", "text",
+          tau = 0.1, maxDf = 10L)
+        .groupBy(col("cos_r")).agg(count(lit(1))).count() > 0)
+    }(cosCorpus)
   }
 
   test("semantic ingest: plan shape flat 1x -> 20x, no auto-broadcast") {
