@@ -88,6 +88,42 @@ object RobustStats {
     clampAt(df, idCol, featureCols, pLo, pHi,
       (f, p) => expr(s"approx_percentile($f, $p, $accuracy)").cast("double"))
 
+  /**
+   * Per-group winsorization: cut points computed WITHIN each
+   * `groupCol` value (language, source, shard) — the form a
+   * multilingual corpus needs, where a global p95 on doc length is
+   * dominated by the verbose languages and clamps the terse ones to
+   * nothing. One groupBy aggregation pass for all cut points (exact
+   * percentiles, same engine-parity contract as [[winsorize]]), then a
+   * join back on the group key — hint-free: the cut-point frame has
+   * one row per group, so the planner broadcasts it while group
+   * cardinality is bounded and falls back to a shuffle join on a
+   * high-cardinality key, both correct. Rows with a NULL group get
+   * NULL clamped values (no population to calibrate against — same
+   * refusal discipline as the MAD-0 z). Output:
+   * `(idCol, groupCol, <f>_w … per feature)`.
+   */
+  def winsorizeBy(df: DataFrame, idCol: String, groupCol: String,
+                  featureCols: Seq[String],
+                  pLo: Double = 0.05, pHi: Double = 0.95): DataFrame = {
+    require(featureCols.nonEmpty, "winsorize needs at least one feature")
+    require(0.0 <= pLo && pLo < pHi && pHi <= 1.0,
+      s"need 0 <= pLo < pHi <= 1: ($pLo, $pHi)")
+    val base = df.select(col(idCol) +: col(groupCol).as("_g") +:
+      featureCols.map(f => col(f).cast("double").as(f)): _*)
+    val cutExprs = featureCols.flatMap(f => Seq(
+      expr(s"percentile($f, $pLo)").as(s"_lo_$f"),
+      expr(s"percentile($f, $pHi)").as(s"_hi_$f")))
+    val cuts = base.filter(col("_g").isNotNull)
+      .groupBy(col("_g")).agg(cutExprs.head, cutExprs.tail: _*)
+    base.join(cuts, Seq("_g"), "left")
+      .select(col(idCol) +: col("_g").as(groupCol) +:
+        featureCols.map(f =>
+          when(col(f).isNull || col("_g").isNull, lit(null)).otherwise(
+            round(least(greatest(col(f), col(s"_lo_$f")), col(s"_hi_$f")), 6))
+            .as(s"${f}_w")): _*)
+  }
+
   private def clampAt(df: DataFrame, idCol: String,
                       featureCols: Seq[String], pLo: Double, pHi: Double,
                       cut: (String, Double) => org.apache.spark.sql.Column)

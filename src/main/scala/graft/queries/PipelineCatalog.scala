@@ -2442,6 +2442,36 @@ object PipelineCatalog {
        |FROM f CROSS JOIN cuts""".stripMargin
   }
 
+  /** Per-language winsorization (r12): cut points within each lang —
+    * the multilingual-corpus form, where a global p95 on length is
+    * dominated by the verbose languages. */
+  val qualityWinsorizedByLangQ: Q = (s, dir) => {
+    val d = Tables.documents(s, dir)
+      .select(col("doc_id"), col("lang"), col("n_chars"),
+        size(split(col("text"), " ")).cast("long").as("n_tok"))
+    RobustStats.winsorizeBy(d, "doc_id", "lang", Seq("n_chars", "n_tok"))
+  }
+
+  val qualityWinsorizedByLangSql: String =
+    """WITH f AS (
+      |  SELECT doc_id, lang, CAST(n_chars AS DOUBLE) AS n_chars,
+      |         CAST(len(string_split(text, ' ')) AS DOUBLE) AS n_tok
+      |  FROM documents
+      |), cuts AS (
+      |  SELECT lang,
+      |         quantile_cont(n_chars, 0.05) AS lo_c,
+      |         quantile_cont(n_chars, 0.95) AS hi_c,
+      |         quantile_cont(n_tok, 0.05) AS lo_t,
+      |         quantile_cont(n_tok, 0.95) AS hi_t
+      |  FROM f WHERE lang IS NOT NULL GROUP BY lang
+      |)
+      |SELECT f.doc_id, f.lang,
+      |  CASE WHEN f.n_chars IS NULL OR f.lang IS NULL THEN NULL
+      |       ELSE round(least(greatest(f.n_chars, c.lo_c), c.hi_c), 6) END AS n_chars_w,
+      |  CASE WHEN f.n_tok IS NULL OR f.lang IS NULL THEN NULL
+      |       ELSE round(least(greatest(f.n_tok, c.lo_t), c.hi_t), 6) END AS n_tok_w
+      |FROM f LEFT JOIN cuts c ON f.lang = c.lang""".stripMargin
+
   /** Pearson correlation matrix (r12) from exact integer moment sums —
     * order-insensitive longs under distributed partial aggregation, the
     * float formula applied once per pair to the finished sums, so the
@@ -2550,6 +2580,7 @@ object PipelineCatalog {
     "quality_winsorized" -> qualityWinsorizedQ,
     "quality_winsorized_approx" -> qualityWinsorizedApproxQ,
     "quality_bins" -> qualityBinsQ,
+    "quality_winsorized_by_lang" -> qualityWinsorizedByLangQ,
     "feature_corr" -> featureCorrQ,
     "dedup_exact_groups" -> dedupExactGroups,
     "dedup_exact" -> dedupExact,
@@ -2639,6 +2670,7 @@ object PipelineCatalog {
     "quality_winsorized" -> qualityWinsorizedSql,
     // quality_winsorized_approx: sketch cut points — rows-only by design
     "quality_bins" -> qualityBinsSql,
+    "quality_winsorized_by_lang" -> qualityWinsorizedByLangSql,
     "feature_corr" -> featureCorrSql,
     "dedup_exact_groups" -> dedupExactGroupsSql,
     "dedup_exact" -> dedupExactSql,

@@ -108,6 +108,23 @@ class RobustStatsSpec extends SparkSuite {
       .collect().forall(_.getLong(1) === 0L))
   }
 
+  test("winsorizeBy: per-group cut points; null group yields null clamps") {
+    // group A = 1..10 (cuts 1.45/9.55 at p05/p95), group B = 101..110
+    // (cuts 101.45/109.55): each group clamps within ITS band — a global
+    // clamp would leave all of A at the low cut. One null-group row.
+    val rows = (1 to 10).map(i => (i.toLong, "A", i.toDouble)) ++
+      (1 to 10).map(i => (100L + i, "B", 100.0 + i)) :+
+      (999L, null.asInstanceOf[String], 5.0)
+    val d = rows.toDF("id", "g", "f1")
+    val w = RobustStats.winsorizeBy(d, "id", "g", Seq("f1"))
+      .collect().map(r => r.getLong(0) -> Option(r.get(2))).toMap
+    assert(w(1L) === Some(1.45) && w(10L) === Some(9.55))
+    assert(w(5L) === Some(5.0))
+    assert(w(101L) === Some(101.45) && w(110L) === Some(109.55))
+    assert(w(999L) === None, "null group has no calibration population")
+    assert(w.size === 21)
+  }
+
   test("corrMatrix: hand-checked signs and magnitudes; constant feature yields null") {
     // y = 2x exactly (corr 1), z = -x (corr -1 with x), w constant
     val d = (1 to 12).map(i => (i.toLong, 2L * i, -i.toLong, 7L))
