@@ -340,6 +340,118 @@ object Relevance {
   }
 
   /**
+   * Frozen-idf postings store for [[cosinePairsIncremental]] — the APSS
+   * member of the ingest-screen family ([[graft.operators.Dedup
+   * .minhashStore]] / `simhashStore` / the assigned semantic corpus):
+   * one keeper per distinct token list (min id, the fingerprint
+   * collapse), each keeper's TF-IDF-normalized postings under the
+   * BUILD-TIME model. The idf model — member-count `n0` and
+   * member-level `df` — is FROZEN into the rows (the
+   * [[graft.operators.Similarity.encodePqIndex]] frozen-quantizer
+   * contract): screens stay O(ingest), never re-weigh the corpus, and
+   * drift accumulates until a rebuild, exactly like a production
+   * retrieval index's idf snapshot. Schema: (id, fp, term, df, wn, n0);
+   * persist as parquet and screen every ingest against it.
+   */
+  def cosineStore(docs: DataFrame, idCol: String,
+                  textCol: String): DataFrame = {
+    val members = docs.select(col(idCol).as("id"),
+        TextAnalysis.tokens(col(textCol)).as("tk"))
+      .withColumn("fp", xxhash64(sort_array(col("tk"))))
+    val w = Window.partitionBy(col("fp"))
+    val withRep = members
+      .withColumn("rid", min(col("id")).over(w))
+      .withColumn("grp", count(lit(1)).over(w))
+    val reps = withRep.filter(col("id") === col("rid"))
+      .select(col("rid"), col("fp"), col("tk"), col("grp"))
+    val nDocs = members.agg(count(lit(1)).as("n0"))
+    val tf = reps.select(col("rid"), col("fp"), col("grp"),
+        explode(col("tk")).as("term"))
+      .groupBy(col("rid"), col("fp"), col("grp"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy(col("term")).agg(sum(col("grp")).as("df"))
+    val weighted = tf.join(dfreq, "term").crossJoin(broadcast(nDocs))
+      .select(col("rid"), col("fp"), col("term"), col("df"), col("n0"),
+        (col("tf").cast("double")
+          * log(col("n0").cast("double") / col("df").cast("double")))
+          .as("wt"))
+    val norms = weighted.groupBy(col("rid"))
+      .agg(aggregate(
+        array_sort(collect_list(struct(col("term"), col("wt")))),
+        lit(0.0),
+        (acc, x) => acc + x.getField("wt") * x.getField("wt")).as("n2"))
+      .filter(col("n2") > 0.0)
+      .select(col("rid"), sqrt(col("n2")).as("nrm"))
+    weighted.join(norms, "rid")
+      .select(col("rid").as("id"), col("fp"), col("term"), col("df"),
+        (col("wt") / col("nrm")).as("wn"), col("n0"))
+  }
+
+  /**
+   * Incremental APSS screen: every ≥ `tau` cosine pair touching the
+   * ingest batch — incoming × store keepers AND incoming × incoming —
+   * under the store's FROZEN idf model (terms unseen at build score as
+   * df = 1, maximally informative: they sharpen the incoming doc's norm
+   * and can only match other incoming docs, since no store posting
+   * carries them). O(ingest-postings × matched store postings), the
+   * corpus is never re-signed or re-weighed; `maxDf` drops postings of
+   * build-time-hot terms on BOTH sides (the [[cosinePairs]] lower-bound
+   * contract). Corpus duplicates are represented by their keeper id —
+   * the screen answers "does this incoming doc have a near-dup in the
+   * corpus", the keeper names it. Same in-order-fold exactness as the
+   * batch form. Output: (id_a, id_b, cos_r), id_a < id_b.
+   */
+  def cosinePairsIncremental(incoming: DataFrame, store: DataFrame,
+                             idCol: String, textCol: String,
+                             tau: Double, maxDf: Long = 0L): DataFrame = {
+    require(tau > 0.0, "cosinePairsIncremental tau must be positive")
+    val n0row = store.agg(max(col("n0")).as("n0"))
+    val dfDict = store.groupBy(col("term")).agg(max(col("df")).as("df0"))
+    val inTf = incoming.select(col(idCol).as("id"),
+        explode(TextAnalysis.tokens(col(textCol))).as("term"))
+      .groupBy(col("id"), col("term")).agg(count(lit(1)).as("tf"))
+    val inW = inTf.join(dfDict, Seq("term"), "left")
+      .crossJoin(broadcast(n0row))
+      .select(col("id"), col("term"),
+        coalesce(col("df0"), lit(1L)).as("df0"),
+        (col("tf").cast("double")
+          * log(col("n0").cast("double")
+            / coalesce(col("df0"), lit(1L)).cast("double"))).as("wt"))
+    val inNorms = inW.groupBy(col("id"))
+      .agg(aggregate(
+        array_sort(collect_list(struct(col("term"), col("wt")))),
+        lit(0.0),
+        (acc, x) => acc + x.getField("wt") * x.getField("wt")).as("n2"))
+      .filter(col("n2") > 0.0)
+      .select(col("id"), sqrt(col("n2")).as("nrm"))
+    val inPosts0 = inW.join(inNorms, "id")
+      .select(col("id"), col("term"), col("df0"),
+        (col("wt") / col("nrm")).as("wn"))
+    val inPosts =
+      if (maxDf > 0L) inPosts0.filter(col("df0") <= maxDf) else inPosts0
+    val stPosts =
+      if (maxDf > 0L) store.filter(col("df") <= maxDf) else store
+    def foldPairs(pairs: DataFrame): DataFrame = pairs
+      .groupBy(col("ia"), col("ib"))
+      .agg(round(aggregate(
+        array_sort(collect_list(struct(col("term"), col("p")))),
+        lit(0.0), (acc, x) => acc + x.getField("p")), 6).as("cos_r"))
+      .filter(col("cos_r") >= tau)
+      .select(least(col("ia"), col("ib")).as("id_a"),
+        greatest(col("ia"), col("ib")).as("id_b"), col("cos_r"))
+    val cross = foldPairs(inPosts.alias("a")
+      .join(stPosts.alias("b"), col("a.term") === col("b.term"))
+      .select(col("a.id").as("ia"), col("b.id").as("ib"),
+        col("a.term").as("term"), (col("a.wn") * col("b.wn")).as("p")))
+    val intra = foldPairs(inPosts.alias("a")
+      .join(inPosts.alias("b"),
+        col("a.term") === col("b.term") && col("a.id") < col("b.id"))
+      .select(col("a.id").as("ia"), col("b.id").as("ib"),
+        col("a.term").as("term"), (col("a.wn") * col("b.wn")).as("p")))
+    cross.unionByName(intra)
+  }
+
+  /**
    * Corpus-trained bigram-LM perplexity per document — the CCNet-style
    * quality signal (Wenzek et al. 2020 rank documents by LM perplexity;
    * here the model is the corpus's own bigram statistics instead of an

@@ -2281,6 +2281,89 @@ object PipelineCatalog {
       |)
       |SELECT * FROM crossp UNION ALL SELECT * FROM intrap""".stripMargin
 
+  /** Incremental APSS screen (r12): ingest slice scored against the
+    * corpus slice's frozen-idf keeper store — same split convention as
+    * the minhash/simhash ingest gates. The oracle replays the frozen
+    * model end to end (build-time n0/df, unseen terms at df = 1, the
+    * cap on both sides, in-order folds). */
+  val textCosineIncQ: Q = (s, dir) => {
+    val docs = Tables.documents(s, dir)
+    val corpus = docs.filter(col("doc_id") % 4 === 0)
+    val incoming = docs.filter(col("doc_id") % 4 === 2)
+      .withColumn("doc_id", col("doc_id") + lit(10000000L))
+    Relevance.cosinePairsIncremental(incoming,
+      Relevance.cosineStore(corpus, "doc_id", "text"),
+      "doc_id", "text", tau = 0.3, maxDf = 20L)
+  }
+
+  val textCosineIncSql: String =
+    """WITH corpus AS (
+      |  SELECT doc_id AS id, string_split(text, ' ') AS tk
+      |  FROM documents WHERE doc_id % 4 = 0
+      |), inc AS (
+      |  SELECT doc_id + 10000000 AS id, string_split(text, ' ') AS tk
+      |  FROM documents WHERE doc_id % 4 = 2
+      |), g AS (
+      |  SELECT list_sort(tk) AS key, min(id) AS rid, count(*) AS grp
+      |  FROM corpus GROUP BY list_sort(tk)
+      |), reps AS (
+      |  SELECT g.rid, c.tk, g.grp FROM g JOIN corpus c ON c.id = g.rid
+      |), n AS (
+      |  SELECT CAST(count(*) AS BIGINT) AS n0 FROM corpus
+      |), stf AS (
+      |  SELECT rid, grp, term, CAST(count(*) AS BIGINT) AS tf
+      |  FROM (SELECT rid, grp, unnest(tk) AS term FROM reps)
+      |  GROUP BY rid, grp, term
+      |), sdf AS (
+      |  SELECT term, CAST(sum(grp) AS BIGINT) AS df FROM stf GROUP BY term
+      |), swt AS (
+      |  SELECT rid, term, df,
+      |         CAST(tf AS DOUBLE) * ln(CAST(n0 AS DOUBLE) / CAST(df AS DOUBLE)) AS wt
+      |  FROM stf JOIN sdf USING (term) CROSS JOIN n
+      |), snrm AS (
+      |  SELECT rid, sqrt(n2) AS nrm FROM (
+      |    SELECT rid, list_reduce(list(wt * wt ORDER BY term), (x, y) -> x + y) AS n2
+      |    FROM swt GROUP BY rid
+      |  ) WHERE n2 > 0
+      |), sposts AS (
+      |  SELECT w.rid AS id, w.term, w.wt / s.nrm AS wn
+      |  FROM swt w JOIN snrm s USING (rid) WHERE w.df <= 20
+      |), itf AS (
+      |  SELECT id, term, CAST(count(*) AS BIGINT) AS tf
+      |  FROM (SELECT id, unnest(tk) AS term FROM inc) GROUP BY id, term
+      |), iw AS (
+      |  SELECT itf.id, itf.term, coalesce(sdf.df, 1) AS df0,
+      |         CAST(tf AS DOUBLE)
+      |           * ln(CAST(n0 AS DOUBLE) / CAST(coalesce(sdf.df, 1) AS DOUBLE)) AS wt
+      |  FROM itf LEFT JOIN sdf USING (term) CROSS JOIN n
+      |), inrm AS (
+      |  SELECT id, sqrt(n2) AS nrm FROM (
+      |    SELECT id, list_reduce(list(wt * wt ORDER BY term), (x, y) -> x + y) AS n2
+      |    FROM iw GROUP BY id
+      |  ) WHERE n2 > 0
+      |), iposts AS (
+      |  SELECT w.id, w.term, w.wt / i.nrm AS wn
+      |  FROM iw w JOIN inrm i USING (id) WHERE w.df0 <= 20
+      |), crossp AS (
+      |  SELECT ia, ib, cos_r FROM (
+      |    SELECT a.id AS ia, b.id AS ib,
+      |           round(list_reduce(list(a.wn * b.wn ORDER BY a.term),
+      |                 (x, y) -> x + y), 6) AS cos_r
+      |    FROM iposts a JOIN sposts b ON a.term = b.term
+      |    GROUP BY a.id, b.id
+      |  ) WHERE cos_r >= 0.3
+      |), intra AS (
+      |  SELECT ia, ib, cos_r FROM (
+      |    SELECT a.id AS ia, b.id AS ib,
+      |           round(list_reduce(list(a.wn * b.wn ORDER BY a.term),
+      |                 (x, y) -> x + y), 6) AS cos_r
+      |    FROM iposts a JOIN iposts b ON a.term = b.term AND a.id < b.id
+      |    GROUP BY a.id, b.id
+      |  ) WHERE cos_r >= 0.3
+      |)
+      |SELECT least(ia, ib) AS id_a, greatest(ia, ib) AS id_b, cos_r
+      |FROM (SELECT * FROM crossp UNION ALL SELECT * FROM intra)""".stripMargin
+
   /** The indexed BM25 read path (r12): [[Relevance.bm25Index]] persisted
     * ONCE per (application, sfDir) — term-clustered postings parquet +
     * doc-frame `_stats` — then queried via
@@ -2590,6 +2673,7 @@ object PipelineCatalog {
     "bm25_search" -> bm25SearchQ,
     "bm25_search_indexed" -> bm25SearchIndexedQ,
     "text_cosine_pairs" -> textCosinePairsQ,
+    "text_cosine_inc" -> textCosineIncQ,
     "split_groups" -> splitGroups,
     "graph_rank" -> graphRank,
     "fuzzy_pairs" -> fuzzyPairs,
@@ -2680,6 +2764,7 @@ object PipelineCatalog {
     "bm25_search" -> bm25SearchSql,
     "bm25_search_indexed" -> bm25SearchSql,
     "text_cosine_pairs" -> textCosinePairsSql,
+    "text_cosine_inc" -> textCosineIncSql,
     "split_groups" -> splitGroupsSql,
     "graph_rank" -> graphRankSql,
     "fuzzy_pairs" -> fuzzyPairsSql,

@@ -210,6 +210,42 @@ class RelevanceSpec extends SparkSuite {
     capped.foreach { case (k, c) => assert(c <= full(k) + 1e-9, s"$k") }
   }
 
+  test("cosine incremental screen: frozen-idf store, exact re-find, unseen terms, intra-batch") {
+    val corpus = Seq(
+      (0L, "alpha beta gamma delta"),
+      (4L, "alpha beta gamma delta"),   // duplicate -> keeper 0, grp 2
+      (8L, "zeta eta theta iota"),
+      (12L, "kappa lambda mu nu")
+    ).toDF("doc_id", "text")
+    val store = Relevance.cosineStore(corpus, "doc_id", "text")
+    // store: one keeper per distinct text, member-level df, n0 = 4
+    val byTerm = store.collect()
+      .map(r => (r.getLong(0), r.getString(2), r.getLong(3), r.getLong(5)))
+    assert(byTerm.forall(_._4 === 4L), "n0 is the MEMBER count")
+    assert(byTerm.filter(_._2 == "alpha").map(_._3).toSeq === Seq(2L),
+      "df is member-level (the duplicate counts)")
+    assert(!byTerm.exists(_._1 == 4L), "duplicates collapse to their keeper")
+    val incoming = Seq(
+      (100L, "alpha beta gamma delta"),  // exact copy of keeper 0
+      (101L, "alpha beta gamma epsilon"),// near-dup of keeper 0 (unseen term)
+      (102L, "foo bar baz qux"),         // all-unseen
+      (103L, "foo bar baz qux")          // intra-batch duplicate of 102
+    ).toDF("doc_id", "text")
+    val got = Relevance.cosinePairsIncremental(incoming, store,
+        "doc_id", "text", tau = 0.2)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    // exact copy re-finds its keeper at 1.0 under the frozen model
+    assert(got((0L, 100L)) === 1.0)
+    // near-dup pairs with the keeper below 1.0 but above tau
+    assert(got.contains((0L, 101L)) && got((0L, 101L)) < 1.0)
+    // all-unseen docs match NOTHING in the store...
+    assert(!got.keys.exists(k => (k._1 == 102L || k._2 == 102L) && k._1 < 100L))
+    // ...but pair with each other intra-batch at 1.0 (df=1 idf weights)
+    assert(got((102L, 103L)) === 1.0)
+    // the batch's own near-dups pair too (100 vs 101 share 3 frozen terms)
+    assert(got.contains((100L, 101L)))
+  }
+
   test("bm25SearchIndexed equals the scanned path on a corpus with null/empty text") {
     // ADVICE r11: postings-derived stats excluded token-less docs,
     // shifting n_docs/avgdl vs the scanned path. `_stats` now derives
