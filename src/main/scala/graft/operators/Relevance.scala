@@ -388,6 +388,77 @@ object Relevance {
   }
 
   /**
+   * Store maintenance for [[cosineStore]]: encode an ingest batch's
+   * NOVEL contents (fingerprint not already in the store, one keeper
+   * per new distinct token list) under the store's FROZEN model and
+   * append them, so the next ingest screens against them — the
+   * [[graft.operators.Dedup.minhashStoreAppend]] contract with the
+   * [[graft.operators.Similarity.appendToPqIndex]] frozen-model
+   * weighting: build-time `n0`/`df` stay authoritative (appended rows
+   * echo them; terms unseen at build ride at df = 1, matching what
+   * [[cosinePairsIncremental]] assumes when scoring against them).
+   * Model drift accumulates across appends — gate rebuilds with
+   * [[cosineStoreUnseenFrac]].
+   */
+  def cosineStoreAppend(store: DataFrame, incoming: DataFrame,
+                        idCol: String, textCol: String): DataFrame = {
+    val n0row = store.agg(max(col("n0")).as("n0"))
+    val dfDict = store.groupBy(col("term")).agg(max(col("df")).as("df0"))
+    val members = incoming.select(col(idCol).as("id"),
+        TextAnalysis.tokens(col(textCol)).as("tk"))
+      .withColumn("fp", xxhash64(sort_array(col("tk"))))
+    val novel = members
+      .join(store.select(col("fp")).distinct(), Seq("fp"), "left_anti")
+      .groupBy(col("fp"))
+      .agg(min(struct(col("id"), col("tk"))).as("ks"))
+      .select(col("ks.id").as("rid"), col("fp"), col("ks.tk").as("tk"))
+    val tf = novel.select(col("rid"), col("fp"), explode(col("tk")).as("term"))
+      .groupBy(col("rid"), col("fp"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+    val weighted = tf.join(dfDict, Seq("term"), "left")
+      .crossJoin(broadcast(n0row))
+      .select(col("rid"), col("fp"), col("term"),
+        coalesce(col("df0"), lit(1L)).as("df"), col("n0"),
+        (col("tf").cast("double")
+          * log(col("n0").cast("double")
+            / coalesce(col("df0"), lit(1L)).cast("double"))).as("wt"))
+    val norms = weighted.groupBy(col("rid"))
+      .agg(aggregate(
+        array_sort(collect_list(struct(col("term"), col("wt")))),
+        lit(0.0),
+        (acc, x) => acc + x.getField("wt") * x.getField("wt")).as("n2"))
+      .filter(col("n2") > 0.0)
+      .select(col("rid"), sqrt(col("n2")).as("nrm"))
+    store.unionByName(weighted.join(norms, "rid")
+      .select(col("rid").as("id"), col("fp"), col("term"), col("df"),
+        (col("wt") / col("nrm")).as("wn"), col("n0")))
+  }
+
+  /**
+   * Frozen-model drift signal for [[cosineStore]]: the fraction of the
+   * increment's token OCCURRENCES whose term the store has never seen —
+   * the idf snapshot is blind to exactly those terms (they ride at
+   * df = 1 regardless of how common they have become). One
+   * ingest-bounded aggregate; the two counters are the only
+   * driver-side values (the [[graft.operators.Similarity
+   * .pqResidualStats]] discipline). Rebuild the store when this
+   * exceeds the deployment's tolerance (the PqDrift trigger pattern).
+   */
+  def cosineStoreUnseenFrac(store: DataFrame, incoming: DataFrame,
+                            idCol: String, textCol: String): Double = {
+    val dict = store.select(col("term")).distinct()
+    val toks = incoming.select(
+      explode(TextAnalysis.tokens(col(textCol))).as("term"))
+    val row = toks.join(dict.withColumn("_seen", lit(1)), Seq("term"), "left")
+      .agg(count(lit(1)).as("total"),
+        coalesce(sum(when(col("_seen").isNull, 1L).otherwise(0L)), lit(0L))
+          .as("unseen"))
+      .head()
+    val total = row.getLong(0)
+    if (total == 0L) 0.0 else row.getLong(1).toDouble / total.toDouble
+  }
+
+  /**
    * Incremental APSS screen: every ≥ `tau` cosine pair touching the
    * ingest batch — incoming × store keepers AND incoming × incoming —
    * under the store's FROZEN idf model (terms unseen at build score as

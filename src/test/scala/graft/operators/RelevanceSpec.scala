@@ -246,6 +246,37 @@ class RelevanceSpec extends SparkSuite {
     assert(got.contains((100L, 101L)))
   }
 
+  test("cosineStoreAppend: novel keepers under the frozen model; drift signal counts unseen mass") {
+    val corpus = Seq(
+      (0L, "alpha beta gamma delta"),
+      (4L, "zeta eta theta iota")
+    ).toDF("doc_id", "text")
+    val store = Relevance.cosineStore(corpus, "doc_id", "text")
+    val batch1 = Seq(
+      (100L, "alpha beta gamma delta"),   // known content -> NOT appended
+      (101L, "foo bar baz qux")           // novel -> appended under frozen model
+    ).toDF("doc_id", "text")
+    val s2 = Relevance.cosineStoreAppend(store, batch1, "doc_id", "text")
+    val ids = s2.select("id").distinct().collect().map(_.getLong(0)).toSet
+    assert(ids === Set(0L, 4L, 101L),
+      "append adds one keeper per NOVEL content only")
+    // frozen-model echo: appended unseen terms ride at df = 1, n0 unchanged
+    val appended = s2.filter(org.apache.spark.sql.functions.col("id") === 101L).collect()
+    assert(appended.forall(r => r.getLong(3) == 1L && r.getLong(5) == 2L))
+    // a later batch duplicating the appended content re-finds it at 1.0
+    val batch2 = Seq((200L, "foo bar baz qux")).toDF("doc_id", "text")
+    val got = Relevance.cosinePairsIncremental(batch2, s2,
+        "doc_id", "text", tau = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(got((101L, 200L)) === 1.0,
+      "the appended keeper must screen the next ingest")
+    // drift: batch1 has 8 token occurrences, 4 unseen at build
+    assert(math.abs(Relevance.cosineStoreUnseenFrac(store, batch1,
+      "doc_id", "text") - 0.5) < 1e-12)
+    assert(Relevance.cosineStoreUnseenFrac(store, corpus,
+      "doc_id", "text") === 0.0)
+  }
+
   test("bm25SearchIndexed equals the scanned path on a corpus with null/empty text") {
     // ADVICE r11: postings-derived stats excluded token-less docs,
     // shifting n_docs/avgdl vs the scanned path. `_stats` now derives
