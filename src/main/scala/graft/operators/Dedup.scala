@@ -1653,6 +1653,38 @@ object Dedup {
   }
 
   /**
+   * Quality-aware keep policy: one survivor per near-dup component,
+   * chosen by a SCORE instead of the min id — the form curation
+   * pipelines actually run ("keep the longest / highest-quality copy"),
+   * where min-id keep ([[resolveClusters]] + anti-join) keeps whichever
+   * duplicate happened to be crawled first. Keeper = arg max
+   * `scoreCol` within the component, ties broken by min id
+   * (deterministic); docs in no pair are their own component and
+   * always survive; a doc with a NULL score loses to any scored
+   * sibling (nulls-last ordering) and survives only alone or among
+   * all-null components (min id then).
+   *
+   * Scale shape: the component resolution is [[resolveClusters]]
+   * (tiered union-find); the keep itself is one window over
+   * (component) — rank-1 row per component, no collect, no join
+   * beyond attaching the cluster ids. Returns `df`'s full rows,
+   * survivors only.
+   */
+  def keepBestPerCluster(df: DataFrame, idCol: String, pairs: DataFrame,
+                         scoreCol: String): DataFrame = {
+    val clusters = resolveClusters(pairs)
+      .select(col("doc_id").as("_kid"), col("cluster_id").as("_c0"))
+    val withC = df
+      .join(clusters, col(idCol) === col("_kid"), "left")
+      .withColumn("_c", coalesce(col("_c0"), col(idCol)))
+    val w = Window.partitionBy(col("_c"))
+      .orderBy(col(scoreCol).desc_nulls_last, col(idCol).asc)
+    withC.withColumn("_rn", row_number().over(w))
+      .filter(col("_rn") === 1)
+      .drop("_kid", "_c0", "_c", "_rn")
+  }
+
+  /**
    * Duplicated-span SCRUBBING — the completion of [[duplicatedSpans]]
    * (which only measures): rebuild each document with every token that
    * falls inside a corpus-duplicated n-token span removed — the actual

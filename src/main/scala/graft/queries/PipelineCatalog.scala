@@ -150,6 +150,35 @@ object PipelineCatalog {
         |  SELECT doc_id FROM clusters WHERE doc_id <> cluster_id)""".stripMargin
   }
 
+  /** Quality-aware keep (r12): one survivor per near-dup component by
+    * MAX n_chars (keep the longest copy), ties to the min id — the
+    * curation-pipeline keep policy, vs [[dedupKeep]]'s min-id keep. */
+  val dedupKeepBest: Q = (s, dir) =>
+    Dedup.keepBestPerCluster(
+      Tables.documents(s, dir)
+        .select(col("doc_id"), col("lang"), col("source"), col("n_chars")),
+      "doc_id", dedupJaccard(s, dir), "n_chars")
+
+  val dedupKeepBestSql: String = {
+    val closure = dedupClustersSql.substring(
+      0, dedupClustersSql.indexOf("SELECT s AS doc_id"))
+    closure +
+      """, clusters AS (
+        |  SELECT s AS doc_id, least(s, min(t)) AS cluster_id
+        |  FROM reach GROUP BY s
+        |), withc AS (
+        |  SELECT d.doc_id, d.lang, d.source, d.n_chars,
+        |         COALESCE(c.cluster_id, d.doc_id) AS comp
+        |  FROM documents d
+        |  LEFT JOIN clusters c ON d.doc_id = c.doc_id
+        |)
+        |SELECT doc_id, lang, source, n_chars FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY comp
+        |           ORDER BY n_chars DESC NULLS LAST, doc_id ASC) AS rn
+        |  FROM withc
+        |) WHERE rn = 1""".stripMargin
+  }
+
   /** Incremental ingest dedup: docs from 'src1' arriving against the
     * standing corpus (everything else) — in-batch keepers that are not
     * already in the corpus. */
@@ -2680,6 +2709,7 @@ object PipelineCatalog {
     "fuzzy_pairs_r2" -> fuzzyPairsR2,
     "dedup_clusters" -> dedupClusters,
     "dedup_keep" -> dedupKeep,
+    "dedup_keep_best" -> dedupKeepBest,
     "dedup_spans" -> dedupSpans,
     "dedup_incremental" -> dedupIncremental,
     "dedup_minhash" -> dedupMinhash,
@@ -2775,6 +2805,7 @@ object PipelineCatalog {
     "dedup_simhash_inc_md5" -> dedupSimhashIncMd5Sql,
     "dedup_clusters" -> dedupClustersSql,
     "dedup_keep" -> dedupKeepSql,
+    "dedup_keep_best" -> dedupKeepBestSql,
     "dedup_spans" -> dedupSpansSql,
     "dedup_incremental" -> dedupIncrementalSql,
     "sim_bruteforce_topk" -> simBruteForceSql,

@@ -379,6 +379,22 @@ class DedupSpec extends SparkSuite {
     }
   }
 
+  test("keepBestPerCluster: max score survives, ties to min id, null scores lose, singletons stay") {
+    // components from pairs: {1,2,3} and {10,11}; 20 is a singleton
+    val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("id_a", "id_b")
+    val docs = Seq(
+      (1L, Some(5L)), (2L, Some(9L)), (3L, Some(9L)),  // 2 and 3 tie at 9 -> 2
+      (10L, None: Option[Long]), (11L, Some(1L)),      // null loses to scored
+      (20L, None: Option[Long])                        // singleton survives
+    ).toDF("doc_id", "score")
+    val kept = Dedup.keepBestPerCluster(docs, "doc_id", pairs, "score")
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept === Set(2L, 11L, 20L))
+    // full rows come back, schema unchanged
+    assert(Dedup.keepBestPerCluster(docs, "doc_id", pairs, "score")
+      .columns.toSeq === Seq("doc_id", "score"))
+  }
+
   test("duplicatedSpans flags shared and self-repeated n-token spans") {
     val span = (1 to 4).map(i => s"w$i").mkString(" ") // 4-token span
     val docs = Seq(
