@@ -45,17 +45,20 @@ object Bench {
     // dedup_clusters) swings up to 4× on box state in wall-clock while
     // these fields are plan-determined — pin THEM as that family's
     // primary round-over-round trend, wall-clock as the secondary.
+    // Single-threaded-bench assumption: the atomics attribute EVERY stage
+    // on the context to the query currently inside onePass's timed window —
+    // correct only because the bench is the context's sole client.
     val shufBytes = new java.util.concurrent.atomic.AtomicLong(0L)
     val stageCnt = new java.util.concurrent.atomic.AtomicLong(0L)
-    spark.sparkContext.addSparkListener(
-      new org.apache.spark.scheduler.SparkListener {
-        override def onStageCompleted(
-            s: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit = {
-          shufBytes.addAndGet(
-            s.stageInfo.taskMetrics.shuffleWriteMetrics.bytesWritten)
-          stageCnt.incrementAndGet(); ()
-        }
-      })
+    val trendListener = new org.apache.spark.scheduler.SparkListener {
+      override def onStageCompleted(
+          s: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit = {
+        shufBytes.addAndGet(
+          s.stageInfo.taskMetrics.shuffleWriteMetrics.bytesWritten)
+        stageCnt.incrementAndGet(); ()
+      }
+    }
+    spark.sparkContext.addSparkListener(trendListener)
     val planTrend =
       scala.collection.mutable.Map.empty[String, List[(Long, Long)]]
     def onePass(): Map[String, Double] = names.map { case (name, fn) =>
@@ -84,7 +87,12 @@ object Bench {
     // A query that fails ANY pass reports -1.
     val passes = math.max(1, sys.env.get("SPARK_GRAFT_BENCH_PASSES")
       .flatMap(_.trim.toIntOption).getOrElse(3))
-    val allPasses = (1 to passes).map(_ => onePass())
+    // Remove the listener once the passes finish (ADVICE r12): repeated
+    // runBench-style invocations on a shared context would otherwise
+    // accumulate dead listeners that keep attributing stages.
+    val allPasses =
+      try (1 to passes).map(_ => onePass())
+      finally spark.sparkContext.removeSparkListener(trendListener)
     val results = allPasses.head.keys.map { name =>
       val vs = allPasses.map(_(name))
       name -> (if (vs.exists(_ < 0)) -1.0 else vs.sorted.apply(vs.length / 2))

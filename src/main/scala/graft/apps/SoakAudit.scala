@@ -7,7 +7,7 @@ import org.apache.spark.sql.execution.exchange.{BroadcastExchangeLike, ShuffleEx
 import org.apache.spark.sql.functions.{col, count, lit}
 
 import graft.SparkEntry
-import graft.operators.Similarity
+import graft.operators.{Relevance, Similarity}
 import graft.sources.Tables
 
 /**
@@ -86,6 +86,13 @@ object SoakAudit {
   private def decontamDrive(df: DataFrame): DataFrame =
     df.groupBy(col("clean"))
       .agg(org.apache.spark.sql.functions.sum(col("n_hits")).as("total_hits"))
+
+  /** APSS soak drive: a cos_r-band histogram — grouped on a computed
+    * column so Catalyst can neither prune the pair scan nor fold the
+    * count (the decontamDrive lesson). */
+  private def apssDrive(df: DataFrame): DataFrame =
+    df.groupBy((col("cos_r") * 10).cast("int").as("band"))
+      .agg(count(lit(1)).as("pairs"))
   /** Deep-funnel soak drive (r12): 6 step types derived by splitting
     * each real event type on second-parity (the events table carries 5
     * types) — a cost-shape probe at the depth where the k-scan form
@@ -336,6 +343,32 @@ object SoakAudit {
         .groupBy(col("container_id")).agg(count(lit(1)).as("n_contained"))
         .groupBy().agg(count(lit(1)).as("containers"),
           org.apache.spark.sql.functions.sum(col("n_contained")).as("pairs"))),
+    // APSS A/B soaks (r13): the Bayardo prefix filter's candidate-volume
+    // economics — same operator, filter on vs off (`_nopf`), in the gate's
+    // capped regime (tau .3 / maxDf 50), uncapped at the same tau (the
+    // Σ df² bill the cap used to be the only lever against), and uncapped
+    // at tau .7 (the high-threshold regime where the prefix absorbs most
+    // postings). Output is bit-identical on vs off (spec-pinned); the
+    // soak records the cost delta. Driven through a cos_r-band aggregate
+    // so the whole pair scan executes.
+    "soak_apss_capped" -> ((s, dir) => apssDrive(Relevance.cosinePairsImpl(
+      Tables.documents(s, dir), "doc_id", "text", 0.3, 50L,
+      prefixFilter = true))),
+    "soak_apss_capped_nopf" -> ((s, dir) => apssDrive(Relevance.cosinePairsImpl(
+      Tables.documents(s, dir), "doc_id", "text", 0.3, 50L,
+      prefixFilter = false))),
+    "soak_apss_uncapped" -> ((s, dir) => apssDrive(Relevance.cosinePairsImpl(
+      Tables.documents(s, dir), "doc_id", "text", 0.3, 0L,
+      prefixFilter = true))),
+    "soak_apss_uncapped_nopf" -> ((s, dir) => apssDrive(Relevance.cosinePairsImpl(
+      Tables.documents(s, dir), "doc_id", "text", 0.3, 0L,
+      prefixFilter = false))),
+    "soak_apss_tau7" -> ((s, dir) => apssDrive(Relevance.cosinePairsImpl(
+      Tables.documents(s, dir), "doc_id", "text", 0.7, 0L,
+      prefixFilter = true))),
+    "soak_apss_tau7_nopf" -> ((s, dir) => apssDrive(Relevance.cosinePairsImpl(
+      Tables.documents(s, dir), "doc_id", "text", 0.7, 0L,
+      prefixFilter = false))),
     // Integer PageRank over the customer↔supplier trade graph, 10
     // iterations. Per-iteration exchange count must be FLAT in corpus
     // size (the loop compiles its own fixed shapes with AQE off); time

@@ -743,14 +743,19 @@ object Dedup {
     * Plans with NO computed stats (LogicalRDD, streaming micro-batch
     * sources) report the `spark.sql.defaultSizeInBytes` sentinel, not a
     * size — that would silently select the maximum table layout (up to
-    * a 56-64× per-signature explode) on a tiny in-memory frame, so any
-    * estimate at or above the sentinel is treated as "no estimate" and
-    * falls back to the floor layout (ADVICE r11). Output is
-    * banding-invariant either way; only the explode factor moves. */
+    * a 56-64× per-signature explode) on a tiny in-memory frame, so an
+    * estimate EXACTLY EQUAL to the sentinel is treated as "no estimate"
+    * and falls back to the floor layout (ADVICE r11). Exact equality, not
+    * `>=`: deployments lower `defaultSizeInBytes` as a broadcast tuning,
+    * and under a lowered sentinel a genuinely large frame WITH real stats
+    * can legitimately size above it — `>=` would silently demote it to
+    * the floor layout (ADVICE r12). Output is banding-invariant either
+    * way; only the explode factor moves. */
   private def estimatedSigRows(df: DataFrame): Long = {
-    val bytes = df.queryExecution.optimizedPlan.stats.sizeInBytes
+    val stats = df.queryExecution.optimizedPlan.stats
+    val bytes = stats.sizeInBytes
     val sentinel = BigInt(df.sparkSession.sessionState.conf.defaultSizeInBytes)
-    if (bytes >= sentinel) 1L
+    if (bytes == sentinel && stats.rowCount.isEmpty) 1L
     else (bytes / 64).min(BigInt(Long.MaxValue)).max(BigInt(1)).toLong
   }
 
@@ -1352,11 +1357,18 @@ object Dedup {
     // collapse to one representative per distinct shingle SET (sorted —
     // shingleHashes preserves encounter order); the window attaches the
     // member → representative mapping without a second array join. The
-    // window keys on an 8-byte xxhash64 FINGERPRINT of the sorted set,
-    // not the set itself, so the collapse exchange carries the array
-    // once (in the row) instead of twice (key AND value) — same 64-bit
-    // collision contract as [[jaccardPairs]]' shingle hashing (r12).
-    val w = Window.partitionBy(xxhash64(sort_array(col("sh"))))
+    // window keys on a 128-bit FINGERPRINT of the sorted set (xxhash64
+    // over the array AND over its reverse — two independent views), not
+    // the set itself, so the collapse exchange carries the array once
+    // (in the row) instead of twice (key AND value). 128 bits, not 64:
+    // a collapse-key collision would silently merge two UNRELATED
+    // documents into one "identical-set" group and emit unverified false
+    // containment pairs, and the 64-bit birthday bound (~n²/2⁶⁵) turns
+    // material at billions of distinct docs (ADVICE r12); at 128 bits it
+    // never does.
+    val w = Window.partitionBy(
+      xxhash64(sort_array(col("sh"))),
+      xxhash64(reverse(sort_array(col("sh")))))
     val withRep = base
       .withColumn("rid", min(col("id")).over(w))
       .withColumn("grp", count(lit(1)).over(w))

@@ -244,17 +244,33 @@ object Relevance {
    * Shape at scale — the four dedup-then-expand disciplines (the r11
    * duplicate-amplification audit rule):
    *  - documents collapse to one representative per distinct sorted
-   *    token list (8-byte xxhash64 fingerprint as the collapse key, the
-   *    [[graft.operators.Dedup.containmentPairs]] contract) — identical
-   *    texts share one vector, so the pair scan runs at distinct-vector
-   *    level and a duplicate-heavy corpus cannot amplify Σ df²;
+   *    token list (128-bit fingerprint as the collapse key — see
+   *    [[fp128]]) — identical texts share one vector, so the pair scan
+   *    runs at distinct-vector level and a duplicate-heavy corpus
+   *    cannot amplify Σ df²;
    *  - `df` is MEMBER-level (group-size-weighted), so idf — and the
    *    `maxDf` stop-term cap — bind exactly as they would uncollapsed;
-   *  - the pair join is postings⋈postings on the term, grouped to one
-   *    row per candidate pair; only pairs sharing ≥ 1 kept term ever
-   *    materialize (Σ df² over kept postings, the operator's inherent
-   *    cost — `maxDf` is the lever, exactly [[bm25TopTerms]]' minDf
-   *    economics in reverse);
+   *  - candidate generation is EXACT prefix-filtered (Bayardo, Ma &
+   *    Srikant, WWW 2007): features order by (df desc, term asc) —
+   *    hottest first — and each vector's posting for feature i is
+   *    INDEXED only once the running bound Σ_{j≤i} wn_j·maxw(term_j)
+   *    reaches tau (maxw = the corpus-wide max normalized weight of the
+   *    term). A pair whose min-rid side shares no INDEXED term with the
+   *    other side's full vector has cosine provably below tau (its
+   *    shared terms all sit in the min side's prefix, whose
+   *    max-possible contribution against ANY unit vector is < tau), so
+   *    joining indexed(a) ⋈ full(b) on the term, a.rid < b.rid, loses
+   *    nothing — while the hot-term postings that dominate Σ df² are
+   *    exactly the ones the prefix absorbs. Output is bit-identical to
+   *    the unfiltered join (spec-pinned); the higher tau, the harder it
+   *    prunes. `maxDf` remains available as the semantics-changing
+   *    lower-bound cap on top;
+   *  - each candidate's dot completes Bayardo-style: products over the
+   *    min side's indexed terms come from the candidate join itself;
+   *    products over its PREFIX terms join per candidate pair (never
+   *    per term — the hot postings meet only qualified pairs); both
+   *    pieces merge into one term-sorted fold, so the float value is
+   *    bit-identical to the unfiltered join's;
    *  - surviving rep pairs expand to member pairs sized by true output;
    *    identical-text groups pair internally at their (capped) self-
    *    cosine — 1.0 uncapped.
@@ -271,12 +287,32 @@ object Relevance {
    * tokens) join no pairs. Output: (id_a, id_b, cos_r), id_a < id_b.
    */
   def cosinePairs(docs: DataFrame, idCol: String, textCol: String,
-                  tau: Double, maxDf: Long = 0L): DataFrame = {
+                  tau: Double, maxDf: Long = 0L): DataFrame =
+    cosinePairsImpl(docs, idCol, textCol, tau, maxDf, prefixFilter = true)
+
+  /** 128-bit collapse fingerprint of a sorted token list: xxhash64 over
+    * the array and over its reverse — two independent views, one struct
+    * key. 128 bits, not 64 (ADVICE r12): a collapse collision silently
+    * merges two unrelated documents into one "identical-text" group; at
+    * 64 bits the birthday bound (~n²/2⁶⁵) turns material at billions of
+    * distinct docs, at 128 it never does. The array itself stays out of
+    * the key so the collapse exchange carries it once (in the row). */
+  private def fp128(tk: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    struct(xxhash64(sort_array(tk)).as("h1"),
+      xxhash64(reverse(sort_array(tk))).as("h2"))
+
+  /** [[cosinePairs]] with the prefix filter switchable — `false` keeps
+    * the full postings⋈postings candidate join. Output is identical by
+    * the Bayardo guarantee (spec-pinned equality); only the candidate
+    * volume differs. Exposed for the equality spec and for A/B soaks. */
+  private[graft] def cosinePairsImpl(docs: DataFrame, idCol: String,
+                                     textCol: String, tau: Double,
+                                     maxDf: Long,
+                                     prefixFilter: Boolean): DataFrame = {
     require(tau > 0.0, "cosinePairs tau must be positive")
     val members = docs.select(col(idCol).as("id"),
         TextAnalysis.tokens(col(textCol)).as("tk"))
-      .withColumn("fp", xxhash64(sort_array(col("tk"))))
-    val w = Window.partitionBy(col("fp"))
+    val w = Window.partitionBy(fp128(col("tk")))
     val withRep = members
       .withColumn("rid", min(col("id")).over(w))
       .withColumn("grp", count(lit(1)).over(w))
@@ -305,12 +341,57 @@ object Relevance {
         (col("wt") / col("nrm")).as("wn"))
     val posts =
       if (maxDf > 0L) posts0.filter(col("df") <= maxDf) else posts0
-    val a = posts.alias("a")
-    val b = posts.alias("b")
-    val pairCos = a
-      .join(b, col("a.term") === col("b.term") && col("a.rid") < col("b.rid"))
+    // Prefix filter (exact): split each vector's kept postings, ordered
+    // (df desc, term asc), at the point where the running bound
+    // Σ wn·maxw(term) reaches tau (maxw = corpus-wide max normalized
+    // weight of the term). The UNINDEXED PREFIX's max-possible dot
+    // against ANY unit vector is its bound, < tau, so a qualifying pair
+    // MUST share an INDEXED term of its min-rid side — the candidate
+    // join runs indexed(a) ⋈ full(b) and the hot-term postings that
+    // dominate Σ df² are exactly the ones the prefix absorbs. Margin
+    // 1e-6 = 5e-7 for the 6-dp rounding of the emitted cosine
+    // (round(x,6) ≥ tau is possible from x ≥ tau−5e-7) plus slack for
+    // float accumulation in the bound itself (relative error ~2⁻⁵³ per
+    // add — orders of magnitude inside the margin).
+    val bounded =
+      if (prefixFilter) {
+        val maxw = posts.groupBy(col("term")).agg(max(col("wn")).as("mw"))
+        val bw = Window.partitionBy(col("rid"))
+          .orderBy(col("df").desc, col("term").asc)
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        posts.join(maxw, "term")
+          .withColumn("_bnd", sum(col("wn") * col("mw")).over(bw))
+          .select(col("rid"), col("term"), col("wn"), col("_bnd"))
+      } else posts.select(col("rid"), col("term"), col("wn"),
+        lit(Double.MaxValue).as("_bnd"))
+    val thr = lit(tau - 1e-6)
+    val idxA = bounded.filter(col("_bnd") >= thr)
+    val prefA = bounded.filter(col("_bnd") < thr)
+    val bSide = posts.select(col("rid"), col("term"), col("wn"))
+    // Score in two disjoint pieces, merged into ONE term-sorted fold so
+    // the float value is bit-identical to the unfiltered join's (and to
+    // the oracle's list_reduce): s1 = products over a's INDEXED shared
+    // terms (the candidate-generating join), s2 = the Bayardo score
+    // completion — products over a's PREFIX terms, joined per CANDIDATE
+    // PAIR (never per term), so the prefix's hot postings meet only the
+    // pairs that already qualified. The two sides partition a's posting
+    // rows, so no product appears twice. Cost is self-balancing: low tau
+    // ⇒ prefix small (s1 ≈ the unfiltered join, s2 negligible); high
+    // tau ⇒ candidates few (s1 tiny, s2 ∝ candidates × prefix length).
+    val s1 = idxA.alias("a")
+      .join(bSide.alias("b"),
+        col("a.term") === col("b.term") && col("a.rid") < col("b.rid"))
       .select(col("a.rid").as("ra"), col("b.rid").as("rb"),
         col("a.term").as("term"), (col("a.wn") * col("b.wn")).as("p"))
+    val cand = s1.select(col("ra"), col("rb")).distinct()
+    val s2 = cand
+      .join(prefA.select(col("rid").as("ra"), col("term"),
+        col("wn").as("wa")), "ra")
+      .join(bSide.select(col("rid").as("rb"), col("term"),
+        col("wn").as("wb")), Seq("rb", "term"))
+      .select(col("ra"), col("rb"), col("term"),
+        (col("wa") * col("wb")).as("p"))
+    val pairCos = s1.unionByName(s2)
       .groupBy(col("ra"), col("rb"))
       .agg(round(aggregate(
         array_sort(collect_list(struct(col("term"), col("p")))),
@@ -350,14 +431,16 @@ object Relevance {
    * [[graft.operators.Similarity.encodePqIndex]] frozen-quantizer
    * contract): screens stay O(ingest), never re-weigh the corpus, and
    * drift accumulates until a rebuild, exactly like a production
-   * retrieval index's idf snapshot. Schema: (id, fp, term, df, wn, n0);
-   * persist as parquet and screen every ingest against it.
+   * retrieval index's idf snapshot. Schema: (id, fp, term, df, wn, n0)
+   * with fp the 128-bit [[fp128]] struct (h1, h2) — stores persisted
+   * before r13 carried a 64-bit long fp and must be rebuilt; persist as
+   * parquet and screen every ingest against it.
    */
   def cosineStore(docs: DataFrame, idCol: String,
                   textCol: String): DataFrame = {
     val members = docs.select(col(idCol).as("id"),
         TextAnalysis.tokens(col(textCol)).as("tk"))
-      .withColumn("fp", xxhash64(sort_array(col("tk"))))
+      .withColumn("fp", fp128(col("tk")))
     val w = Window.partitionBy(col("fp"))
     val withRep = members
       .withColumn("rid", min(col("id")).over(w))
@@ -401,12 +484,21 @@ object Relevance {
    * [[cosineStoreUnseenFrac]].
    */
   def cosineStoreAppend(store: DataFrame, incoming: DataFrame,
-                        idCol: String, textCol: String): DataFrame = {
+                        idCol: String, textCol: String): DataFrame =
+    store.unionByName(cosineStoreDelta(store, incoming, idCol, textCol))
+
+  /** The NEW keeper rows [[cosineStoreAppend]] would add — exposed
+    * separately so an incremental persistence layer (the streaming
+    * ingest's VersionedTable upsert) can write just the delta instead of
+    * rewriting the whole store. `cosineStoreAppend(s, i) ≡
+    * s.unionByName(cosineStoreDelta(s, i))` by construction. */
+  def cosineStoreDelta(store: DataFrame, incoming: DataFrame,
+                       idCol: String, textCol: String): DataFrame = {
     val n0row = store.agg(max(col("n0")).as("n0"))
     val dfDict = store.groupBy(col("term")).agg(max(col("df")).as("df0"))
     val members = incoming.select(col(idCol).as("id"),
         TextAnalysis.tokens(col(textCol)).as("tk"))
-      .withColumn("fp", xxhash64(sort_array(col("tk"))))
+      .withColumn("fp", fp128(col("tk")))
     val novel = members
       .join(store.select(col("fp")).distinct(), Seq("fp"), "left_anti")
       .groupBy(col("fp"))
@@ -429,9 +521,9 @@ object Relevance {
         (acc, x) => acc + x.getField("wt") * x.getField("wt")).as("n2"))
       .filter(col("n2") > 0.0)
       .select(col("rid"), sqrt(col("n2")).as("nrm"))
-    store.unionByName(weighted.join(norms, "rid")
+    weighted.join(norms, "rid")
       .select(col("rid").as("id"), col("fp"), col("term"), col("df"),
-        (col("wt") / col("nrm")).as("wn"), col("n0")))
+        (col("wt") / col("nrm")).as("wn"), col("n0"))
   }
 
   /**

@@ -191,6 +191,14 @@ object RobustStats {
    * any realistic shard; pre-scale or shard the sums when values are
    * large. Output: one row per unordered pair (fa < fb by position),
    * `(feature_a, feature_b, corr_r)`.
+   *
+   * Plan shape: ONE aggregation over the corpus — every pair's formula
+   * is a struct in a single exploded array over the one moment row, so
+   * the corpus scan is planned exactly once (the r12 union-per-pair form
+   * relied on exchange reuse to dedupe C(k,2) copies of the aggregate —
+   * an optimizer behavior, not a contract; at wide feature sets a missed
+   * reuse meant k²/2 corpus scans — ADVICE r12, pinned in
+   * PlanScaleInvariantsSpec).
    */
   def corrMatrix(df: DataFrame, featureCols: Seq[String]): DataFrame = {
     require(featureCols.length >= 2, "corrMatrix needs at least 2 features")
@@ -204,7 +212,7 @@ object RobustStats {
         sum(col(a) * col(b)).as(s"_p_${a}_$b")
       }.toSeq
     val m = base.agg(moments.head, moments.tail: _*)
-    val pairs = featureCols.combinations(2).map { case Seq(a, b) =>
+    val pairStructs = featureCols.combinations(2).map { case Seq(a, b) =>
       val n = col("_n").cast("double")
       val num = n * col(s"_p_${a}_$b").cast("double") -
         col(s"_s_$a").cast("double") * col(s"_s_$b").cast("double")
@@ -212,11 +220,14 @@ object RobustStats {
         col(s"_s_$a").cast("double") * col(s"_s_$a").cast("double")
       val vb = n * col(s"_q_$b").cast("double") -
         col(s"_s_$b").cast("double") * col(s"_s_$b").cast("double")
-      m.select(lit(a).as("feature_a"), lit(b).as("feature_b"),
+      struct(lit(a).as("feature_a"), lit(b).as("feature_b"),
         when(va > 0.0 && vb > 0.0,
           round(num / (sqrt(va) * sqrt(vb)), 6)).as("corr_r"))
     }.toSeq
-    pairs.reduce(_ unionByName _)
+    m.select(explode(array(pairStructs: _*)).as("_pr"))
+      .select(col("_pr.feature_a").as("feature_a"),
+        col("_pr.feature_b").as("feature_b"),
+        col("_pr.corr_r").as("corr_r"))
   }
 
   private def score(df: DataFrame, idCol: String, featureCols: Seq[String],

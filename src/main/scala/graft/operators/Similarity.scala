@@ -924,10 +924,13 @@ object Similarity {
     val model = PqModel(
       trainCentroids(base, resolveNCentroids(base, nCentroids), trainIters),
       trainPqBooks(base, m, kSub, pqIters))
+    // Typed null attrs (ADVICE r12): an untyped lit(null) is NullType,
+    // which disagrees with the real index's schema and parquet rejects —
+    // an empty-model index must persist and union exactly like a real one.
     if (model.isEmpty) return (model, base.limit(0)
       .select(col("id") +: lit(0L).as("cid")
         +: typedlit(Seq.empty[Int]).as("codes") +: lit(0.0).as("rn2")
-        +: attrCols.map(c => lit(null).as(c)): _*))
+        +: attrCols.map(c => lit(null).cast(df.schema(c).dataType).as(c)): _*))
     (model, encodePqIndexWith(model, df, idCol, vecCol, attrCols))
   }
 

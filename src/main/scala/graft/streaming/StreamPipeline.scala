@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, Row}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.DataStreamWriter
 
-import graft.operators.{Dedup, FreqSketch, Importance, Similarity, TextAnalysis}
+import graft.operators.{Dedup, FreqSketch, Importance, Relevance, Similarity, TextAnalysis}
 import graft.sources.VersionedTable
 
 /**
@@ -346,6 +346,153 @@ object StreamPipeline {
               VersionedTable.upsert(spark, storePath,
                 Dedup.minhashStore(kept, idCol, textCol, k, bands,
                   rowsPerBand), Seq("id"))
+              ()
+            }
+          } finally { kept.unpersist(); () }
+        }
+    }
+
+  /**
+   * Streaming APSS ingest — the all-pairs-TF-IDF-cosine twin of
+   * [[minhashIngestStream]], completing the ingest-screen family for the
+   * WEIGHTED text measure (exact fp = [[incrementalDedupStream]], set
+   * overlap = minhash, embedding = [[semanticIngestStream]], this =
+   * TF-IDF cosine): each micro-batch screens against the standing
+   * frozen-idf keeper store ([[graft.operators.Relevance.cosineStore]])
+   * via [[graft.operators.Relevance.cosinePairsIncremental]], DROPS
+   * batch documents with a ≥ tau cosine match to the kept corpus or to a
+   * lower-id document of the same batch, and appends the survivors'
+   * NOVEL keepers to the store under the frozen model
+   * ([[graft.operators.Relevance.cosineStoreDelta]] — build-time n0/df
+   * stay authoritative, unseen terms ride at df = 1).
+   *
+   * State under `statePath` (VersionedTable-backed, docs committed
+   * before store — the [[minhashIngestStream]] at-least-once replay
+   * argument): `store` — keeper postings keyed (id, term); `docs` — the
+   * kept corpus (id, text), the rebuild basis. The FIRST non-empty batch
+   * freezes the model: it screens with the batch
+   * [[graft.operators.Relevance.cosinePairs]] over (already-kept docs ∪
+   * the batch's novel ids) and the survivors' store IS the frozen idf
+   * snapshot (the [[semanticIngestStream]] first-batch contract: the
+   * model trains once, never re-trains). A window whose kept corpus is
+   * DEGENERATE — a single distinct content, every idf 0 — encodes to
+   * nothing: the store stays absent, the docs still commit, and the next
+   * batch attempts the freeze again over the accumulated docs (which is
+   * why the screen unions them — content kept before the freeze still
+   * dedups later arrivals).
+   *
+   * Drift discipline (the PqDrift trigger pattern): the frozen idf goes
+   * stale as the corpus shifts, so per batch the stream appends one
+   * (batch_id, unseen_frac) row to `statePath/_drift` —
+   * [[graft.operators.Relevance.cosineStoreUnseenFrac]] of the batch
+   * against the PRE-batch store. Rebuild OFFLINE when it exceeds the
+   * deployment's tolerance: [[graft.operators.Relevance.cosineStore]]
+   * over the `docs` table into a FRESH statePath — an upsert cannot
+   * retract re-weighted rows, so a rebuild is a new snapshot, not a
+   * merge. The ledger is append-only and foreachBatch is at-least-once:
+   * readers dedupe on batch_id.
+   *
+   * Drop policy and `survivorsOnly` exactly as [[minhashIngestStream]];
+   * in the survivors sweep, `cos_r >= 1.0` plays the jaccard-1.0
+   * transitive role (under ONE frozen model a 1.0 pair means identical
+   * normalized vectors, so the dropped doc's matches pass through its
+   * dropper). Requires ingest-order ids (monotone across batches) — the
+   * incremental operator's contract. Stream ≡ a left fold of the batch
+   * screen + keep-filter, pinned in `StreamPipelineSpec`.
+   */
+  def cosineIngestStream(stream: DataFrame, idCol: String, textCol: String,
+                         statePath: String, tau: Double, maxDf: Long = 0L,
+                         survivorsOnly: Boolean = false): DataStreamWriter[Row] =
+    stream.writeStream.outputMode("append").foreachBatch {
+      (batch: DataFrame, batchId: Long) =>
+        if (!batch.isEmpty) {
+          val spark = batch.sparkSession
+          val storePath = s"$statePath/store"
+          val docsPath = s"$statePath/docs"
+          val storeOpt = VersionedTable.read(spark, storePath)
+          // drift signal vs the PRE-batch model (frames stay pinned on
+          // the version read here; later upserts write a NEW version)
+          storeOpt.foreach { st =>
+            val frac = Relevance.cosineStoreUnseenFrac(
+              st, batch, idCol, textCol)
+            import spark.implicits._
+            Seq((batchId, frac)).toDF("batch_id", "unseen_frac")
+              .write.mode("append").parquet(s"$statePath/_drift")
+          }
+          // pre-freeze path: kept-but-unfrozen docs (degenerate earlier
+          // windows, or the crash window between the docs and store
+          // commits) join the screen so their content still dedups the
+          // batch; already-committed ids leave the batch immediately
+          // (an at-least-once replay re-delivers them)
+          val prevDocs = storeOpt match {
+            case Some(_) => None
+            case None => VersionedTable.read(spark, docsPath)
+              .map(_.select(col(idCol), col(textCol)))
+          }
+          val fresh = prevDocs match {
+            case Some(prev) => batch.join(
+              prev.select(col(idCol)), Seq(idCol), "left_anti")
+            case None => batch
+          }
+          val pairsAll = storeOpt match {
+            case Some(st) => Relevance.cosinePairsIncremental(
+              fresh, st, idCol, textCol, tau, maxDf)
+            case None => Relevance.cosinePairs(
+              prevDocs.fold(fresh.select(col(idCol), col(textCol)))(
+                _.unionByName(fresh.select(col(idCol), col(textCol)))),
+              idCol, textCol, tau, maxDf)
+          }
+          // only batch documents are screen SUBJECTS: a pre-freeze
+          // re-model could pair two committed docs — committed keeps
+          // are never retracted (ids are ingest-ordered, so the batch
+          // side of any cross pair is always id_b)
+          val pairs = pairsAll.join(
+            broadcast(fresh.select(col(idCol).as("id_b"))),
+            Seq("id_b"), "left_semi")
+          val dropIds: DataFrame =
+            if (!survivorsOnly)
+              pairs.select(col("id_b").as(idCol)).distinct()
+            else {
+              // the minhashIngestStream greedy sweep: ascending id_b,
+              // drop b iff its id_a survived (or the pair is exactly
+              // transitive at cos 1.0) — micro-batch-bounded collect
+              val collected = pairs.select(col("id_a").cast("long"),
+                  col("id_b").cast("long"), col("cos_r"))
+                .collect()
+                .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+                .sortBy(_._2)
+              val droppedSet = scala.collection.mutable.HashSet.empty[Long]
+              collected.foreach { case (a, b, c) =>
+                if (c >= 1.0 || !droppedSet.contains(a)) { droppedSet += b; () }
+              }
+              import spark.implicits._
+              droppedSet.toSeq.toDF(idCol)
+            }
+          // persist: the screen plan behind `kept` feeds the emptiness
+          // probe, the docs upsert, and the store encode
+          val kept = fresh.join(broadcast(dropIds), Seq(idCol), "left_anti")
+            .persist()
+          try {
+            if (!kept.isEmpty) {
+              VersionedTable.upsert(spark, docsPath,
+                kept.select(col(idCol), col(textCol)), Seq(idCol))
+              ()
+            }
+            val store = storeOpt match {
+              case Some(st) => Relevance.cosineStoreDelta(
+                st, kept, idCol, textCol)
+              case None =>
+                // freeze over the FULL kept corpus (pre-freeze docs +
+                // this batch's survivors); a degenerate corpus encodes
+                // to nothing and the store stays absent until a later
+                // window breaks the degeneracy
+                Relevance.cosineStore(
+                  prevDocs.fold(kept.select(col(idCol), col(textCol)))(
+                    _.unionByName(kept.select(col(idCol), col(textCol)))),
+                  idCol, textCol)
+            }
+            if (!store.isEmpty) {
+              VersionedTable.upsert(spark, storePath, store, Seq("id", "term"))
               ()
             }
           } finally { kept.unpersist(); () }

@@ -5,7 +5,7 @@ import org.apache.spark.scheduler.{SparkListener, SparkListenerStageSubmitted}
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
-import graft.operators.{Dedup, GraphRank, Relevance, Similarity, TextAnalysis}
+import graft.operators.{Dedup, GraphRank, Relevance, RobustStats, Similarity, TextAnalysis}
 
 /**
  * Plan-shape flatness as a CI CONTRACT (the round-9 lesson made standing):
@@ -208,11 +208,36 @@ class PlanScaleInvariantsSpec extends SparkSuite {
       spark.sparkContext.parallelize(rows.toIndexedSeq, 4)
         .toDF("doc_id", "text")
     }
-    assertFlat("cosine_pairs", (20, 1)) { corpus =>
+    // (31, 2) since r13 (was (20, 1)): the Bayardo prefix filter adds the
+    // maxw aggregate, the per-vector bound window, the candidate distinct
+    // and the array/map verify joins — more exchanges, each sized by
+    // candidates instead of Σ df² over full postings (the uncapped 500k-doc
+    // soak is the economics; this pin is the flatness contract).
+    assertFlat("cosine_pairs", (31, 2)) { corpus =>
       assert(Relevance.cosinePairs(corpus, "doc_id", "text",
           tau = 0.1, maxDf = 10L)
         .groupBy(col("cos_r")).agg(count(lit(1))).count() > 0)
     }(cosCorpus)
+  }
+
+  test("corrMatrix: ONE corpus aggregation regardless of feature-pair count") {
+    // ADVICE r12: the union-per-pair form planned the moment aggregate
+    // C(k,2) times and relied on exchange reuse to dedupe it — an
+    // optimizer behavior, not a contract. The r13 explode-over-one-row
+    // form makes single-scan STRUCTURAL: exactly one shuffle (the global
+    // aggregate's single-partition exchange) at both widths — 3 features
+    // (3 pairs) and 12 features (66 pairs).
+    def featCorpus(k: Int): DataFrame =
+      spark.range(500L).select((0 until k).map(i =>
+        ((col("id") * (i + 3)) % (17 + i)).as(s"f$i")): _*)
+    for (k <- Seq(3, 12)) {
+      val (sh, _, _) = actionShapes {
+        assert(RobustStats.corrMatrix(featCorpus(k),
+          (0 until k).map(i => s"f$i")).collect().length === k * (k - 1) / 2)
+      }
+      assert(sh === 1, s"corrMatrix at $k features: expected the single " +
+        s"aggregate exchange, measured $sh shuffles")
+    }
   }
 
   test("semantic ingest: plan shape flat 1x -> 20x, no auto-broadcast") {

@@ -210,6 +210,38 @@ class RelevanceSpec extends SparkSuite {
     capped.foreach { case (k, c) => assert(c <= full(k) + 1e-9, s"$k") }
   }
 
+  test("cosinePairs prefix filter ≡ unfiltered candidates: bit-identical output at every tau/cap") {
+    // Seeded word-soup corpus (r13, the Bayardo equality spec): each doc
+    // carries rare neighbor-shared terms (candidate edges survive the
+    // prefix at every tau) plus three hot terms (df = n/3 — exactly the
+    // postings the prefix filter absorbs), every 13th doc an exact dup
+    // (intra branch) and every 7th a near-dup of its predecessor.
+    val rnd = new scala.util.Random(7)
+    val base = Array.tabulate(240) { i =>
+      val rare = Seq(s"r$i", s"r${i + 1}", s"r${i + 2}", s"x${rnd.nextInt(40)}")
+      (i.toLong, (rare ++ Seq(s"c${i % 3}", s"c${(i + 1) % 3}", "hot")).mkString(" "))
+    }
+    val rows = base.map { case (id, t) =>
+      if (id % 13 == 4 && id > 0) (id, base((id - 1).toInt)._2)
+      else if (id % 7 == 2 && id > 0) (id, base((id - 1).toInt)._2 + " extra")
+      else (id, t)
+    }
+    val docs = spark.sparkContext.parallelize(rows.toIndexedSeq, 4)
+      .toDF("doc_id", "text")
+    def run(tau: Double, cap: Long, prefix: Boolean): Set[(Long, Long, Double)] =
+      Relevance.cosinePairsImpl(docs, "doc_id", "text", tau, cap, prefix)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    for (tau <- Seq(0.3, 0.6, 0.9); cap <- Seq(0L, 10L)) {
+      val filtered = run(tau, cap, prefix = true)
+      val unfiltered = run(tau, cap, prefix = false)
+      assert(filtered === unfiltered,
+        s"prefix filter must be exact at tau=$tau cap=$cap: " +
+          s"missing=${(unfiltered -- filtered).take(5)} " +
+          s"extra=${(filtered -- unfiltered).take(5)}")
+      assert(filtered.nonEmpty, s"degenerate spec at tau=$tau cap=$cap")
+    }
+  }
+
   test("cosine incremental screen: frozen-idf store, exact re-find, unseen terms, intra-batch") {
     val corpus = Seq(
       (0L, "alpha beta gamma delta"),

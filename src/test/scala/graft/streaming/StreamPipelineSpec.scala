@@ -338,6 +338,168 @@ class StreamPipelineSpec extends SparkSuite {
     assert(state(p2) === committed)
   }
 
+  test("cosineIngestStream: kept corpus ≡ left fold of the incremental APSS screen; drift ledger") {
+    import graft.operators.Relevance
+    import graft.sources.VersionedTable
+    val base = "the quick brown fox jumps over the lazy dog while the cat sleeps on the warm mat near the door and the birds sing in the tall green trees outside"
+    val other = "completely different content about distributed query engines processing petabytes of columnar data with vectorized execution and adaptive partitioning"
+    val batch1 = Seq((1L, base), (2L, other), (3L, base))
+    val batch2 = Seq(
+      (10L, base),                                   // exact dup of keeper 1
+      (11L, base.replace("lazy dog", "sleepy dog")), // near-dup of keeper 1
+      (12L, "novel second batch content about streaming watermark semantics and late data routing through keyed state machines"),
+      (13L, other.replace("petabytes", "exabytes"))) // near-dup of keeper 2
+    val statePath =
+      java.nio.file.Files.createTempDirectory("graft_cos_ingest").toString
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[(Long, String)]
+    val q = StreamPipeline.cosineIngestStream(
+        in.toDF().toDF("doc_id", "text"), "doc_id", "text", statePath,
+        tau = 0.5)
+      .start()
+    try {
+      in.addData(batch1)
+      q.processAllAvailable()
+      in.addData(batch2)
+      q.processAllAvailable()
+    } finally q.stop()
+    val streamedIds = VersionedTable.read(spark, s"$statePath/docs").get
+      .select("doc_id").as[Long].collect().toSet
+    // fold the same batches through the batch operators
+    val b1 = batch1.toDF("doc_id", "text")
+    val drop1 = Relevance.cosinePairs(b1, "doc_id", "text", tau = 0.5)
+      .select("id_b").as[Long].collect().toSet
+    val kept1 = batch1.filterNot(t => drop1(t._1))
+    val store1 = Relevance.cosineStore(
+      kept1.toDF("doc_id", "text"), "doc_id", "text")
+    val drop2 = Relevance.cosinePairsIncremental(
+        batch2.toDF("doc_id", "text"), store1, "doc_id", "text", tau = 0.5)
+      .select("id_b").as[Long].collect().toSet
+    val kept2 = batch2.map(_._1).filterNot(drop2)
+    assert(streamedIds === (kept1.map(_._1) ++ kept2).toSet)
+    assert(streamedIds === Set(1L, 2L, 12L),
+      "cross-batch exact AND near dups drop; only the novel doc survives")
+    // the keeper store tracks the kept corpus exactly
+    assert(VersionedTable.read(spark, s"$statePath/store").get
+      .select("id").as[Long].collect().toSet === streamedIds)
+    // drift ledger: one row per screened batch (none for the freezing
+    // batch — there was no model to drift from), unseen mass in (0, 1)
+    // (doc 12 is mostly novel vocabulary; docs 10/13 are mostly known)
+    val drift = spark.read.parquet(s"$statePath/_drift")
+      .select("batch_id", "unseen_frac")
+      .as[(Long, Double)].collect()
+    assert(drift.map(_._1).toSet === Set(1L),
+      "exactly the post-freeze batch writes a drift row")
+    assert(drift.forall(r => r._2 > 0.0 && r._2 < 1.0),
+      s"batch2 carries SOME unseen mass, not all: ${drift.toSeq}")
+  }
+
+  test("cosineIngestStream survivors-only: chain keeps the ends, satellites inherit") {
+    import graft.operators.Relevance
+    import graft.sources.VersionedTable
+    // cosine chain fixture: a and b share block X (40 toks), b and c
+    // share block Y (40 toks), a and c share NOTHING; a and c each
+    // carry one private rare token so their norms stay comparable;
+    // d = exact dup of b. Member-level df over {a,b,c,d}: X,Y at 3
+    // (idf ln(4/3)), privates at 1 (ln 4) — cos(a,b) = cos(b,c) ≈ 0.56
+    // ≥ τ = 0.5, cos(a,c) unpaired, cos(b,d) = 1.0.
+    val x = (1 to 40).map(i => s"x$i").mkString(" ")
+    val y = (1 to 40).map(i => s"y$i").mkString(" ")
+    val a = s"$x p1"
+    val b = s"$x $y"
+    val c = s"$y q1"
+    val batch = Seq((1L, a), (2L, b), (3L, c), (4L, b))
+    // fixture validity: the chain pairs MEMBER-EXPANDED (cosinePairs
+    // emits every member pair of a duplicate group — unlike minhash,
+    // where satellites are never banded) + the exact-dup pair at 1.0
+    val pairs = Relevance.cosinePairs(
+        batch.toDF("doc_id", "text"), "doc_id", "text", tau = 0.5)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(pairs === Set((1L, 2L), (1L, 4L), (2L, 3L), (3L, 4L), (2L, 4L)),
+      s"chain fixture broke: $pairs")
+    def run(survivorsOnly: Boolean,
+            batches: Seq[Seq[(Long, String)]] = Seq(batch))
+        : (String, Set[Long], Option[Set[Long]]) = {
+      val statePath =
+        java.nio.file.Files.createTempDirectory("graft_cos_surv").toString
+      implicit val sqlCtx = spark.sqlContext
+      val in = MemoryStream[(Long, String)]
+      val q = StreamPipeline.cosineIngestStream(
+          in.toDF().toDF("doc_id", "text"), "doc_id", "text", statePath,
+          tau = 0.5, survivorsOnly = survivorsOnly)
+        .start()
+      try batches.foreach { b => in.addData(b); q.processAllAvailable() }
+      finally q.stop()
+      (statePath,
+        VersionedTable.read(spark, s"$statePath/docs").get
+          .select("doc_id").as[Long].collect().toSet,
+        VersionedTable.read(spark, s"$statePath/store")
+          .map(_.select("id").as[Long].collect().toSet))
+    }
+    // default local-minima policy: every id_b drops — only the head
+    // stays; a one-doc kept corpus is DEGENERATE (every idf 0, zero
+    // norm), so the model cannot freeze yet and the store stays absent
+    // until a later window breaks the degeneracy
+    val (_, docsDefault, storeDefault) = run(survivorsOnly = false)
+    assert(docsDefault === Set(1L),
+      "default policy must keep only the chain head")
+    assert(storeDefault.isEmpty,
+      "a degenerate (single-content) kept corpus must not freeze a model")
+    // degeneracy recovery: pre-freeze kept content still screens later
+    // arrivals (the union path) — a dup of the unfrozen doc 1 drops, the
+    // novel doc breaks the degeneracy, and the model freezes over BOTH
+    val (_, docsRec, storeRec) = run(survivorsOnly = false,
+      Seq(batch, Seq((10L, a), (11L, "entirely new z1 z2 z3 z4 content"))))
+    assert(docsRec === Set(1L, 11L),
+      "a dup of pre-freeze content must drop; the novel doc must survive")
+    assert(storeRec === Some(Set(1L, 11L)),
+      "the model must freeze over the full kept corpus once non-degenerate")
+    // survivors-only: c's only ≥ τ match (b) was itself dropped, so c
+    // survives; d (exact dup of dropped b) drops — via its own
+    // member-expanded pairs against kept 1 and 3, AND via the
+    // cos_r = 1.0 unconditional rule on (2, 4)
+    val (_, docs, store) = run(survivorsOnly = true)
+    assert(docs === Set(1L, 3L),
+      "survivors-only must keep the chain ends and drop the exact satellite")
+    assert(store === Some(docs), "keeper store must track the kept corpus")
+  }
+
+  test("cosineIngestStream: at-least-once replays converge (docs-first commit)") {
+    import graft.sources.VersionedTable
+    val base = "the quick brown fox jumps over the lazy dog while the cat sleeps on the warm mat near the door and the birds sing in the tall green trees outside"
+    val other = "completely different content about distributed query engines processing petabytes of columnar data with vectorized execution and adaptive partitioning"
+    val batch = Seq((1L, base), (2L, other), (3L, base))
+    implicit val sqlCtx = spark.sqlContext
+    def deliver(statePath: String): Unit = {
+      val in = MemoryStream[(Long, String)]
+      val q = StreamPipeline.cosineIngestStream(
+          in.toDF().toDF("doc_id", "text"), "doc_id", "text", statePath,
+          tau = 0.5)
+        .start()
+      try { in.addData(batch); q.processAllAvailable() } finally q.stop()
+    }
+    def state(p: String): (Set[Long], Set[Long]) = (
+      VersionedTable.read(spark, s"$p/docs").get
+        .select("doc_id").as[Long].collect().toSet,
+      VersionedTable.read(spark, s"$p/store").get
+        .select("id").as[Long].collect().toSet)
+    val p1 = java.nio.file.Files.createTempDirectory("graft_cos_replay").toString
+    deliver(p1)
+    val committed = state(p1)
+    assert(committed === ((Set(1L, 2L), Set(1L, 2L))))
+    // full replay: every doc re-finds its own committed keeper at
+    // cos 1.0 under the frozen model and drops — state unchanged
+    deliver(p1)
+    assert(state(p1) === committed)
+    // crash-window replay: docs-without-store (the only partial state
+    // the docs-first order can leave) must converge
+    val p2 = java.nio.file.Files.createTempDirectory("graft_cos_replay2").toString
+    VersionedTable.upsert(spark, s"$p2/docs",
+      Seq((1L, base), (2L, other)).toDF("doc_id", "text"), Seq("doc_id"))
+    deliver(p2)
+    assert(state(p2) === committed)
+  }
+
   test("semanticIngestStream: final table ≡ left fold of incremental semantic dedup") {
     import graft.operators.Similarity
     import graft.sources.VersionedTable
