@@ -343,31 +343,40 @@ object SoakAudit {
         .groupBy(col("container_id")).agg(count(lit(1)).as("n_contained"))
         .groupBy().agg(count(lit(1)).as("containers"),
           org.apache.spark.sql.functions.sum(col("n_contained")).as("pairs"))),
-    // APSS A/B soaks (r13): the Bayardo prefix filter's candidate-volume
-    // economics — same operator, filter on vs off (`_nopf`), in the gate's
-    // capped regime (tau .3 / maxDf 50), uncapped at the same tau (the
-    // Σ df² bill the cap used to be the only lever against), and uncapped
-    // at tau .7 (the high-threshold regime where the prefix absorbs most
-    // postings). Output is bit-identical on vs off (spec-pinned); the
-    // soak records the cost delta. Driven through a cos_r-band aggregate
-    // so the whole pair scan executes.
-    "soak_apss_capped" -> ((s, dir) => apssDrive(Relevance.cosinePairsImpl(
+    // APSS A/B soaks (r13): the prefix filter's candidate-volume
+    // economics — the PUBLIC operator (lever policy applied) vs the
+    // flag forced the other way (`_pf` stacks the filter on a capped
+    // run, `_nopf` strips it from an uncapped one). Output is
+    // bit-identical across flags (spec-pinned); the soak records the
+    // cost delta. Driven through a cos_r-band aggregate so the whole
+    // pair scan executes. Recorded r13 (50k mutated / 20k boiler):
+    // capped 7.6 vs stacked-pf 16.6 (the policy's evidence); boiler
+    // prefix 12.1 vs nopf 309.7 (the filter's win case).
+    "soak_apss_capped" -> ((s, dir) => apssDrive(Relevance.cosinePairs(
+      Tables.documents(s, dir), "doc_id", "text", 0.3, 50L))),
+    "soak_apss_capped_pf" -> ((s, dir) => apssDrive(Relevance.cosinePairsImpl(
       Tables.documents(s, dir), "doc_id", "text", 0.3, 50L,
       prefixFilter = true))),
-    "soak_apss_capped_nopf" -> ((s, dir) => apssDrive(Relevance.cosinePairsImpl(
-      Tables.documents(s, dir), "doc_id", "text", 0.3, 50L,
-      prefixFilter = false))),
-    "soak_apss_uncapped" -> ((s, dir) => apssDrive(Relevance.cosinePairsImpl(
-      Tables.documents(s, dir), "doc_id", "text", 0.3, 0L,
-      prefixFilter = true))),
+    "soak_apss_uncapped" -> ((s, dir) => apssDrive(Relevance.cosinePairs(
+      Tables.documents(s, dir), "doc_id", "text", 0.3))),
     "soak_apss_uncapped_nopf" -> ((s, dir) => apssDrive(Relevance.cosinePairsImpl(
       Tables.documents(s, dir), "doc_id", "text", 0.3, 0L,
       prefixFilter = false))),
-    "soak_apss_tau7" -> ((s, dir) => apssDrive(Relevance.cosinePairsImpl(
-      Tables.documents(s, dir), "doc_id", "text", 0.7, 0L,
-      prefixFilter = true))),
+    "soak_apss_tau7" -> ((s, dir) => apssDrive(Relevance.cosinePairs(
+      Tables.documents(s, dir), "doc_id", "text", 0.7))),
     "soak_apss_tau7_nopf" -> ((s, dir) => apssDrive(Relevance.cosinePairsImpl(
       Tables.documents(s, dir), "doc_id", "text", 0.7, 0L,
+      prefixFilter = false))),
+    // The production-shaped demo (r13): a boilerplate-heavy long-tail
+    // corpus — the web-corpus profile where exact prefix filtering earns
+    // its keep. The unfiltered form pays 4 × (n/2)² join rows on the
+    // boilerplate block; the prefix absorbs it (<1% of any doc's
+    // energy) and joins only the long-tail content terms. Ignores the
+    // data dir (generated, like soak_bpe_zipf200k).
+    "soak_apss_boiler" -> ((s, _) => apssDrive(Relevance.cosinePairs(
+      boilerplateDocs(s, 20000), "doc_id", "text", 0.5))),
+    "soak_apss_boiler_nopf" -> ((s, _) => apssDrive(Relevance.cosinePairsImpl(
+      boilerplateDocs(s, 20000), "doc_id", "text", 0.5, 0L,
       prefixFilter = false))),
     // Integer PageRank over the customer↔supplier trade graph, 10
     // iterations. Per-iteration exchange count must be FLAT in corpus
@@ -386,6 +395,29 @@ object SoakAudit {
         .groupBy().agg(count(lit(1)).as("nodes"),
           org.apache.spark.sql.functions.sum(col("rank_int")).as("mass"))
     }))
+
+  /** Boilerplate-heavy long-tail corpus: every doc opens with one of two
+    * 4-token boilerplate headers (df = n/2 each — nonzero idf, so the
+    * zero-weight filter cannot drop them) plus 8 content tokens; every
+    * 7th doc near-duplicates its predecessor's content (one token off),
+    * every 13th duplicates it exactly. Deterministic, generated. */
+  private def boilerplateDocs(s: SparkSession, n: Int): DataFrame = {
+    import s.implicits._
+    val rows = Array.tabulate(n) { i =>
+      val content =
+        if (i % 13 == 4 && i > 0) contentTokens(i - 1)
+        else if (i % 7 == 3 && i > 0)
+          contentTokens(i - 1).updated(0, s"mut$i")
+        else contentTokens(i)
+      val boiler =
+        if (i % 2 == 0) "terms of service apply" else "all rights reserved here"
+      (i.toLong, boiler + " " + content.mkString(" "))
+    }
+    s.sparkContext.parallelize(rows.toIndexedSeq, 32).toDF("doc_id", "text")
+  }
+
+  private def contentTokens(i: Int): Vector[String] =
+    Vector.tabulate(8)(j => s"u${i}c$j")
 
   /** 200k-scale deterministic Zipfian word table: seeded random words,
     * index suffix for distinctness, counts ~ 1e7/(rank+10). */

@@ -132,6 +132,98 @@ object Analytics {
   }
 
   /**
+   * RE-ENTRY funnel (the variant [[funnelUserTimes]]' scaladoc scopes
+   * out): a user whose attempt times out — or completes — may start
+   * again, the convention of conversion-window analytics tools. An
+   * ATTEMPT anchors at the first `steps(0)` event STRICTLY AFTER the
+   * previous attempt's END (completion time if it completed, anchor +
+   * `horizon` otherwise; the first attempt anchors at the user's first
+   * entry), and runs the same greedy chain as the fixed-anchor funnel:
+   * `t_i` = first `steps(i-1)` event strictly after `t_{i-1}` and
+   * ≤ anchor + `horizon`. `horizon > 0` is REQUIRED — without a
+   * conversion window an incomplete attempt never ends and re-entry is
+   * undefined (the fixed-anchor forms are the `horizon = 0` tools).
+   *
+   * `maxAttempts` bounds the static unrolling: only the FIRST
+   * `maxAttempts` attempts per user are emitted (deterministic
+   * truncation in anchor order — a power user's tail attempts drop,
+   * never a middle one). Entry events INSIDE a running attempt do not
+   * anchor (they are absorbed by the open window) — the Amplitude-style
+   * non-overlapping-windows convention.
+   *
+   * Output: one row per attempt — `(u, attempt, t1, reached, t_done)`;
+   * `attempt` is 1-based in anchor order, `reached` ∈ [1, k] the
+   * deepest step index the attempt hit, `t_done` the completion time
+   * when `reached = k`, else null.
+   *
+   * Scale shape: the [[funnelUserTimesOneScan]] layout — one log scan
+   * filtered to step types BEFORE the shuffle, per-(user, step) sorted
+   * time arrays, then the attempt chain as `maxAttempts × k` array
+   * min/filter COLUMNS (each referencing the previous column, so the
+   * plan grows linearly in attempts × steps). Per-task memory is the
+   * user's own step timestamps — the one-scan trade, stated there.
+   */
+  def funnelAttempts(df: DataFrame, userCol: String, tsCol: String,
+                     typeCol: String, steps: Seq[String], horizon: Long,
+                     maxAttempts: Int = 4): DataFrame = {
+    require(steps.nonEmpty, "funnel needs at least one step")
+    require(steps.distinct.length == steps.length,
+      s"funnel steps must be distinct: $steps")
+    require(horizon > 0L,
+      "re-entry needs a conversion window: an incomplete attempt ends at" +
+        " anchor + horizon — use the fixed-anchor funnel for horizon = 0")
+    require(maxAttempts >= 1, s"need at least one attempt: $maxAttempts")
+    val k = steps.length
+    val stepIdx = steps.zipWithIndex.toMap
+    val idxCol = steps.foldLeft(lit(-1)) { (acc, s) =>
+      when(col("et") === s, lit(stepIdx(s))).otherwise(acc)
+    }
+    val perStep = df.select(col(userCol).as("u"),
+        col(tsCol).cast("long").as("ts"), col(typeCol).as("et"))
+      .filter(col("et").isin(steps: _*))
+      .select(col("u"), col("ts"), idxCol.as("si"))
+      .groupBy(col("u"), col("si"))
+      .agg(sort_array(collect_list(col("ts"))).as("tss"))
+      .groupBy(col("u"))
+      .pivot("si", steps.indices.map(i => i: Any))
+      .agg(first(col("tss")))
+    val named = steps.indices.foldLeft(perStep) { (d, i) =>
+      d.withColumnRenamed(i.toString, s"_a$i")
+    }
+    var cur = named.filter(col("_a0").isNotNull)
+    for (a <- 1 to maxAttempts) {
+      val anchor =
+        if (a == 1) element_at(col("_a0"), 1)
+        else array_min(filter(col("_a0"), x => x > col(s"_e${a - 1}")))
+      cur = cur.withColumn(s"_t${a}_1", anchor)
+      for (i <- 2 to k) {
+        // null anchors/predecessors propagate: a null comparison makes
+        // the filter predicate null (dropped), array_min(empty) is null
+        cur = cur.withColumn(s"_t${a}_$i",
+          array_min(filter(col(s"_a${i - 1}"),
+            x => x > col(s"_t${a}_${i - 1}")
+              && x <= col(s"_t${a}_1") + horizon)))
+      }
+      cur = cur.withColumn(s"_e$a",
+        coalesce(col(s"_t${a}_$k"), col(s"_t${a}_1") + horizon))
+    }
+    val attempts = (1 to maxAttempts).map { a =>
+      val reached = (2 to k).foldLeft(lit(1)) { (acc, i) =>
+        when(col(s"_t${a}_$i").isNotNull, lit(i)).otherwise(acc)
+      }
+      struct(lit(a).as("attempt"), col(s"_t${a}_1").as("t1"),
+        reached.as("reached"),
+        (if (k >= 2) col(s"_t${a}_$k")
+         else col(s"_t${a}_1")).as("t_done"))
+    }
+    cur.select(col("u"), explode(array(attempts: _*)).as("_at"))
+      .filter(col("_at.t1").isNotNull)
+      .select(col("u"), col("_at.attempt").as("attempt"),
+        col("_at.t1").as("t1"), col("_at.reached").as("reached"),
+        col("_at.t_done").as("t_done"))
+  }
+
+  /**
    * The funnel report over [[funnelUserTimes]]: per step, how many users
    * reached it and the total seconds from funnel entry (`Σ (t_i − t1)`,
    * an exact integer — divide by `users` downstream for the mean lag;

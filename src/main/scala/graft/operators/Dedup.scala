@@ -1365,13 +1365,18 @@ object Dedup {
     // documents into one "identical-set" group and emit unverified false
     // containment pairs, and the 64-bit birthday bound (~n²/2⁶⁵) turns
     // material at billions of distinct docs (ADVICE r12); at 128 bits it
-    // never does.
-    val w = Window.partitionBy(
-      xxhash64(sort_array(col("sh"))),
-      xxhash64(reverse(sort_array(col("sh")))))
-    val withRep = base
+    // never does. The key is materialized as a column, not an inline
+    // partition expression — the rid and grp windows would otherwise
+    // each mint their own projection of it and re-exchange between them
+    // (a full second corpus shuffle; the r13 cosinePairs pin find).
+    val withFp = base.withColumn("_fp",
+      struct(xxhash64(sort_array(col("sh"))).as("h1"),
+        xxhash64(reverse(sort_array(col("sh")))).as("h2")))
+    val w = Window.partitionBy(col("_fp"))
+    val withRep = withFp
       .withColumn("rid", min(col("id")).over(w))
       .withColumn("grp", count(lit(1)).over(w))
+      .drop("_fp")
     val reps = withRep.filter(col("id") === col("rid"))
       .select(col("rid"), col("sh"), col("n_sh"), col("grp"))
     val posts = reps.select(col("rid"), col("n_sh"), col("grp"),

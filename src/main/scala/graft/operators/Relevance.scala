@@ -285,10 +285,20 @@ object Relevance {
    * can only drop below tau, never rise) — both regimes exact-oracle.
    * Docs with a zero-norm vector (every term corpus-universal, or no
    * tokens) join no pairs. Output: (id_a, id_b, cos_r), id_a < id_b.
+   *
+   * Lever policy (measured, r13): the prefix filter engages only on
+   * UNCAPPED runs. When `maxDf` binds, the cap has already dropped the
+   * hot postings the prefix would absorb, and stacking the filter's
+   * machinery on top was pure overhead at every scale measured (2.4× at
+   * the 50k-doc gate regime). The two levers address the same postings
+   * — the cap by changing semantics (deterministic lower bound), the
+   * prefix exactly — so a deployment picks ONE: exact results → uncapped
+   * (prefix prunes), bounded cost on a dense-vocabulary corpus → capped.
    */
   def cosinePairs(docs: DataFrame, idCol: String, textCol: String,
                   tau: Double, maxDf: Long = 0L): DataFrame =
-    cosinePairsImpl(docs, idCol, textCol, tau, maxDf, prefixFilter = true)
+    cosinePairsImpl(docs, idCol, textCol, tau, maxDf,
+      prefixFilter = maxDf == 0L)
 
   /** 128-bit collapse fingerprint of a sorted token list: xxhash64 over
     * the array and over its reverse — two independent views, one struct
@@ -310,9 +320,14 @@ object Relevance {
                                      maxDf: Long,
                                      prefixFilter: Boolean): DataFrame = {
     require(tau > 0.0, "cosinePairs tau must be positive")
+    // fp materialized as a COLUMN, not an inline partition expression:
+    // the rid and grp windows would otherwise each mint their own _w0
+    // projection of it and the planner re-exchanges between them — a
+    // full second corpus shuffle (found re-deriving the r13 plan pin).
     val members = docs.select(col(idCol).as("id"),
         TextAnalysis.tokens(col(textCol)).as("tk"))
-    val w = Window.partitionBy(fp128(col("tk")))
+      .withColumn("fp", fp128(col("tk")))
+    val w = Window.partitionBy(col("fp"))
     val withRep = members
       .withColumn("rid", min(col("id")).over(w))
       .withColumn("grp", count(lit(1)).over(w))
@@ -336,23 +351,40 @@ object Relevance {
         (acc, x) => acc + x.getField("wt") * x.getField("wt")).as("n2"))
       .filter(col("n2") > 0.0)
       .select(col("rid"), sqrt(col("n2")).as("nrm"))
+    // wn = 0 postings (corpus-universal terms, idf exactly 0) are EXACT
+    // dead weight: their pair products are +0.0, a float no-op in the
+    // fold (acc + 0.0 ≡ acc on a non-negative accumulator, and the
+    // oracle's fold of the same zeros agrees bit-for-bit), and a pair
+    // sharing ONLY zero-weight terms scores 0.0 < tau. Dropping them
+    // removes the df = n boilerplate block — n² join rows of zeros —
+    // from both candidate forms.
     val posts0 = weighted.join(norms, "rid")
       .select(col("rid"), col("grp"), col("term"), col("df"),
         (col("wt") / col("nrm")).as("wn"))
+      .filter(col("wn") > 0.0)
     val posts =
       if (maxDf > 0L) posts0.filter(col("df") <= maxDf) else posts0
     // Prefix filter (exact): split each vector's kept postings, ordered
-    // (df desc, term asc), at the point where the running bound
-    // Σ wn·maxw(term) reaches tau (maxw = corpus-wide max normalized
-    // weight of the term). The UNINDEXED PREFIX's max-possible dot
-    // against ANY unit vector is its bound, < tau, so a qualifying pair
-    // MUST share an INDEXED term of its min-rid side — the candidate
-    // join runs indexed(a) ⋈ full(b) and the hot-term postings that
-    // dominate Σ df² are exactly the ones the prefix absorbs. Margin
-    // 1e-6 = 5e-7 for the 6-dp rounding of the emitted cosine
-    // (round(x,6) ≥ tau is possible from x ≥ tau−5e-7) plus slack for
-    // float accumulation in the bound itself (relative error ~2⁻⁵³ per
-    // add — orders of magnitude inside the margin).
+    // (df desc, term asc), at the point where the running prefix bound
+    // reaches tau. The bound on the UNINDEXED PREFIX's max-possible dot
+    // against ANY unit vector is the MIN of two valid bounds:
+    //  - Σ wn·maxw(term) over the prefix (Bayardo et al., WWW 2007 —
+    //    maxw = corpus-wide max normalized weight of the term), and
+    //  - ‖prefix‖₂ = sqrt(Σ wn²) (Cauchy–Schwarz against a unit vector —
+    //    the L2 prefix bound of Anastasiu & Karypis' L2AP, SIGMOD 2014).
+    // The L2 bound is the load-bearing one on real corpora: under idf
+    // weighting the hot terms carry little ENERGY, so a tau² energy
+    // budget absorbs nearly all of them regardless of how one
+    // pathological short document inflates a hot term's maxw (measured
+    // here: the maxw bound alone left 91% of postings indexed and the
+    // candidate set at all-pairs). A qualifying pair MUST share an
+    // INDEXED term of its min-rid side, so the candidate join runs
+    // indexed(a) ⋈ full(b) — the hot-term postings that dominate Σ df²
+    // are exactly the ones the prefix absorbs. Margin 1e-6 = 5e-7 for
+    // the 6-dp rounding of the emitted cosine (round(x,6) ≥ tau is
+    // possible from x ≥ tau−5e-7) plus slack for float accumulation in
+    // the bounds themselves (relative error ~2⁻⁵³ per op — orders of
+    // magnitude inside the margin).
     val bounded =
       if (prefixFilter) {
         val maxw = posts.groupBy(col("term")).agg(max(col("wn")).as("mw"))
@@ -360,13 +392,15 @@ object Relevance {
           .orderBy(col("df").desc, col("term").asc)
           .rowsBetween(Window.unboundedPreceding, Window.currentRow)
         posts.join(maxw, "term")
-          .withColumn("_bnd", sum(col("wn") * col("mw")).over(bw))
+          .withColumn("_bnd", least(
+            sum(col("wn") * col("mw")).over(bw),
+            sqrt(sum(col("wn") * col("wn")).over(bw))))
           .select(col("rid"), col("term"), col("wn"), col("_bnd"))
       } else posts.select(col("rid"), col("term"), col("wn"),
         lit(Double.MaxValue).as("_bnd"))
     val thr = lit(tau - 1e-6)
     val idxA = bounded.filter(col("_bnd") >= thr)
-    val prefA = bounded.filter(col("_bnd") < thr)
+      .select(col("rid"), col("term"), col("wn"))
     val bSide = posts.select(col("rid"), col("term"), col("wn"))
     // Score in two disjoint pieces, merged into ONE term-sorted fold so
     // the float value is bit-identical to the unfiltered join's (and to
@@ -383,15 +417,19 @@ object Relevance {
         col("a.term") === col("b.term") && col("a.rid") < col("b.rid"))
       .select(col("a.rid").as("ra"), col("b.rid").as("rb"),
         col("a.term").as("term"), (col("a.wn") * col("b.wn")).as("p"))
-    val cand = s1.select(col("ra"), col("rb")).distinct()
-    val s2 = cand
-      .join(prefA.select(col("rid").as("ra"), col("term"),
-        col("wn").as("wa")), "ra")
-      .join(bSide.select(col("rid").as("rb"), col("term"),
-        col("wn").as("wb")), Seq("rb", "term"))
-      .select(col("ra"), col("rb"), col("term"),
-        (col("wa") * col("wb")).as("p"))
-    val pairCos = s1.unionByName(s2)
+    val products = if (!prefixFilter) s1 else {
+      val prefA = bounded.filter(col("_bnd") < thr)
+      val cand = s1.select(col("ra"), col("rb")).distinct()
+      val s2 = cand
+        .join(prefA.select(col("rid").as("ra"), col("term"),
+          col("wn").as("wa")), "ra")
+        .join(bSide.select(col("rid").as("rb"), col("term"),
+          col("wn").as("wb")), Seq("rb", "term"))
+        .select(col("ra"), col("rb"), col("term"),
+          (col("wa") * col("wb")).as("p"))
+      s1.unionByName(s2)
+    }
+    val pairCos = products
       .groupBy(col("ra"), col("rb"))
       .agg(round(aggregate(
         array_sort(collect_list(struct(col("term"), col("p")))),

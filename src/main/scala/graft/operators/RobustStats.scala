@@ -105,15 +105,33 @@ object RobustStats {
    */
   def winsorizeBy(df: DataFrame, idCol: String, groupCol: String,
                   featureCols: Seq[String],
-                  pLo: Double = 0.05, pHi: Double = 0.95): DataFrame = {
+                  pLo: Double = 0.05, pHi: Double = 0.95): DataFrame =
+    clampByAt(df, idCol, groupCol, featureCols, pLo, pHi,
+      (f, p) => expr(s"percentile($f, $p)"))
+
+  /** [[winsorizeBy]] with `approx_percentile` cut points — the
+    * bounded-memory per-group scale path (one mergeable sketch per
+    * (group, feature) instead of a buffered value multiset, so a
+    * high-cardinality group key cannot OOM the cut-point aggregation);
+    * approximate ⇒ rows-only gate, exact twin certifies the arithmetic. */
+  def winsorizeByApprox(df: DataFrame, idCol: String, groupCol: String,
+                        featureCols: Seq[String],
+                        pLo: Double = 0.05, pHi: Double = 0.95,
+                        accuracy: Int = 10000): DataFrame =
+    clampByAt(df, idCol, groupCol, featureCols, pLo, pHi,
+      (f, p) => expr(s"approx_percentile($f, $p, $accuracy)").cast("double"))
+
+  private def clampByAt(df: DataFrame, idCol: String, groupCol: String,
+                        featureCols: Seq[String], pLo: Double, pHi: Double,
+                        cut: (String, Double) => org.apache.spark.sql.Column)
+      : DataFrame = {
     require(featureCols.nonEmpty, "winsorize needs at least one feature")
     require(0.0 <= pLo && pLo < pHi && pHi <= 1.0,
       s"need 0 <= pLo < pHi <= 1: ($pLo, $pHi)")
     val base = df.select(col(idCol) +: col(groupCol).as("_g") +:
       featureCols.map(f => col(f).cast("double").as(f)): _*)
     val cutExprs = featureCols.flatMap(f => Seq(
-      expr(s"percentile($f, $pLo)").as(s"_lo_$f"),
-      expr(s"percentile($f, $pHi)").as(s"_hi_$f")))
+      cut(f, pLo).as(s"_lo_$f"), cut(f, pHi).as(s"_hi_$f")))
     val cuts = base.filter(col("_g").isNotNull)
       .groupBy(col("_g")).agg(cutExprs.head, cutExprs.tail: _*)
     base.join(cuts, Seq("_g"), "left")
@@ -122,6 +140,56 @@ object RobustStats {
           when(col(f).isNull || col("_g").isNull, lit(null)).otherwise(
             round(least(greatest(col(f), col(s"_lo_$f")), col(s"_hi_$f")), 6))
             .as(s"${f}_w")): _*)
+  }
+
+  /**
+   * Per-group equal-frequency binning: interior cut points computed
+   * WITHIN each `groupCol` value — [[quantileBins]]' multilingual form,
+   * for exactly [[winsorizeBy]]'s reason: global decile cuts on doc
+   * length put every document of a terse language in bin 0 and every
+   * verbose-language document in bin 9, so a "curriculum by length
+   * decile" is really a curriculum by language. Same shape (one groupBy
+   * aggregation for all cut points, join back on the group key — the
+   * planner broadcasts the one-row-per-group frame while cardinality is
+   * bounded), same tie-to-lower-bin arithmetic, same engine-parity
+   * contract, same null-group refusal: a NULL group has no population
+   * to calibrate against, so its bins are NULL.
+   * Output: `(idCol, groupCol, <f>_bin … per feature)` as longs.
+   */
+  def quantileBinsBy(df: DataFrame, idCol: String, groupCol: String,
+                     featureCols: Seq[String], nBins: Int = 10): DataFrame =
+    binsByAt(df, idCol, groupCol, featureCols, nBins,
+      (f, p) => expr(s"percentile($f, $p)"))
+
+  /** [[quantileBinsBy]] with `approx_percentile` cut points — the
+    * bounded-memory per-group scale path; approximate ⇒ rows-only gate,
+    * the exact twin certifies the arithmetic. */
+  def quantileBinsByApprox(df: DataFrame, idCol: String, groupCol: String,
+                           featureCols: Seq[String], nBins: Int = 10,
+                           accuracy: Int = 10000): DataFrame =
+    binsByAt(df, idCol, groupCol, featureCols, nBins,
+      (f, p) => expr(s"approx_percentile($f, $p, $accuracy)").cast("double"))
+
+  private def binsByAt(df: DataFrame, idCol: String, groupCol: String,
+                       featureCols: Seq[String], nBins: Int,
+                       cut: (String, Double) => org.apache.spark.sql.Column)
+      : DataFrame = {
+    require(featureCols.nonEmpty, "binning needs at least one feature")
+    require(nBins >= 2, s"need at least 2 bins: $nBins")
+    val base = df.select(col(idCol) +: col(groupCol).as("_g") +:
+      featureCols.map(f => col(f).cast("double").as(f)): _*)
+    val cutExprs = featureCols.flatMap(f => (1 until nBins).map(i =>
+      cut(f, i.toDouble / nBins).as(s"_c${i}_$f")))
+    val cuts = base.filter(col("_g").isNotNull)
+      .groupBy(col("_g")).agg(cutExprs.head, cutExprs.tail: _*)
+    base.join(cuts, Seq("_g"), "left")
+      .select(col(idCol) +: col("_g").as(groupCol) +:
+        featureCols.map { f =>
+          val bin = (1 until nBins).map(i =>
+            (col(f) > col(s"_c${i}_$f")).cast("long")).reduce(_ + _)
+          when(col(f).isNull || col("_g").isNull, lit(null)).otherwise(bin)
+            .as(s"${f}_bin")
+        }: _*)
   }
 
   private def clampAt(df: DataFrame, idCol: String,

@@ -1711,6 +1711,62 @@ object Catalog {
        |SELECT 3, 'purchase', count(*),
        |       CAST(coalesce(sum(t3 - t1), 0) AS BIGINT) FROM s3""".stripMargin
 
+  /** Re-entry funnel (r13): per-user ATTEMPTS of view→click→purchase
+    * inside a 1-hour conversion window — an attempt that completes or
+    * times out lets the user's next view open a fresh window (the
+    * convention [[funnelStepsQ]]'s fixed anchor deliberately excludes).
+    * First 4 attempts per user; integer seconds throughout, so the gate
+    * is epsilon-free. */
+  val funnelAttemptsQ: Q = (s, dir) => {
+    val e = events(s, dir).select(col("user_id"), col("sec"), col("event_type"))
+    Analytics.funnelAttempts(e, "user_id", "sec", "event_type",
+      Seq("view", "click", "purchase"), horizon = 3600L, maxAttempts = 4)
+  }
+
+  /** DuckDB twin of [[funnelAttemptsQ]]: the same greedy attempt chain
+    * unrolled over sorted per-step lists (list_filter/list_min replay
+    * array filter/array_min; NULL anchors propagate identically — a
+    * null comparison drops the element in both engines). */
+  val funnelAttemptsSql: String = {
+    val h = 3600
+    val steps = Seq("view", "click", "purchase")
+    val lists = steps.indices.map(i =>
+      s"list(sec ORDER BY sec) FILTER (WHERE event_type = '${steps(i)}') AS l$i")
+      .mkString(",\n       |         ")
+    val attemptCtes = (1 to 4).map { a =>
+      val anchor =
+        if (a == 1) "l0[1]"
+        else s"list_min(list_filter(l0, x -> x > e${a - 1}))"
+      val prev = if (a == 1) "c0" else s"c${a - 1}_e"
+      val head = s"c${a}_1 AS (SELECT *, $anchor AS t${a}_1 FROM $prev)"
+      val mids = (2 to 3).map { i =>
+        s"c${a}_$i AS (SELECT *, list_min(list_filter(l${i - 1}, " +
+          s"x -> x > t${a}_${i - 1} AND x <= t${a}_1 + $h)) AS t${a}_$i " +
+          s"FROM c${a}_${i - 1})"
+      }
+      val end = s"c${a}_e AS (SELECT *, coalesce(t${a}_3, t${a}_1 + $h) " +
+        s"AS e$a FROM c${a}_3)"
+      (Seq(head) ++ mids :+ end).mkString(",\n       |")
+    }.mkString(",\n       |")
+    val selects = (1 to 4).map { a =>
+      s"""SELECT u, CAST($a AS INT) AS attempt, t${a}_1 AS t1,
+         |       CAST(CASE WHEN t${a}_3 IS NOT NULL THEN 3
+         |                 WHEN t${a}_2 IS NOT NULL THEN 2
+         |                 ELSE 1 END AS INT) AS reached,
+         |       t${a}_3 AS t_done
+         |FROM c4_e WHERE t${a}_1 IS NOT NULL""".stripMargin
+    }.mkString("\nUNION ALL\n")
+    s"""$eventsCte,
+       |ls AS (
+       |  SELECT user_id AS u,
+       |         $lists
+       |  FROM e GROUP BY 1
+       |),
+       |c0 AS (SELECT u, l0, l1, l2 FROM ls WHERE l0 IS NOT NULL),
+       |$attemptCtes
+       |$selects""".stripMargin
+  }
+
   /** Daily cohort retention matrix over events — integer epoch-day
     * cohorts, exact counts. */
   val retentionCohortQ: Q = (s, dir) => {
@@ -1801,6 +1857,7 @@ object Catalog {
     "value_percentiles_approx" -> valuePercentilesApprox,
     "funnel_steps" -> funnelStepsQ,
     "funnel_steps_onescan" -> funnelStepsOneScanQ,
+    "funnel_attempts" -> funnelAttemptsQ,
     "retention_cohort" -> retentionCohortQ)
 
   val oracles: Map[String, String] = PipelineCatalog.oracles ++ Map(
@@ -1875,5 +1932,6 @@ object Catalog {
     "value_percentiles" -> valuePercentilesSql,
     "funnel_steps" -> funnelStepsSql,
     "funnel_steps_onescan" -> funnelStepsSql,
+    "funnel_attempts" -> funnelAttemptsSql,
     "retention_cohort" -> retentionCohortSql)
 }

@@ -2646,6 +2646,58 @@ object PipelineCatalog {
     RobustStats.winsorizeApprox(d, "doc_id", Seq("n_chars", "n_tok"))
   }
 
+  /** Per-language equal-frequency binning (r13): decile cuts within each
+    * lang — the multilingual-curriculum form (a global length decile is
+    * really a language id). Same exact-percentile parity contract as
+    * [[qualityBinsQ]]; NULL lang refuses with NULL bins. */
+  val qualityBinsByLangQ: Q = (s, dir) => {
+    val d = Tables.documents(s, dir)
+      .select(col("doc_id"), col("lang"), col("n_chars"),
+        size(split(col("text"), " ")).cast("long").as("n_tok"))
+    RobustStats.quantileBinsBy(d, "doc_id", "lang", Seq("n_chars", "n_tok"),
+      nBins = 10)
+  }
+
+  val qualityBinsByLangSql: String = {
+    def cuts(f: String) = (1 until 10)
+      .map(i => s"quantile_cont($f, 0.$i) AS c${i}_$f").mkString(",\n      |         ")
+    def bin(f: String) = (1 until 10)
+      .map(i => s"CAST(f.$f > c.c${i}_$f AS BIGINT)").mkString(" + ")
+    s"""WITH f AS (
+       |  SELECT doc_id, lang, CAST(n_chars AS DOUBLE) AS n_chars,
+       |         CAST(len(string_split(text, ' ')) AS DOUBLE) AS n_tok
+       |  FROM documents
+       |), cuts AS (
+       |  SELECT lang,
+       |         ${cuts("n_chars")},
+       |         ${cuts("n_tok")}
+       |  FROM f WHERE lang IS NOT NULL GROUP BY lang
+       |)
+       |SELECT f.doc_id, f.lang,
+       |  CASE WHEN f.n_chars IS NULL OR f.lang IS NULL THEN NULL
+       |       ELSE ${bin("n_chars")} END AS n_chars_bin,
+       |  CASE WHEN f.n_tok IS NULL OR f.lang IS NULL THEN NULL
+       |       ELSE ${bin("n_tok")} END AS n_tok_bin
+       |FROM f LEFT JOIN cuts c ON f.lang = c.lang""".stripMargin
+  }
+
+  /** Sketch twin of [[qualityBinsByLangQ]] — rows-only by design. */
+  val qualityBinsByLangApproxQ: Q = (s, dir) => {
+    val d = Tables.documents(s, dir)
+      .select(col("doc_id"), col("lang"), col("n_chars"),
+        size(split(col("text"), " ")).cast("long").as("n_tok"))
+    RobustStats.quantileBinsByApprox(d, "doc_id", "lang",
+      Seq("n_chars", "n_tok"), nBins = 10)
+  }
+
+  /** Sketch twin of [[qualityWinsorizedByLangQ]] — rows-only by design. */
+  val qualityWinsorizedByLangApproxQ: Q = (s, dir) => {
+    val d = Tables.documents(s, dir)
+      .select(col("doc_id"), col("lang"), col("n_chars"),
+        size(split(col("text"), " ")).cast("long").as("n_tok"))
+    RobustStats.winsorizeByApprox(d, "doc_id", "lang", Seq("n_chars", "n_tok"))
+  }
+
   val qualityOutliersSql: String =
     """WITH f AS (
       |  SELECT doc_id, CAST(n_chars AS DOUBLE) AS n_chars,
@@ -2692,7 +2744,10 @@ object PipelineCatalog {
     "quality_winsorized" -> qualityWinsorizedQ,
     "quality_winsorized_approx" -> qualityWinsorizedApproxQ,
     "quality_bins" -> qualityBinsQ,
+    "quality_bins_by_lang" -> qualityBinsByLangQ,
+    "quality_bins_by_lang_approx" -> qualityBinsByLangApproxQ,
     "quality_winsorized_by_lang" -> qualityWinsorizedByLangQ,
+    "quality_winsorized_by_lang_approx" -> qualityWinsorizedByLangApproxQ,
     "feature_corr" -> featureCorrQ,
     "dedup_exact_groups" -> dedupExactGroups,
     "dedup_exact" -> dedupExact,
@@ -2784,6 +2839,9 @@ object PipelineCatalog {
     "quality_winsorized" -> qualityWinsorizedSql,
     // quality_winsorized_approx: sketch cut points — rows-only by design
     "quality_bins" -> qualityBinsSql,
+    "quality_bins_by_lang" -> qualityBinsByLangSql,
+    // quality_bins_by_lang_approx / quality_winsorized_by_lang_approx:
+    // sketch cut points — rows-only by design, exact twins certify
     "quality_winsorized_by_lang" -> qualityWinsorizedByLangSql,
     "feature_corr" -> featureCorrSql,
     "dedup_exact_groups" -> dedupExactGroupsSql,

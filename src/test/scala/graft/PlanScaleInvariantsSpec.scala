@@ -208,14 +208,20 @@ class PlanScaleInvariantsSpec extends SparkSuite {
       spark.sparkContext.parallelize(rows.toIndexedSeq, 4)
         .toDF("doc_id", "text")
     }
-    // (31, 2) since r13 (was (20, 1)): the Bayardo prefix filter adds the
-    // maxw aggregate, the per-vector bound window, the candidate distinct
-    // and the array/map verify joins — more exchanges, each sized by
-    // candidates instead of Σ df² over full postings (the uncapped 500k-doc
-    // soak is the economics; this pin is the flatness contract).
-    assertFlat("cosine_pairs", (31, 2)) { corpus =>
+    // CAPPED regime: the prefix filter is policy-off (the cap already
+    // dropped the postings it would absorb — stacking measured 2.4×
+    // pure overhead), so this is the r12 join-fold shape.
+    assertFlat("cosine_pairs", (20, 1)) { corpus =>
       assert(Relevance.cosinePairs(corpus, "doc_id", "text",
           tau = 0.1, maxDf = 10L)
+        .groupBy(col("cos_r")).agg(count(lit(1))).count() > 0)
+    }(cosCorpus)
+    // UNCAPPED regime: the Bayardo/L2AP prefix filter engages — maxw
+    // aggregate, per-vector bound window, candidate distinct, and the
+    // per-pair completion join add exchanges, each sized by candidates
+    // and prefix length instead of Σ df² over full postings.
+    assertFlat("cosine_pairs_uncapped", (32, 1)) { corpus =>
+      assert(Relevance.cosinePairs(corpus, "doc_id", "text", tau = 0.35)
         .groupBy(col("cos_r")).agg(count(lit(1))).count() > 0)
     }(cosCorpus)
   }
@@ -334,7 +340,10 @@ class PlanScaleInvariantsSpec extends SparkSuite {
     // output, never the member-amplified pair stream). More exchanges
     // than the pre-collapse form's 6, but none grows a new one with
     // corpus size, which is what this contract certifies.
-    assertFlat("containment_capped", (18, 0)) { corpus =>
+    // (18, 0) -> (16, 0) in r13: materializing the collapse fingerprint
+    // as a column lets the rid and grp windows share ONE exchange where
+    // the inline-expression form re-exchanged between them.
+    assertFlat("containment_capped", (16, 0)) { corpus =>
       val pairs = Dedup.containmentPairs(corpus, "doc_id", "text",
         k = 3, tau = 0.3, maxDf = 64L)
       assert(pairs.groupBy(col("container_id"))

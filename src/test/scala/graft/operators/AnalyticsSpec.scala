@@ -136,4 +136,40 @@ class AnalyticsSpec extends SparkSuite {
       ("u2", 0L, "a"), ("u2", 50L, "b"), ("u2", 150L, "c") // c outside horizon
     ))
   }
+
+  test("re-entry funnel: completion and timeout both close the window; in-window entries absorb; truncation") {
+    // u1: attempt 1 completes (0/50/90 → end 90); the entry at 95 opens
+    // attempt 2 (no b after 95 within 195 → reached 1, end 195); the
+    // entry at 150 is INSIDE attempt 2's window — absorbed, no anchor;
+    // the entry at 300 opens attempt 3, b at 310, no c → reached 2.
+    // u2: b outside the window never converts; no second entry.
+    // u3: entry events only at 0/50/120/250/360 — timeout chain anchors
+    // greedily (0 → end 100; 120 → end 220; 250 → end 350) and
+    // maxAttempts = 3 truncates the 360 tail.
+    val rows = Seq(
+      ("u1", 90L, "c"), ("u1", 0L, "a"), ("u1", 50L, "b"),
+      ("u1", 95L, "a"), ("u1", 150L, "a"), ("u1", 300L, "a"),
+      ("u1", 310L, "b"),
+      ("u2", 0L, "a"), ("u2", 200L, "b"),
+      ("u3", 0L, "a"), ("u3", 50L, "a"), ("u3", 120L, "a"),
+      ("u3", 250L, "a"), ("u3", 360L, "a"),
+      ("u4", 10L, "b"), ("u4", 20L, "c")) // no entry event: no attempts
+    val got = Analytics.funnelAttempts(ev(rows: _*), "user", "ts", "et",
+        Seq("a", "b", "c"), horizon = 100L, maxAttempts = 3)
+      .collect().map(r => (r.getString(0), r.getInt(1), r.getLong(2),
+        r.getInt(3), Option(r.get(4)).map(_.asInstanceOf[Long]))).toSet
+    assert(got === Set(
+      ("u1", 1, 0L, 3, Some(90L)),
+      ("u1", 2, 95L, 1, None),
+      ("u1", 3, 300L, 2, None),
+      ("u2", 1, 0L, 1, None),
+      ("u3", 1, 0L, 1, None),
+      ("u3", 2, 120L, 1, None),
+      ("u3", 3, 250L, 1, None)))
+    // horizon is required: an incomplete attempt must be closeable
+    intercept[IllegalArgumentException] {
+      Analytics.funnelAttempts(ev(rows: _*), "user", "ts", "et",
+        Seq("a", "b", "c"), horizon = 0L)
+    }
+  }
 }

@@ -125,6 +125,54 @@ class RobustStatsSpec extends SparkSuite {
     assert(w.size === 21)
   }
 
+  test("quantileBinsBy: per-group bins; null group and null feature refuse; approx twin within one bin") {
+    // group A = 1..10 with nBins=5 (interior cuts 2.8/4.6/6.4/8.2),
+    // group B = 101..110 — identical per-group bin layout; GLOBAL cuts
+    // would put all of A in bin 0 (the multilingual-curriculum failure).
+    // One null-group row and one null-feature row.
+    val rows = (1 to 10).map(i => (i.toLong, "A", Some(i.toDouble))) ++
+      (1 to 10).map(i => (100L + i, "B", Some(100.0 + i))) ++
+      Seq((999L, null.asInstanceOf[String], Some(5.0)),
+        (998L, "A", None: Option[Double]))
+    val d = rows.toDF("id", "g", "f1")
+    val b = RobustStats.quantileBinsBy(d, "id", "g", Seq("f1"), nBins = 5)
+      .collect().map(r => r.getLong(0) -> Option(r.get(2))).toMap
+    (1 to 10).foreach { i =>
+      assert(b(i.toLong) === Some(((i - 1) / 2).toLong), s"A value $i")
+      assert(b(100L + i) === Some(((i - 1) / 2).toLong), s"B value $i")
+    }
+    assert(b(999L) === None, "null group has no calibration population")
+    assert(b(998L) === None, "null feature -> null bin")
+    assert(b.size === 22)
+    // sketch twin: element cut points vs interpolated — at most one bin
+    // apart on a dense fixture, null refusals identical
+    val a = RobustStats.quantileBinsByApprox(d, "id", "g", Seq("f1"),
+        nBins = 5)
+      .collect().map(r => r.getLong(0) -> Option(r.get(2))).toMap
+    assert(a.keySet === b.keySet)
+    b.foreach {
+      case (id, Some(e)) =>
+        val av = a(id).get.asInstanceOf[Long]
+        assert(math.abs(e.asInstanceOf[Long] - av) <= 1L,
+          s"$id: approx bin $av vs exact $e")
+      case (id, None) => assert(a(id) === None, s"$id must refuse in both")
+    }
+  }
+
+  test("winsorizeByApprox: per-group element cut points within one inter-element gap") {
+    val rows = (1 to 20).map(i => (i.toLong, "A", i.toDouble)) ++
+      (1 to 20).map(i => (200L + i, "B", 200.0 + i))
+    val d = rows.toDF("id", "g", "f1")
+    val exact = RobustStats.winsorizeBy(d, "id", "g", Seq("f1")).collect()
+      .map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    val approx = RobustStats.winsorizeByApprox(d, "id", "g", Seq("f1"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(approx.keySet === exact.keySet)
+    exact.foreach { case (id, e) =>
+      assert(math.abs(approx(id) - e) <= 1.0, s"$id: ${approx(id)} vs $e")
+    }
+  }
+
   test("corrMatrix: hand-checked signs and magnitudes; constant feature yields null") {
     // y = 2x exactly (corr 1), z = -x (corr -1 with x), w constant
     val d = (1 to 12).map(i => (i.toLong, 2L * i, -i.toLong, 7L))
