@@ -378,6 +378,11 @@ object SoakAudit {
     "soak_apss_boiler_nopf" -> ((s, _) => apssDrive(Relevance.cosinePairsImpl(
       boilerplateDocs(s, 20000), "doc_id", "text", 0.5, 0L,
       prefixFilter = false))),
+    // 5× the boilerplate corpus, prefix path only (the unfiltered form's
+    // boilerplate join grows 25× here — 4 × (n/2)²) — the growth-curve
+    // row for the filter's win case.
+    "soak_apss_boiler100k" -> ((s, _) => apssDrive(Relevance.cosinePairs(
+      boilerplateDocs(s, 100000), "doc_id", "text", 0.5))),
     // Integer PageRank over the customer↔supplier trade graph, 10
     // iterations. Per-iteration exchange count must be FLAT in corpus
     // size (the loop compiles its own fixed shapes with AQE off); time

@@ -169,11 +169,72 @@ object Relevance {
     // computes it — postings-derived stats would exclude any doc whose
     // tokens explode to nothing (null/empty text), shifting idf and
     // avgdl and breaking the indexed path's exact equivalence on such
-    // corpora (ADVICE r11).
+    // corpora (ADVICE r11). `sum_dl` and `n_dl` ride along (r13) so
+    // [[bm25IndexAppend]] can merge the stats EXACTLY — integer
+    // sums/counts are order-insensitive, and avgdl = sum_dl / n_dl is
+    // bit-equal to the rebuild's `avg` (which SKIPS null-dl rows — a
+    // null-text doc has null `size` — hence the separate non-null
+    // count; integer-valued double partials below 2⁵³ add exactly in
+    // any order, so the sums agree bit-for-bit).
     docs.select(col(idCol).as("doc_id"),
         size(TextAnalysis.tokens(col(textCol))).cast("long").as("dl"))
       .agg(count(lit(1)).as("n_docs"),
-        avg(col("dl").cast("double")).as("avgdl"))
+        avg(col("dl").cast("double")).as("avgdl"),
+        coalesce(sum(col("dl")), lit(0L)).as("sum_dl"),
+        count(col("dl")).as("n_dl"))
+      .write.mode("overwrite").parquet(s"$path/_stats")
+  }
+
+  /**
+   * Grow a [[bm25Index]] in place — EXACTLY. Unlike the frozen-idf
+   * [[cosineStore]] (whose baked-in weights drift as the corpus
+   * shifts), a BM25 index is a SUFFICIENT STATISTIC: per-doc postings
+   * (term, tf, dl) depend only on the document itself, per-term df is
+   * derived from the postings at query time, and the corpus scalars
+   * merge as exact integer sums — so appending a batch leaves the index
+   * bit-identical to a fresh build over the union (spec-pinned,
+   * null-text docs included), and NO drift signal or rebuild trigger
+   * exists for this family. Appended ids must be NEW (the corpus
+   * contract); a repeated id would double its postings. Indexes written
+   * before r13 lack `sum_dl` and must rebuild once (loud require).
+   *
+   * Scale shape: cost is O(batch) — the batch's postings write as new
+   * term-clustered parquet files (each file's row groups term-sorted,
+   * so query-term pruning keeps skipping non-matching row groups) and
+   * the one-row stats merge touches no corpus data.
+   */
+  def bm25IndexAppend(spark: org.apache.spark.sql.SparkSession, path: String,
+                      docs: DataFrame, idCol: String, textCol: String): Unit = {
+    val old = spark.read.parquet(s"$path/_stats")
+    require(old.columns.contains("sum_dl") && old.columns.contains("n_dl"),
+      s"$path/_stats lacks sum_dl/n_dl — the index predates exact append " +
+        "support; rebuild it once with bm25Index")
+    val terms = docs.select(col(idCol).as("doc_id"),
+        TextAnalysis.tokens(col(textCol)).as("tk"))
+      .select(col("doc_id"), size(col("tk")).cast("long").as("dl"),
+        explode(col("tk")).as("term"))
+    terms.groupBy("doc_id", "dl", "term")
+      .agg(count(lit(1)).as("tf"))
+      .repartition(col("term")).sortWithinPartitions("term")
+      .write.mode("append").parquet(s"$path/postings")
+    val merged = docs.select(
+        size(TextAnalysis.tokens(col(textCol))).cast("long").as("dl"))
+      .agg(count(lit(1)).as("_n1"),
+        coalesce(sum(col("dl")), lit(0L)).as("_s1"),
+        count(col("dl")).as("_d1"))
+      .crossJoin(broadcast(old))
+      .select((col("n_docs") + col("_n1")).as("n_docs"),
+        ((col("sum_dl") + col("_s1")).cast("double")
+          / (col("n_dl") + col("_d1")).cast("double")).as("avgdl"),
+        (col("sum_dl") + col("_s1")).as("sum_dl"),
+        (col("n_dl") + col("_d1")).as("n_dl"))
+      .collect()
+    import spark.implicits._
+    // one row, written via a local seq — overwriting a parquet dir from
+    // a plan that READS the same dir would race the delete
+    merged.toSeq
+      .map(r => (r.getLong(0), r.getDouble(1), r.getLong(2), r.getLong(3)))
+      .toDF("n_docs", "avgdl", "sum_dl", "n_dl")
       .write.mode("overwrite").parquet(s"$path/_stats")
   }
 

@@ -38,7 +38,7 @@ import org.apache.spark.sql.functions._
  */
 object RobustStats {
 
-  private val NormalConsistency = 1.4826
+  private[graft] val NormalConsistency = 1.4826
 
   def robustOutliers(df: DataFrame, idCol: String, featureCols: Seq[String],
                      zThreshold: Double = 3.5): DataFrame =

@@ -2415,6 +2415,27 @@ object PipelineCatalog {
   private val bm25IndexPaths =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
 
+  /** Exact index growth (r13): the index is built over HALF the corpus
+    * and the other half APPENDED ([[Relevance.bm25IndexAppend]] — BM25's
+    * index is a sufficient statistic, so the appended index is
+    * bit-identical to a fresh build), then queried. Certified by the
+    * SAME full-corpus oracle as [[bm25SearchQ]]: passing means the
+    * append left no seam. */
+  val bm25SearchAppendedQ: Q = (s, dir) => {
+    val key = s.sparkContext.applicationId + "|appended|" + dir
+    val path = bm25IndexPaths.computeIfAbsent(key, _ => {
+      val p = java.nio.file.Files
+        .createTempDirectory("graft_bm25_app").toString
+      val docs = Tables.documents(s, dir)
+      Relevance.bm25Index(docs.filter(col("doc_id") % 2 === 0),
+        "doc_id", "text", p)
+      Relevance.bm25IndexAppend(s, p,
+        docs.filter(col("doc_id") % 2 === 1), "doc_id", "text")
+      p
+    })
+    Relevance.bm25SearchIndexed(s, path, "dup vector key", k = 10)
+  }
+
   /** Leakage-safe split over the Jaccard near-dup graph: every doc gets
     * train/val/test from its connected component's id, so no near-dup
     * chain crosses the eval wall. */
@@ -2756,6 +2777,7 @@ object PipelineCatalog {
     "dedup_containment_capped" -> dedupContainmentCapped,
     "bm25_search" -> bm25SearchQ,
     "bm25_search_indexed" -> bm25SearchIndexedQ,
+    "bm25_search_appended" -> bm25SearchAppendedQ,
     "text_cosine_pairs" -> textCosinePairsQ,
     "text_cosine_inc" -> textCosineIncQ,
     "split_groups" -> splitGroups,
@@ -2851,6 +2873,7 @@ object PipelineCatalog {
     "dedup_containment_capped" -> dedupContainmentCappedSql,
     "bm25_search" -> bm25SearchSql,
     "bm25_search_indexed" -> bm25SearchSql,
+    "bm25_search_appended" -> bm25SearchSql,
     "text_cosine_pairs" -> textCosinePairsSql,
     "text_cosine_inc" -> textCosineIncSql,
     "split_groups" -> splitGroupsSql,

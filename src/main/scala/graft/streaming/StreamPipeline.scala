@@ -353,6 +353,70 @@ object StreamPipeline {
     }
 
   /**
+   * Streaming robust-quality gate: score arriving documents' features
+   * with median/MAD z-scores calibrated ONCE on a static corpus — the
+   * ingest-time twin of [[graft.operators.RobustStats.robustOutliers]],
+   * which calibrates on its own (batch) input. The calibration frame's
+   * per-feature medians and MADs collect at query-construction time
+   * (2 bounded one-row aggregates — the [[decontaminateStream]]
+   * bounded-model pattern: model parameters may drive to the driver,
+   * data never does) and ride the plan as literals, so the per-batch
+   * plan is a PURE PROJECTION — no stream-static join, no state, any
+   * output mode, whole-stage codegen intact.
+   *
+   * Same formula and refusal discipline as the batch screen: z =
+   * (x − med) / (MAD · 1.4826) rounded to 6 dp; a MAD-0 feature has no
+   * robust scale — null z, never flags. Emits every input column plus
+   * `<f>_z` per feature, `n_outlier_feats`, `is_outlier`;
+   * `keepOnly = true` drops flagged docs in-stream (the quality-filter
+   * decision at ingest). Frozen-model caveat: the calibration is a
+   * SNAPSHOT — recalibrate when the corpus distribution shifts (the
+   * cosineStore/PQ-snapshot discipline; no automatic drift signal here
+   * because the gate's own flag RATE is the natural monitor).
+   */
+  def robustGateStream(stream: DataFrame, featureCols: Seq[String],
+                       calibration: DataFrame, zThreshold: Double = 3.5,
+                       keepOnly: Boolean = false): DataFrame = {
+    require(featureCols.nonEmpty, "gate needs at least one feature")
+    require(zThreshold > 0.0, s"zThreshold must be positive: $zThreshold")
+    val calib = calibration.select(featureCols.map(f =>
+      col(f).cast("double").as(f)): _*)
+    val medRow = calib.agg(
+      expr(s"percentile(${featureCols.head}, 0.5)").as(featureCols.head),
+      featureCols.tail.map(f => expr(s"percentile($f, 0.5)").as(f)): _*)
+      .head()
+    val meds = featureCols.zipWithIndex.map { case (f, i) =>
+      f -> Option(medRow.get(i)).map(_.asInstanceOf[Double])
+    }.toMap
+    val madRow = calib.agg(
+      expr(s"percentile(abs(${featureCols.head} - ${meds(featureCols.head)
+        .getOrElse(Double.NaN)}), 0.5)").as(featureCols.head),
+      featureCols.tail.map(f => expr(
+        s"percentile(abs($f - ${meds(f).getOrElse(Double.NaN)}), 0.5)")
+        .as(f)): _*)
+      .head()
+    val mads = featureCols.zipWithIndex.map { case (f, i) =>
+      f -> Option(madRow.get(i)).map(_.asInstanceOf[Double])
+    }.toMap
+    val scored = featureCols.foldLeft(stream) { (d, f) =>
+      val z = (meds(f), mads(f)) match {
+        case (Some(m), Some(s)) if s > 0.0 =>
+          round((col(f).cast("double") - lit(m))
+            / lit(s * graft.operators.RobustStats.NormalConsistency), 6)
+        case _ => lit(null).cast("double")
+      }
+      d.withColumn(s"${f}_z", z)
+    }
+    val flags = featureCols.map(f =>
+      coalesce(abs(col(s"${f}_z")) > zThreshold, lit(false)))
+    val out = scored
+      .withColumn("n_outlier_feats",
+        flags.map(_.cast("int")).reduce(_ + _).cast("long"))
+      .withColumn("is_outlier", flags.reduce(_ || _))
+    if (keepOnly) out.filter(!col("is_outlier")) else out
+  }
+
+  /**
    * Streaming APSS ingest — the all-pairs-TF-IDF-cosine twin of
    * [[minhashIngestStream]], completing the ingest-screen family for the
    * WEIGHTED text measure (exact fp = [[incrementalDedupStream]], set

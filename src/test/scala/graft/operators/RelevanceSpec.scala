@@ -326,4 +326,40 @@ class RelevanceSpec extends SparkSuite {
     assert(indexed === scanned,
       "doc-frame _stats must make the indexed path exact on null-text corpora")
   }
+
+  test("bm25IndexAppend: appended index ≡ fresh build ≡ scanned search; legacy stats refuse") {
+    // the index is a SUFFICIENT STATISTIC: per-doc postings + exactly
+    // mergeable integer stats, so append ≡ rebuild bit-for-bit — the
+    // appended half includes a null-text doc (stats parity must survive
+    // token-less rows on the APPEND side too)
+    val half1 = corpus.filter($"doc_id" % 2 === 0)
+    val half2 = corpus.filter($"doc_id" % 2 === 1).unionByName(Seq(
+      (90L, null.asInstanceOf[String]), (91L, "")).toDF("doc_id", "text"))
+    val full = half1.unionByName(half2)
+    val dirApp = java.nio.file.Files.createTempDirectory("bm25_app").toString
+    Relevance.bm25Index(half1, "doc_id", "text", dirApp)
+    Relevance.bm25IndexAppend(spark, dirApp, half2, "doc_id", "text")
+    val dirFull = java.nio.file.Files.createTempDirectory("bm25_full").toString
+    Relevance.bm25Index(full, "doc_id", "text", dirFull)
+    // merged stats bit-equal to the rebuild's (exact integer sums)
+    val sApp = spark.read.parquet(s"$dirApp/_stats")
+      .select("n_docs", "avgdl", "sum_dl", "n_dl").collect().map(_.toSeq).toSeq
+    val sFull = spark.read.parquet(s"$dirFull/_stats")
+      .select("n_docs", "avgdl", "sum_dl", "n_dl").collect().map(_.toSeq).toSeq
+    assert(sApp === sFull, "merged stats must equal the rebuild's exactly")
+    val scanned = Relevance.bm25Search(full, "doc_id", "text",
+      "apple cherry", k = 10).collect().map(_.toSeq).toSeq
+    assert(Relevance.bm25SearchIndexed(spark, dirApp, "apple cherry", k = 10)
+      .collect().map(_.toSeq).toSeq === scanned,
+      "the appended index must answer exactly like the full corpus")
+    assert(Relevance.bm25SearchIndexed(spark, dirFull, "apple cherry", k = 10)
+      .collect().map(_.toSeq).toSeq === scanned)
+    // a pre-r13 index (no sum_dl) must refuse loudly, not drift silently
+    val legacy = java.nio.file.Files.createTempDirectory("bm25_leg").toString
+    spark.read.parquet(s"$dirApp/_stats").select("n_docs", "avgdl")
+      .write.parquet(s"$legacy/_stats")
+    intercept[IllegalArgumentException] {
+      Relevance.bm25IndexAppend(spark, legacy, half2, "doc_id", "text")
+    }
+  }
 }

@@ -338,6 +338,51 @@ class StreamPipelineSpec extends SparkSuite {
     assert(state(p2) === committed)
   }
 
+  test("robustGateStream: frozen med/MAD calibration ≡ the batch screen; MAD-0 refusal; keepOnly") {
+    // the RobustStatsSpec fixture: f1 median 101.5, MAD 2.0; f2 constant
+    // (MAD 0 → null z, never flags)
+    val xs = Seq(100L, 101L, 102L, 99L, 103L, 98L, 104L, 105L, 101L, 1000L)
+    val calib = xs.zipWithIndex.map { case (x, i) => (i.toLong, x, 7L) }
+      .toDF("id", "f1", "f2")
+    // batch twin on the SAME corpus gives the expected per-value scores
+    val expected = graft.operators.RobustStats
+      .robustOutliers(calib, "id", Seq("f1", "f2"))
+      .collect().map(r => r.getLong(0) ->
+        (Option(r.get(1)), Option(r.get(2)), r.getLong(3), r.getBoolean(4)))
+      .toMap
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[(Long, Long, Long)]
+    val gated = StreamPipeline.robustGateStream(
+      in.toDF().toDF("id", "f1", "f2"), Seq("f1", "f2"), calib)
+    val q = gated.writeStream.format("memory").queryName("robust_gate")
+      .outputMode("append").start()
+    try {
+      in.addData(xs.zipWithIndex.map { case (x, i) => (i.toLong, x, 7L) })
+      q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.table("robust_gate")
+      .select("id", "f1_z", "f2_z", "n_outlier_feats", "is_outlier")
+      .collect().map(r => r.getLong(0) ->
+        (Option(r.get(1)), Option(r.get(2)), r.getLong(3), r.getBoolean(4)))
+      .toMap
+    assert(got === expected,
+      "the frozen-calibration stream must equal the batch screen on its corpus")
+    // keepOnly drops the planted monster in-stream
+    val in2 = MemoryStream[(Long, Long, Long)]
+    val q2 = StreamPipeline.robustGateStream(
+        in2.toDF().toDF("id", "f1", "f2"), Seq("f1", "f2"), calib,
+        keepOnly = true)
+      .writeStream.format("memory").queryName("robust_gate_keep")
+      .outputMode("append").start()
+    try {
+      in2.addData(Seq((100L, 101L, 7L), (101L, 1000L, 7L)))
+      q2.processAllAvailable()
+    } finally q2.stop()
+    assert(spark.table("robust_gate_keep").select("id")
+      .as[Long].collect().toSet === Set(100L),
+      "keepOnly must drop the outlier at ingest")
+  }
+
   test("cosineIngestStream: kept corpus ≡ left fold of the incremental APSS screen; drift ledger") {
     import graft.operators.Relevance
     import graft.sources.VersionedTable
