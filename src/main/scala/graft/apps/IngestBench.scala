@@ -21,7 +21,7 @@ import graft.streaming.StreamPipeline
  * shape becomes a diffable number the way batch regressions are.
  *
  * `runMain graft.apps.IngestBench <dataDir> <mode> [nBatches] [batchSize]`
- * with mode ∈ `exact | minhash | semantic`. Batches are deterministic
+ * with mode ∈ `exact | minhash | semantic | cosine`. Batches are deterministic
  * re-keyed slices of the corpus base copy (ids monotone past the
  * corpus — the ingest-order contract), half verbatim (exact/near-hit
  * drop work) and half mutated (novel-content screen work), a fresh
@@ -133,6 +133,49 @@ object IngestBench {
         val q = StreamPipeline.minhashIngestStream(
             in.toDF().toDF("doc_id", "text"), "doc_id", "text",
             statePath, tau = 0.5)
+          .start()
+        try {
+          val t = (0 until nBatches).map { i =>
+            val b = docBatch(docs, corpusRows, i)
+            val t0 = System.nanoTime()
+            in.addData(b)
+            q.processAllAvailable()
+            (System.nanoTime() - t0) / 1e9
+          }
+          (t, VersionedTable.read(spark, s"$statePath/docs").get.count())
+        } finally q.stop()
+
+      case "cosine" =>
+        // weighted-text APSS screen (r13): preload the frozen-idf keeper
+        // store over the exact-keeper corpus, then measure the marginal
+        // per-batch screen + append cost at that state size
+        val docs = spark.read.parquet(s"$dir/documents.parquet")
+          .select(col("doc_id"), col("text"))
+        corpusRows = docs.count()
+        val keepers = Dedup.exactDedup(docs, "doc_id", "text")
+        VersionedTable.upsert(spark, s"$statePath/docs", keepers,
+          Seq("doc_id"))
+        VersionedTable.upsert(spark, s"$statePath/store",
+          graft.operators.Relevance.cosineStore(keepers, "doc_id", "text"),
+          Seq("id", "term"))
+        stateBefore = VersionedTable.read(spark, s"$statePath/docs")
+          .get.count()
+        val in = MemoryStream[(Long, String)]
+        // CAPPED regime: the screen is ingest-bounded (Σ over batch
+        // postings × per-term store df), but on this dense-shared-
+        // vocabulary corpus the hot terms make that ingest × corpus-df —
+        // measured 202 s/batch uncapped vs 5.8 capped. The cap's
+        // semantics trade shows in the state growth: verbatim dups still
+        // drop (capped self-cosine = kept-energy share ≥ tau here), but
+        // the one-token-mutated half is KEPT — its shared evidence lives
+        // in common terms the cap removed. Dense-vocab corpora are
+        // minhash's domain; the weighted screen's domain is long-tail
+        // corpora, where the cap barely binds. This row measures the
+        // screen MACHINERY's marginal cost, and the two regimes' numbers
+        // + growth are the recorded trade.
+        val q = StreamPipeline.cosineIngestStream(
+            in.toDF().toDF("doc_id", "text"), "doc_id", "text",
+            statePath, tau = 0.3, maxDf = 50L)
           .start()
         try {
           val t = (0 until nBatches).map { i =>
