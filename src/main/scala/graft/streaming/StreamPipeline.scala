@@ -417,6 +417,47 @@ object StreamPipeline {
   }
 
   /**
+   * Streaming winsorization: clamp arriving documents' features into a
+   * [pLo, pHi] band calibrated ONCE on a static corpus — the ingest
+   * companion of [[robustGateStream]] (flagging) and the streaming twin
+   * of [[graft.operators.RobustStats.winsorize]] (which calibrates on
+   * its own batch input). Same bounded-model pattern: one exact
+   * cut-point row collects at query construction and rides the plan as
+   * literals — per-batch pure projection, no state, any output mode.
+   * Same value discipline as the batch form: clamped values rounded to
+   * 6 dp, nulls stay null (the explicit guard — Spark least/greatest
+   * skip nulls), emitted as `<f>_w` next to every input column. The
+   * calibration is a snapshot; recalibrate when the corpus shifts.
+   */
+  def winsorizeStream(stream: DataFrame, featureCols: Seq[String],
+                      calibration: DataFrame,
+                      pLo: Double = 0.05, pHi: Double = 0.95): DataFrame = {
+    require(featureCols.nonEmpty, "winsorize needs at least one feature")
+    require(0.0 <= pLo && pLo < pHi && pHi <= 1.0,
+      s"need 0 <= pLo < pHi <= 1: ($pLo, $pHi)")
+    val calib = calibration.select(featureCols.map(f =>
+      col(f).cast("double").as(f)): _*)
+    val cutExprs = featureCols.flatMap(f => Seq(
+      expr(s"percentile($f, $pLo)").as(s"_lo_$f"),
+      expr(s"percentile($f, $pHi)").as(s"_hi_$f")))
+    val cutRow = calib.agg(cutExprs.head, cutExprs.tail: _*).head()
+    val cuts = featureCols.flatMap { f =>
+      Seq(s"_lo_$f", s"_hi_$f").map(c =>
+        c -> Option(cutRow.getAs[Any](c)).map(_.asInstanceOf[Double]))
+    }.toMap
+    featureCols.foldLeft(stream) { (d, f) =>
+      val w = (cuts(s"_lo_$f"), cuts(s"_hi_$f")) match {
+        case (Some(lo), Some(hi)) =>
+          when(col(f).isNull, lit(null)).otherwise(
+            round(least(greatest(col(f).cast("double"), lit(lo)),
+              lit(hi)), 6))
+        case _ => lit(null).cast("double") // empty/all-null calibration
+      }
+      d.withColumn(s"${f}_w", w)
+    }
+  }
+
+  /**
    * Streaming APSS ingest — the all-pairs-TF-IDF-cosine twin of
    * [[minhashIngestStream]], completing the ingest-screen family for the
    * WEIGHTED text measure (exact fp = [[incrementalDedupStream]], set

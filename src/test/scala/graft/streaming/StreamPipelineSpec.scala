@@ -383,6 +383,33 @@ class StreamPipelineSpec extends SparkSuite {
       "keepOnly must drop the outlier at ingest")
   }
 
+  test("winsorizeStream: frozen cut points ≡ the batch clamp; nulls stay null") {
+    // 1..20 calibration: exact cuts 1.95 / 19.05 (the RobustStatsSpec
+    // winsorize fixture) — the stream must clamp exactly like the batch
+    // operator calibrated on the same corpus
+    val calib = (1 to 20).map(i => (i.toLong, Some(i.toDouble)))
+      .toDF("id", "f1")
+    val expected = graft.operators.RobustStats
+      .winsorize(calib, "id", Seq("f1"))
+      .collect().map(r => r.getLong(0) -> Option(r.get(1))).toMap
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[(Long, Option[Double])]
+    val q = StreamPipeline.winsorizeStream(
+        in.toDF().toDF("id", "f1"), Seq("f1"), calib)
+      .writeStream.format("memory").queryName("wins_stream")
+      .outputMode("append").start()
+    try {
+      in.addData((1 to 20).map(i => (i.toLong, Some(i.toDouble))) :+
+        (21L, None: Option[Double]))
+      q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.table("wins_stream").select("id", "f1_w")
+      .collect().map(r => r.getLong(0) -> Option(r.get(1))).toMap
+    assert((1 to 20).forall(i => got(i.toLong) === expected(i.toLong)),
+      "the frozen-cuts stream must equal the batch clamp on its corpus")
+    assert(got(21L) === None, "null feature values must stay null")
+  }
+
   test("cosineIngestStream: kept corpus ≡ left fold of the incremental APSS screen; drift ledger") {
     import graft.operators.Relevance
     import graft.sources.VersionedTable
