@@ -383,6 +383,8 @@ object SoakAudit {
     // row for the filter's win case.
     "soak_apss_boiler100k" -> ((s, _) => apssDrive(Relevance.cosinePairs(
       boilerplateDocs(s, 100000), "doc_id", "text", 0.5))),
+    "soak_apss_boiler500k" -> ((s, _) => apssDrive(Relevance.cosinePairs(
+      boilerplateDocs(s, 500000), "doc_id", "text", 0.5))),
     // Integer PageRank over the customer↔supplier trade graph, 10
     // iterations. Per-iteration exchange count must be FLAT in corpus
     // size (the loop compiles its own fixed shapes with AQE off); time
