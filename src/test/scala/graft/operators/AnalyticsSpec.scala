@@ -172,4 +172,60 @@ class AnalyticsSpec extends SparkSuite {
         Seq("a", "b", "c"), horizon = 0L)
     }
   }
+
+  test("re-entry funnel equals a sequential reference model on random logs") {
+    // the distributed column-chain unrolling vs a straight-line scala
+    // fold of the same greedy semantics — per user: anchor at the first
+    // entry after the previous attempt's end (completion time, else
+    // anchor + horizon), chain greedily within the window, truncate at
+    // maxAttempts. Random logs have duplicate timestamps, interleaved
+    // noise, and users missing whole steps.
+    val steps = Seq("a", "b", "c")
+    def ref(events: Seq[(Long, String)], h: Long, maxA: Int)
+        : Set[(Int, Long, Int, Option[Long])] = {
+      val perStep = steps.map(s =>
+        events.filter(_._2 == s).map(_._1).sorted)
+      val out = Seq.newBuilder[(Int, Long, Int, Option[Long])]
+      var lastEnd = Long.MinValue
+      var a = 1
+      var open = perStep.head.nonEmpty
+      while (open && a <= maxA) {
+        perStep.head.find(_ > lastEnd) match {
+          case None => open = false
+          case Some(t1) =>
+            var prev = t1
+            var reached = 1
+            var alive = true
+            (1 until steps.length).foreach { i =>
+              if (alive) perStep(i).find(x => x > prev && x <= t1 + h) match {
+                case Some(t) => prev = t; reached = i + 1
+                case None => alive = false
+              }
+            }
+            val tdone = if (reached == steps.length) Some(prev) else None
+            out += ((a, t1, reached, tdone))
+            lastEnd = tdone.getOrElse(t1 + h)
+            a += 1
+        }
+      }
+      out.result().toSet
+    }
+    for (seed <- Seq(3L, 11L, 29L); h <- Seq(40L, 200L)) {
+      val log = randomLog(seed, 12, 400, steps ++ Seq("x", "y"))
+      val got = Analytics.funnelAttempts(ev(log: _*), "user", "ts", "et",
+          steps, horizon = h, maxAttempts = 3)
+        .collect()
+        .map(r => (r.getString(0), (r.getInt(1), r.getLong(2), r.getInt(3),
+          Option(r.get(4)).map(_.asInstanceOf[Long]))))
+        .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+      val byUser = log.groupBy(_._1)
+        .view.mapValues(_.map(e => (e._2, e._3)).toSeq).toMap
+      byUser.foreach { case (u, evs) =>
+        val expected = ref(evs, h, 3)
+        assert(got.getOrElse(u, Set.empty) === expected,
+          s"seed=$seed h=$h user=$u")
+      }
+      assert(got.keySet.subsetOf(byUser.keySet))
+    }
+  }
 }
