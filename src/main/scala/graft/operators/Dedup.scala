@@ -743,20 +743,30 @@ object Dedup {
     * Plans with NO computed stats (LogicalRDD, streaming micro-batch
     * sources) report the `spark.sql.defaultSizeInBytes` sentinel, not a
     * size — that would silently select the maximum table layout (up to
-    * a 56-64× per-signature explode) on a tiny in-memory frame, so an
-    * estimate EXACTLY EQUAL to the sentinel is treated as "no estimate"
-    * and falls back to the floor layout (ADVICE r11). Exact equality, not
-    * `>=`: deployments lower `defaultSizeInBytes` as a broadcast tuning,
-    * and under a lowered sentinel a genuinely large frame WITH real stats
-    * can legitimately size above it — `>=` would silently demote it to
-    * the floor layout (ADVICE r12). Output is banding-invariant either
-    * way; only the explode factor moves. */
-  private def estimatedSigRows(df: DataFrame): Long = {
-    val stats = df.queryExecution.optimizedPlan.stats
-    val bytes = stats.sizeInBytes
+    * a 56-64× per-signature explode) on a tiny in-memory frame, so a
+    * sentinel-valued estimate is treated as "no estimate" and falls
+    * back to the floor layout (ADVICE r11). The check walks the plan's
+    * LEAVES, not just the root (ADVICE r13): a projection, filter, or
+    * join COMPOSED over a no-stats source reports a sentinel-DERIVED
+    * size (Project scales by row-width ratio, Join multiplies) that no
+    * longer equals the sentinel exactly, so a root-only equality check
+    * let the garbage estimate through as real — any leaf at the
+    * sentinel poisons everything derived above it. Leaf equality, not
+    * `>=`: deployments lower `defaultSizeInBytes` as a broadcast
+    * tuning, and under a lowered sentinel a genuinely large LEAF with
+    * real stats can legitimately size above it — `>=` would silently
+    * demote it to the floor layout (ADVICE r12). Output is
+    * banding-invariant either way; only the explode factor moves. */
+  private[operators] def estimatedSigRows(df: DataFrame): Long = {
+    val plan = df.queryExecution.optimizedPlan
     val sentinel = BigInt(df.sparkSession.sessionState.conf.defaultSizeInBytes)
-    if (bytes == sentinel && stats.rowCount.isEmpty) 1L
-    else (bytes / 64).min(BigInt(Long.MaxValue)).max(BigInt(1)).toLong
+    val noStats = plan.collectLeaves().exists { l =>
+      val s = l.stats
+      s.sizeInBytes == sentinel && s.rowCount.isEmpty
+    }
+    if (noStats) 1L
+    else (plan.stats.sizeInBytes / 64)
+      .min(BigInt(Long.MaxValue)).max(BigInt(1)).toLong
   }
 
   /** Contiguous (offset, width) bit ranges splitting `width` bits into
@@ -1358,20 +1368,24 @@ object Dedup {
     // shingleHashes preserves encounter order); the window attaches the
     // member → representative mapping without a second array join. The
     // window keys on a 128-bit FINGERPRINT of the sorted set (xxhash64
-    // over the array AND over its reverse — two independent views), not
-    // the set itself, so the collapse exchange carries the array once
-    // (in the row) instead of twice (key AND value). 128 bits, not 64:
-    // a collapse-key collision would silently merge two UNRELATED
-    // documents into one "identical-set" group and emit unverified false
-    // containment pairs, and the 64-bit birthday bound (~n²/2⁶⁵) turns
-    // material at billions of distinct docs (ADVICE r12); at 128 bits it
-    // never does. The key is materialized as a column, not an inline
-    // partition expression — the rid and grp windows would otherwise
-    // each mint their own projection of it and re-exchange between them
-    // (a full second corpus shuffle; the r13 cosinePairs pin find).
+    // over the array AND over the array with a salt element prepended —
+    // two independently-seeded views), not the set itself, so the
+    // collapse exchange carries the array once (in the row) instead of
+    // twice (key AND value). 128 bits, not 64: a collapse-key collision
+    // would silently merge two UNRELATED documents into one
+    // "identical-set" group and emit unverified false containment
+    // pairs, and the 64-bit birthday bound (~n²/2⁶⁵) turns material at
+    // billions of distinct docs (ADVICE r12); at 128 bits it never
+    // does. Salted, not reversed (ADVICE r13): a palindromic sorted
+    // array equals its own reverse (single-shingle docs), collapsing
+    // that subclass back to 64 effective bits. The key is materialized
+    // as a column, not an inline partition expression — the rid and grp
+    // windows would otherwise each mint their own projection of it and
+    // re-exchange between them (a full second corpus shuffle; the r13
+    // cosinePairs pin find).
     val withFp = base.withColumn("_fp",
       struct(xxhash64(sort_array(col("sh"))).as("h1"),
-        xxhash64(reverse(sort_array(col("sh")))).as("h2")))
+        xxhash64(lit(1L), sort_array(col("sh"))).as("h2")))
     val w = Window.partitionBy(col("_fp"))
     val withRep = withFp
       .withColumn("rid", min(col("id")).over(w))

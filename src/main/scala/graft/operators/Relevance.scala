@@ -362,15 +362,22 @@ object Relevance {
       prefixFilter = maxDf == 0L)
 
   /** 128-bit collapse fingerprint of a sorted token list: xxhash64 over
-    * the array and over its reverse — two independent views, one struct
-    * key. 128 bits, not 64 (ADVICE r12): a collapse collision silently
-    * merges two unrelated documents into one "identical-text" group; at
-    * 64 bits the birthday bound (~n²/2⁶⁵) turns material at billions of
-    * distinct docs, at 128 it never does. The array itself stays out of
-    * the key so the collapse exchange carries it once (in the row). */
+    * the array, and over the array with a salt element prepended — two
+    * independently-seeded views, one struct key. 128 bits, not 64
+    * (ADVICE r12): a collapse collision silently merges two unrelated
+    * documents into one "identical-text" group; at 64 bits the birthday
+    * bound (~n²/2⁶⁵) turns material at billions of distinct docs, at 128
+    * it never does. The salt, not a reversal (ADVICE r13): the reversed
+    * array EQUALS the sorted array for palindromic token lists
+    * (single-token and all-identical-token docs), collapsing that
+    * subclass back to 64 effective bits, and the two hashes were never
+    * independent in general. The second field is named `h2s` so a store
+    * persisted under the old derivation fails loudly instead of silently
+    * mis-joining ([[cosineStoreDelta]]'s schema check). The array itself
+    * stays out of the key so the collapse exchange carries it once. */
   private def fp128(tk: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
     struct(xxhash64(sort_array(tk)).as("h1"),
-      xxhash64(reverse(sort_array(tk))).as("h2"))
+      xxhash64(lit(1L), sort_array(tk)).as("h2s"))
 
   /** [[cosinePairs]] with the prefix filter switchable — `false` keeps
     * the full postings⋈postings candidate join. Output is identical by
@@ -531,9 +538,10 @@ object Relevance {
    * contract): screens stay O(ingest), never re-weigh the corpus, and
    * drift accumulates until a rebuild, exactly like a production
    * retrieval index's idf snapshot. Schema: (id, fp, term, df, wn, n0)
-   * with fp the 128-bit [[fp128]] struct (h1, h2) — stores persisted
-   * before r13 carried a 64-bit long fp and must be rebuilt; persist as
-   * parquet and screen every ingest against it.
+   * with fp the 128-bit [[fp128]] struct (h1, h2s) — stores persisted
+   * before r13 carried a 64-bit long fp, r13 stores an unsalted (h1,
+   * h2) struct; both must be rebuilt (the delta path refuses them
+   * loudly). Persist as parquet and screen every ingest against it.
    */
   def cosineStore(docs: DataFrame, idCol: String,
                   textCol: String): DataFrame = {
@@ -593,6 +601,18 @@ object Relevance {
     * s.unionByName(cosineStoreDelta(s, i))` by construction. */
   def cosineStoreDelta(store: DataFrame, incoming: DataFrame,
                        idCol: String, textCol: String): DataFrame = {
+    // Fingerprint-derivation migration gate: the novelty anti-join below
+    // compares persisted fps with freshly computed ones, so a store
+    // written under an older fp128 derivation (pre-r13 64-bit long, r13
+    // unsalted (h1, h2)) would silently classify EVERYTHING as novel.
+    // Refuse loudly instead (the bm25 legacy-stats precedent).
+    val fpFields = store.schema("fp").dataType match {
+      case st: org.apache.spark.sql.types.StructType => st.fieldNames.toSeq
+      case _ => Nil
+    }
+    require(fpFields == Seq("h1", "h2s"),
+      s"store fp schema $fpFields predates the r14 salted fp128 " +
+        "derivation — rebuild the store once with cosineStore")
     val n0row = store.agg(max(col("n0")).as("n0"))
     val dfDict = store.groupBy(col("term")).agg(max(col("df")).as("df0"))
     val members = incoming.select(col(idCol).as("id"),

@@ -388,18 +388,26 @@ object StreamPipeline {
     val meds = featureCols.zipWithIndex.map { case (f, i) =>
       f -> Option(medRow.get(i)).map(_.asInstanceOf[Double])
     }.toMap
-    val madRow = calib.agg(
-      expr(s"percentile(abs(${featureCols.head} - ${meds(featureCols.head)
-        .getOrElse(Double.NaN)}), 0.5)").as(featureCols.head),
-      featureCols.tail.map(f => expr(
-        s"percentile(abs($f - ${meds(f).getOrElse(Double.NaN)}), 0.5)")
-        .as(f)): _*)
-      .head()
-    val mads = featureCols.zipWithIndex.map { case (f, i) =>
-      f -> Option(madRow.get(i)).map(_.asInstanceOf[Double])
-    }.toMap
+    // MAD only over features WITH a median: a null median (empty or
+    // all-null calibration column) used to interpolate the literal text
+    // 'NaN' into the percentile expression — Spark SQL has no NaN
+    // literal, so it parsed as an unresolved column and ONE bad feature
+    // threw AnalysisException for the whole gate (ADVICE r13). A
+    // null-median feature now skips the aggregate entirely and falls
+    // through to the null-z refusal branch below.
+    val withMed = featureCols.filter(f => meds(f).isDefined)
+    val mads: Map[String, Option[Double]] =
+      if (withMed.isEmpty) Map.empty
+      else {
+        val madExprs = withMed.map(f =>
+          expr(s"percentile(abs($f - (${meds(f).get})), 0.5)").as(f))
+        val madRow = calib.agg(madExprs.head, madExprs.tail: _*).head()
+        withMed.zipWithIndex.map { case (f, i) =>
+          f -> Option(madRow.get(i)).map(_.asInstanceOf[Double])
+        }.toMap
+      }
     val scored = featureCols.foldLeft(stream) { (d, f) =>
-      val z = (meds(f), mads(f)) match {
+      val z = (meds(f), mads.getOrElse(f, None)) match {
         case (Some(m), Some(s)) if s > 0.0 =>
           round((col(f).cast("double") - lit(m))
             / lit(s * graft.operators.RobustStats.NormalConsistency), 6)

@@ -188,6 +188,36 @@ class DedupSpec extends SparkSuite {
     assert(Dedup.simhashCombos(9, 7).size === 36)
   }
 
+  test("estimatedSigRows: a no-stats source poisons DERIVED estimates too (leaf walk)") {
+    import spark.implicits._
+    // an in-memory (LocalRelation→LogicalRDD-class) frame: depending on
+    // the plan it either carries real LocalRelation stats or the
+    // defaultSizeInBytes sentinel; force the sentinel with an RDD-backed
+    // frame (no computed stats)
+    val rdd = spark.sparkContext.parallelize(
+      Seq((1L, "a"), (2L, "b")), 2)
+    val noStats = spark.createDataFrame(rdd.map(t =>
+      org.apache.spark.sql.Row(t._1, t._2)),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("id",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("text",
+          org.apache.spark.sql.types.StringType))))
+    // the leaf itself reports the sentinel → "no estimate"
+    assert(Dedup.estimatedSigRows(noStats) === 1L)
+    // ADVICE r13: a projection/filter COMPOSED over it reports a
+    // sentinel-DERIVED size (width-scaled, no longer exactly equal) —
+    // the leaf walk must still treat it as absent, not as a giant corpus
+    assert(Dedup.estimatedSigRows(
+      noStats.select($"id").filter($"id" > 0L)) === 1L)
+    // a real local relation with computed stats keeps its estimate —
+    // even composed under a projection (leaf stats are real, so the
+    // derived size is trusted)
+    val real = (1L to 1000L).map(i => (i, s"text body $i")).toDF("id", "text")
+    assert(Dedup.estimatedSigRows(real.select($"id", $"text")) > 1L,
+      "real leaf stats must survive the leaf walk")
+  }
+
   test("simhashPairs survives a planted 500-copy mega-cluster") {
     val cluster = (100L until 600L).map(i => (i, base))
     val all = (Seq((1L, distinct1)) ++ cluster).toDF("doc_id", "text")

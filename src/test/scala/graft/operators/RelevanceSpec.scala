@@ -309,6 +309,23 @@ class RelevanceSpec extends SparkSuite {
       "doc_id", "text") === 0.0)
   }
 
+  test("cosineStoreDelta refuses a store persisted under a pre-r14 fingerprint derivation") {
+    import org.apache.spark.sql.functions.{col, struct}
+    val corpus = Seq((0L, "alpha beta"), (1L, "gamma delta"))
+      .toDF("doc_id", "text")
+    val store = Relevance.cosineStore(corpus, "doc_id", "text")
+    // simulate an r13 store: unsalted (h1, h2) fingerprint fields — the
+    // novelty anti-join would silently classify everything as novel, so
+    // the delta path must refuse loudly instead
+    val legacy = store.withColumn("fp",
+      struct(col("fp.h1").as("h1"), col("fp.h2s").as("h2")))
+    val batch = Seq((10L, "foo bar")).toDF("doc_id", "text")
+    val e = intercept[IllegalArgumentException] {
+      Relevance.cosineStoreDelta(legacy, batch, "doc_id", "text")
+    }
+    assert(e.getMessage.contains("rebuild"), e.getMessage)
+  }
+
   test("bm25SearchIndexed equals the scanned path on a corpus with null/empty text") {
     // ADVICE r11: postings-derived stats excluded token-less docs,
     // shifting n_docs/avgdl vs the scanned path. `_stats` now derives

@@ -383,6 +383,37 @@ class StreamPipelineSpec extends SparkSuite {
       "keepOnly must drop the outlier at ingest")
   }
 
+  test("robustGateStream: a null-median feature falls to null z instead of poisoning the gate") {
+    // ADVICE r13: an all-null calibration column used to interpolate the
+    // text 'NaN' into the MAD percentile expression — an unresolved
+    // column that threw AnalysisException for the WHOLE gate. It must
+    // now score as the null-z refusal while the healthy feature still
+    // gates.
+    val calib = Seq((1L, 100.0, None: Option[Double]),
+        (2L, 101.0, None), (3L, 102.0, None), (4L, 99.0, None),
+        (5L, 103.0, None))
+      .toDF("id", "f1", "f2")
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[(Long, Double, Option[Double])]
+    val q = StreamPipeline.robustGateStream(
+        in.toDF().toDF("id", "f1", "f2"), Seq("f1", "f2"), calib,
+        zThreshold = 2.0)
+      .writeStream.format("memory").queryName("robust_gate_nullmed")
+      .outputMode("append").start()
+    try {
+      in.addData(Seq((10L, 101.0, Some(5.0)), (11L, 500.0, Some(5.0))))
+      q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.table("robust_gate_nullmed")
+      .select("id", "f1_z", "f2_z", "is_outlier")
+      .collect().map(r => r.getLong(0) ->
+        (Option(r.get(1)), Option(r.get(2)), r.getBoolean(3))).toMap
+    assert(got(10L)._2 === None && got(11L)._2 === None,
+      "the uncalibratable feature must refuse with null z")
+    assert(got(10L)._1.isDefined && !got(10L)._3)
+    assert(got(11L)._3, "the healthy feature must still flag the outlier")
+  }
+
   test("winsorizeStream: frozen cut points ≡ the batch clamp; nulls stay null") {
     // 1..20 calibration: exact cuts 1.95 / 19.05 (the RobustStatsSpec
     // winsorize fixture) — the stream must clamp exactly like the batch
