@@ -21,7 +21,9 @@ import graft.streaming.StreamPipeline
  * shape becomes a diffable number the way batch regressions are.
  *
  * `runMain graft.apps.IngestBench <dataDir> <mode> [nBatches] [batchSize]`
- * with mode ∈ `exact | minhash | semantic | cosine`. Batches are deterministic
+ * with mode ∈ `exact | minhash | semantic | cosine | cosine_boiler`
+ * (the last over a generated 20k-doc boilerplate corpus, screened
+ * uncapped — the prefix-filtered screen's domain). Batches are deterministic
  * re-keyed slices of the corpus base copy (ids monotone past the
  * corpus — the ingest-order contract), half verbatim (exact/near-hit
  * drop work) and half mutated (novel-content screen work), a fresh
@@ -176,6 +178,40 @@ object IngestBench {
         val q = StreamPipeline.cosineIngestStream(
             in.toDF().toDF("doc_id", "text"), "doc_id", "text",
             statePath, tau = 0.3, maxDf = 50L)
+          .start()
+        try {
+          val t = (0 until nBatches).map { i =>
+            val b = docBatch(docs, corpusRows, i)
+            val t0 = System.nanoTime()
+            in.addData(b)
+            q.processAllAvailable()
+            (System.nanoTime() - t0) / 1e9
+          }
+          (t, VersionedTable.read(spark, s"$statePath/docs").get.count())
+        } finally q.stop()
+
+      case "cosine_boiler" =>
+        // the weighted screen's OWN domain (r14): a boilerplate-heavy
+        // long-tail corpus, screened UNCAPPED — the regime the r13 row
+        // measured at 202 s/batch on the dense corpus before the store's
+        // persisted prefix bound existed. The boilerplate postings
+        // (df = n/2 each) sit in every keeper's prefix, so the screen's
+        // store join touches only long-tail content terms; ignores the
+        // data dir (generated, like soak_apss_boiler).
+        val docs = SoakAudit.boilerplateDocs(spark, 20000)
+        corpusRows = docs.count()
+        val keepers = Dedup.exactDedup(docs, "doc_id", "text")
+        VersionedTable.upsert(spark, s"$statePath/docs", keepers,
+          Seq("doc_id"))
+        VersionedTable.upsert(spark, s"$statePath/store",
+          graft.operators.Relevance.cosineStore(keepers, "doc_id", "text"),
+          Seq("id", "term"))
+        stateBefore = VersionedTable.read(spark, s"$statePath/docs")
+          .get.count()
+        val in = MemoryStream[(Long, String)]
+        val q = StreamPipeline.cosineIngestStream(
+            in.toDF().toDF("doc_id", "text"), "doc_id", "text",
+            statePath, tau = 0.5)
           .start()
         try {
           val t = (0 until nBatches).map { i =>

@@ -408,7 +408,7 @@ object SoakAudit {
     * zero-weight filter cannot drop them) plus 8 content tokens; every
     * 7th doc near-duplicates its predecessor's content (one token off),
     * every 13th duplicates it exactly. Deterministic, generated. */
-  private def boilerplateDocs(s: SparkSession, n: Int): DataFrame = {
+  private[apps] def boilerplateDocs(s: SparkSession, n: Int): DataFrame = {
     import s.implicits._
     val rows = Array.tabulate(n) { i =>
       val content =

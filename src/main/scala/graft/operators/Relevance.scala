@@ -537,11 +537,22 @@ object Relevance {
    * [[graft.operators.Similarity.encodePqIndex]] frozen-quantizer
    * contract): screens stay O(ingest), never re-weigh the corpus, and
    * drift accumulates until a rebuild, exactly like a production
-   * retrieval index's idf snapshot. Schema: (id, fp, term, df, wn, n0)
-   * with fp the 128-bit [[fp128]] struct (h1, h2s) — stores persisted
+   * retrieval index's idf snapshot. Schema: (id, fp, term, df, wn, n0,
+   * bnd) with fp the 128-bit [[fp128]] struct (h1, h2s) and `bnd` the
+   * PERSISTED prefix bound (r14): the keeper's running L2 norm over its
+   * postings in (df desc, term asc) order, inclusive — ‖prefix through
+   * this row‖₂, the Anastasiu & Karypis (SIGMOD 2014) L2 bound, which
+   * is valid against ANY unit counterpart (Cauchy–Schwarz), so it holds
+   * for incoming vectors the build never saw — unlike the Bayardo maxw
+   * bound, whose per-term maxima only cover build-time vectors (and
+   * which the r13 batch measurements showed carries no extra pruning
+   * anyway). [[cosinePairsIncremental]] splits the store at screen time
+   * with whatever tau the caller passes — the bound is tau-independent,
+   * so ONE persisted column serves every threshold. Stores persisted
    * before r13 carried a 64-bit long fp, r13 stores an unsalted (h1,
-   * h2) struct; both must be rebuilt (the delta path refuses them
-   * loudly). Persist as parquet and screen every ingest against it.
+   * h2) fp and no `bnd`; all must be rebuilt (the delta and
+   * prefix-screen paths refuse them loudly). Persist as parquet and
+   * screen every ingest against it.
    */
   def cosineStore(docs: DataFrame, idCol: String,
                   textCol: String): DataFrame = {
@@ -572,9 +583,23 @@ object Relevance {
         (acc, x) => acc + x.getField("wt") * x.getField("wt")).as("n2"))
       .filter(col("n2") > 0.0)
       .select(col("rid"), sqrt(col("n2")).as("nrm"))
-    weighted.join(norms, "rid")
+    withPrefixBound(weighted.join(norms, "rid")
       .select(col("rid").as("id"), col("fp"), col("term"), col("df"),
-        (col("wt") / col("nrm")).as("wn"), col("n0"))
+        (col("wt") / col("nrm")).as("wn"), col("n0")))
+  }
+
+  /** Append the persisted per-posting prefix bound `bnd` — the running
+    * inclusive L2 norm in (df desc, term asc) order. Per-vector and
+    * model-frozen, so appended keepers compute theirs independently of
+    * the standing store. One window over the already-materialized id
+    * column (no inline partition expression — the fifth scale-bug
+    * class); the exchange it costs is the store BUILD's, paid once, so
+    * every later screen can skip the hot postings. */
+  private def withPrefixBound(posts: DataFrame): DataFrame = {
+    val bw = Window.partitionBy(col("id"))
+      .orderBy(col("df").desc, col("term").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    posts.withColumn("bnd", sqrt(sum(col("wn") * col("wn")).over(bw)))
   }
 
   /**
@@ -640,9 +665,9 @@ object Relevance {
         (acc, x) => acc + x.getField("wt") * x.getField("wt")).as("n2"))
       .filter(col("n2") > 0.0)
       .select(col("rid"), sqrt(col("n2")).as("nrm"))
-    weighted.join(norms, "rid")
+    withPrefixBound(weighted.join(norms, "rid")
       .select(col("rid").as("id"), col("fp"), col("term"), col("df"),
-        (col("wt") / col("nrm")).as("wn"), col("n0"))
+        (col("wt") / col("nrm")).as("wn"), col("n0")))
   }
 
   /**
@@ -685,8 +710,51 @@ object Relevance {
    */
   def cosinePairsIncremental(incoming: DataFrame, store: DataFrame,
                              idCol: String, textCol: String,
-                             tau: Double, maxDf: Long = 0L): DataFrame = {
+                             tau: Double, maxDf: Long = 0L): DataFrame =
+    cosinePairsIncrementalImpl(incoming, store, idCol, textCol, tau, maxDf,
+      prefixFilter = maxDf == 0L)
+
+  /** [[cosinePairsIncremental]] with the prefix filter switchable —
+    * `false` keeps the full postings⋈postings joins. Output is identical
+    * by the one-sided Bayardo guarantee (spec-pinned equality); only the
+    * candidate volume differs. Exposed for the equality spec and A/B
+    * soaks, mirroring [[cosinePairsImpl]]. The default policy is the
+    * batch lever rule (prefix iff uncapped): when `maxDf` binds it has
+    * already dropped the hot postings the prefix would absorb, and
+    * stacking measured as pure overhead (r13).
+    *
+    * Prefix mechanics (r14, closing the r13 gap this operator's own
+    * IngestBench row measured at 202 s/batch): the Bayardo argument is
+    * ONE-SIDED — a qualifying pair must share a term INDEXED by its
+    * designated side, so only one side of each join needs the split.
+    *  - cross (incoming × store): the STORE side is designated; its
+    *    split is read off the PERSISTED `bnd` column ([[cosineStore]]),
+    *    so the standing corpus's hot postings are pruned without
+    *    re-weighing anything — candidates = store-indexed ⋈
+    *    incoming-full, then the Bayardo completion join adds the
+    *    store-prefix products per CANDIDATE pair.
+    *  - intra (incoming × incoming): the min-id side is designated; its
+    *    bound is computed on the fly over the batch's own postings
+    *    (ingest-bounded, the same window the store build pays once).
+    * Both use the L2 ‖prefix‖₂ bound alone — valid against ANY unit
+    * vector (the store never saw the incoming docs, so per-term maxw
+    * bounds don't transfer), and the r13 measurements showed maxw adds
+    * nothing on top of L2 anyway. Products still merge into ONE
+    * term-sorted fold per pair (indexed piece ∪ completion piece
+    * partition the designated side's postings), so the emitted cosine is
+    * BIT-IDENTICAL to the unfiltered join's and the exact oracle is
+    * unchanged. wn = 0 postings are dropped on both sides at SCREEN time
+    * (the r13 dead-weight rule: zero products are float no-ops and a
+    * zero-only pair scores 0 < tau); the PERSISTED store keeps them so
+    * [[cosineStoreUnseenFrac]]'s term dictionary stays complete. */
+  private[graft] def cosinePairsIncrementalImpl(
+      incoming: DataFrame, store: DataFrame, idCol: String, textCol: String,
+      tau: Double, maxDf: Long, prefixFilter: Boolean): DataFrame = {
     require(tau > 0.0, "cosinePairsIncremental tau must be positive")
+    if (prefixFilter) require(store.columns.contains("bnd"),
+      "store lacks the persisted prefix bound `bnd` — it predates the " +
+        "r14 prefix-filtered incremental screen; rebuild it once with " +
+        "cosineStore (the capped path, maxDf > 0, does not need it)")
     val n0row = store.agg(max(col("n0")).as("n0"))
     val dfDict = store.groupBy(col("term")).agg(max(col("df")).as("df0"))
     val inTf = incoming.select(col(idCol).as("id"),
@@ -709,10 +777,12 @@ object Relevance {
     val inPosts0 = inW.join(inNorms, "id")
       .select(col("id"), col("term"), col("df0"),
         (col("wt") / col("nrm")).as("wn"))
+      .filter(col("wn") > 0.0)
     val inPosts =
       if (maxDf > 0L) inPosts0.filter(col("df0") <= maxDf) else inPosts0
+    val stPosts0 = store.filter(col("wn") > 0.0)
     val stPosts =
-      if (maxDf > 0L) store.filter(col("df") <= maxDf) else store
+      if (maxDf > 0L) stPosts0.filter(col("df") <= maxDf) else stPosts0
     def foldPairs(pairs: DataFrame): DataFrame = pairs
       .groupBy(col("ia"), col("ib"))
       .agg(round(aggregate(
@@ -721,16 +791,65 @@ object Relevance {
       .filter(col("cos_r") >= tau)
       .select(least(col("ia"), col("ib")).as("id_a"),
         greatest(col("ia"), col("ib")).as("id_b"), col("cos_r"))
-    val cross = foldPairs(inPosts.alias("a")
-      .join(stPosts.alias("b"), col("a.term") === col("b.term"))
-      .select(col("a.id").as("ia"), col("b.id").as("ib"),
-        col("a.term").as("term"), (col("a.wn") * col("b.wn")).as("p")))
-    val intra = foldPairs(inPosts.alias("a")
-      .join(inPosts.alias("b"),
-        col("a.term") === col("b.term") && col("a.id") < col("b.id"))
-      .select(col("a.id").as("ia"), col("b.id").as("ib"),
-        col("a.term").as("term"), (col("a.wn") * col("b.wn")).as("p")))
-    cross.unionByName(intra)
+    // same margin as the batch form: 5e-7 for the 6-dp rounding of the
+    // emitted cosine plus float-accumulation slack in the bound itself
+    val thr = lit(tau - 1e-6)
+    val crossProducts =
+      if (!prefixFilter)
+        inPosts.alias("a")
+          .join(stPosts.alias("b"), col("a.term") === col("b.term"))
+          .select(col("a.id").as("ia"), col("b.id").as("ib"),
+            col("a.term").as("term"), (col("a.wn") * col("b.wn")).as("p"))
+      else {
+        val stIdx = stPosts.filter(col("bnd") >= thr)
+          .select(col("id"), col("term"), col("wn"))
+        val stPref = stPosts.filter(col("bnd") < thr)
+          .select(col("id").as("ib"), col("term"), col("wn").as("wb"))
+        val s1 = inPosts.alias("a")
+          .join(stIdx.alias("b"), col("a.term") === col("b.term"))
+          .select(col("a.id").as("ia"), col("b.id").as("ib"),
+            col("a.term").as("term"), (col("a.wn") * col("b.wn")).as("p"))
+        val cand = s1.select(col("ia"), col("ib")).distinct()
+        val s2 = cand
+          .join(stPref, "ib")
+          .join(inPosts.select(col("id").as("ia"), col("term"),
+            col("wn").as("wa")), Seq("ia", "term"))
+          .select(col("ia"), col("ib"), col("term"),
+            (col("wa") * col("wb")).as("p"))
+        s1.unionByName(s2)
+      }
+    val intraProducts =
+      if (!prefixFilter)
+        inPosts.alias("a")
+          .join(inPosts.alias("b"),
+            col("a.term") === col("b.term") && col("a.id") < col("b.id"))
+          .select(col("a.id").as("ia"), col("b.id").as("ib"),
+            col("a.term").as("term"), (col("a.wn") * col("b.wn")).as("p"))
+      else {
+        val bw = Window.partitionBy(col("id"))
+          .orderBy(col("df0").desc, col("term").asc)
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val bounded = inPosts.withColumn("_bnd",
+          sqrt(sum(col("wn") * col("wn")).over(bw)))
+        val inIdx = bounded.filter(col("_bnd") >= thr)
+          .select(col("id"), col("term"), col("wn"))
+        val inPref = bounded.filter(col("_bnd") < thr)
+          .select(col("id").as("ia"), col("term"), col("wn").as("wa"))
+        val i1 = inIdx.alias("a")
+          .join(inPosts.alias("b"),
+            col("a.term") === col("b.term") && col("a.id") < col("b.id"))
+          .select(col("a.id").as("ia"), col("b.id").as("ib"),
+            col("a.term").as("term"), (col("a.wn") * col("b.wn")).as("p"))
+        val icand = i1.select(col("ia"), col("ib")).distinct()
+        val i2 = icand
+          .join(inPref, "ia")
+          .join(inPosts.select(col("id").as("ib"), col("term"),
+            col("wn").as("wb")), Seq("ib", "term"))
+          .select(col("ia"), col("ib"), col("term"),
+            (col("wa") * col("wb")).as("p"))
+        i1.unionByName(i2)
+      }
+    foldPairs(crossProducts).unionByName(foldPairs(intraProducts))
   }
 
   /**

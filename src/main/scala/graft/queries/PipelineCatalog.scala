@@ -2393,6 +2393,36 @@ object PipelineCatalog {
       |SELECT least(ia, ib) AS id_a, greatest(ia, ib) AS id_b, cos_r
       |FROM (SELECT * FROM crossp UNION ALL SELECT * FROM intra)""".stripMargin
 
+  /** UNCAPPED incremental APSS screen (r14): the prefix-filtered path —
+    * `maxDf = 0` engages the persisted-bound store split + Bayardo
+    * completion join, and THIS oracle certifies its bit-exactness
+    * through DuckDB (the capped gate above never exercises the prefix
+    * machinery, per the lever policy). The oracle replays the PLAIN
+    * unfiltered joins — passing means the pruned screen's floats are
+    * bit-identical to the naive form's, the same one-sided-bound
+    * argument the r13 batch gate pinned. */
+  val textCosineIncUncappedQ: Q = (s, dir) => {
+    val docs = Tables.documents(s, dir)
+    val corpus = docs.filter(col("doc_id") % 4 === 0)
+    val incoming = docs.filter(col("doc_id") % 4 === 2)
+      .withColumn("doc_id", col("doc_id") + lit(10000000L))
+    Relevance.cosinePairsIncremental(incoming,
+      Relevance.cosineStore(corpus, "doc_id", "text"),
+      "doc_id", "text", tau = 0.6)
+  }
+
+  /** The capped oracle with the two df caps removed — kept as a string
+    * transform so the frozen-model arithmetic can never drift between
+    * the two gates. */
+  val textCosineIncUncappedSql: String = {
+    val out = textCosineIncSql
+      .replace(" WHERE w.df <= 20", "")
+      .replace(" WHERE w.df0 <= 20", "")
+      .replace(">= 0.3", ">= 0.6")
+    require(out != textCosineIncSql, "cap filters not found in the capped oracle")
+    out
+  }
+
   /** The indexed BM25 read path (r12): [[Relevance.bm25Index]] persisted
     * ONCE per (application, sfDir) — term-clustered postings parquet +
     * doc-frame `_stats` — then queried via
@@ -2780,6 +2810,7 @@ object PipelineCatalog {
     "bm25_search_appended" -> bm25SearchAppendedQ,
     "text_cosine_pairs" -> textCosinePairsQ,
     "text_cosine_inc" -> textCosineIncQ,
+    "text_cosine_inc_uncapped" -> textCosineIncUncappedQ,
     "split_groups" -> splitGroups,
     "graph_rank" -> graphRank,
     "fuzzy_pairs" -> fuzzyPairs,
@@ -2876,6 +2907,7 @@ object PipelineCatalog {
     "bm25_search_appended" -> bm25SearchSql,
     "text_cosine_pairs" -> textCosinePairsSql,
     "text_cosine_inc" -> textCosineIncSql,
+    "text_cosine_inc_uncapped" -> textCosineIncUncappedSql,
     "split_groups" -> splitGroupsSql,
     "graph_rank" -> graphRankSql,
     "fuzzy_pairs" -> fuzzyPairsSql,

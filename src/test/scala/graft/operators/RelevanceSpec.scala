@@ -309,6 +309,67 @@ class RelevanceSpec extends SparkSuite {
       "doc_id", "text") === 0.0)
   }
 
+  test("incremental prefix filter ≡ unfiltered screen: bit-identical at every tau/cap, append included") {
+    // the r13 batch equality corpus, split store/incoming: rare
+    // neighbor-shared terms keep candidate edges alive at every tau,
+    // three hot terms (df ≈ n/3) are exactly the postings the persisted
+    // bound absorbs; every 13th doc an exact dup, every 7th a near-dup
+    val rnd = new scala.util.Random(11)
+    val base = Array.tabulate(240) { i =>
+      val rare = Seq(s"r$i", s"r${i + 1}", s"r${i + 2}", s"x${rnd.nextInt(40)}")
+      (i.toLong, (rare ++ Seq(s"c${i % 3}", s"c${(i + 1) % 3}", "hot")).mkString(" "))
+    }
+    val rows = base.map { case (id, t) =>
+      if (id % 13 == 4 && id > 0) (id, base((id - 1).toInt)._2)
+      else if (id % 7 == 2 && id > 0) (id, base((id - 1).toInt)._2 + " extra")
+      else (id, t)
+    }
+    val all = spark.sparkContext.parallelize(rows.toIndexedSeq, 4)
+      .toDF("doc_id", "text")
+    val corpus = all.filter($"doc_id" % 3 === 0)
+    val append = all.filter($"doc_id" % 3 === 1)
+      .withColumn("doc_id", $"doc_id" + 1000L)
+    val incoming = all.filter($"doc_id" % 3 === 2)
+      .withColumn("doc_id", $"doc_id" + 2000L)
+    // store = build + appended delta, so the APPENDED rows' persisted
+    // bounds (computed under the frozen model) are exercised too
+    val store = Relevance.cosineStoreAppend(
+      Relevance.cosineStore(corpus, "doc_id", "text"),
+      append, "doc_id", "text")
+    def run(tau: Double, cap: Long, prefix: Boolean): Set[(Long, Long, Double)] =
+      Relevance.cosinePairsIncrementalImpl(incoming, store,
+          "doc_id", "text", tau, cap, prefix)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    for (tau <- Seq(0.3, 0.6, 0.9); cap <- Seq(0L, 10L)) {
+      val filtered = run(tau, cap, prefix = true)
+      val unfiltered = run(tau, cap, prefix = false)
+      assert(filtered === unfiltered,
+        s"incremental prefix filter must be exact at tau=$tau cap=$cap: " +
+          s"missing=${(unfiltered -- filtered).take(5)} " +
+          s"extra=${(filtered -- unfiltered).take(5)}")
+      assert(filtered.nonEmpty, s"degenerate spec at tau=$tau cap=$cap")
+    }
+    // the default policy mirrors the batch lever rule: prefix iff uncapped
+    assert(Relevance.cosinePairsIncremental(incoming, store,
+        "doc_id", "text", 0.6)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .toSet === run(0.6, 0L, prefix = true))
+  }
+
+  test("incremental prefix path refuses a store without the persisted bound; capped path runs") {
+    val corpus = Seq((0L, "alpha beta gamma"), (1L, "delta eps zeta"))
+      .toDF("doc_id", "text")
+    val legacy = Relevance.cosineStore(corpus, "doc_id", "text").drop("bnd")
+    val batch = Seq((10L, "alpha beta gamma")).toDF("doc_id", "text")
+    val e = intercept[IllegalArgumentException] {
+      Relevance.cosinePairsIncremental(batch, legacy, "doc_id", "text", 0.5)
+    }
+    assert(e.getMessage.contains("rebuild"), e.getMessage)
+    // the capped path never touches the bound — an old store still screens
+    assert(Relevance.cosinePairsIncremental(batch, legacy,
+      "doc_id", "text", 0.5, maxDf = 10L).count() >= 1L)
+  }
+
   test("cosineStoreDelta refuses a store persisted under a pre-r14 fingerprint derivation") {
     import org.apache.spark.sql.functions.{col, struct}
     val corpus = Seq((0L, "alpha beta"), (1L, "gamma delta"))
