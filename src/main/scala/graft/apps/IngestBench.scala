@@ -21,9 +21,11 @@ import graft.streaming.StreamPipeline
  * shape becomes a diffable number the way batch regressions are.
  *
  * `runMain graft.apps.IngestBench <dataDir> <mode> [nBatches] [batchSize]`
- * with mode ∈ `exact | minhash | semantic | cosine | cosine_boiler`
- * (the last over a generated 20k-doc boilerplate corpus, screened
- * uncapped — the prefix-filtered screen's domain). Batches are deterministic
+ * with mode ∈ `exact | minhash | semantic | cosine | cosine_boiler | bm25`
+ * (`cosine_boiler` over a generated 20k-doc boilerplate corpus,
+ * screened uncapped — the prefix-filtered screen's domain; `bm25`
+ * adds per-batch `search_sec` read latencies and reports the batch
+ * directory count as state). Batches are deterministic
  * re-keyed slices of the corpus base copy (ids monotone past the
  * corpus — the ingest-order contract), half verbatim (exact/near-hit
  * drop work) and half mutated (novel-content screen work), a fresh
@@ -91,6 +93,9 @@ object IngestBench {
 
     var corpusRows = 0L
     var stateBefore = 0L
+    // bm25 mode: per-batch READ latency next to the append cost — the
+    // flatness claim the compaction story rests on
+    val searchSecs = scala.collection.mutable.ArrayBuffer.empty[Double]
     // (per-batch seconds, state row count after all batches)
     val (times, stateAfter): (Seq[Double], Long) = mode match {
       case "exact" =>
@@ -190,6 +195,42 @@ object IngestBench {
           (t, VersionedTable.read(spark, s"$statePath/docs").get.count())
         } finally q.stop()
 
+      case "bm25" =>
+        // exact index growth (r14): index preloaded over the corpus,
+        // then per-batch append cost AND read-path latency across the
+        // accumulating batch directories ("state" = directory count —
+        // the small-file gauge bm25Compact folds). The read latency must
+        // stay flat-ish: each append adds a FILE SET, the term filter
+        // prunes inside every one. Run with compaction off to measure
+        // the raw growth the compactEvery knob controls.
+        val idxPath = s"$statePath/bm25"
+        val docs = spark.read.parquet(s"$dir/documents.parquet")
+          .select(col("doc_id"), col("text"))
+        corpusRows = docs.count()
+        graft.operators.Relevance.bm25Index(docs, "doc_id", "text", idxPath)
+        stateBefore = graft.operators.Relevance
+          .bm25IndexDirs(spark, idxPath).length.toLong
+        val in = MemoryStream[(Long, String)]
+        val q = StreamPipeline.bm25IngestStream(
+            in.toDF().toDF("doc_id", "text"), "doc_id", "text", idxPath)
+          .start()
+        try {
+          val t = (0 until nBatches).map { i =>
+            val b = docBatch(docs, corpusRows, i)
+            val t0 = System.nanoTime()
+            in.addData(b)
+            q.processAllAvailable()
+            val dt = (System.nanoTime() - t0) / 1e9
+            val s0 = System.nanoTime()
+            graft.operators.Relevance
+              .bm25SearchIndexed(spark, idxPath, "dup vector key").count()
+            searchSecs += (System.nanoTime() - s0) / 1e9
+            dt
+          }
+          (t, graft.operators.Relevance
+            .bm25IndexDirs(spark, idxPath).length.toLong)
+        } finally q.stop()
+
       case "cosine_boiler" =>
         // the weighted screen's OWN domain (r14): a boilerplate-heavy
         // long-tail corpus, screened UNCAPPED — the regime the r13 row
@@ -261,11 +302,15 @@ object IngestBench {
     }
 
     val secs = times.map(t => f"$t%.3f").mkString("[", ",", "]")
+    val extra =
+      if (searchSecs.isEmpty) ""
+      else searchSecs.map(t => f"$t%.3f")
+        .mkString(""","search_sec":[""", ",", "]")
     println(s"""{"bench":"ingest","mode":"$mode","dir":"$dir",""" +
       s""""corpus_rows":$corpusRows,"batches":$nBatches,""" +
       s""""batch_size":$batchSize,"batch_sec":$secs,""" +
       f""""median_sec":${median(times)}%.3f,""" +
-      s""""state_before":$stateBefore,"state_after":$stateAfter}""")
+      s""""state_before":$stateBefore,"state_after":$stateAfter$extra}""")
     spark.stop()
   }
 }

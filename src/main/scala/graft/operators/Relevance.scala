@@ -145,113 +145,222 @@ object Relevance {
   }
 
   /**
-   * Persist the BM25 inverted index for a frozen corpus: a postings
-   * table (term, doc_id, tf, dl) clustered and sorted by term, plus the
-   * corpus scalars (n_docs, avgdl) as a one-row `_stats` table. The
-   * term-clustered sort is the scale lever: every row group's term
-   * min/max is tight, so a query's `term IN (...)` pushes down to the
-   * parquet footer and skips the row groups of every other term —
-   * [[bm25SearchIndexed]] reads O(postings of the query terms), not the
-   * corpus.
+   * Persist the BM25 inverted index for a corpus — the committed-batch
+   * layout (r14): postings live in per-batch term-clustered parquet
+   * directories under `path/batches/<batchId>/`, and a tiny VERSIONED
+   * MANIFEST at `path/_meta` (one row per applied batch: batch_id, dir,
+   * n_docs, sum_dl, n_dl) is the single source of truth — readers list
+   * the manifest and read exactly the directories it names, so a batch
+   * is visible IF AND ONLY IF its manifest row committed. That makes
+   * [[bm25IndexAppend]] failure-ATOMIC (a crash between the postings
+   * write and the manifest commit leaves an invisible orphan directory
+   * the replay overwrites) and IDEMPOTENT (a replayed batch_id is a
+   * detected no-op) — ADVICE r13: the previous layout committed the
+   * postings `append` BEFORE the `_stats` overwrite, so a crash between
+   * the two — or re-running an append after any failure — left
+   * duplicated postings / stale stats with no detection. Corpus scalars
+   * are per-batch integer sums merged at READ time
+   * ([[bm25IndexStats]]), removing the stats file and its crash window
+   * entirely.
+   *
+   * The term-clustered sort within each batch directory is the scale
+   * lever, unchanged: every row group's term min/max is tight, so a
+   * query's `term IN (...)` pushes down to parquet footers in EVERY
+   * batch directory — [[bm25SearchIndexed]] reads O(postings of the
+   * query terms), not the corpus. What grows with batch count is the
+   * NUMBER of file sets, never the bytes a query matches —
+   * [[bm25Compact]] folds them back into one.
+   *
+   * `bm25Index` itself = clear + first batch (`"base"`): a REBUILD,
+   * dropping any prior manifest, batch directories, and pre-r14 layout
+   * files at `path`.
    */
   def bm25Index(docs: DataFrame, idCol: String, textCol: String,
                 path: String): Unit = {
-    val terms = docs.select(col(idCol).as("doc_id"),
+    val spark = docs.sparkSession
+    val f = hadoopFs(spark, path)
+    Seq("_meta", "batches", "postings", "_stats").foreach { d =>
+      f.delete(new org.apache.hadoop.fs.Path(s"$path/$d"), true); ()
+    }
+    val applied = bm25IndexAppend(spark, path, docs, idCol, textCol, "base")
+    assert(applied, "a fresh index cannot be a replay")
+  }
+
+  private def hadoopFs(spark: org.apache.spark.sql.SparkSession,
+                       path: String) =
+    new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  /** The committed manifest, or None for an absent index. Refuses a
+    * pre-r14 layout loudly (flat postings + `_stats`, no manifest) —
+    * silently treating it as absent would shadow the old corpus. */
+  private def bm25Manifest(spark: org.apache.spark.sql.SparkSession,
+                           path: String): Option[DataFrame] = {
+    val m = graft.sources.VersionedTable.read(spark, s"$path/_meta")
+    if (m.isEmpty)
+      require(!hadoopFs(spark, path)
+          .exists(new org.apache.hadoop.fs.Path(s"$path/_stats")),
+        s"$path holds a pre-r14 BM25 index (flat postings + _stats, no " +
+          "batch manifest) — rebuild it once with bm25Index")
+    m
+  }
+
+  private def bm25ManifestOrFail(spark: org.apache.spark.sql.SparkSession,
+                                 path: String): DataFrame =
+    bm25Manifest(spark, path).getOrElse(
+      throw new IllegalArgumentException(s"no BM25 index at $path"))
+
+  /** Committed postings directories of a [[bm25Index]] (one per batch
+    * since the last [[bm25Compact]]) — the small-file pressure gauge
+    * the streaming ingest's compaction trigger reads. */
+  def bm25IndexDirs(spark: org.apache.spark.sql.SparkSession,
+                    path: String): Seq[String] =
+    bm25ManifestOrFail(spark, path).select(col("dir")).distinct()
+      .collect().map(_.getString(0)).toSeq.sorted
+
+  /** Merged corpus scalars from the manifest — one row (n_docs, avgdl,
+    * sum_dl, n_dl). Integer sums merge exactly in any order, and
+    * `avgdl = sum_dl / n_dl` is bit-equal to `avg` over the union
+    * corpus: integer-valued double partials below 2⁵³ add exactly, and
+    * `avg` SKIPS null-dl rows (a null-text doc has null `size`) — the
+    * reason `n_dl` exists separately from `n_docs` (ADVICE r11/r13
+    * lineage). An all-token-less corpus yields null avgdl, matching
+    * `avg` of an empty set. */
+  def bm25IndexStats(spark: org.apache.spark.sql.SparkSession,
+                     path: String): DataFrame =
+    bm25ManifestOrFail(spark, path).agg(
+      sum(col("n_docs")).as("n_docs"),
+      when(sum(col("n_dl")) === 0L, lit(null).cast("double"))
+        .otherwise(sum(col("sum_dl")).cast("double")
+          / sum(col("n_dl")).cast("double")).as("avgdl"),
+      sum(col("sum_dl")).as("sum_dl"),
+      sum(col("n_dl")).as("n_dl"))
+
+  /**
+   * Grow a [[bm25Index]] — EXACTLY, atomically, idempotently. The BM25
+   * index is a SUFFICIENT STATISTIC: per-doc postings (term, tf, dl)
+   * depend only on the document itself, per-term df derives from the
+   * postings at query time, and the corpus scalars merge as exact
+   * integer sums — so an appended index answers bit-identically to a
+   * fresh build over the union (spec- and oracle-pinned, null-text docs
+   * included), and NO drift signal or rebuild trigger exists for this
+   * family (deliberate contrast with the frozen-idf [[cosineStore]]).
+   *
+   * Commit protocol (ADVICE r13): the batch's postings write to their
+   * OWN directory first — invisible, because readers only follow the
+   * manifest — then one versioned manifest upsert makes them live
+   * together with the batch's stats row. A replayed `batchId`
+   * (foreachBatch is at-least-once) is detected against the manifest
+   * and no-ops, returning false; a crash before the manifest commit
+   * leaves an orphan directory the replay simply overwrites. Appended
+   * ids must be NEW (the corpus contract) — a repeated id under a
+   * FRESH batchId would still double its postings. Cost is O(batch):
+   * the batch's postings plus a manifest rewrite sized by the number of
+   * applied batches, never the corpus.
+   *
+   * Returns true if the batch was applied, false for a replay no-op.
+   * Creates the index when `path` holds none (the streaming ingest's
+   * first batch); refuses a pre-r14 layout loudly.
+   */
+  def bm25IndexAppend(spark: org.apache.spark.sql.SparkSession, path: String,
+                      docs: DataFrame, idCol: String, textCol: String,
+                      batchId: String): Boolean = {
+    require(batchId.nonEmpty && batchId.matches("[A-Za-z0-9._-]+") &&
+      !batchId.startsWith("_"),
+      s"batchId must be a path-safe token not starting with '_': $batchId")
+    val replayed = bm25Manifest(spark, path).exists(m =>
+      m.filter(col("batch_id") === batchId).limit(1).count() > 0L)
+    if (replayed) return false
+    val dirName = s"batches/$batchId"
+    docs.select(col(idCol).as("doc_id"),
         TextAnalysis.tokens(col(textCol)).as("tk"))
       .select(col("doc_id"), size(col("tk")).cast("long").as("dl"),
         explode(col("tk")).as("term"))
-    val postings = terms.groupBy("doc_id", "dl", "term")
+      .groupBy("doc_id", "dl", "term")
       .agg(count(lit(1)).as("tf"))
-    postings
       .repartition(col("term")).sortWithinPartitions("term")
-      .write.mode("overwrite").parquet(s"$path/postings")
-    // `_stats` derives from the DOC frame, exactly as [[bm25Search]]
-    // computes it — postings-derived stats would exclude any doc whose
-    // tokens explode to nothing (null/empty text), shifting idf and
-    // avgdl and breaking the indexed path's exact equivalence on such
-    // corpora (ADVICE r11). `sum_dl` and `n_dl` ride along (r13) so
-    // [[bm25IndexAppend]] can merge the stats EXACTLY — integer
-    // sums/counts are order-insensitive, and avgdl = sum_dl / n_dl is
-    // bit-equal to the rebuild's `avg` (which SKIPS null-dl rows — a
-    // null-text doc has null `size` — hence the separate non-null
-    // count; integer-valued double partials below 2⁵³ add exactly in
-    // any order, so the sums agree bit-for-bit).
-    docs.select(col(idCol).as("doc_id"),
+      .write.mode("overwrite").parquet(s"$path/$dirName")
+    // stats derive from the DOC frame, exactly as [[bm25Search]]
+    // computes them — postings-derived stats would exclude any doc
+    // whose tokens explode to nothing (null/empty text), shifting idf
+    // and avgdl (ADVICE r11); `count(dl)` skips null-text rows the way
+    // `avg` does.
+    val r = docs.select(
         size(TextAnalysis.tokens(col(textCol))).cast("long").as("dl"))
       .agg(count(lit(1)).as("n_docs"),
-        avg(col("dl").cast("double")).as("avgdl"),
         coalesce(sum(col("dl")), lit(0L)).as("sum_dl"),
         count(col("dl")).as("n_dl"))
-      .write.mode("overwrite").parquet(s"$path/_stats")
+      .head()
+    import spark.implicits._
+    graft.sources.VersionedTable.upsert(spark, s"$path/_meta",
+      Seq((batchId, dirName, r.getLong(0), r.getLong(1), r.getLong(2)))
+        .toDF("batch_id", "dir", "n_docs", "sum_dl", "n_dl"),
+      Seq("batch_id"))
+    true
   }
 
   /**
-   * Grow a [[bm25Index]] in place — EXACTLY. Unlike the frozen-idf
-   * [[cosineStore]] (whose baked-in weights drift as the corpus
-   * shifts), a BM25 index is a SUFFICIENT STATISTIC: per-doc postings
-   * (term, tf, dl) depend only on the document itself, per-term df is
-   * derived from the postings at query time, and the corpus scalars
-   * merge as exact integer sums — so appending a batch leaves the index
-   * bit-identical to a fresh build over the union (spec-pinned,
-   * null-text docs included), and NO drift signal or rebuild trigger
-   * exists for this family. Appended ids must be NEW (the corpus
-   * contract); a repeated id would double its postings. Indexes written
-   * before r13 lack `sum_dl` and must rebuild once (loud require).
+   * Fold a [[bm25Index]]'s accumulated batch directories back into ONE
+   * term-clustered file set — small-file compaction for the streaming
+   * ingest path. N appended batches = N file sets: each keeps its own
+   * tight term row groups, but footer-pruning work and file-open
+   * overhead grow with N. Compaction reads the union, re-clusters and
+   * re-sorts by term, writes ONE new directory, and re-points every
+   * manifest row's `dir` at it in one versioned commit — batch
+   * identities and per-batch stats are PRESERVED, so replay detection
+   * and the merged scalars survive compaction unchanged. The query
+   * answer is bit-identical before and after (the postings ROW SET is
+   * unchanged; df and scores derive from it at query time) — gate- and
+   * spec-pinned.
    *
-   * Scale shape: cost is O(batch) — the batch's postings write as new
-   * term-clustered parquet files (each file's row groups term-sorted,
-   * so query-term pruning keeps skipping non-matching row groups) and
-   * the one-row stats merge touches no corpus data.
+   * Crash windows: before the manifest commit the compacted directory
+   * is an invisible orphan (a re-run overwrites it — the target name
+   * derives from the manifest VERSION, not a clock); after it, the old
+   * directories are unreferenced debris. `vacuum = true` (default)
+   * deletes them after the commit — a reader that listed the OLD
+   * manifest concurrently can race that delete (the VersionedTable
+   * vacuum caveat); pass false and clean externally where that matters.
+   * Returns false (no-op) when the index already holds one directory.
    */
-  def bm25IndexAppend(spark: org.apache.spark.sql.SparkSession, path: String,
-                      docs: DataFrame, idCol: String, textCol: String): Unit = {
-    val old = spark.read.parquet(s"$path/_stats")
-    require(old.columns.contains("sum_dl") && old.columns.contains("n_dl"),
-      s"$path/_stats lacks sum_dl/n_dl — the index predates exact append " +
-        "support; rebuild it once with bm25Index")
-    val terms = docs.select(col(idCol).as("doc_id"),
-        TextAnalysis.tokens(col(textCol)).as("tk"))
-      .select(col("doc_id"), size(col("tk")).cast("long").as("dl"),
-        explode(col("tk")).as("term"))
-    terms.groupBy("doc_id", "dl", "term")
-      .agg(count(lit(1)).as("tf"))
+  def bm25Compact(spark: org.apache.spark.sql.SparkSession, path: String,
+                  vacuum: Boolean = true): Boolean = {
+    val manifest = bm25ManifestOrFail(spark, path)
+    val dirs = bm25IndexDirs(spark, path)
+    if (dirs.length <= 1) return false
+    val next = graft.sources.VersionedTable
+      .versions(spark, s"$path/_meta").last + 1
+    val target = s"batches/_compact_v$next" // '_' prefix: no batchId collision
+    spark.read.parquet(dirs.map(d => s"$path/$d"): _*)
       .repartition(col("term")).sortWithinPartitions("term")
-      .write.mode("append").parquet(s"$path/postings")
-    val merged = docs.select(
-        size(TextAnalysis.tokens(col(textCol))).cast("long").as("dl"))
-      .agg(count(lit(1)).as("_n1"),
-        coalesce(sum(col("dl")), lit(0L)).as("_s1"),
-        count(col("dl")).as("_d1"))
-      .crossJoin(broadcast(old))
-      .select((col("n_docs") + col("_n1")).as("n_docs"),
-        ((col("sum_dl") + col("_s1")).cast("double")
-          / (col("n_dl") + col("_d1")).cast("double")).as("avgdl"),
-        (col("sum_dl") + col("_s1")).as("sum_dl"),
-        (col("n_dl") + col("_d1")).as("n_dl"))
-      .collect()
-    import spark.implicits._
-    // one row, written via a local seq — overwriting a parquet dir from
-    // a plan that READS the same dir would race the delete
-    merged.toSeq
-      .map(r => (r.getLong(0), r.getDouble(1), r.getLong(2), r.getLong(3)))
-      .toDF("n_docs", "avgdl", "sum_dl", "n_dl")
-      .write.mode("overwrite").parquet(s"$path/_stats")
+      .write.mode("overwrite").parquet(s"$path/$target")
+    graft.sources.VersionedTable.upsert(spark, s"$path/_meta",
+      manifest.withColumn("dir", lit(target)), Seq("batch_id"))
+    if (vacuum) {
+      val f = hadoopFs(spark, path)
+      dirs.foreach { d =>
+        f.delete(new org.apache.hadoop.fs.Path(s"$path/$d"), true); ()
+      }
+    }
+    true
   }
 
   /** Query a [[bm25Index]]: identical output contract to [[bm25Search]]
-    * over the corpus the index was built from (spec-pinned equivalence,
-    * null-text docs included — `_stats` comes from the doc frame), with
-    * the corpus scan replaced by a term-pruned postings read. */
+    * over the corpus the index holds (spec-pinned equivalence,
+    * null-text docs included — the manifest stats come from doc
+    * frames), with the corpus scan replaced by a term-pruned read of
+    * exactly the manifest's committed directories — orphans from
+    * crashed appends/compactions are invisible by construction. */
   def bm25SearchIndexed(spark: org.apache.spark.sql.SparkSession, path: String,
                         query: String, k: Int = 10,
                         k1: Double = 1.2, b: Double = 0.75): DataFrame = {
     val qTerms = query.split(" ").filter(_.nonEmpty).distinct.toSeq
     require(qTerms.nonEmpty, "bm25SearchIndexed needs a non-empty query")
-    val tfq = spark.read.parquet(s"$path/postings")
+    val tfq = spark.read
+      .parquet(bm25IndexDirs(spark, path).map(d => s"$path/$d"): _*)
       .filter(col("term").isin(qTerms: _*))
     val dfq = tfq.groupBy("term").agg(count(lit(1)).as("df"))
-    val stats = spark.read.parquet(s"$path/_stats")
-    rankBm25Scores(scoreBm25(tfq, dfq, stats, k1, b), k)
+    rankBm25Scores(
+      scoreBm25(tfq, dfq, bm25IndexStats(spark, path), k1, b), k)
   }
 
   /**

@@ -2460,7 +2460,34 @@ object PipelineCatalog {
       Relevance.bm25Index(docs.filter(col("doc_id") % 2 === 0),
         "doc_id", "text", p)
       Relevance.bm25IndexAppend(s, p,
-        docs.filter(col("doc_id") % 2 === 1), "doc_id", "text")
+        docs.filter(col("doc_id") % 2 === 1), "doc_id", "text", "half2")
+      p
+    })
+    Relevance.bm25SearchIndexed(s, path, "dup vector key", k = 10)
+  }
+
+  /** Compacted index growth (r14): thirds of the corpus land as base +
+    * two appends (three committed batch directories), then
+    * [[Relevance.bm25Compact]] folds them into one — and the SAME
+    * full-corpus oracle as [[bm25SearchQ]] certifies the result, so
+    * passing means compaction moved bytes without moving ONE bit of the
+    * answer (the postings row set is the invariant; df and scores
+    * derive from it at query time). */
+  val bm25SearchCompactedQ: Q = (s, dir) => {
+    val key = s.sparkContext.applicationId + "|compacted|" + dir
+    val path = bm25IndexPaths.computeIfAbsent(key, _ => {
+      val p = java.nio.file.Files
+        .createTempDirectory("graft_bm25_cmp").toString
+      val docs = Tables.documents(s, dir)
+      Relevance.bm25Index(docs.filter(col("doc_id") % 3 === 0),
+        "doc_id", "text", p)
+      Relevance.bm25IndexAppend(s, p,
+        docs.filter(col("doc_id") % 3 === 1), "doc_id", "text", "third2")
+      Relevance.bm25IndexAppend(s, p,
+        docs.filter(col("doc_id") % 3 === 2), "doc_id", "text", "third3")
+      require(Relevance.bm25Compact(s, p), "three dirs must compact")
+      require(Relevance.bm25IndexDirs(s, p).length == 1,
+        "compaction must leave one directory")
       p
     })
     Relevance.bm25SearchIndexed(s, path, "dup vector key", k = 10)
@@ -2808,6 +2835,7 @@ object PipelineCatalog {
     "bm25_search" -> bm25SearchQ,
     "bm25_search_indexed" -> bm25SearchIndexedQ,
     "bm25_search_appended" -> bm25SearchAppendedQ,
+    "bm25_search_compacted" -> bm25SearchCompactedQ,
     "text_cosine_pairs" -> textCosinePairsQ,
     "text_cosine_inc" -> textCosineIncQ,
     "text_cosine_inc_uncapped" -> textCosineIncUncappedQ,
@@ -2905,6 +2933,7 @@ object PipelineCatalog {
     "bm25_search" -> bm25SearchSql,
     "bm25_search_indexed" -> bm25SearchSql,
     "bm25_search_appended" -> bm25SearchSql,
+    "bm25_search_compacted" -> bm25SearchSql,
     "text_cosine_pairs" -> textCosinePairsSql,
     "text_cosine_inc" -> textCosineIncSql,
     "text_cosine_inc_uncapped" -> textCosineIncUncappedSql,

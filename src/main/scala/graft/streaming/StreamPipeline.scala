@@ -613,6 +613,48 @@ object StreamPipeline {
     }
 
   /**
+   * Streaming BM25 ingest — exact index growth at ingest time,
+   * completing the foreachBatch ingest family (exact fp / minhash /
+   * semantic / cosine all have stream drivers; BM25 gained exact append
+   * in r13 but no driver and no small-file story). Each micro-batch
+   * appends its postings via [[Relevance.bm25IndexAppend]] under the
+   * Spark-stable batch id: the append is failure-ATOMIC (postings are
+   * invisible until their manifest row commits) and IDEMPOTENT on the
+   * batch id, so foreachBatch's at-least-once replays no-op — no
+   * docs-before-store commit ordering is even needed here because the
+   * whole family is ONE commit. No drift ledger either: the index is a
+   * SUFFICIENT STATISTIC (df and corpus scalars derive at query time),
+   * so nothing can go stale — the deliberate contrast with
+   * [[cosineIngestStream]]'s frozen-idf snapshot. The first non-empty
+   * batch CREATES the index; ids must be new across the stream (the
+   * corpus contract — a repeated id doubles its postings).
+   *
+   * `compactEvery > 0` folds the accumulated batch directories back
+   * into one ([[Relevance.bm25Compact]]) whenever the committed
+   * directory count reaches the bound — the small-file control that
+   * keeps read-path footer pruning flat across unbounded appends
+   * (each append adds a file SET; queries match the same bytes but
+   * open more footers). Compaction preserves batch identities, so
+   * replay detection survives it.
+   */
+  def bm25IngestStream(stream: DataFrame, idCol: String, textCol: String,
+                       indexPath: String,
+                       compactEvery: Int = 0): DataStreamWriter[Row] =
+    stream.writeStream.outputMode("append").foreachBatch {
+      (batch: DataFrame, batchId: Long) =>
+        if (!batch.isEmpty) {
+          val spark = batch.sparkSession
+          val applied = Relevance.bm25IndexAppend(spark, indexPath, batch,
+            idCol, textCol, s"b$batchId")
+          if (applied && compactEvery > 0 &&
+              Relevance.bm25IndexDirs(spark, indexPath).length
+                >= compactEvery) {
+            Relevance.bm25Compact(spark, indexPath); ()
+          }
+        }
+    }
+
+  /**
    * Streaming BPE segmentation: tokenize arriving documents with a FROZEN
    * model learned offline by [[graft.operators.Tokenize.learnBpe]] — the
    * ingest-time twin of [[graft.operators.Tokenize.applyBpe]].

@@ -405,7 +405,7 @@ class RelevanceSpec extends SparkSuite {
       "doc-frame _stats must make the indexed path exact on null-text corpora")
   }
 
-  test("bm25IndexAppend: appended index ≡ fresh build ≡ scanned search; legacy stats refuse") {
+  test("bm25IndexAppend: appended index ≡ fresh build ≡ scanned search; legacy layout refuses") {
     // the index is a SUFFICIENT STATISTIC: per-doc postings + exactly
     // mergeable integer stats, so append ≡ rebuild bit-for-bit — the
     // appended half includes a null-text doc (stats parity must survive
@@ -416,14 +416,15 @@ class RelevanceSpec extends SparkSuite {
     val full = half1.unionByName(half2)
     val dirApp = java.nio.file.Files.createTempDirectory("bm25_app").toString
     Relevance.bm25Index(half1, "doc_id", "text", dirApp)
-    Relevance.bm25IndexAppend(spark, dirApp, half2, "doc_id", "text")
+    assert(Relevance.bm25IndexAppend(spark, dirApp, half2,
+      "doc_id", "text", "half2"))
     val dirFull = java.nio.file.Files.createTempDirectory("bm25_full").toString
     Relevance.bm25Index(full, "doc_id", "text", dirFull)
     // merged stats bit-equal to the rebuild's (exact integer sums)
-    val sApp = spark.read.parquet(s"$dirApp/_stats")
-      .select("n_docs", "avgdl", "sum_dl", "n_dl").collect().map(_.toSeq).toSeq
-    val sFull = spark.read.parquet(s"$dirFull/_stats")
-      .select("n_docs", "avgdl", "sum_dl", "n_dl").collect().map(_.toSeq).toSeq
+    val sApp = Relevance.bm25IndexStats(spark, dirApp)
+      .collect().map(_.toSeq).toSeq
+    val sFull = Relevance.bm25IndexStats(spark, dirFull)
+      .collect().map(_.toSeq).toSeq
     assert(sApp === sFull, "merged stats must equal the rebuild's exactly")
     val scanned = Relevance.bm25Search(full, "doc_id", "text",
       "apple cherry", k = 10).collect().map(_.toSeq).toSeq
@@ -432,12 +433,82 @@ class RelevanceSpec extends SparkSuite {
       "the appended index must answer exactly like the full corpus")
     assert(Relevance.bm25SearchIndexed(spark, dirFull, "apple cherry", k = 10)
       .collect().map(_.toSeq).toSeq === scanned)
-    // a pre-r13 index (no sum_dl) must refuse loudly, not drift silently
+    // a pre-r14 layout (flat postings + _stats, no manifest) must refuse
+    // loudly, not shadow the old corpus
     val legacy = java.nio.file.Files.createTempDirectory("bm25_leg").toString
-    spark.read.parquet(s"$dirApp/_stats").select("n_docs", "avgdl")
-      .write.parquet(s"$legacy/_stats")
+    Relevance.bm25IndexStats(spark, dirApp)
+      .select("n_docs", "avgdl").write.parquet(s"$legacy/_stats")
     intercept[IllegalArgumentException] {
-      Relevance.bm25IndexAppend(spark, legacy, half2, "doc_id", "text")
+      Relevance.bm25IndexAppend(spark, legacy, half2,
+        "doc_id", "text", "half2")
     }
+    intercept[IllegalArgumentException] {
+      Relevance.bm25SearchIndexed(spark, legacy, "apple cherry")
+    }
+    ()
+  }
+
+  test("bm25IndexAppend commit protocol: replays no-op, orphan directories are invisible") {
+    val dir = java.nio.file.Files.createTempDirectory("bm25_atomic").toString
+    val half1 = corpus.filter($"doc_id" % 2 === 0)
+    val half2 = corpus.filter($"doc_id" % 2 === 1)
+    Relevance.bm25Index(half1, "doc_id", "text", dir)
+    assert(Relevance.bm25IndexAppend(spark, dir, half2,
+      "doc_id", "text", "b7"))
+    val answer = Relevance.bm25SearchIndexed(spark, dir, "apple cherry")
+      .collect().map(_.toSeq).toSeq
+    // ADVICE r13: re-running an append after a failure used to duplicate
+    // postings silently — a replayed batch id must be a detected no-op
+    assert(!Relevance.bm25IndexAppend(spark, dir, half2,
+      "doc_id", "text", "b7"), "replayed batch id must no-op")
+    assert(Relevance.bm25SearchIndexed(spark, dir, "apple cherry")
+      .collect().map(_.toSeq).toSeq === answer,
+      "a replay must not change the answer")
+    // crash window: postings written but the manifest commit never
+    // happened — the orphan directory must be invisible to readers
+    corpus.select($"doc_id", org.apache.spark.sql.functions.lit(1L).as("dl"),
+        org.apache.spark.sql.functions.lit("apple").as("term"),
+        org.apache.spark.sql.functions.lit(99L).as("tf"))
+      .write.parquet(s"$dir/batches/orphan")
+    assert(Relevance.bm25SearchIndexed(spark, dir, "apple cherry")
+      .collect().map(_.toSeq).toSeq === answer,
+      "an uncommitted batch directory must never be read")
+    // ...and the batch id stays appendable: the replay of the crashed
+    // append overwrites the orphan and commits
+    assert(Relevance.bm25IndexAppend(spark, dir,
+      Seq((95L, "quince")).toDF("doc_id", "text"), "doc_id", "text",
+      "orphan"))
+    assert(Relevance.bm25IndexDirs(spark, dir).length === 3)
+  }
+
+  test("bm25Compact: one directory, bit-identical answers, identities preserved") {
+    val dir = java.nio.file.Files.createTempDirectory("bm25_cmp").toString
+    val thirds = (0 to 2).map(i => corpus.filter($"doc_id" % 3 === i))
+    Relevance.bm25Index(thirds(0), "doc_id", "text", dir)
+    assert(Relevance.bm25IndexAppend(spark, dir, thirds(1),
+      "doc_id", "text", "t1"))
+    assert(Relevance.bm25IndexAppend(spark, dir, thirds(2),
+      "doc_id", "text", "t2"))
+    val before = Relevance.bm25SearchIndexed(spark, dir, "apple cherry the")
+      .collect().map(_.toSeq).toSeq
+    val statsBefore = Relevance.bm25IndexStats(spark, dir)
+      .collect().map(_.toSeq).toSeq
+    assert(Relevance.bm25IndexDirs(spark, dir).length === 3)
+    assert(Relevance.bm25Compact(spark, dir))
+    assert(Relevance.bm25IndexDirs(spark, dir).length === 1,
+      "compaction must fold the batch directories into one")
+    assert(Relevance.bm25SearchIndexed(spark, dir, "apple cherry the")
+      .collect().map(_.toSeq).toSeq === before,
+      "compaction must not move one bit of the answer")
+    assert(Relevance.bm25IndexStats(spark, dir)
+      .collect().map(_.toSeq).toSeq === statsBefore,
+      "per-batch stats survive compaction")
+    // batch identities survive: a replay of a compacted batch still no-ops
+    assert(!Relevance.bm25IndexAppend(spark, dir, thirds(1),
+      "doc_id", "text", "t1"), "replay detection must survive compaction")
+    // an already-compacted index no-ops
+    assert(!Relevance.bm25Compact(spark, dir))
+    // the old directories were vacuumed
+    assert(!new java.io.File(s"$dir/batches/base").exists())
   }
 }

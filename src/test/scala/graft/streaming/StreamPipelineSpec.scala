@@ -721,4 +721,35 @@ class StreamPipelineSpec extends SparkSuite {
     // byte-identical output including the OOV merge-fold twin
     assert(streamWith(0, "bpeseg_bc") === batch)
   }
+
+  test("bm25IngestStream: streamed index ≡ batch build over all arrivals; compaction folds dirs") {
+    import graft.operators.Relevance
+    implicit val sqlCtx = spark.sqlContext
+    val idx = java.nio.file.Files.createTempDirectory("bm25_stream").toString
+    val in = MemoryStream[(Long, String)]
+    // compactEvery = 3: the third committed batch directory triggers the
+    // fold back to one file set
+    val q = StreamPipeline.bm25IngestStream(
+        in.toDF().toDF("doc_id", "text"), "doc_id", "text", idx,
+        compactEvery = 3)
+      .start()
+    val batches = Seq(
+      Seq((1L, "apple banana the the"), (2L, "banana the cherry")),
+      Seq((3L, "the cherry cherry"), (4L, null.asInstanceOf[String])),
+      Seq((5L, "apple dup key"), (6L, "vector key dup")))
+    try {
+      batches.foreach { b => in.addData(b); q.processAllAvailable() }
+    } finally q.stop()
+    // the index is a sufficient statistic: the streamed index must
+    // answer exactly like a scan of everything that arrived — null-text
+    // docs included (they shift n_docs but not n_dl)
+    val all = batches.flatten.toDF("doc_id", "text")
+    val scanned = Relevance.bm25Search(all, "doc_id", "text",
+      "apple cherry key", k = 10).collect().map(_.toSeq).toSeq
+    assert(Relevance.bm25SearchIndexed(spark, idx, "apple cherry key",
+        k = 10).collect().map(_.toSeq).toSeq === scanned,
+      "streamed index must equal the batch scan over the union")
+    assert(Relevance.bm25IndexDirs(spark, idx).length === 1,
+      "compactEvery must have folded the three batch dirs into one")
+  }
 }
