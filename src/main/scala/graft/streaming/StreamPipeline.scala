@@ -226,6 +226,100 @@ object StreamPipeline {
     }
 
   /**
+   * Greedy keep-lowest-id survivors resolution shared by the ingest
+   * screens' `survivorsOnly` mode ([[minhashIngestStream]] /
+   * [[cosineIngestStream]]): pairs `(id_a < id_b, simCol)` sweep in
+   * ascending id_b — b drops iff the pair is exactly TRANSITIVE
+   * (`simCol >= 1.0`: identical normalized evidence, so b's own matches
+   * pass through its dropper) or its id_a SURVIVED. Ids must be
+   * long-castable and ingest-ordered (id_a's fate settles before any
+   * pair names it — the incremental contract).
+   *
+   * Two tiers (r14, VERDICT r13 #3). At or below `collectLimit` pair
+   * rows the sweep collects to the driver — micro-batch-sized in the
+   * common case, the tier every round since r11 ran. Above it — the
+   * match-amplified batch: ONE doc ≥ tau against many corpus keepers
+   * multiplies the list past the batch's own size — it runs as an
+   * iterate-to-fixpoint FRAME sweep that never ships the pair list to
+   * the driver:
+   *  - round 0 settles every transitive id_b as DROPPED and every id
+   *    appearing only as id_a (store keepers, batch minima — nothing
+   *    can drop them) as KEPT;
+   *  - each round joins the still-unsettled pairs to the settled
+   *    statuses and decides b DROPPED when ANY of its pairs carries a
+   *    kept a, KEPT when ALL of them carry dropped a's.
+   * `id_a < id_b` makes the pair graph a DAG in id order, so the
+   * smallest unsettled b settles every round (its a's are all smaller,
+   * hence settled by induction) — termination in at most chain-depth
+   * rounds, each a pair-list-sized join, `localCheckpoint`ed so the
+   * loop's lineage stays flat. Spec-pinned equal to the collected sweep
+   * on star / chain / diamond fixtures and random pair graphs.
+   *
+   * Returns one long column named `idCol` — the drop set.
+   */
+  private[graft] def survivorDrops(spark: org.apache.spark.sql.SparkSession,
+                                   pairs0: DataFrame, simCol: String,
+                                   idCol: String,
+                                   collectLimit: Long = 100000L): DataFrame = {
+    import spark.implicits._
+    val pairs = pairs0.select(col("id_a").cast("long").as("a"),
+      col("id_b").cast("long").as("b"),
+      (col(simCol) >= 1.0).as("trans")).persist()
+    try {
+      if (pairs.count() <= collectLimit) {
+        val collected = pairs.collect()
+          .map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2)))
+          .sortBy(_._2)
+        val dropped = scala.collection.mutable.HashSet.empty[Long]
+        collected.foreach { case (a, b, t) =>
+          if (t || !dropped.contains(a)) { dropped += b; () }
+        }
+        dropped.toSeq.toDF(idCol)
+      } else {
+        val transDropped = pairs.filter(col("trans"))
+          .select(col("b").as("id")).distinct()
+        val allB = pairs.select(col("b").as("id")).distinct()
+        val rootKept = pairs.select(col("a").as("id")).distinct()
+          .join(allB, Seq("id"), "left_anti")
+        var settled = transDropped.withColumn("dropped", lit(true))
+          .unionByName(rootKept.withColumn("dropped", lit(false)))
+          .localCheckpoint(true)
+        var active = pairs.filter(!col("trans"))
+          .join(transDropped.withColumnRenamed("id", "b"), Seq("b"),
+            "left_anti")
+          .select(col("a"), col("b")).localCheckpoint(true)
+        var rounds = 0
+        while (!active.isEmpty) {
+          rounds += 1
+          require(rounds <= 100000,
+            "survivor sweep failed to converge — pair ids are not " +
+              "ingest-ordered (id_a < id_b must hold)")
+          val joined = active.join(
+            settled.withColumnRenamed("id", "a"), Seq("a"), "left")
+          val decided = joined.groupBy(col("b")).agg(
+            count(lit(1)).as("_n"),
+            coalesce(sum(when(col("dropped") === false, 1L)
+              .otherwise(0L)), lit(0L)).as("_kept"),
+            coalesce(sum(when(col("dropped") === true, 1L)
+              .otherwise(0L)), lit(0L)).as("_drp"))
+            .withColumn("dropped",
+              when(col("_kept") >= 1L, lit(true))
+                .when(col("_drp") === col("_n"), lit(false)))
+            .filter(col("dropped").isNotNull)
+            .select(col("b").as("id"), col("dropped"))
+            .localCheckpoint(true)
+          settled = settled.unionByName(decided).localCheckpoint(true)
+          active = active.join(
+              decided.withColumnRenamed("id", "b").select(col("b")),
+              Seq("b"), "left_anti")
+            .localCheckpoint(true)
+        }
+        settled.filter(col("dropped")).select(col("id").as(idCol))
+      }
+    } finally { pairs.unpersist(); () }
+  }
+
+  /**
    * Streaming MinHash near-dup ingest — the streaming twin of
    * [[graft.operators.Dedup.minhashLshPairsIncremental]], completing the
    * ingest-dedup family ([[incrementalDedupStream]] = exact,
@@ -266,11 +360,12 @@ object StreamPipeline {
    * {a, c} where the default keeps {a} (spec-pinned fixture). For
    * corpora where transitive chains are NOT one mutated lineage, the
    * default's over-drop loses genuinely distinct documents; this flag
-   * trades that for a driver-side greedy sweep over the batch's
-   * WITHIN-BATCH near-dup pairs — a collect bounded by the batch's own
-   * internal duplicate volume (the batch is an ingest slice; its pair
-   * list is micro-batch-sized, not corpus-sized), the same
-   * driver-bounded tier discipline as `Dedup.resolveClusters`.
+   * trades that for the greedy sweep over the batch's near-dup pairs —
+   * the two-tier [[survivorDrops]] (r14): a driver collect at
+   * micro-batch pair volumes, an iterate-to-fixpoint frame sweep when a
+   * match-amplified batch (one doc ≥ tau against many corpus keepers)
+   * inflates the list past the driver tier — the same size-gated
+   * discipline as `Dedup.resolveClusters`.
    */
   def minhashIngestStream(stream: DataFrame, idCol: String, textCol: String,
                           statePath: String, k: Int = 3, bands: Int = 8,
@@ -299,31 +394,18 @@ object StreamPipeline {
           val dropIds: DataFrame =
             if (!survivorsOnly)
               pairs.select(col("id_b").as(idCol)).distinct()
-            else {
-              // Greedy survivors resolution in id order. Ingest-order ids
-              // (the incremental contract) put every store/corpus id below
-              // the batch minimum, and store rows are kept by definition —
-              // so sweeping pairs by ascending id_b with "drop b iff its
-              // id_a is not already dropped" decides each id exactly once
-              // (id_a < id_b always; a's fate is settled before any pair
-              // names it as a dropper). jaccard-1.0 pairs drop id_b
+            else
+              // Greedy survivors resolution in id order — the shared
+              // two-tier sweep ([[survivorDrops]]): driver-collected at
+              // micro-batch pair volumes, iterate-to-fixpoint frames on
+              // a match-amplified batch. jaccard-1.0 pairs drop id_b
               // UNCONDITIONALLY: identical shingle sets make similarity
-              // exactly transitive through id_a, so id_b matches whatever
-              // kept doc matched (or kept) id_a — the pair operator only
-              // bands KEEPERS, so a dropped-satellite's own corpus pairs
-              // are not in the list and must be inherited, not swept.
-              val collected = pairs.select(col("id_a").cast("long"),
-                  col("id_b").cast("long"), col("jaccard"))
-                .collect()
-                .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
-                .sortBy(_._2)
-              val droppedSet = scala.collection.mutable.HashSet.empty[Long]
-              collected.foreach { case (a, b, j) =>
-                if (j >= 1.0 || !droppedSet.contains(a)) { droppedSet += b; () }
-              }
-              import spark.implicits._
-              droppedSet.toSeq.toDF(idCol)
-            }
+              // exactly transitive through id_a, so id_b matches
+              // whatever kept doc matched (or kept) id_a — the pair
+              // operator only bands KEEPERS, so a dropped-satellite's
+              // own corpus pairs are not in the list and must be
+              // inherited, not swept.
+              survivorDrops(spark, pairs, "jaccard", idCol)
           // persist: the screen plan behind `kept` is consumed by the
           // emptiness probe and both upserts (each evaluating its input
           // more than once) — without this the LSH screen re-runs ~7x
@@ -565,22 +647,12 @@ object StreamPipeline {
           val dropIds: DataFrame =
             if (!survivorsOnly)
               pairs.select(col("id_b").as(idCol)).distinct()
-            else {
-              // the minhashIngestStream greedy sweep: ascending id_b,
-              // drop b iff its id_a survived (or the pair is exactly
-              // transitive at cos 1.0) — micro-batch-bounded collect
-              val collected = pairs.select(col("id_a").cast("long"),
-                  col("id_b").cast("long"), col("cos_r"))
-                .collect()
-                .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
-                .sortBy(_._2)
-              val droppedSet = scala.collection.mutable.HashSet.empty[Long]
-              collected.foreach { case (a, b, c) =>
-                if (c >= 1.0 || !droppedSet.contains(a)) { droppedSet += b; () }
-              }
-              import spark.implicits._
-              droppedSet.toSeq.toDF(idCol)
-            }
+            else
+              // the shared two-tier sweep ([[survivorDrops]]): cos 1.0
+              // plays the jaccard-1.0 transitive role — under ONE frozen
+              // model a 1.0 pair means identical normalized vectors, so
+              // the dropped doc's matches pass through its dropper
+              survivorDrops(spark, pairs, "cos_r", idCol)
           // persist: the screen plan behind `kept` feeds the emptiness
           // probe, the docs upsert, and the store encode
           val kept = fresh.join(broadcast(dropIds), Seq(idCol), "left_anti")

@@ -722,6 +722,54 @@ class StreamPipelineSpec extends SparkSuite {
     assert(streamWith(0, "bpeseg_bc") === batch)
   }
 
+  test("survivorDrops: distributed fixpoint ≡ driver sweep ≡ sequential reference") {
+    // the sequential reference model: ascending id_b, drop b iff the
+    // pair is transitive (sim >= 1.0) or its id_a survived
+    def reference(pairs: Seq[(Long, Long, Double)]): Set[Long] = {
+      val dropped = scala.collection.mutable.HashSet.empty[Long]
+      pairs.sortBy(_._2).foreach { case (a, b, s) =>
+        if (s >= 1.0 || !dropped.contains(a)) { dropped += b; () }
+      }
+      dropped.toSet
+    }
+    def drops(pairs: Seq[(Long, Long, Double)], limit: Long): Set[Long] =
+      StreamPipeline.survivorDrops(spark,
+          pairs.toDF("id_a", "id_b", "sim"), "sim", "doc_id", limit)
+        .collect().map(_.getLong(0)).toSet
+    def both(pairs: Seq[(Long, Long, Double)], expected: Set[Long]): Unit = {
+      assert(reference(pairs) === expected, s"fixture wrong: $pairs")
+      assert(drops(pairs, Long.MaxValue) === expected, s"collected: $pairs")
+      assert(drops(pairs, 0L) === expected, s"distributed: $pairs")
+    }
+    // chain: only the middle drops, the revived end survives
+    both(Seq((1L, 2L, .8), (2L, 3L, .8)), Set(2L))
+    // longer chain alternates
+    both(Seq((1L, 2L, .8), (2L, 3L, .8), (3L, 4L, .8), (4L, 5L, .8)),
+      Set(2L, 4L))
+    // star: every satellite drops against the kept center
+    both(Seq((1L, 2L, .8), (1L, 3L, .8), (1L, 4L, .8)), Set(2L, 3L, 4L))
+    // diamond: both middles drop, the sink revives (ALL its a's dropped)
+    both(Seq((1L, 2L, .8), (1L, 3L, .8), (2L, 4L, .8), (3L, 4L, .8)),
+      Set(2L, 3L))
+    // transitive pairs drop unconditionally — even off a dropped a
+    both(Seq((1L, 2L, .8), (2L, 3L, 1.0)), Set(2L, 3L))
+    both(Seq((1L, 2L, 1.0), (2L, 3L, .8)), Set(2L))
+    // mixed in-degree: one kept a suffices to drop
+    both(Seq((1L, 2L, .8), (2L, 4L, .8), (3L, 4L, .8)), Set(2L, 4L))
+    both(Seq.empty[(Long, Long, Double)], Set.empty[Long])
+    // random pair DAGs: both tiers must equal the reference everywhere
+    val rnd = new scala.util.Random(23)
+    for (trial <- 1 to 3) {
+      val pairs = (2L to 40L).flatMap { b =>
+        (1L until b).filter(_ => rnd.nextDouble() < 0.12)
+          .map(a => (a, b, if (rnd.nextDouble() < 0.2) 1.0 else 0.8))
+      }
+      val exp = reference(pairs)
+      assert(drops(pairs, Long.MaxValue) === exp, s"collected trial $trial")
+      assert(drops(pairs, 0L) === exp, s"distributed trial $trial")
+    }
+  }
+
   test("bm25IngestStream: streamed index ≡ batch build over all arrivals; compaction folds dirs") {
     import graft.operators.Relevance
     implicit val sqlCtx = spark.sqlContext
