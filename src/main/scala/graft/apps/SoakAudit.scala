@@ -119,9 +119,35 @@ object SoakAudit {
       sum(col("t6")).as("lag6"))
   }
 
+  /** Re-entry funnel soak drive (r14): the maxAttempts × k static
+    * unrolling is linear in the PLAN by construction, but nothing
+    * measured the constant at the 6M-event corpus — these two rows pin
+    * the depth axes (k = 3 with 4 attempts; k = 6 with 2). Drive =
+    * per-attempt outcome aggregate so every attempt column executes. */
+  private def funnelAttemptsDrive(s: SparkSession, dir: String,
+                                  k6: Boolean, maxAttempts: Int): DataFrame = {
+    import org.apache.spark.sql.functions.{concat, expr, sum}
+    val e0 = Tables.events(s, dir)
+      .withColumn("sec", expr("ts div 1000000000"))
+    val (e, steps) =
+      if (k6) (e0.withColumn("et",
+          concat(col("event_type"), (col("sec") % 2).cast("string"))),
+        funnelK6Steps)
+      else (e0.withColumn("et", col("event_type")),
+        Seq("view", "click", "purchase"))
+    graft.operators.Analytics.funnelAttempts(
+        e, "user_id", "sec", "et", steps, horizon = 86400L, maxAttempts)
+      .groupBy(col("attempt"), col("reached"))
+      .agg(count(lit(1)).as("n"), sum(col("t1")).as("t1_sum"))
+  }
+
   val soakQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "soak_funnel_k6" -> ((s, dir) => funnelK6Drive(s, dir, oneScan = false)),
     "soak_funnel_k6_one" -> ((s, dir) => funnelK6Drive(s, dir, oneScan = true)),
+    "soak_funnel_attempts_k3" -> ((s, dir) =>
+      funnelAttemptsDrive(s, dir, k6 = false, maxAttempts = 4)),
+    "soak_funnel_attempts_k6" -> ((s, dir) =>
+      funnelAttemptsDrive(s, dir, k6 = true, maxAttempts = 2)),
     "soak_ivf_fixedq" -> ((s, dir) =>
       Similarity.ivfTopK(Tables.embeddings(s, dir), "vec_id", "embedding",
         fixedProbe, k = 5, nCentroids = 16, nProbe = 4)),
