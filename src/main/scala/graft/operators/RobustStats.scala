@@ -95,19 +95,26 @@ object RobustStats {
    * dominated by the verbose languages and clamps the terse ones to
    * nothing. One groupBy aggregation pass for all cut points (exact
    * percentiles, same engine-parity contract as [[winsorize]]), then a
-   * join back on the group key — hint-free: the cut-point frame has
-   * one row per group, so the planner broadcasts it while group
-   * cardinality is bounded and falls back to a shuffle join on a
-   * high-cardinality key, both correct. Rows with a NULL group get
-   * NULL clamped values (no population to calibrate against — same
-   * refusal discipline as the MAD-0 z). Output:
+   * join back on the group key. The cut-point frame has one row per
+   * group, and `broadcastCuts = true` (default) makes the broadcast a
+   * CONTRACT rather than a planner courtesy (r14, VERDICT r13 #5: the
+   * hint-free form silently demoted to a shuffle join when the
+   * one-row-per-group frame's size estimate crossed the threshold —
+   * output identical, corpus re-shuffled). The stated bound: group keys
+   * here are language/source/shard-tier columns, at most ~10⁵ groups ×
+   * a few doubles — driver-trivial; pass `false` for a genuinely
+   * high-cardinality key (e.g. per-user groups) to fall back to the
+   * shuffle join, both correct. Rows with a NULL group get NULL clamped
+   * values (no population to calibrate against — same refusal
+   * discipline as the MAD-0 z). Output:
    * `(idCol, groupCol, <f>_w … per feature)`.
    */
   def winsorizeBy(df: DataFrame, idCol: String, groupCol: String,
                   featureCols: Seq[String],
-                  pLo: Double = 0.05, pHi: Double = 0.95): DataFrame =
+                  pLo: Double = 0.05, pHi: Double = 0.95,
+                  broadcastCuts: Boolean = true): DataFrame =
     clampByAt(df, idCol, groupCol, featureCols, pLo, pHi,
-      (f, p) => expr(s"percentile($f, $p)"))
+      (f, p) => expr(s"percentile($f, $p)"), broadcastCuts)
 
   /** [[winsorizeBy]] with `approx_percentile` cut points — the
     * bounded-memory per-group scale path (one mergeable sketch per
@@ -117,13 +124,16 @@ object RobustStats {
   def winsorizeByApprox(df: DataFrame, idCol: String, groupCol: String,
                         featureCols: Seq[String],
                         pLo: Double = 0.05, pHi: Double = 0.95,
-                        accuracy: Int = 10000): DataFrame =
+                        accuracy: Int = 10000,
+                        broadcastCuts: Boolean = true): DataFrame =
     clampByAt(df, idCol, groupCol, featureCols, pLo, pHi,
-      (f, p) => expr(s"approx_percentile($f, $p, $accuracy)").cast("double"))
+      (f, p) => expr(s"approx_percentile($f, $p, $accuracy)").cast("double"),
+      broadcastCuts)
 
   private def clampByAt(df: DataFrame, idCol: String, groupCol: String,
                         featureCols: Seq[String], pLo: Double, pHi: Double,
-                        cut: (String, Double) => org.apache.spark.sql.Column)
+                        cut: (String, Double) => org.apache.spark.sql.Column,
+                        broadcastCuts: Boolean)
       : DataFrame = {
     require(featureCols.nonEmpty, "winsorize needs at least one feature")
     require(0.0 <= pLo && pLo < pHi && pHi <= 1.0,
@@ -132,8 +142,9 @@ object RobustStats {
       featureCols.map(f => col(f).cast("double").as(f)): _*)
     val cutExprs = featureCols.flatMap(f => Seq(
       cut(f, pLo).as(s"_lo_$f"), cut(f, pHi).as(s"_hi_$f")))
-    val cuts = base.filter(col("_g").isNotNull)
+    val cuts0 = base.filter(col("_g").isNotNull)
       .groupBy(col("_g")).agg(cutExprs.head, cutExprs.tail: _*)
+    val cuts = if (broadcastCuts) broadcast(cuts0) else cuts0
     base.join(cuts, Seq("_g"), "left")
       .select(col(idCol) +: col("_g").as(groupCol) +:
         featureCols.map(f =>
@@ -150,29 +161,34 @@ object RobustStats {
    * verbose-language document in bin 9, so a "curriculum by length
    * decile" is really a curriculum by language. Same shape (one groupBy
    * aggregation for all cut points, join back on the group key — the
-   * planner broadcasts the one-row-per-group frame while cardinality is
-   * bounded), same tie-to-lower-bin arithmetic, same engine-parity
-   * contract, same null-group refusal: a NULL group has no population
-   * to calibrate against, so its bins are NULL.
+   * one-row-per-group cuts frame is explicitly `broadcast()` under the
+   * same `broadcastCuts` contract as [[winsorizeBy]], r14), same
+   * tie-to-lower-bin arithmetic, same engine-parity contract, same
+   * null-group refusal: a NULL group has no population to calibrate
+   * against, so its bins are NULL.
    * Output: `(idCol, groupCol, <f>_bin … per feature)` as longs.
    */
   def quantileBinsBy(df: DataFrame, idCol: String, groupCol: String,
-                     featureCols: Seq[String], nBins: Int = 10): DataFrame =
+                     featureCols: Seq[String], nBins: Int = 10,
+                     broadcastCuts: Boolean = true): DataFrame =
     binsByAt(df, idCol, groupCol, featureCols, nBins,
-      (f, p) => expr(s"percentile($f, $p)"))
+      (f, p) => expr(s"percentile($f, $p)"), broadcastCuts)
 
   /** [[quantileBinsBy]] with `approx_percentile` cut points — the
     * bounded-memory per-group scale path; approximate ⇒ rows-only gate,
     * the exact twin certifies the arithmetic. */
   def quantileBinsByApprox(df: DataFrame, idCol: String, groupCol: String,
                            featureCols: Seq[String], nBins: Int = 10,
-                           accuracy: Int = 10000): DataFrame =
+                           accuracy: Int = 10000,
+                           broadcastCuts: Boolean = true): DataFrame =
     binsByAt(df, idCol, groupCol, featureCols, nBins,
-      (f, p) => expr(s"approx_percentile($f, $p, $accuracy)").cast("double"))
+      (f, p) => expr(s"approx_percentile($f, $p, $accuracy)").cast("double"),
+      broadcastCuts)
 
   private def binsByAt(df: DataFrame, idCol: String, groupCol: String,
                        featureCols: Seq[String], nBins: Int,
-                       cut: (String, Double) => org.apache.spark.sql.Column)
+                       cut: (String, Double) => org.apache.spark.sql.Column,
+                       broadcastCuts: Boolean)
       : DataFrame = {
     require(featureCols.nonEmpty, "binning needs at least one feature")
     require(nBins >= 2, s"need at least 2 bins: $nBins")
@@ -180,8 +196,9 @@ object RobustStats {
       featureCols.map(f => col(f).cast("double").as(f)): _*)
     val cutExprs = featureCols.flatMap(f => (1 until nBins).map(i =>
       cut(f, i.toDouble / nBins).as(s"_c${i}_$f")))
-    val cuts = base.filter(col("_g").isNotNull)
+    val cuts0 = base.filter(col("_g").isNotNull)
       .groupBy(col("_g")).agg(cutExprs.head, cutExprs.tail: _*)
+    val cuts = if (broadcastCuts) broadcast(cuts0) else cuts0
     base.join(cuts, Seq("_g"), "left")
       .select(col(idCol) +: col("_g").as(groupCol) +:
         featureCols.map { f =>

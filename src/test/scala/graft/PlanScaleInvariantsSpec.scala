@@ -246,6 +246,32 @@ class PlanScaleInvariantsSpec extends SparkSuite {
     }
   }
 
+  test("per-group cut joins: the cuts broadcast is an explicit hint, flat 1x -> 20x") {
+    // VERDICT r13 #5: binsByAt/clampByAt relied on the PLANNER to
+    // broadcast the one-row-per-group cuts frame — a courtesy the size
+    // estimate could withdraw, silently re-shuffling the corpus. The
+    // r14 `broadcastCuts` hint makes it a contract; under the
+    // no-auto-broadcast regime these pins prove the hint (not the
+    // threshold) carries the join.
+    def grouped(n: Int): DataFrame = {
+      val rnd = new scala.util.Random(5)
+      spark.sparkContext.parallelize(
+        IndexedSeq.tabulate(n)(i => (i.toLong, s"lang${i % 7}",
+          rnd.nextDouble() * 100, rnd.nextGaussian())), 4)
+        .toDF("id", "lang", "f1", "f2")
+    }
+    assertFlat("group_bins", (2, 1)) { df =>
+      RobustStats.quantileBinsBy(df, "id", "lang", Seq("f1", "f2"),
+          nBins = 4)
+        .groupBy(col("f1_bin")).agg(count(lit(1)).as("n"))
+        .collect(); ()
+    }(grouped)
+    assertFlat("group_clamp", (2, 1)) { df =>
+      RobustStats.winsorizeBy(df, "id", "lang", Seq("f1"))
+        .agg(sum(col("f1_w")).as("s")).collect(); ()
+    }(grouped)
+  }
+
   test("semantic ingest: plan shape flat 1x -> 20x, no auto-broadcast") {
     assertFlat("semantic_inc", (4, 2)) { corpus =>
       val incoming = corpus.filter(col("vec_id") < 30)

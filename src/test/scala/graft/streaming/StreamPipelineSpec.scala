@@ -722,6 +722,63 @@ class StreamPipelineSpec extends SparkSuite {
     assert(streamWith(0, "bpeseg_bc") === batch)
   }
 
+  test("cosineIngestStream: drift-triggered offline rebuild resumes cleanly in a fresh statePath") {
+    // the scaladoc's rebuild contract, exercised end to end (VERDICT r13
+    // #6): ingest until the drift ledger crosses a threshold, rebuild
+    // the store OFFLINE over the kept docs table into a FRESH statePath
+    // (an upsert cannot retract re-weighted rows — a rebuild is a new
+    // snapshot), resume ingest there, and pin the resumed screen's
+    // decisions against the batch screen over the rebuilt store.
+    import graft.operators.Relevance
+    import graft.sources.VersionedTable
+    implicit val sqlCtx = spark.sqlContext
+    val p1 = java.nio.file.Files.createTempDirectory("cos_drift1").toString
+    val p2 = java.nio.file.Files.createTempDirectory("cos_drift2").toString
+    val tau = 0.5
+    def drive(path: String, batches: Seq[Seq[(Long, String)]]): Unit = {
+      val in = MemoryStream[(Long, String)]
+      val q = StreamPipeline.cosineIngestStream(
+        in.toDF().toDF("doc_id", "text"), "doc_id", "text", path, tau)
+        .start()
+      try batches.foreach { b => in.addData(b); q.processAllAvailable() }
+      finally q.stop()
+    }
+    val b1 = Seq((1L, "alpha beta gamma delta"),
+      (2L, "zeta eta theta iota"))
+    // drifted vocabulary: every token unseen at the freeze
+    val b2 = Seq((10L, "neo one neo two neo three"),
+      (11L, "mono four mono five mono six"))
+    drive(p1, Seq(b1, b2))
+    val drift = spark.read.parquet(s"$p1/_drift")
+      .orderBy("batch_id").collect().map(_.getDouble(1)).toSeq
+    assert(drift.length === 1 && drift.head > 0.9,
+      s"the all-unseen batch must read as drifted: $drift")
+    // offline rebuild: re-weigh the kept corpus into a fresh snapshot
+    val docs = VersionedTable.read(spark, s"$p1/docs").get
+    VersionedTable.upsert(spark, s"$p2/docs", docs, Seq("doc_id"))
+    VersionedTable.upsert(spark, s"$p2/store",
+      Relevance.cosineStore(docs, "doc_id", "text"), Seq("id", "term"))
+    // resume in the new path: duplicates of keepers from BOTH eras
+    // (pre-freeze and drifted) must drop, novel content must keep
+    val b3 = Seq((20L, "alpha beta gamma delta"),
+      (21L, "neo one neo two neo three"),
+      (22L, "fresh words only here"))
+    drive(p2, Seq(b3))
+    val kept = VersionedTable.read(spark, s"$p2/docs").get
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept === Set(1L, 2L, 10L, 11L, 22L),
+      "the rebuild must lose no keeper; the resumed screen must drop " +
+        s"duplicates of both eras — got $kept")
+    // the resumed screen's decisions ≡ the batch screen over the
+    // rebuilt store (the prefix path: uncapped, persisted bnd)
+    val expectDropped = Relevance.cosinePairsIncremental(
+        b3.toDF("doc_id", "text"),
+        Relevance.cosineStore(docs, "doc_id", "text"),
+        "doc_id", "text", tau)
+      .select($"id_b").as[Long].collect().toSet
+    assert(expectDropped === Set(20L, 21L))
+  }
+
   test("survivorDrops: distributed fixpoint ≡ driver sweep ≡ sequential reference") {
     // the sequential reference model: ascending id_b, drop b iff the
     // pair is transitive (sim >= 1.0) or its id_a survived
