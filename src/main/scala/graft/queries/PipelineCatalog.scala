@@ -2402,9 +2402,15 @@ object PipelineCatalog {
     * bit-identical to the naive form's, the same one-sided-bound
     * argument the r13 batch gate pinned. */
   val textCosineIncUncappedQ: Q = (s, dir) => {
+    // 1/16 slices, not the capped gate's 1/4: the testdata corpus is
+    // DENSE-vocabulary, where uncapped candidate mass is all-pairs-scale
+    // by construction (the r13 finding the cap exists for) — the gate
+    // certifies the prefix path's BIT-EXACTNESS, which slice size does
+    // not change, and at 1/4 slices it alone cost 38 s of a 164-gate
+    // sf0.1 registry (and ~quadratically more at sf1).
     val docs = Tables.documents(s, dir)
-    val corpus = docs.filter(col("doc_id") % 4 === 0)
-    val incoming = docs.filter(col("doc_id") % 4 === 2)
+    val corpus = docs.filter(col("doc_id") % 16 === 0)
+    val incoming = docs.filter(col("doc_id") % 16 === 2)
       .withColumn("doc_id", col("doc_id") + lit(10000000L))
     Relevance.cosinePairsIncremental(incoming,
       Relevance.cosineStore(corpus, "doc_id", "text"),
@@ -2419,6 +2425,8 @@ object PipelineCatalog {
       .replace(" WHERE w.df <= 20", "")
       .replace(" WHERE w.df0 <= 20", "")
       .replace(">= 0.3", ">= 0.6")
+      .replace("doc_id % 4 = 0", "doc_id % 16 = 0")
+      .replace("doc_id % 4 = 2", "doc_id % 16 = 2")
     require(out != textCosineIncSql, "cap filters not found in the capped oracle")
     out
   }
