@@ -1315,6 +1315,105 @@ object Dedup {
   }
 
   /**
+   * Span-occurrence store for INCREMENTAL duplicated-span screening:
+   * one row per distinct n-token span fingerprint with its corpus
+   * occurrence count — `(h, occ)`. Occurrence counts are exactly
+   * mergeable integer sums, so the store is a SUFFICIENT STATISTIC for
+   * [[duplicatedSpans]]' per-doc dup accounting (the [[graft.operators.
+   * Relevance.bm25IndexAppend]] contrast class, not the frozen-model
+   * cosine/minhash class): append ≡ rebuild exactly, nothing in it can
+   * drift, and no ledger is needed.
+   *
+   * Size is O(distinct spans) ≈ corpus token count × 16 bytes — the
+   * cost structure substring-level dedup inherently carries (the
+   * suffix-array method materializes every position too). At scale,
+   * persist it partitioned/bucketed by `h`; the incremental screen
+   * probes it with a BROADCAST of the batch's hash set, so the store
+   * scans map-side and never shuffles per ingest.
+   */
+  def spanStore(df: DataFrame, idCol: String, textCol: String,
+                n: Int = 12): DataFrame = {
+    graft.functions.GraftFunctions.register(df.sparkSession)
+    val grams = call_function("graft_ngram_hashes",
+      col(textCol), lit(n), lit(false))
+    df.select(explode(grams).as("h"))
+      .groupBy(col("h")).agg(count(lit(1)).as("occ"))
+  }
+
+  /** Merged span store over `store ∪ spanStore(incoming)` — counts sum
+    * per hash. Exact by construction (integer sums commute), pinned by
+    * the append ≡ rebuild spec. For a persisted store, prefer
+    * [[spanStoreDelta]] + an upsert of only the touched rows. */
+  def spanStoreAppend(store: DataFrame, incoming: DataFrame,
+                      idCol: String, textCol: String,
+                      n: Int = 12): DataFrame =
+    store.unionByName(spanStore(incoming, idCol, textCol, n))
+      .groupBy(col("h")).agg(sum(col("occ")).as("occ"))
+
+  /** The rows of [[spanStoreAppend]] that CHANGED: merged `(h, occ)` for
+    * exactly the batch's hashes (new hashes appear with their batch
+    * count; already-seen hashes appear with the summed count). An
+    * O(batch)-sized upsert set for a persisted store — the store side is
+    * probed map-side via a broadcast of the batch hash set and never
+    * shuffles. */
+  def spanStoreDelta(store: DataFrame, incoming: DataFrame,
+                     idCol: String, textCol: String,
+                     n: Int = 12): DataFrame = {
+    val batch = spanStore(incoming, idCol, textCol, n)
+      .withColumnRenamed("occ", "occ_b")
+    val hits = store.join(broadcast(batch.select(col("h"))), "h")
+    batch.join(hits, Seq("h"), "left")
+      .select(col("h"),
+        (col("occ_b") + coalesce(col("occ"), lit(0L))).as("occ"))
+  }
+
+  /**
+   * Incremental duplicated-span screen: [[duplicatedSpans]] for an
+   * ingest batch against a corpus represented ONLY by its span store —
+   * a span is duplicated iff its occurrence count over corpus ∪ batch
+   * exceeds one, i.e. `occ_store(h) + occ_batch(h) > 1`. Because the
+   * store is a sufficient statistic, the contract is EXACT equality
+   * (spec- and oracle-pinned): output ≡ `duplicatedSpans(corpus ∪
+   * incoming)` restricted to incoming ids — a pipeline screens each
+   * ingest batch for cross-corpus AND intra-batch substring duplication
+   * without ever re-fingerprinting the corpus.
+   *
+   * Plan shape at 100 TB: the batch's postings aggregate batch-side
+   * (one ingest-bounded exchange); the corpus-sized store is probed
+   * MAP-SIDE via a broadcast of the batch's distinct hash set (the
+   * [[minhashLshPairsIncremental]] fail-loud bound: a batch whose hash
+   * set outgrows the broadcast limit should be split, not silently
+   * shuffle the store); matched store counts come back batch-sized and
+   * the dup verdict joins per-doc postings against the batch-bounded
+   * dup-hash set.
+   */
+  def duplicatedSpansIncremental(incoming: DataFrame, store: DataFrame,
+                                 idCol: String, textCol: String,
+                                 n: Int = 12): DataFrame = {
+    graft.functions.GraftFunctions.register(incoming.sparkSession)
+    val grams = call_function("graft_ngram_hashes",
+      col(textCol), lit(n), lit(false))
+    val base = incoming.select(col(idCol).as("id"), size(grams).as("n_spans"))
+    val hashed = incoming.select(col(idCol).as("id"), explode(grams).as("h"))
+    val batchOcc = hashed.groupBy(col("h")).agg(count(lit(1)).as("occ_b"))
+    val storeHits = store
+      .join(broadcast(batchOcc.select(col("h"))), "h")
+      .select(col("h"), col("occ").as("occ_s"))
+    val dupHashes = batchOcc.join(storeHits, Seq("h"), "left")
+      .filter(col("occ_b") + coalesce(col("occ_s"), lit(0L)) > 1)
+      .select(col("h"))
+    val dupPerDoc = hashed.join(broadcast(dupHashes), "h")
+      .groupBy(col("id")).agg(count(lit(1)).as("n_dup_spans"))
+    base.join(dupPerDoc, Seq("id"), "left")
+      .select(col("id"), col("n_spans"),
+        coalesce(col("n_dup_spans"), lit(0L)).as("n_dup_spans"))
+      .withColumn("dup_span_frac",
+        when(col("n_spans") > 0,
+          col("n_dup_spans").cast("double") / col("n_spans").cast("double"))
+          .otherwise(lit(0.0)))
+  }
+
+  /**
    * Asymmetric k-shingle CONTAINMENT pairs — the doc-inside-doc relation
    * symmetric Jaccard cannot see: a short document quoted whole inside a
    * long one has Jaccard |A|/|B| (→ 0 as B grows) but containment

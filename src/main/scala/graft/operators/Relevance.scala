@@ -364,6 +364,56 @@ object Relevance {
   }
 
   /**
+   * Hybrid lexical + semantic retrieval with reciprocal-rank fusion
+   * (Cormack/Clarke/Buettcher SIGIR 2009): a text query is answered by
+   * BOTH the BM25 ranked list ([[bm25Search]]) and the exact cosine
+   * ranked list of a query embedding over the embeddings table
+   * ([[graft.operators.Similarity.bruteForceTopK]]), and the two lists
+   * fuse by rrf(d) = Σ_lists 1/(rrfK + rank_list(d)) — a document absent
+   * from a list contributes 0 for it. The standard retrieval stack of a
+   * training-data/RAG pipeline: lexical recall catches exact terms the
+   * embedding smooths away, semantic recall catches paraphrases BM25
+   * cannot see, and RRF needs no score calibration between the two
+   * incomparable scales (only ranks cross the boundary).
+   *
+   * `queryVecId` names the embeddings row serving as the query vector
+   * (query-by-example); `docs.idCol` and `embeddings.vecIdCol` must share
+   * a key space (the corpus↔embedding contract the reconcile gate pins).
+   *
+   * Scale design: each side is the already-scale-shaped distributed
+   * top-k (BM25: map-side query-term filter, TakeOrdered; cosine: one
+   * broadcast query row over the embeddings scan, per-partition heaps) —
+   * the fusion itself touches only kLex + kSem rows, joined full-outer
+   * and re-ranked in a single tiny partition. Deterministic: both input
+   * ranks are the tie-broken oracle-certified ranks; the fused score
+   * sums two exactly-reproducible doubles in a fixed (lex, sem) order
+   * and rounds to 6 decimals before the final (rrf desc, doc_id asc)
+   * rank.
+   */
+  def hybridSearch(docs: DataFrame, embeddings: DataFrame,
+                   query: String, queryVecId: Long,
+                   idCol: String = "doc_id", textCol: String = "text",
+                   vecIdCol: String = "vec_id", vecCol: String = "embedding",
+                   kLex: Int = 20, kSem: Int = 20, k: Int = 10,
+                   rrfK: Int = 60): DataFrame = {
+    require(k > 0 && kLex > 0 && kSem > 0, "hybridSearch needs positive k")
+    val lex = bm25Search(docs, idCol, textCol, query, k = kLex)
+      .select(col("doc_id"), col("rn").as("rn_lex"))
+    val sem = Similarity.bruteForceTopK(embeddings, vecIdCol, vecCol,
+        col("id") === queryVecId, k = kSem)
+      .select(col("neighbor_id").as("doc_id"), col("rn").as("rn_sem"))
+    val fused = lex.join(sem, Seq("doc_id"), "full_outer")
+      .withColumn("rrf", round(
+        coalesce(lit(1.0) / (lit(rrfK.toDouble) + col("rn_lex").cast("double")), lit(0.0))
+          + coalesce(lit(1.0) / (lit(rrfK.toDouble) + col("rn_sem").cast("double")), lit(0.0)),
+        6))
+    val w = Window.orderBy(col("rrf").desc, col("doc_id").asc)
+    fused.orderBy(col("rrf").desc, col("doc_id").asc).limit(k)
+      .withColumn("rn", row_number().over(w))
+      .select(col("doc_id"), col("rn_lex"), col("rn_sem"), col("rrf"), col("rn"))
+  }
+
+  /**
    * Corpus vocabulary top-k: global term frequencies and document
    * frequencies, ranked by total count — the vocabulary-building /
    * corpus-statistics pass of a data build.

@@ -232,6 +232,48 @@ object PipelineCatalog {
       |            ELSE 0.0 END AS dup_span_frac
       |FROM g LEFT JOIN d ON g.doc_id = d.doc_id""".stripMargin
 
+  /** Incremental duplicated-span screen (r14): the ingest slice
+    * (doc_id % 4 == 0) screens against the SPAN STORE built from the
+    * rest of the corpus. The store is a sufficient statistic
+    * (occurrence counts sum exactly), so the contract is exact: output
+    * ≡ the batch rollup over the FULL corpus restricted to ingest ids —
+    * which is literally what the oracle replays (the `dedup_spans`
+    * CTEs, final select filtered to the ingest slice). */
+  val dedupSpansInc: Q = (s, dir) => {
+    val docs = Tables.documents(s, dir)
+    val corpus = docs.filter(col("doc_id") % 4 =!= 0)
+    val ingest = docs.filter(col("doc_id") % 4 === 0)
+    val store = Dedup.spanStore(corpus, "doc_id", "text", n = 12)
+    Dedup.duplicatedSpansIncremental(ingest, store, "doc_id", "text", n = 12)
+      .withColumnRenamed("id", "doc_id")
+  }
+
+  val dedupSpansIncSql: String =
+    """WITH tk AS (
+      |  SELECT doc_id, string_split(text, ' ') AS t FROM documents
+      |), g AS (
+      |  SELECT doc_id,
+      |         CASE WHEN len(t) >= 12
+      |              THEN list_transform(range(1, len(t) - 10),
+      |                     i -> array_to_string(t[i:i+11], ' '))
+      |              ELSE CAST([] AS VARCHAR[]) END AS grams
+      |  FROM tk
+      |), x AS (
+      |  SELECT doc_id, unnest(grams) AS gram FROM g
+      |), occ AS (
+      |  SELECT gram FROM x GROUP BY gram HAVING count(*) > 1
+      |), d AS (
+      |  SELECT x.doc_id, count(*) AS n_dup FROM x JOIN occ ON x.gram = occ.gram
+      |  WHERE x.doc_id % 4 = 0 GROUP BY x.doc_id
+      |)
+      |SELECT g.doc_id, CAST(len(g.grams) AS INT) AS n_spans,
+      |       CAST(COALESCE(d.n_dup, 0) AS BIGINT) AS n_dup_spans,
+      |       CASE WHEN len(g.grams) > 0
+      |            THEN CAST(COALESCE(d.n_dup, 0) AS DOUBLE) / CAST(len(g.grams) AS DOUBLE)
+      |            ELSE 0.0 END AS dup_span_frac
+      |FROM g LEFT JOIN d ON g.doc_id = d.doc_id
+      |WHERE g.doc_id % 4 = 0""".stripMargin
+
   /** MinHash+LSH near-dup pairs — xxhash64 signatures, rows-only. */
   val dedupMinhash: Q = (s, dir) =>
     Dedup.minhashLshPairs(Tables.documents(s, dir), "doc_id", "text",
@@ -2235,6 +2277,64 @@ object PipelineCatalog {
       |  SELECT *, row_number() OVER (ORDER BY score DESC, doc_id) AS rn FROM agg
       |) WHERE rn <= 10""".stripMargin
 
+  /** Hybrid BM25 + embedding-cosine retrieval fused by reciprocal rank
+    * (r14): the bm25_search ranked list (top-20) and the exact cosine
+    * top-20 of embedding vec_id=100 fuse via rrf = Σ 1/(60 + rank).
+    * The oracle replays BOTH oracle-certified sides and the fusion
+    * arithmetic verbatim. */
+  val hybridSearchQ: Q = (s, dir) =>
+    Relevance.hybridSearch(Tables.documents(s, dir), Tables.embeddings(s, dir),
+      "dup vector key", queryVecId = 100L, kLex = 20, kSem = 20, k = 10)
+
+  val hybridSearchSql: String =
+    """WITH dl AS (
+      |  SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS dl FROM documents
+      |), stats AS (
+      |  SELECT CAST(count(*) AS BIGINT) AS n_docs, AVG(CAST(dl AS DOUBLE)) AS avgdl FROM dl
+      |), terms AS (
+      |  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+      |), tfq AS (
+      |  SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf FROM terms
+      |  WHERE term IN ('dup', 'vector', 'key') GROUP BY doc_id, term
+      |), dfq AS (
+      |  SELECT term, CAST(count(*) AS BIGINT) AS df FROM tfq GROUP BY term
+      |), scored AS (
+      |  SELECT tfq.doc_id,
+      |    round(ln(1.0 + (CAST(n_docs AS DOUBLE) - CAST(df AS DOUBLE) + 0.5)
+      |                   / (CAST(df AS DOUBLE) + 0.5))
+      |          * (CAST(tf AS DOUBLE) * 2.2)
+      |          / (CAST(tf AS DOUBLE) + 1.2 * (0.25 + 0.75 * CAST(dl AS DOUBLE) / avgdl)),
+      |          6) AS ts
+      |  FROM tfq JOIN dfq USING (term) JOIN dl USING (doc_id) CROSS JOIN stats
+      |), agg AS (
+      |  SELECT doc_id, round(SUM(ts), 6) AS score FROM scored GROUP BY doc_id
+      |), lex AS (
+      |  SELECT doc_id, CAST(rn AS INT) AS rn_lex FROM (
+      |    SELECT doc_id, row_number() OVER (ORDER BY score DESC, doc_id) AS rn FROM agg
+      |  ) WHERE rn <= 20
+      |), base AS (
+      |  SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+      |), q AS (SELECT * FROM base WHERE id = 100),
+      |semscored AS (
+      |  SELECT c.id AS doc_id,
+      |         round(list_dot_product(q.v, c.v) /
+      |               (sqrt(list_dot_product(q.v, q.v)) * sqrt(list_dot_product(c.v, c.v))), 6) AS cos
+      |  FROM base c CROSS JOIN q
+      |  WHERE q.id <> c.id
+      |), sem AS (
+      |  SELECT doc_id, CAST(rn AS INT) AS rn_sem FROM (
+      |    SELECT doc_id, row_number() OVER (ORDER BY cos DESC, doc_id ASC) AS rn FROM semscored
+      |  ) WHERE rn <= 20
+      |), fused AS (
+      |  SELECT COALESCE(lex.doc_id, sem.doc_id) AS doc_id, rn_lex, rn_sem,
+      |         round(COALESCE(1.0 / (60 + rn_lex), 0.0)
+      |               + COALESCE(1.0 / (60 + rn_sem), 0.0), 6) AS rrf
+      |  FROM lex FULL JOIN sem ON lex.doc_id = sem.doc_id
+      |)
+      |SELECT doc_id, rn_lex, rn_sem, rrf, CAST(rn AS INT) AS rn FROM (
+      |  SELECT *, row_number() OVER (ORDER BY rrf DESC, doc_id ASC) AS rn FROM fused
+      |) WHERE rn <= 10""".stripMargin
+
   /** All-pairs TF-IDF cosine similarity (r12): the weighted APSS member
     * of the pair family — `maxDf = 50` binds HARD on this corpus
     * (median member-level df is ~78% of the corpus: boilerplate
@@ -2841,6 +2941,7 @@ object PipelineCatalog {
     "dedup_containment" -> dedupContainment,
     "dedup_containment_capped" -> dedupContainmentCapped,
     "bm25_search" -> bm25SearchQ,
+    "hybrid_search" -> hybridSearchQ,
     "bm25_search_indexed" -> bm25SearchIndexedQ,
     "bm25_search_appended" -> bm25SearchAppendedQ,
     "bm25_search_compacted" -> bm25SearchCompactedQ,
@@ -2855,6 +2956,7 @@ object PipelineCatalog {
     "dedup_keep" -> dedupKeep,
     "dedup_keep_best" -> dedupKeepBest,
     "dedup_spans" -> dedupSpans,
+    "dedup_spans_inc" -> dedupSpansInc,
     "dedup_incremental" -> dedupIncremental,
     "dedup_minhash" -> dedupMinhash,
     "dedup_minhash_md5" -> dedupMinhashMd5,
@@ -2939,6 +3041,7 @@ object PipelineCatalog {
     "dedup_containment" -> dedupContainmentSql,
     "dedup_containment_capped" -> dedupContainmentCappedSql,
     "bm25_search" -> bm25SearchSql,
+    "hybrid_search" -> hybridSearchSql,
     "bm25_search_indexed" -> bm25SearchSql,
     "bm25_search_appended" -> bm25SearchSql,
     "bm25_search_compacted" -> bm25SearchSql,
@@ -2957,6 +3060,7 @@ object PipelineCatalog {
     "dedup_keep" -> dedupKeepSql,
     "dedup_keep_best" -> dedupKeepBestSql,
     "dedup_spans" -> dedupSpansSql,
+    "dedup_spans_inc" -> dedupSpansIncSql,
     "dedup_incremental" -> dedupIncrementalSql,
     "sim_bruteforce_topk" -> simBruteForceSql,
     "sim_ivf_topk" -> simIvfSql,

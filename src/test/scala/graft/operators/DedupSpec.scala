@@ -444,6 +444,58 @@ class DedupSpec extends SparkSuite {
     assert(out(4) === ((5L, 0, 0L)))
   }
 
+  test("span store: incremental screen ≡ batch rollup over the union, restricted to ingest") {
+    val span = (1 to 4).map(i => s"s$i").mkString(" ")
+    val cross = "u v w x"
+    val corpus = Seq(
+      (1L, s"aa bb $span cc"),
+      (2L, "k l m n o p"),
+      (3L, s"$cross qq rr")).toDF("doc_id", "text")
+    val ingest = Seq(
+      (10L, s"$span dd ee"),                 // dup vs the corpus store
+      (11L, s"pp $cross"),                   // dup vs the corpus store
+      (12L, "m1 m2 m3 m4 m1 m2 m3 m4"),      // self-repeated spans
+      (13L, "fresh tokens only right here"), // clean
+      (14L, "z1 z2 z3 z4 yy"),               // intra-batch dup with 15
+      (15L, "z1 z2 z3 z4 zz"),
+      (16L, "shrt")                          // < n tokens: zero spans
+    ).toDF("doc_id", "text")
+    val store = Dedup.spanStore(corpus, "doc_id", "text", n = 4)
+    val inc = Dedup.duplicatedSpansIncremental(ingest, store, "doc_id", "text", n = 4)
+      .orderBy("id").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3)))
+    val batch = Dedup.duplicatedSpans(corpus.unionByName(ingest), "doc_id", "text", n = 4)
+      .filter(col("id") >= 10L).orderBy("id").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3)))
+    assert(inc.toSeq === batch.toSeq)
+    // hand pins: cross-corpus dup, clean doc, intra-batch pair, zero-span doc
+    assert(inc(0)._1 === 10L && inc(0)._3 === 1L)
+    assert(inc(3) === ((13L, 2, 0L, 0.0)))
+    assert(inc(4)._3 === 1L && inc(5)._3 === 1L)
+    assert(inc(6) === ((16L, 0, 0L, 0.0)))
+  }
+
+  test("spanStore: append ≡ rebuild; delta is exactly the touched rows and upserts to append") {
+    val a = Seq((1L, "a b c d e"), (2L, "f g h i")).toDF("doc_id", "text")
+    val b = Seq((10L, "a b c d zz"), (11L, "new stuff here now")).toDF("doc_id", "text")
+    def rows(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
+      df.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val store = Dedup.spanStore(a, "doc_id", "text", n = 3)
+    val rebuilt = rows(Dedup.spanStore(a.unionByName(b), "doc_id", "text", n = 3))
+    val appendDf = Dedup.spanStoreAppend(store, b, "doc_id", "text", n = 3)
+    assert(rows(appendDf) === rebuilt)
+    // the delta covers exactly the batch's hashes, with merged counts
+    val deltaDf = Dedup.spanStoreDelta(store, b, "doc_id", "text", n = 3)
+    val delta = rows(deltaDf)
+    val batchHashes = Dedup.spanStore(b, "doc_id", "text", n = 3)
+      .select("h").as[Long].collect().toSet
+    assert(delta.map(_._1) === batchHashes)
+    assert(delta.subsetOf(rebuilt))
+    // upsert(store, delta) ≡ append: untouched store rows + delta rows
+    val untouched = store.join(deltaDf.select(col("h")), Seq("h"), "left_anti")
+    assert(rows(untouched.unionByName(deltaDf)) === rebuilt)
+  }
+
   test("incrementalDedup keeps batch keepers absent from the corpus") {
     val corpus = Seq(
       (1L, "already in the corpus"),

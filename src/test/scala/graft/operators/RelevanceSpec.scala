@@ -511,4 +511,63 @@ class RelevanceSpec extends SparkSuite {
     // the old directories were vacuumed
     assert(!new java.io.File(s"$dir/batches/base").exists())
   }
+
+  test("hybridSearch: RRF fusion equals the reference fold of the two ranked lists") {
+    import org.apache.spark.sql.functions.col
+    val docs = Seq(
+      (0L, "alpha beta gamma"),
+      (1L, "alpha alpha delta"),
+      (2L, "beta epsilon"),
+      (3L, "zeta eta theta"),
+      (4L, "alpha beta beta")).toDF("doc_id", "text")
+    val emb = Seq(
+      (0L, Array(1.0f, 0.0f)),
+      (1L, Array(0.95f, 0.05f)),
+      (2L, Array(0.0f, 1.0f)),
+      (3L, Array(0.9f, 0.2f)),
+      (4L, Array(-1.0f, 0.0f))).toDF("vec_id", "embedding")
+    val out = Relevance.hybridSearch(docs, emb, "alpha beta", queryVecId = 0L,
+        kLex = 3, kSem = 3, k = 4)
+      .collect().map(r => (r.getLong(0),
+        Option(r.get(1)).map(_.asInstanceOf[Int]),
+        Option(r.get(2)).map(_.asInstanceOf[Int]),
+        r.getDouble(3), r.getInt(4)))
+    // reference fold over the two already-certified public sides
+    val lex = Relevance.bm25Search(docs, "doc_id", "text", "alpha beta", k = 3)
+      .collect().map(r => r.getLong(0) -> r.getInt(2)).toMap
+    val sem = Similarity.bruteForceTopK(emb, "vec_id", "embedding",
+        col("id") === 0L, k = 3)
+      .collect().map(r => r.getLong(1) -> r.getInt(3)).toMap
+    def rrf(id: Long): Double = BigDecimal(
+        lex.get(id).map(r => 1.0 / (60 + r)).getOrElse(0.0)
+          + sem.get(id).map(r => 1.0 / (60 + r)).getOrElse(0.0))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val expected = (lex.keySet ++ sem.keySet).toSeq
+      .map(id => (id, rrf(id))).sortBy { case (id, s) => (-s, id) }.take(4)
+    assert(out.map(r => (r._1, r._4)).toSeq === expected)
+    // ranks are 1..k and the per-side rank columns surface verbatim
+    assert(out.map(_._5).toSeq === (1 to out.length))
+    out.foreach { r =>
+      assert(r._2 === lex.get(r._1), s"rn_lex for doc ${r._1}")
+      assert(r._3 === sem.get(r._1), s"rn_sem for doc ${r._1}")
+    }
+    // a doc on one list only scores exactly its single reciprocal term
+    val oneSided = out.filter(r => r._2.isEmpty || r._3.isEmpty)
+    assert(oneSided.nonEmpty, "fixture must exercise the absent-list branch")
+  }
+
+  test("hybridSearch: k truncates after fusion, not per side") {
+    import org.apache.spark.sql.functions.col
+    val docs = Seq(
+      (0L, "alpha x"), (1L, "alpha y"), (2L, "alpha z"),
+      (3L, "w alpha"), (4L, "alpha v")).toDF("doc_id", "text")
+    val emb = Seq(
+      (0L, Array(1.0f, 0.0f)), (1L, Array(0.9f, 0.1f)),
+      (2L, Array(0.8f, 0.2f)), (3L, Array(0.7f, 0.3f)),
+      (4L, Array(0.6f, 0.4f))).toDF("vec_id", "embedding")
+    val out = Relevance.hybridSearch(docs, emb, "alpha", queryVecId = 0L,
+      kLex = 5, kSem = 5, k = 2).collect()
+    assert(out.length === 2)
+    assert(out.map(_.getInt(4)).toSeq === Seq(1, 2))
+  }
 }
