@@ -21,7 +21,7 @@ import graft.streaming.StreamPipeline
  * shape becomes a diffable number the way batch regressions are.
  *
  * `runMain graft.apps.IngestBench <dataDir> <mode> [nBatches] [batchSize]`
- * with mode ∈ `exact | minhash | semantic | cosine | cosine_boiler | bm25`
+ * with mode ∈ `exact | minhash | semantic | cosine | cosine_boiler | bm25 | spans`
  * (`cosine_boiler` over a generated 20k-doc boilerplate corpus,
  * screened uncapped — the prefix-filtered screen's domain; `bm25`
  * adds per-batch `search_sec` read latencies and reports the batch
@@ -150,6 +150,35 @@ object IngestBench {
             (System.nanoTime() - t0) / 1e9
           }
           (t, VersionedTable.read(spark, s"$statePath/docs").get.count())
+        } finally q.stop()
+
+      case "spans" =>
+        // substring-duplication gate (r14): preload the per-doc span
+        // store over the full corpus, then measure the marginal
+        // per-batch screen + upsert cost at that state size
+        val docs = spark.read.parquet(s"$dir/documents.parquet")
+          .select(col("doc_id"), col("text"))
+        corpusRows = docs.count()
+        VersionedTable.upsert(spark, s"$statePath/docs", docs,
+          Seq("doc_id"))
+        VersionedTable.upsert(spark, s"$statePath/store",
+          Dedup.spanStorePerDoc(docs, "doc_id", "text"), Seq("id", "h"))
+        stateBefore = VersionedTable.read(spark, s"$statePath/store")
+          .get.count()
+        val in = MemoryStream[(Long, String)]
+        val q = StreamPipeline.spanIngestStream(
+            in.toDF().toDF("doc_id", "text"), "doc_id", "text",
+            statePath)
+          .start()
+        try {
+          val t = (0 until nBatches).map { i =>
+            val b = docBatch(docs, corpusRows, i)
+            val t0 = System.nanoTime()
+            in.addData(b)
+            q.processAllAvailable()
+            (System.nanoTime() - t0) / 1e9
+          }
+          (t, VersionedTable.read(spark, s"$statePath/store").get.count())
         } finally q.stop()
 
       case "cosine" =>

@@ -1389,16 +1389,65 @@ object Dedup {
    */
   def duplicatedSpansIncremental(incoming: DataFrame, store: DataFrame,
                                  idCol: String, textCol: String,
-                                 n: Int = 12): DataFrame = {
+                                 n: Int = 12): DataFrame =
+    spansScreen(incoming, idCol, textCol, n, batchHashes =>
+      store.join(broadcast(batchHashes), "h")
+        .select(col("h"), col("occ").as("occ_s")))
+
+  /**
+   * Per-document span store — `(id, h, cnt)`: the same sufficient
+   * statistic as [[spanStore]] (which is exactly its `groupBy(h)` sum),
+   * keyed by document so a persisted `VersionedTable` upsert on
+   * `(id, h)` is IDEMPOTENT — the property the streaming ingest driver
+   * ([[graft.streaming.StreamPipeline.spanIngestStream]]) needs under
+   * at-least-once foreachBatch delivery, where a `(h, occ)` count merge
+   * would double on replay. Costs one id column over the aggregate
+   * form (most spans are corpus-unique, so row counts are comparable)
+   * and buys per-document deletion for free.
+   */
+  def spanStorePerDoc(df: DataFrame, idCol: String, textCol: String,
+                      n: Int = 12): DataFrame = {
+    graft.functions.GraftFunctions.register(df.sparkSession)
+    val grams = call_function("graft_ngram_hashes",
+      col(textCol), lit(n), lit(false))
+    df.select(col(idCol).as("id"), explode(grams).as("h"))
+      .groupBy(col("id"), col("h")).agg(count(lit(1)).as("cnt"))
+  }
+
+  /**
+   * [[duplicatedSpansIncremental]] over a PER-DOC store — same output,
+   * same probe shape (store scans map-side against the broadcast batch
+   * hash set; matched rows come back batch-bounded before the `occ_s`
+   * sum). Store rows whose `id` is in the batch are EXCLUDED from the
+   * probe: a re-delivered micro-batch whose upserts already committed
+   * re-screens against exactly the pre-batch store, so replay decisions
+   * are IDENTICAL, not merely state-convergent (the stronger form of
+   * [[graft.streaming.StreamPipeline.minhashIngestStream]]'s replay
+   * argument, available here only because the store is id-keyed).
+   */
+  def duplicatedSpansIncrementalPerDoc(incoming: DataFrame,
+                                       store: DataFrame,
+                                       idCol: String, textCol: String,
+                                       n: Int = 12): DataFrame = {
+    val batchIds = incoming.select(col(idCol).as("id")).distinct()
+    spansScreen(incoming, idCol, textCol, n, batchHashes =>
+      store.join(broadcast(batchHashes), "h")
+        .join(broadcast(batchIds), Seq("id"), "left_anti")
+        .groupBy(col("h")).agg(sum(col("cnt")).as("occ_s")))
+  }
+
+  /** Shared screen body: `storeOcc(batchHashes)` supplies the corpus
+    * side's `(h, occ_s)` for the batch's distinct hashes. */
+  private def spansScreen(incoming: DataFrame, idCol: String,
+                          textCol: String, n: Int,
+                          storeOcc: DataFrame => DataFrame): DataFrame = {
     graft.functions.GraftFunctions.register(incoming.sparkSession)
     val grams = call_function("graft_ngram_hashes",
       col(textCol), lit(n), lit(false))
     val base = incoming.select(col(idCol).as("id"), size(grams).as("n_spans"))
     val hashed = incoming.select(col(idCol).as("id"), explode(grams).as("h"))
     val batchOcc = hashed.groupBy(col("h")).agg(count(lit(1)).as("occ_b"))
-    val storeHits = store
-      .join(broadcast(batchOcc.select(col("h"))), "h")
-      .select(col("h"), col("occ").as("occ_s"))
+    val storeHits = storeOcc(batchOcc.select(col("h")))
     val dupHashes = batchOcc.join(storeHits, Seq("h"), "left")
       .filter(col("occ_b") + coalesce(col("occ_s"), lit(0L)) > 1)
       .select(col("h"))

@@ -399,9 +399,46 @@ object Relevance {
     require(k > 0 && kLex > 0 && kSem > 0, "hybridSearch needs positive k")
     val lex = bm25Search(docs, idCol, textCol, query, k = kLex)
       .select(col("doc_id"), col("rn").as("rn_lex"))
-    val sem = Similarity.bruteForceTopK(embeddings, vecIdCol, vecCol,
+    rrfFuse(lex, semSide(embeddings, queryVecId, vecIdCol, vecCol, kSem),
+      k, rrfK)
+  }
+
+  /**
+   * [[hybridSearch]] over a PERSISTED BM25 index — the amortized form:
+   * the lexical side reads O(query-term postings) via
+   * [[bm25SearchIndexed]] (bit-identical to the scanned list, the
+   * certified equivalence) instead of re-scanning the corpus per query,
+   * so repeated hybrid queries pay only the tiny fusion + the semantic
+   * top-k. Same output, same oracle.
+   */
+  def hybridSearchIndexed(spark: org.apache.spark.sql.SparkSession,
+                          indexPath: String,
+                          embeddings: DataFrame,
+                          query: String, queryVecId: Long,
+                          vecIdCol: String = "vec_id",
+                          vecCol: String = "embedding",
+                          kLex: Int = 20, kSem: Int = 20, k: Int = 10,
+                          rrfK: Int = 60): DataFrame = {
+    require(k > 0 && kLex > 0 && kSem > 0, "hybridSearchIndexed needs positive k")
+    val lex = bm25SearchIndexed(spark, indexPath, query, k = kLex)
+      .select(col("doc_id"), col("rn").as("rn_lex"))
+    rrfFuse(lex, semSide(embeddings, queryVecId, vecIdCol, vecCol, kSem),
+      k, rrfK)
+  }
+
+  /** The semantic side: exact cosine top-k of the query-by-example row. */
+  private def semSide(embeddings: DataFrame, queryVecId: Long,
+                      vecIdCol: String, vecCol: String,
+                      kSem: Int): DataFrame =
+    Similarity.bruteForceTopK(embeddings, vecIdCol, vecCol,
         col("id") === queryVecId, k = kSem)
       .select(col("neighbor_id").as("doc_id"), col("rn").as("rn_sem"))
+
+  /** Reciprocal-rank fusion of the two ranked lists (shared by the
+    * scanned and indexed forms — the fixed (lex, sem) summation order
+    * and 6-dp round are the determinism contract). */
+  private def rrfFuse(lex: DataFrame, sem: DataFrame,
+                      k: Int, rrfK: Int): DataFrame = {
     val fused = lex.join(sem, Seq("doc_id"), "full_outer")
       .withColumn("rrf", round(
         coalesce(lit(1.0) / (lit(rrfK.toDouble) + col("rn_lex").cast("double")), lit(0.0))

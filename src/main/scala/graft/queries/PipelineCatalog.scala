@@ -2286,6 +2286,24 @@ object PipelineCatalog {
     Relevance.hybridSearch(Tables.documents(s, dir), Tables.embeddings(s, dir),
       "dup vector key", queryVecId = 100L, kLex = 20, kSem = 20, k = 10)
 
+  /** The amortized hybrid form: the lexical side reads the PERSISTED
+    * BM25 index (shared with [[bm25SearchIndexedQ]] via the same cache
+    * key — one build serves both gates). Certified by the SAME oracle
+    * as [[hybridSearchQ]]: bm25SearchIndexed ≡ bm25Search is the
+    * already-pinned bit-exact equivalence, so any seam the index path
+    * introduced would hash-mismatch here. */
+  val hybridSearchIndexedQ: Q = (s, dir) => {
+    val key = s.sparkContext.applicationId + "|" + dir
+    val path = bm25IndexPaths.computeIfAbsent(key, _ => {
+      val p = java.nio.file.Files
+        .createTempDirectory("graft_bm25_idx").toString
+      Relevance.bm25Index(Tables.documents(s, dir), "doc_id", "text", p)
+      p
+    })
+    Relevance.hybridSearchIndexed(s, path, Tables.embeddings(s, dir),
+      "dup vector key", queryVecId = 100L, kLex = 20, kSem = 20, k = 10)
+  }
+
   val hybridSearchSql: String =
     """WITH dl AS (
       |  SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS dl FROM documents
@@ -2942,6 +2960,7 @@ object PipelineCatalog {
     "dedup_containment_capped" -> dedupContainmentCapped,
     "bm25_search" -> bm25SearchQ,
     "hybrid_search" -> hybridSearchQ,
+    "hybrid_search_indexed" -> hybridSearchIndexedQ,
     "bm25_search_indexed" -> bm25SearchIndexedQ,
     "bm25_search_appended" -> bm25SearchAppendedQ,
     "bm25_search_compacted" -> bm25SearchCompactedQ,
@@ -3042,6 +3061,7 @@ object PipelineCatalog {
     "dedup_containment_capped" -> dedupContainmentCappedSql,
     "bm25_search" -> bm25SearchSql,
     "hybrid_search" -> hybridSearchSql,
+    "hybrid_search_indexed" -> hybridSearchSql,
     "bm25_search_indexed" -> bm25SearchSql,
     "bm25_search_appended" -> bm25SearchSql,
     "bm25_search_compacted" -> bm25SearchSql,

@@ -727,6 +727,79 @@ object StreamPipeline {
     }
 
   /**
+   * Streaming duplicated-span gate: screen each arriving micro-batch for
+   * substring-level duplication ([[Dedup.duplicatedSpansIncremental]])
+   * against the kept corpus's span store and DROP documents whose
+   * duplicated-span fraction exceeds `maxDupFrac` — the ingest-time form
+   * of the Lee et al. 2022 "train on deduplicated substrings" decision,
+   * completing the span family's ingest path (exact = incremental dedup,
+   * shingle overlap = minhash, embedding = semantic, weighted terms =
+   * cosine, index = BM25, this = substring).
+   *
+   * State under `statePath` (VersionedTable-backed): `docs` — the kept
+   * corpus `(id, text)`; `store` — its PER-DOC span store
+   * ([[Dedup.spanStorePerDoc]], `(id, h, cnt)`). The store holds KEPT
+   * documents only, so a batch document duplicating a previously DROPPED
+   * document is judged novel — the corpus the screen defends is the kept
+   * corpus (the [[minhashIngestStream]] keeper discipline). Within a
+   * batch, span occurrences count over the FULL batch (a doc whose only
+   * duplication partner is itself dropped still sees the spans as
+   * duplicated) — the same one-pass deterministic-fold trade
+   * `minhashIngestStream`'s default drop policy documents.
+   *
+   * Replay contract (STRONGER than the minhash convergence argument):
+   * the per-doc store is keyed `(id, h)`, so both upserts are idempotent,
+   * and the screen EXCLUDES store rows whose id is in the batch
+   * ([[Dedup.duplicatedSpansIncrementalPerDoc]]) — an at-least-once
+   * redelivery re-screens against exactly the pre-batch store and makes
+   * the IDENTICAL decisions, whether the first delivery crashed before
+   * docs, between docs and store, or after both. An aggregate `(h, occ)`
+   * store could not offer this: its count merge doubles on replay. Ids
+   * must be unique across the stream (the ingest contract shared by
+   * every driver here).
+   *
+   * Plan shape per batch: the corpus-sized store scans MAP-SIDE against
+   * a broadcast of the batch's distinct hash set and id set; everything
+   * downstream of the probe is batch-bounded. Stream ≡ a left fold of
+   * the batch screen over kept survivors, pinned in `StreamPipelineSpec`.
+   */
+  def spanIngestStream(stream: DataFrame, idCol: String, textCol: String,
+                       statePath: String, n: Int = 12,
+                       maxDupFrac: Double = 0.5): DataStreamWriter[Row] =
+    stream.writeStream.outputMode("append").foreachBatch {
+      (batch: DataFrame, _: Long) =>
+        if (!batch.isEmpty) {
+          val spark = batch.sparkSession
+          val storePath = s"$statePath/store"
+          val docsPath = s"$statePath/docs"
+          val store = VersionedTable.read(spark, storePath)
+            .getOrElse(Dedup.spanStorePerDoc(
+              batch.limit(0), idCol, textCol, n))
+          val keptIds = Dedup
+            .duplicatedSpansIncrementalPerDoc(batch, store, idCol, textCol, n)
+            .filter(col("dup_span_frac") <= maxDupFrac)
+            .select(col("id").as(idCol))
+          // persist: the screen behind `kept` feeds the emptiness probe
+          // and both upserts — without this it re-runs per consumer
+          val kept = batch.join(broadcast(keptIds), Seq(idCol)).persist()
+          try {
+            if (!kept.isEmpty) {
+              // docs before store (the shared crash-ordering discipline);
+              // with the id-excluded probe either partial state replays
+              // to the same decisions, so the order only guarantees a
+              // reader never sees store rows for an uncommitted doc
+              VersionedTable.upsert(spark, docsPath,
+                kept.select(col(idCol), col(textCol)), Seq(idCol))
+              VersionedTable.upsert(spark, storePath,
+                Dedup.spanStorePerDoc(kept, idCol, textCol, n),
+                Seq("id", "h"))
+              ()
+            }
+          } finally { kept.unpersist(); () }
+        }
+    }
+
+  /**
    * Streaming BPE segmentation: tokenize arriving documents with a FROZEN
    * model learned offline by [[graft.operators.Tokenize.learnBpe]] — the
    * ingest-time twin of [[graft.operators.Tokenize.applyBpe]].

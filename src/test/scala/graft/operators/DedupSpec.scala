@@ -496,6 +496,35 @@ class DedupSpec extends SparkSuite {
     assert(rows(untouched.unionByName(deltaDf)) === rebuilt)
   }
 
+  test("spanStorePerDoc: groupBy-h sum ≡ spanStore; per-doc screen ≡ occ screen; batch ids excluded") {
+    val corpus = Seq(
+      (1L, "a b c d e a b c d"),
+      (2L, "f g h i j k")).toDF("doc_id", "text")
+    val ingest = Seq(
+      (10L, "a b c d zz"),
+      (11L, "totally novel words here now")).toDF("doc_id", "text")
+    def rows(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
+      df.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val perDoc = Dedup.spanStorePerDoc(corpus, "doc_id", "text", n = 4)
+    // the aggregate store is exactly the per-doc store's groupBy sum
+    assert(rows(perDoc.groupBy("h").agg(sum("cnt").as("occ")))
+      === rows(Dedup.spanStore(corpus, "doc_id", "text", n = 4)))
+    def screen(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy("id").collect()
+        .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3))).toSeq
+    val viaOcc = screen(Dedup.duplicatedSpansIncremental(ingest,
+      Dedup.spanStore(corpus, "doc_id", "text", n = 4), "doc_id", "text", n = 4))
+    assert(screen(Dedup.duplicatedSpansIncrementalPerDoc(
+      ingest, perDoc, "doc_id", "text", n = 4)) === viaOcc)
+    // replay safety: store rows carrying the BATCH's own ids are invisible
+    // to the probe — a store that already absorbed the batch screens
+    // identically to the pre-batch store
+    val replayed = perDoc.unionByName(
+      Dedup.spanStorePerDoc(ingest, "doc_id", "text", n = 4))
+    assert(screen(Dedup.duplicatedSpansIncrementalPerDoc(
+      ingest, replayed, "doc_id", "text", n = 4)) === viaOcc)
+  }
+
   test("incrementalDedup keeps batch keepers absent from the corpus") {
     val corpus = Seq(
       (1L, "already in the corpus"),

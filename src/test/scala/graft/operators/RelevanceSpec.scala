@@ -556,6 +556,30 @@ class RelevanceSpec extends SparkSuite {
     assert(oneSided.nonEmpty, "fixture must exercise the absent-list branch")
   }
 
+  test("hybridSearchIndexed ≡ hybridSearch over a persisted index") {
+    val docs = Seq(
+      (0L, "alpha beta gamma"),
+      (1L, "alpha alpha delta"),
+      (2L, "beta epsilon"),
+      (3L, "zeta eta theta"),
+      (4L, "alpha beta beta")).toDF("doc_id", "text")
+    val emb = Seq(
+      (0L, Array(1.0f, 0.0f)),
+      (1L, Array(0.95f, 0.05f)),
+      (2L, Array(0.0f, 1.0f)),
+      (3L, Array(0.9f, 0.2f)),
+      (4L, Array(-1.0f, 0.0f))).toDF("vec_id", "embedding")
+    val idx = java.nio.file.Files
+      .createTempDirectory("graft_hybrid_idx").toString
+    Relevance.bm25Index(docs, "doc_id", "text", idx)
+    val scanned = Relevance.hybridSearch(docs, emb, "alpha beta",
+      queryVecId = 0L, kLex = 3, kSem = 3, k = 4)
+      .collect().map(_.toSeq).toSeq
+    assert(Relevance.hybridSearchIndexed(spark, idx, emb, "alpha beta",
+        queryVecId = 0L, kLex = 3, kSem = 3, k = 4)
+      .collect().map(_.toSeq).toSeq === scanned)
+  }
+
   test("hybridSearch: k truncates after fusion, not per side") {
     import org.apache.spark.sql.functions.col
     val docs = Seq(

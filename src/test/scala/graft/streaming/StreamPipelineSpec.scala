@@ -857,4 +857,89 @@ class StreamPipelineSpec extends SparkSuite {
     assert(Relevance.bm25IndexDirs(spark, idx).length === 1,
       "compactEvery must have folded the three batch dirs into one")
   }
+
+  test("spanIngestStream ≡ a fold of the batch screen; store holds keepers only") {
+    import graft.operators.Dedup
+    import graft.sources.VersionedTable
+    val span = "s1 s2 s3 s4"
+    val batch1 = Seq(
+      (1L, s"$span u1 u2 u3 u4"),                  // 1 of 5 spans dup: kept
+      (2L, s"$span x1"),                           // 1 of 2 spans dup: boundary 0.5, kept
+      (30L, span),                                 // its only span is dup: frac 1.0, dropped
+      (31L, "w1 w2 w3 w4 w1 w2 w3 w4 w1 w2 w3 w4") // self-periodic: all 9 spans dup, dropped
+    )
+    val batch2 = Seq(
+      (40L, s"$span y1"),      // cross-batch dup vs KEPT doc 1: 0.5, kept
+      (41L, "w1 w2 w3 w4"),    // dup only vs DROPPED 31 — store holds keepers: novel, kept
+      (42L, "a1 a2 a3 a4"),    // intra-batch pair: both see occ_b = 2,
+      (43L, "a1 a2 a3 a4")     // both frac 1.0, both drop (full-batch counting)
+    )
+    val statePath =
+      java.nio.file.Files.createTempDirectory("graft_span_ingest").toString
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[(Long, String)]
+    val q = StreamPipeline.spanIngestStream(in.toDF().toDF("doc_id", "text"),
+        "doc_id", "text", statePath, n = 4, maxDupFrac = 0.5)
+      .start()
+    try {
+      in.addData(batch1); q.processAllAvailable()
+      in.addData(batch2); q.processAllAvailable()
+    } finally q.stop()
+    // fold reference: batch-1 decisions over the empty store, batch-2 over
+    // the span store of batch-1's survivors
+    val kept1 = Dedup.duplicatedSpans(batch1.toDF("doc_id", "text"),
+        "doc_id", "text", n = 4)
+      .filter(col("dup_span_frac") <= 0.5).select("id").as[Long].collect().toSet
+    assert(kept1 === Set(1L, 2L), s"batch-1 fold fixture broke: $kept1")
+    val store1 = Dedup.spanStore(
+      batch1.toDF("doc_id", "text").filter(col("doc_id").isin(kept1.toSeq: _*)),
+      "doc_id", "text", n = 4)
+    val kept2 = Dedup.duplicatedSpansIncremental(batch2.toDF("doc_id", "text"),
+        store1, "doc_id", "text", n = 4)
+      .filter(col("dup_span_frac") <= 0.5).select("id").as[Long].collect().toSet
+    assert(kept2 === Set(40L, 41L), s"batch-2 fold fixture broke: $kept2")
+    val docs = VersionedTable.read(spark, s"$statePath/docs").get
+    assert(docs.select("doc_id").as[Long].collect().toSet === kept1 ++ kept2)
+    // the persisted per-doc store is exactly the kept corpus's fingerprints
+    val expectStore = Dedup.spanStorePerDoc(docs, "doc_id", "text", n = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val gotStore = VersionedTable.read(spark, s"$statePath/store").get
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(gotStore === expectStore)
+  }
+
+  test("spanIngestStream: replays and the crash window converge to identical state") {
+    import graft.sources.VersionedTable
+    val batch = Seq(
+      (1L, "s1 s2 s3 s4 u1 u2 u3 u4"),
+      (2L, "s1 s2 s3 s4 x1"),
+      (3L, "clean novel words entirely"))
+    implicit val sqlCtx = spark.sqlContext
+    def deliver(statePath: String): Unit = {
+      val in = MemoryStream[(Long, String)]
+      val q = StreamPipeline.spanIngestStream(in.toDF().toDF("doc_id", "text"),
+          "doc_id", "text", statePath, n = 4, maxDupFrac = 0.5)
+        .start()
+      try { in.addData(batch); q.processAllAvailable() } finally q.stop()
+    }
+    def state(p: String): (Set[Long], Set[(Long, Long, Long)]) = (
+      VersionedTable.read(spark, s"$p/docs").get
+        .select("doc_id").as[Long].collect().toSet,
+      VersionedTable.read(spark, s"$p/store").get
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet)
+    val p1 = java.nio.file.Files.createTempDirectory("graft_span_rp").toString
+    deliver(p1)
+    val committed = state(p1)
+    assert(committed._1 === Set(1L, 2L, 3L))
+    // full replay: the id-excluded probe re-screens against the pre-batch
+    // store, so decisions are IDENTICAL and the keyed upserts no-op
+    deliver(p1)
+    assert(state(p1) === committed)
+    // crash window (docs committed, store not): redelivery converges
+    val p2 = java.nio.file.Files.createTempDirectory("graft_span_rp2").toString
+    VersionedTable.upsert(spark, s"$p2/docs",
+      batch.toDF("doc_id", "text"), Seq("doc_id"))
+    deliver(p2)
+    assert(state(p2) === committed)
+  }
 }
