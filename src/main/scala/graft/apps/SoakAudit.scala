@@ -267,6 +267,40 @@ object SoakAudit {
         graft.operators.Dedup.minhashStore(docs, "doc_id", "text"),
         docs, "doc_id", "text", tau = 0.5)
     }),
+    // Incremental duplicated-span soaks (r14): same claim and method as
+    // the minhash pair — the per-doc span store build is the one-time
+    // corpus cost, (_inc − _store) isolates the marginal screen, whose
+    // probe is a map-side broadcast of the FIXED batch's hash set, so
+    // its exchange count must stay flat and its time bounded by the
+    // store scan as the corpus grows.
+    "soak_spans_store" -> ((s, dir) =>
+      graft.operators.Dedup.spanStorePerDoc(
+        Tables.documents(s, dir), "doc_id", "text")),
+    "soak_spans_inc" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      // same fixed 1250-doc ingest slice as soak_minhash_inc: half
+      // verbatim re-ingests (every span a store dup), half with a token
+      // appended (tail spans novel, head spans dup)
+      val incoming = docs.filter(col("doc_id") < 5000L &&
+          col("doc_id") % 4 === 0)
+        .withColumn("doc_id", col("doc_id") + lit(1000000000L))
+        .withColumn("text",
+          org.apache.spark.sql.functions.when(col("doc_id") % 8 === 0,
+              org.apache.spark.sql.functions.concat(col("text"),
+                lit(" zq9ingest")))
+            .otherwise(col("text")))
+      // Driven through a grouped verdict aggregate: a bare count() of
+      // the screen is join-cardinality-preserving (dupPerDoc is keyed),
+      // so Catalyst would ELIMINATE the left join and the soak would
+      // measure an empty plan — the decontamDrive lesson again.
+      graft.operators.Dedup.duplicatedSpansIncrementalPerDoc(incoming,
+        graft.operators.Dedup.spanStorePerDoc(docs, "doc_id", "text"),
+        "doc_id", "text")
+        .groupBy(col("n_dup_spans") > 0)
+        .agg(org.apache.spark.sql.functions.sum("n_dup_spans"),
+          org.apache.spark.sql.functions.sum("n_spans"),
+          org.apache.spark.sql.functions.avg("dup_span_frac"))
+    }),
     // Incremental-SIMHASH ingest soaks (r10): same claim and method as
     // the minhash pair — the store build is the one-time corpus cost,
     // (_inc − _store) isolates the per-ingest screen, which reads NO
