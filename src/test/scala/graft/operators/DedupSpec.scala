@@ -525,6 +525,56 @@ class DedupSpec extends SparkSuite {
       ingest, replayed, "doc_id", "text", n = 4)) === viaOcc)
   }
 
+  test("span screens ≡ an independent counting model on random corpora (ScalaCheck)") {
+    import org.scalacheck.{Gen, Prop}
+    import org.scalacheck.Prop.propBoolean
+    val n = 3
+    // tiny alphabet so 3-token spans collide across docs naturally
+    val docGen: Gen[String] = for {
+      len <- Gen.choose(1, 9)
+      toks <- Gen.listOfN(len, Gen.choose(0, 5).map(i => s"t$i"))
+    } yield toks.mkString(" ")
+    val caseGen: Gen[(List[String], List[String])] = for {
+      nc <- Gen.choose(0, 8)
+      nb <- Gen.choose(1, 6)
+      corpus <- Gen.listOfN(nc, docGen)
+      batch <- Gen.listOfN(nb, docGen)
+    } yield (corpus, batch)
+    // reference model over span STRINGS (hash-free — agreement also
+    // certifies graft_ngram_hashes carries no collisions here)
+    def spansOf(text: String): Seq[String] =
+      text.split(" ").toSeq.sliding(n).filter(_.length == n)
+        .map(_.mkString(" ")).toSeq
+    val prop = Prop.forAll(caseGen) { case (corpusTexts, batchTexts) =>
+      val corpus = corpusTexts.zipWithIndex
+        .map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+      val batch = batchTexts.zipWithIndex
+        .map { case (t, i) => (100L + i, t) }.toDF("doc_id", "text")
+      val occ = (corpusTexts ++ batchTexts).flatMap(spansOf)
+        .groupBy(identity).map { case (s, xs) => s -> xs.size }
+      val want = batchTexts.zipWithIndex.map { case (t, i) =>
+        val sp = spansOf(t)
+        val dup = sp.count(s => occ(s) > 1)
+        (100L + i, sp.size, dup.toLong,
+          if (sp.nonEmpty) dup.toDouble / sp.size else 0.0)
+      }.toSeq.sortBy(_._1)
+      def run(df: org.apache.spark.sql.DataFrame) = df.orderBy("id")
+        .collect()
+        .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3)))
+        .toSeq
+      val viaOcc = run(Dedup.duplicatedSpansIncremental(batch,
+        Dedup.spanStore(corpus, "doc_id", "text", n), "doc_id", "text", n))
+      val viaDoc = run(Dedup.duplicatedSpansIncrementalPerDoc(batch,
+        Dedup.spanStorePerDoc(corpus, "doc_id", "text", n),
+        "doc_id", "text", n))
+      ((viaOcc == want) :| s"occ-store: got=$viaOcc want=$want") &&
+        ((viaDoc == want) :| s"per-doc: got=$viaDoc want=$want")
+    }
+    val res = org.scalacheck.Test.check(
+      org.scalacheck.Test.Parameters.default.withMinSuccessfulTests(20), prop)
+    assert(res.passed, res.status.toString)
+  }
+
   test("incrementalDedup keeps batch keepers absent from the corpus") {
     val corpus = Seq(
       (1L, "already in the corpus"),
