@@ -80,6 +80,76 @@ object Similarity {
    * matching rows — at 10% selectivity the pair volume drops 10× before
    * any vector arithmetic runs.
    */
+  /**
+   * MMR (maximal marginal relevance, Carbonell & Goldstein SIGIR 1998)
+   * diversity rerank over the exact top-`nCandidates` cosine list: the
+   * standard retrieval-stack step after top-k — greedily select k
+   * results maximizing `λ·cos(query, c) − (1−λ)·max_{s∈selected}
+   * cos(c, s)`, so near-duplicate hits (the thing a deduplicated
+   * training corpus is FULL of near the query) don't crowd out coverage.
+   * The first pick maximizes pure relevance (empty selected set → the
+   * penalty term is 0).
+   *
+   * Scale design: the greedy is inherently sequential in k, so it runs
+   * on the BOUNDED MODEL tier — the candidate list (`nCandidates` rows
+   * + their vectors) collects to the driver (the decontaminateStream
+   * precedent: model parameters may drive to the driver, data never
+   * does); everything corpus-sized stays in [[bruteForceTopK]]'s
+   * distributed scan. Deterministic: candidate cosines are the
+   * oracle-certified round-6 ranks; pairwise similarities and each
+   * step's mmr round to 6 with the (mmr desc, doc_id asc) tie-break.
+   * The oracle gate pins λ = 0.5 deliberately — 0.5 and 1−0.5 are both
+   * exactly representable doubles, so the Spark-side arithmetic and the
+   * DuckDB replay agree to the last bit; any λ works operationally, but
+   * λ whose complement has no exact binary form (e.g. 0.7 → 0.3…04)
+   * would make cross-engine bit-equality float-literal-dependent.
+   */
+  def mmrRerank(df: DataFrame, idCol: String, vecCol: String,
+                queryPred: Column, lambda: Double = 0.5,
+                nCandidates: Int = 20, k: Int = 5): DataFrame = {
+    require(k > 0 && nCandidates >= k,
+      s"mmrRerank needs 0 < k <= nCandidates, got k=$k n=$nCandidates")
+    require(lambda >= 0.0 && lambda <= 1.0, s"lambda in [0,1], got $lambda")
+    val spark = df.sparkSession
+    // bounded-model collects: nCandidates (id, cos) rows + their vectors
+    val cand = bruteForceTopK(df, idCol, vecCol, queryPred, nCandidates)
+      .select(col("neighbor_id"), col("cos")).collect()
+      .map(r => (r.getLong(0), r.getDouble(1)))
+    val ids = cand.map(_._1)
+    val vecs = df.filter(col(idCol).isin(ids: _*))
+      .select(col(idCol).cast("long"), col(vecCol).cast("array<double>"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1).toArray).toMap
+    def round6(x: Double): Double = BigDecimal(x)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    // index-order summation — the exact fold DuckDB's list_dot_product
+    // runs, so the round-6 values agree across engines
+    def cosSim(a: Array[Double], b: Array[Double]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) {
+        d += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1
+      }
+      round6(d / (math.sqrt(na) * math.sqrt(nb)))
+    }
+    val selected =
+      scala.collection.mutable.ArrayBuffer.empty[(Long, Double, Double)]
+    val remaining =
+      scala.collection.mutable.LinkedHashMap(cand.map(r => r._1 -> r._2): _*)
+    while (selected.length < math.min(k, cand.length)) {
+      val best = remaining.toSeq.map { case (id, cs) =>
+        val maxSim =
+          if (selected.isEmpty) 0.0
+          else selected.map(s => cosSim(vecs(id), vecs(s._1))).max
+        (id, cs, round6(lambda * cs - (1 - lambda) * maxSim))
+      }.minBy { case (id, _, m) => (-m, id) }
+      selected += best
+      remaining.remove(best._1); ()
+    }
+    import spark.implicits._
+    selected.toSeq.zipWithIndex
+      .map { case ((id, cs, m), i) => (id, cs, m, i + 1) }
+      .toDF("doc_id", "cos", "mmr", "rn")
+  }
+
   def bruteForceTopKWhere(df: DataFrame, idCol: String, vecCol: String,
                           queryPred: Column, corpusPred: Column,
                           k: Int): DataFrame = {

@@ -598,6 +598,54 @@ object PipelineCatalog {
       |  FROM scored
       |) WHERE rn <= 5""".stripMargin
 
+  /** MMR diversity rerank (r14): greedy λ-weighted relevance/diversity
+    * selection over the exact top-20 cosine candidates of vec_id 100,
+    * λ = 0.5 (both weights exactly representable — see the operator
+    * scaladoc), k = 5. The oracle UNROLLS the greedy: sel_i picks the
+    * (mmr desc, doc_id) argmax over the not-yet-selected candidates,
+    * each mmr's penalty term a correlated max over the accumulated
+    * selection — the funnel-oracle technique applied to the retrieval
+    * stack. */
+  val simMmrRerankQ: Q = (s, dir) =>
+    Similarity.mmrRerank(Tables.embeddings(s, dir), "vec_id", "embedding",
+      col("id") === 100L, lambda = 0.5, nCandidates = 20, k = 5)
+
+  val simMmrRerankSql: String = {
+    val base =
+      """WITH base AS (
+        |  SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+        |), q AS (SELECT * FROM base WHERE id = 100),
+        |scored AS (
+        |  SELECT c.id AS doc_id, c.v,
+        |         round(list_dot_product(q.v, c.v) /
+        |               (sqrt(list_dot_product(q.v, q.v)) * sqrt(list_dot_product(c.v, c.v))), 6) AS cos
+        |  FROM base c CROSS JOIN q
+        |  WHERE q.id <> c.id
+        |), cand AS (
+        |  SELECT doc_id, v, cos FROM (
+        |    SELECT *, row_number() OVER (ORDER BY cos DESC, doc_id ASC) AS rn FROM scored
+        |  ) WHERE rn <= 20
+        |), sel1 AS (
+        |  SELECT doc_id, v, cos, round(0.5 * cos, 6) AS mmr, 1 AS rn
+        |  FROM cand ORDER BY mmr DESC, doc_id ASC LIMIT 1
+        |), acc1 AS (SELECT * FROM sel1)""".stripMargin
+    val steps = (2 to 5).map { i =>
+      val p = i - 1
+      s""",
+         |sel$i AS (
+         |  SELECT r.doc_id, r.v, r.cos,
+         |         round(0.5 * r.cos - 0.5 * (
+         |           SELECT max(round(list_dot_product(r.v, a.v) /
+         |                  (sqrt(list_dot_product(r.v, r.v)) * sqrt(list_dot_product(a.v, a.v))), 6))
+         |           FROM acc$p a), 6) AS mmr, $i AS rn
+         |  FROM cand r WHERE r.doc_id NOT IN (SELECT doc_id FROM acc$p)
+         |  ORDER BY mmr DESC, doc_id ASC LIMIT 1
+         |), acc$i AS (SELECT * FROM acc$p UNION ALL SELECT * FROM sel$i)""".stripMargin
+    }.mkString
+    base + steps +
+      "\nSELECT doc_id, cos, mmr, CAST(rn AS INT) AS rn FROM acc5"
+  }
+
   /** Hyperplane-LSH bucketed ANN top-5 — xxhash64 planes, rows-only. */
   val simLsh: Q = (s, dir) =>
     Similarity.lshTopK(Tables.embeddings(s, dir), "vec_id", "embedding",
@@ -2994,6 +3042,7 @@ object PipelineCatalog {
     "sim_lsh_md5" -> simLshMd5,
     "dedup_simhash" -> dedupSimhash,
     "sim_bruteforce_topk" -> simBruteForce,
+    "sim_mmr_rerank" -> simMmrRerankQ,
     "sim_lsh_topk" -> simLsh,
     "sim_ivf_topk" -> simIvf,
     "sim_filtered_topk" -> simFilteredTopK,
@@ -3090,6 +3139,7 @@ object PipelineCatalog {
     "dedup_spans_inc" -> dedupSpansIncSql,
     "dedup_incremental" -> dedupIncrementalSql,
     "sim_bruteforce_topk" -> simBruteForceSql,
+    "sim_mmr_rerank" -> simMmrRerankSql,
     "sim_ivf_topk" -> simIvfSql,
     "sim_filtered_topk" -> simFilteredTopKSql,
     "sim_ivf_filtered" -> simIvfFilteredSql,

@@ -652,4 +652,39 @@ class SimilaritySpec extends SparkSuite {
     // trainIters = 0 quantizer = lowest-id samples → cids ⊆ {0, 1, 2}
     assert(cids.subsetOf(Set(0L, 1L, 2L)), s"unexpected cids: $cids")
   }
+
+  test("mmrRerank: diversity displaces a near-duplicate; λ=1 degenerates to relevance order") {
+    // query at angle 0°; id 1 at −10° (top relevance), id 2 at −12°
+    // (near-duplicate of id 1: 2° apart), id 3 at +50° (diverse).
+    // NOTE: id 1 must sit OFF the query axis — a top hit exactly on it
+    // makes every candidate's penalty equal its own relevance and all
+    // step-2 scores tie at 0.
+    val emb = Seq(
+      (0L, Array(1.0f, 0.0f)),
+      (1L, Array(0.9848f, -0.1736f)),
+      (2L, Array(0.9781f, -0.2079f)),
+      (3L, Array(0.6428f, 0.766f))).toDF("vec_id", "embedding")
+    val mmr = Similarity.mmrRerank(emb, "vec_id", "embedding",
+        col("id") === 0L, lambda = 0.5, nCandidates = 3, k = 3)
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2), r.getInt(3)))
+    // MMR order: 1 (pure relevance), then 3 (0.5·cos50° − 0.5·cos60°
+    // ≈ +0.071) beats 2 (0.5·cos12° − 0.5·cos2° ≈ −0.011), then 2 last
+    assert(mmr.map(_._1).toSeq === Seq(1L, 3L, 2L), s"mmr order: ${mmr.toSeq}")
+    assert(mmr.map(_._4).toSeq === Seq(1, 2, 3))
+    // first pick's mmr is exactly λ·cos (empty penalty term)
+    assert(mmr(0)._3 === BigDecimal(0.5 * mmr(0)._2)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    // λ = 1: the penalty vanishes — selection order IS the certified
+    // relevance ranking
+    val pure = Similarity.mmrRerank(emb, "vec_id", "embedding",
+        col("id") === 0L, lambda = 1.0, nCandidates = 3, k = 3)
+      .collect().map(_.getLong(0)).toSeq
+    val ranked = Similarity.bruteForceTopK(emb, "vec_id", "embedding",
+        col("id") === 0L, k = 3)
+      .orderBy("rn").collect().map(_.getLong(1)).toSeq
+    assert(pure === ranked)
+    // k capped by the candidate count
+    assert(Similarity.mmrRerank(emb, "vec_id", "embedding",
+      col("id") === 0L, nCandidates = 5, k = 5).count() === 3L)
+  }
 }
