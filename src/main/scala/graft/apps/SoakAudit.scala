@@ -255,14 +255,17 @@ object SoakAudit {
       // (exercising the exact-hit star path); half get a token appended —
       // novel fp, high shingle overlap — so the banded candidate probe
       // runs against the corpus-sized store too.
+      // mutation decided on the ORIGINAL id, shift applied after (ADVICE
+      // r14): the 50/50 split must not depend on the shift constant's
+      // divisibility by 8
       val incoming = docs.filter(col("doc_id") < 5000L &&
           col("doc_id") % 4 === 0)
-        .withColumn("doc_id", col("doc_id") + lit(1000000000L))
         .withColumn("text",
           org.apache.spark.sql.functions.when(col("doc_id") % 8 === 0,
               org.apache.spark.sql.functions.concat(col("text"),
                 lit(" zq9ingest")))
             .otherwise(col("text")))
+        .withColumn("doc_id", col("doc_id") + lit(1000000000L))
       graft.operators.Dedup.minhashLshPairsIncremental(incoming,
         graft.operators.Dedup.minhashStore(docs, "doc_id", "text"),
         docs, "doc_id", "text", tau = 0.5)
@@ -283,12 +286,12 @@ object SoakAudit {
       // appended (tail spans novel, head spans dup)
       val incoming = docs.filter(col("doc_id") < 5000L &&
           col("doc_id") % 4 === 0)
-        .withColumn("doc_id", col("doc_id") + lit(1000000000L))
         .withColumn("text",
           org.apache.spark.sql.functions.when(col("doc_id") % 8 === 0,
               org.apache.spark.sql.functions.concat(col("text"),
                 lit(" zq9ingest")))
             .otherwise(col("text")))
+        .withColumn("doc_id", col("doc_id") + lit(1000000000L))
       // Driven through a grouped verdict aggregate: a bare count() of
       // the screen is join-cardinality-preserving (dupPerDoc is keyed),
       // so Catalyst would ELIMINATE the left join and the soak would
@@ -301,6 +304,33 @@ object SoakAudit {
           org.apache.spark.sql.functions.sum("n_spans"),
           org.apache.spark.sql.functions.avg("dup_span_frac"))
     }),
+    // Frame-tier survivors sweep soak (r15, VERDICT r14 #4): drives
+    // survivorDrops PAST its 100k-pair collect threshold — the
+    // match-amplified batch the iterate-to-fixpoint tier exists for,
+    // previously spec-pinned for correctness but never measured at its
+    // own trigger size. Fixture (120k pairs, deterministic, dir-free):
+    // a star mix (80k leaves over 200 roots, every 10th pair
+    // transitive — settles in round 0 + one frame round; the WIDE
+    // shape) + 2,000 chains of depth 20 (40k pairs — one link settles
+    // per round, so the sweep runs its chain-depth worst case: ~20
+    // rounds of pair-list-sized joins with 3 localCheckpoints each).
+    // Expected drop set: 80,000 star leaves + 10 alternating links per
+    // chain = 100,000 rows — the printed row count audits it. Time is
+    // rounds × (join + checkpoint) and must grow with CHAIN DEPTH, not
+    // corpus factor (the fixture is fixed; re-run at other sizes by
+    // scaling the constants).
+    "soak_survivors_frame" -> ((s, dir) => {
+      val stars = s.range(80000L).selectExpr(
+        "id % 200 AS id_a",
+        "id + 1000000 AS id_b",
+        "CASE WHEN id % 10 = 0 THEN 1.0 ELSE 0.8 END AS sim")
+      val chains = s.range(40000L).selectExpr(
+        "2000000 + (id div 20) * 21 + (id % 20) AS id_a",
+        "2000000 + (id div 20) * 21 + (id % 20) + 1 AS id_b",
+        "0.8 AS sim")
+      graft.streaming.StreamPipeline.survivorDrops(s,
+        stars.unionByName(chains), "sim", "doc_id")
+    }),
     // Incremental-SIMHASH ingest soaks (r10): same claim and method as
     // the minhash pair — the store build is the one-time corpus cost,
     // (_inc − _store) isolates the per-ingest screen, which reads NO
@@ -312,12 +342,12 @@ object SoakAudit {
       val docs = Tables.documents(s, dir)
       val incoming = docs.filter(col("doc_id") < 5000L &&
           col("doc_id") % 4 === 0)
-        .withColumn("doc_id", col("doc_id") + lit(1000000000L))
         .withColumn("text",
           org.apache.spark.sql.functions.when(col("doc_id") % 8 === 0,
               org.apache.spark.sql.functions.concat(col("text"),
                 lit(" zq9ingest")))
             .otherwise(col("text")))
+        .withColumn("doc_id", col("doc_id") + lit(1000000000L))
       graft.operators.Dedup.simhashPairsIncremental(incoming,
         graft.operators.Dedup.simhashStore(docs, "doc_id", "text"),
         "doc_id", "text", maxHamming = 3)
@@ -353,13 +383,13 @@ object SoakAudit {
       // drops), half nudged in one dimension (near-miss verify work)
       val incoming = emb.filter(col("vec_id") < 2000L &&
           col("vec_id") % 2 === 0)
-        .withColumn("vec_id", col("vec_id") + lit(1000000000L))
         .withColumn("embedding",
           org.apache.spark.sql.functions.when(col("vec_id") % 4 === 0,
             org.apache.spark.sql.functions.transform(col("embedding"),
               (v, i) => org.apache.spark.sql.functions.when(i === 0,
                 v + lit(0.05f)).otherwise(v)))
             .otherwise(col("embedding")))
+        .withColumn("vec_id", col("vec_id") + lit(1000000000L))
       Similarity.semanticDedupIncrementalAssigned(incoming, corpusA,
         "vec_id", "embedding", cents, tau = 0.9)
         .groupBy(col("keep")).agg(count(lit(1)).as("n"))

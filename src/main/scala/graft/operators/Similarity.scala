@@ -111,10 +111,17 @@ object Similarity {
       s"mmrRerank needs 0 < k <= nCandidates, got k=$k n=$nCandidates")
     require(lambda >= 0.0 && lambda <= 1.0, s"lambda in [0,1], got $lambda")
     val spark = df.sparkSession
-    // bounded-model collects: nCandidates (id, cos) rows + their vectors
+    // bounded-model collects: nCandidates (id, cos) rows + their vectors.
+    // Non-finite query cosines (NaN embeddings — Spark's descending
+    // NaN-high ordering would rank them FIRST) are dropped before the
+    // greedy: a degenerate vector carries no similarity evidence, and
+    // BigDecimal(NaN) in round6 would crash the driver (ADVICE r14).
+    // Zero-NORM vectors never reach here: ANSI mode refuses their
+    // 0-divisor cosine inside bruteForceTopK, loudly.
     val cand = bruteForceTopK(df, idCol, vecCol, queryPred, nCandidates)
       .select(col("neighbor_id"), col("cos")).collect()
       .map(r => (r.getLong(0), r.getDouble(1)))
+      .filter { case (_, cs) => java.lang.Double.isFinite(cs) }
     val ids = cand.map(_._1)
     val vecs = df.filter(col(idCol).isin(ids: _*))
       .select(col(idCol).cast("long"), col(vecCol).cast("array<double>"))
@@ -134,12 +141,27 @@ object Similarity {
       scala.collection.mutable.ArrayBuffer.empty[(Long, Double, Double)]
     val remaining =
       scala.collection.mutable.LinkedHashMap(cand.map(r => r._1 -> r._2): _*)
+    // Per-candidate running max-sim, refreshed against the NEWEST
+    // selection only (ADVICE r14): max over round-6 cosines is
+    // associative, so the fold over selections one at a time yields the
+    // same value as recomputing over the whole selected set —
+    // O(k·nCandidates) driver cosines instead of O(k²·nCandidates).
+    // Seeded at -∞, NOT 0: a candidate whose similarity to every
+    // selected doc is NEGATIVE must keep that negative max (it RAISES
+    // the mmr score); only the empty-selected first step scores with a
+    // zero penalty, exactly like the recomputing form.
+    val maxSim = scala.collection.mutable.HashMap.empty[Long, Double]
+      .withDefaultValue(Double.NegativeInfinity)
     while (selected.length < math.min(k, cand.length)) {
+      selected.lastOption.foreach { case (last, _, _) =>
+        remaining.keysIterator.foreach { id =>
+          val s = cosSim(vecs(id), vecs(last))
+          if (s > maxSim(id)) maxSim(id) = s
+        }
+      }
       val best = remaining.toSeq.map { case (id, cs) =>
-        val maxSim =
-          if (selected.isEmpty) 0.0
-          else selected.map(s => cosSim(vecs(id), vecs(s._1))).max
-        (id, cs, round6(lambda * cs - (1 - lambda) * maxSim))
+        val ms = if (selected.isEmpty) 0.0 else maxSim(id)
+        (id, cs, round6(lambda * cs - (1 - lambda) * ms))
       }.minBy { case (id, _, m) => (-m, id) }
       selected += best
       remaining.remove(best._1); ()
@@ -899,6 +921,72 @@ object Similarity {
     val rer = base.join(broadcast(shortlist), col("id") === col("neighbor_id"))
       .join(broadcast(q2), "query_id")
       .select(col("query_id"), col("neighbor_id"),
+        round(dot(col("qv"), col("v")) / (col("qn") * col("n")), 6).as("cos"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("neighbor_id").asc)
+    rer.withColumn("rn", row_number().over(w)).filter(col("rn") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("cos"), col("rn"))
+  }
+
+  /**
+   * [[searchPqIndex]] for a SINGLE query id, with every read of the
+   * full-vector table reduced to a pushed-down point filter — the
+   * serving shape for index-bound retrieval (r15, VERDICT r14 #1).
+   * [[searchPqIndex]]'s exact re-rank joins the broadcast shortlist
+   * against a scan of the ENTIRE `fullVectors` table — map-only, but at
+   * 100 TB that is still a corpus-wide read per query batch. Here the
+   * shortlist ids (≤ k·rerankFactor — a query parameter, the
+   * bounded-model tier) are collected and pushed INTO the vector scan
+   * as an `IN` predicate, so the only rows ever read from the
+   * full-vector table are the query row and the shortlist: on a
+   * persisted parquet corpus both reach the scan as PushedFilters and
+   * prune at the row-group level (spec-pinned). ADC arithmetic,
+   * shortlist window, and re-rank cosine are the IDENTICAL expressions
+   * [[searchPqIndex]] compiles, so the output is bit-equal to
+   * `searchPqIndex(model, index, fullVectors, …, col(idCol) === queryId,
+   * k, …)` — spec-pinned, and the hybrid gate's oracle replays this
+   * path in DuckDB end to end.
+   */
+  def searchPqIndexPointQuery(model: PqModel, index: DataFrame,
+                              fullVectors: DataFrame,
+                              idCol: String, vecCol: String,
+                              queryId: Long, k: Int,
+                              nProbe: Int = 4,
+                              rerankFactor: Int = 4): DataFrame = {
+    graft.functions.GraftFunctions.register(index.sparkSession)
+    def pointRead(pred: Column): DataFrame = fullVectors
+      .filter(pred)
+      .select(col(idCol).as("id"), col(vecCol).cast("array<double>").as("v"))
+      .withColumn("n", norm2(col("v")))
+    val queries = pointRead(col(idCol) === queryId)
+    if (model.isEmpty) return emptyTopK(queries)
+    val ds = model.dim / model.books.length
+    val probes = queries
+      .withColumn("c",
+        explode(slice(sort_array(centScoresFor(model.cents)(col("v"), col("n")),
+          asc = false), 1, nProbe)))
+      .select(col("id").as("query_id"), (-col("c.negcid")).as("cid"),
+        col("n").as("qn"), pqLutsFor(model.books, ds)(col("v")).as("luts"))
+    val adc = model.books.indices.map { j =>
+      element_at(element_at(col("luts"), j + 1), element_at(col("codes"), j + 1) + 1)
+    }.reduce(_ + _)
+    val candApprox = index.join(broadcast(probes), "cid")
+      .filter(col("query_id") =!= col("id"))
+      .select(col("query_id"), col("id").as("neighbor_id"),
+        (adc / (col("qn") * sqrt(col("rn2")))).as("acos"))
+    val wA = Window.partitionBy(col("query_id"))
+      .orderBy(col("acos").desc, col("neighbor_id").asc)
+    // bounded-model collect: ≤ k·rerankFactor ids, pushed back into the
+    // vector scan as a point-IN predicate
+    val shortlistIds = candApprox.withColumn("arn", row_number().over(wA))
+      .filter(col("arn") <= k.toLong * rerankFactor)
+      .select(col("neighbor_id")).collect().map(_.getLong(0)).toSeq
+    if (shortlistIds.isEmpty) return emptyTopK(queries)
+    val q2 = queries.select(col("id").as("query_id"),
+      col("v").as("qv"), col("n").as("qn"))
+    val rer = pointRead(col(idCol).isin(shortlistIds: _*))
+      .crossJoin(broadcast(q2))
+      .select(col("query_id"), col("id").as("neighbor_id"),
         round(dot(col("qv"), col("v")) / (col("qn") * col("n")), 6).as("cos"))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cos").desc, col("neighbor_id").asc)

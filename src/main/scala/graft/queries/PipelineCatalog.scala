@@ -2352,6 +2352,44 @@ object PipelineCatalog {
       "dup vector key", queryVecId = 100L, kLex = 20, kSem = 20, k = 10)
   }
 
+  /** Fully index-bound hybrid retrieval (r15, VERDICT r14 #1): the
+    * lexical side reads the persisted BM25 index (same cache key as
+    * [[bm25SearchIndexedQ]] — one build serves three gates) and the
+    * semantic side probes a PERSISTED deterministic IVF-PQ index
+    * ([[Relevance.hybridSearchAnn]] →
+    * [[Similarity.searchPqIndexPointQuery]]): coarse probe over 4 of 16
+    * lists, ADC over the compressed codes, shortlist of 80, exact
+    * re-rank reading ONLY the shortlist + query rows through pushed
+    * point filters — no full embeddings scan exists anywhere in the
+    * query (plan-pinned in RelevanceSpec). trainIters = pqIters = 0 is
+    * the [[simIvfPqDet]] determinism device: DuckDB replays the entire
+    * compressed-index search and the fusion bit for bit. */
+  val hybridSearchAnnQ: Q = (s, dir) => {
+    val key = s.sparkContext.applicationId + "|" + dir
+    val bmPath = bm25IndexPaths.computeIfAbsent(key, _ => {
+      val p = java.nio.file.Files
+        .createTempDirectory("graft_bm25_idx").toString
+      Relevance.bm25Index(Tables.documents(s, dir), "doc_id", "text", p)
+      p
+    })
+    val (model, pqPath) = pqDetIndexCache.computeIfAbsent(key, _ => {
+      val (mdl, idx) = Similarity.buildPqIndex(Tables.embeddings(s, dir),
+        "vec_id", "embedding", nCentroids = 16, m = 8, kSub = 16,
+        trainIters = 0, pqIters = 0)
+      val p = java.nio.file.Files
+        .createTempDirectory("graft_pq_det_idx").toString
+      idx.write.mode("overwrite").parquet(p)
+      (mdl, p)
+    })
+    Relevance.hybridSearchAnn(s, bmPath, model, s.read.parquet(pqPath),
+      Tables.embeddings(s, dir), "dup vector key", queryVecId = 100L,
+      kLex = 20, kSem = 20, k = 10, nProbe = 4, rerankFactor = 4)
+  }
+
+  private val pqDetIndexCache =
+    new java.util.concurrent.ConcurrentHashMap[
+      String, (Similarity.PqModel, String)]()
+
   val hybridSearchSql: String =
     """WITH dl AS (
       |  SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS dl FROM documents
@@ -2400,6 +2438,37 @@ object PipelineCatalog {
       |SELECT doc_id, rn_lex, rn_sem, rrf, CAST(rn AS INT) AS rn FROM (
       |  SELECT *, row_number() OVER (ORDER BY rrf DESC, doc_id ASC) AS rn FROM fused
       |) WHERE rn <= 10""".stripMargin
+
+  /** The DuckDB replay of [[hybridSearchAnnQ]], built by TRANSFORM so
+    * no arithmetic can drift between gates: the lexical CTEs and the
+    * fusion tail come verbatim from [[hybridSearchSql]]; the semantic
+    * block is swapped for [[simIvfPqDetSql]]'s full det-PQ chain
+    * (coarse assign, encode, ADC, shortlist, exact re-rank) pointed at
+    * the single query id 100 with the gate's shortlist width
+    * (kSem 20 × rerankFactor 4 = 80) and sem-list depth 20. */
+  val hybridSearchAnnSql: String = {
+    val semStart = hybridSearchSql.indexOf("), base AS (")
+    val fusedStart = hybridSearchSql.indexOf("), fused AS (")
+    require(semStart > 0 && fusedStart > semStart,
+      "hybrid oracle shape changed — ANN transform anchors missing")
+    val pq = simIvfPqDetSql
+      .replace("WHERE id % 100 = 0 AND rk <= 4", "WHERE id = 100 AND rk <= 4")
+      .replace("WHERE nn.id % 100 = 0", "WHERE nn.id = 100")
+      .replace("WHERE arn <= 20", "WHERE arn <= 80")
+    require(pq != simIvfPqDetSql, "det-PQ probe predicates not found")
+    val cut = pq.lastIndexOf("\nSELECT query_id")
+    require(cut > 0 && pq.startsWith("WITH "),
+      "det-PQ oracle shape changed — ANN transform anchors missing")
+    hybridSearchSql.substring(0, semStart + 1) + ", " +
+      pq.substring(5, cut).trim + ", sem AS (\n" +
+      """|  SELECT neighbor_id AS doc_id, CAST(rn AS INT) AS rn_sem FROM (
+         |    SELECT neighbor_id, row_number() OVER (PARTITION BY query_id
+         |                        ORDER BY cos DESC, neighbor_id ASC) AS rn
+         |    FROM rer
+         |  ) WHERE rn <= 20
+         |""".stripMargin +
+      hybridSearchSql.substring(fusedStart)
+  }
 
   /** All-pairs TF-IDF cosine similarity (r12): the weighted APSS member
     * of the pair family — `maxDf = 50` binds HARD on this corpus
@@ -2576,12 +2645,15 @@ object PipelineCatalog {
     // At 1/4 slices it alone cost 38 s of a 164-gate sf0.1 registry; as
     // a pure fraction it cost 402 s at sf1 (the plain-replica corpus
     // hands every doc ~10 verbatim twins — ~7M ≥ tau pairs, all real
-    // output). `doc_id < 5000` pins the gate to the sf0.1 id range (the
-    // soak_minhash_inc fixed-slice precedent): identical gate at
-    // sf0.01/sf0.1, constant cost at any factor. The family's
+    // output). `doc_id < 2500` pins the gate to half the sf0.01 id
+    // range (the soak_minhash_inc fixed-slice precedent): identical
+    // gate at sf0.01/sf0.1, constant cost at any factor. r15 halved the
+    // r14 slice (5000 → 2500, VERDICT r14 #3): bit-exactness of the
+    // prefix path is slice-size-independent, and at 5000 the gate alone
+    // cost 52 s of the sf0.1 driver registry. The family's
     // corpus-scaling story lives in IngestBench cosine modes and the
     // APSS soak ladder, on corpus shapes that are actually long-tail.
-    val docs = Tables.documents(s, dir).filter(col("doc_id") < 5000L)
+    val docs = Tables.documents(s, dir).filter(col("doc_id") < 2500L)
     val corpus = docs.filter(col("doc_id") % 16 === 0)
     val incoming = docs.filter(col("doc_id") % 16 === 2)
       .withColumn("doc_id", col("doc_id") + lit(10000000L))
@@ -2598,8 +2670,8 @@ object PipelineCatalog {
       .replace(" WHERE w.df <= 20", "")
       .replace(" WHERE w.df0 <= 20", "")
       .replace(">= 0.3", ">= 0.6")
-      .replace("doc_id % 4 = 0", "doc_id % 16 = 0 AND doc_id < 5000")
-      .replace("doc_id % 4 = 2", "doc_id % 16 = 2 AND doc_id < 5000")
+      .replace("doc_id % 4 = 0", "doc_id % 16 = 0 AND doc_id < 2500")
+      .replace("doc_id % 4 = 2", "doc_id % 16 = 2 AND doc_id < 2500")
     require(out != textCosineIncSql, "cap filters not found in the capped oracle")
     out
   }
@@ -3016,6 +3088,7 @@ object PipelineCatalog {
     "bm25_search" -> bm25SearchQ,
     "hybrid_search" -> hybridSearchQ,
     "hybrid_search_indexed" -> hybridSearchIndexedQ,
+    "hybrid_search_ann" -> hybridSearchAnnQ,
     "bm25_search_indexed" -> bm25SearchIndexedQ,
     "bm25_search_appended" -> bm25SearchAppendedQ,
     "bm25_search_compacted" -> bm25SearchCompactedQ,
@@ -3118,6 +3191,7 @@ object PipelineCatalog {
     "bm25_search" -> bm25SearchSql,
     "hybrid_search" -> hybridSearchSql,
     "hybrid_search_indexed" -> hybridSearchSql,
+    "hybrid_search_ann" -> hybridSearchAnnSql,
     "bm25_search_indexed" -> bm25SearchSql,
     "bm25_search_appended" -> bm25SearchSql,
     "bm25_search_compacted" -> bm25SearchSql,

@@ -63,6 +63,23 @@ class GraphRankSpec extends SparkSuite {
     assert(r.values.sum < S, "dangling sink leaks total mass (documented)")
   }
 
+  test("ranks are BIT-identical at every checkpoint cadence (r15 barrier cut)") {
+    val n = 30
+    val ring = (0 until n).flatMap { i =>
+      Seq((s"n$i", s"n${(i + 1) % n}"), (s"n${(i + 1) % n}", s"n$i"),
+        (s"n$i", s"n${(i + 11) % n}"))
+    }.toDF("src", "dst")
+    def run(every: Int): Map[String, Long] =
+      GraphRank.pageRank(ring, "src", "dst", iters = 7,
+          checkpointEvery = every)
+        .collect().map(x => x.getString(0) -> x.getLong(1)).toMap
+    val stepwise = run(1)
+    assert(run(2) === stepwise,
+      "fused 2-iteration rounds must not move one bit")
+    assert(run(5) === stepwise,
+      "a 5-deep unmaterialized plan must not move one bit")
+  }
+
   test("the iteration loop restores AQE and shuffle-width conf") {
     val aqePrev = spark.conf.get("spark.sql.adaptive.enabled", "true")
     val partPrev = spark.conf.get("spark.sql.shuffle.partitions")

@@ -231,7 +231,10 @@ class RelevanceSpec extends SparkSuite {
     def run(tau: Double, cap: Long, prefix: Boolean): Set[(Long, Long, Double)] =
       Relevance.cosinePairsImpl(docs, "doc_id", "text", tau, cap, prefix)
         .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
-    for (tau <- Seq(0.3, 0.6, 0.9); cap <- Seq(0L, 10L)) {
+    // Three cells (VERDICT r14 #6, same rationale as the incremental
+    // grid below): widest-candidate low tau, hardest-pruning high tau,
+    // and one capped cell for the prefix-under-cap interaction.
+    for ((tau, cap) <- Seq((0.3, 0L), (0.6, 0L), (0.9, 10L))) {
       val filtered = run(tau, cap, prefix = true)
       val unfiltered = run(tau, cap, prefix = false)
       assert(filtered === unfiltered,
@@ -340,8 +343,18 @@ class RelevanceSpec extends SparkSuite {
       Relevance.cosinePairsIncrementalImpl(incoming, store,
           "doc_id", "text", tau, cap, prefix)
         .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
-    for (tau <- Seq(0.3, 0.6, 0.9); cap <- Seq(0L, 10L)) {
-      val filtered = run(tau, cap, prefix = true)
+    // Three cells, not the full 3×2 grid (VERDICT r14 #6 — the grid ran
+    // ~25 min single-core): the equality argument needs one low-tau
+    // uncapped cell (bound engages weakly, candidate set widest), one
+    // high-tau uncapped cell (bound prunes hardest — the missed-pair
+    // risk), and one CAPPED cell (the prefix-under-cap interaction).
+    // The appended-store rows are in every cell's store, so that
+    // coverage is unchanged.
+    val run06u = run(0.6, 0L, prefix = true)
+    for ((tau, cap, filtered) <- Seq(
+        (0.3, 0L, run(0.3, 0L, prefix = true)),
+        (0.6, 0L, run06u),
+        (0.9, 10L, run(0.9, 10L, prefix = true)))) {
       val unfiltered = run(tau, cap, prefix = false)
       assert(filtered === unfiltered,
         s"incremental prefix filter must be exact at tau=$tau cap=$cap: " +
@@ -353,7 +366,7 @@ class RelevanceSpec extends SparkSuite {
     assert(Relevance.cosinePairsIncremental(incoming, store,
         "doc_id", "text", 0.6)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
-      .toSet === run(0.6, 0L, prefix = true))
+      .toSet === run06u)
   }
 
   test("incremental prefix path refuses a store without the persisted bound; capped path runs") {
@@ -508,8 +521,45 @@ class RelevanceSpec extends SparkSuite {
       "doc_id", "text", "t1"), "replay detection must survive compaction")
     // an already-compacted index no-ops
     assert(!Relevance.bm25Compact(spark, dir))
-    // the old directories were vacuumed
-    assert(!new java.io.File(s"$dir/batches/base").exists())
+    // vacuum is DEFERRED (r15): the replaced directories survive the
+    // compact that replaced them...
+    assert(new java.io.File(s"$dir/batches/base").exists(),
+      "a reader pinned to the pre-compact manifest must keep its dirs")
+    // ...and the explicit reclaim call removes them
+    Relevance.bm25Vacuum(spark, dir)
+    assert(!new java.io.File(s"$dir/batches/base").exists(),
+      "bm25Vacuum must reclaim the trash-recorded directories")
+  }
+
+  test("bm25Compact deferred vacuum: a reader pinned to the old manifest survives the compact") {
+    val dir = java.nio.file.Files.createTempDirectory("bm25_pin").toString
+    val thirds = (0 to 2).map(i => corpus.filter($"doc_id" % 3 === i))
+    Relevance.bm25Index(thirds(0), "doc_id", "text", dir)
+    assert(Relevance.bm25IndexAppend(spark, dir, thirds(1),
+      "doc_id", "text", "t1"))
+    assert(Relevance.bm25IndexAppend(spark, dir, thirds(2),
+      "doc_id", "text", "t2"))
+    // a concurrent reader that already LISTED the old manifest holds the
+    // old directory paths — exactly the race the r14 immediate delete
+    // lost; pin that list, then compact
+    val pinnedDirs = Relevance.bm25IndexDirs(spark, dir)
+    val pinned = spark.read.parquet(pinnedDirs.map(d => s"$dir/$d"): _*)
+    assert(Relevance.bm25Compact(spark, dir))
+    // the pinned frame still reads every row: the replaced dirs are in
+    // the trash ledger, not deleted
+    assert(pinned.count() > 0L,
+      "pre-compact postings must stay readable through a compact")
+    // the NEXT compact cycle reclaims the previous cycle's trash: append
+    // one more batch so a second compaction has work to do
+    assert(Relevance.bm25IndexAppend(spark, dir,
+      Seq((900L, "quince quokka")).toDF("doc_id", "text"),
+      "doc_id", "text", "t3"))
+    assert(Relevance.bm25Compact(spark, dir))
+    assert(!new java.io.File(s"$dir/${pinnedDirs.head}").exists(),
+      "the second compact must reclaim the first cycle's trash")
+    // answers unchanged throughout (same corpus, whichever layout)
+    assert(Relevance.bm25SearchIndexed(spark, dir, "quince")
+      .collect().nonEmpty)
   }
 
   test("hybridSearch: RRF fusion equals the reference fold of the two ranked lists") {
@@ -578,6 +628,83 @@ class RelevanceSpec extends SparkSuite {
     assert(Relevance.hybridSearchIndexed(spark, idx, emb, "alpha beta",
         queryVecId = 0L, kLex = 3, kSem = 3, k = 4)
       .collect().map(_.toSeq).toSeq === scanned)
+  }
+
+  test("hybridSearchAnn ≡ hybridSearch at full probe width; gate-width recall; no full embeddings scan") {
+    import org.apache.spark.sql.functions.{array, col, sin}
+    // 24 ids shared by text and 8-dim embeddings: the bm25 side ranks
+    // alpha-heavy docs, the vector side spreads deterministically
+    val docs = Seq.tabulate(24) { i =>
+      (i.toLong,
+        if (i % 3 == 0) s"alpha beta shard$i" // lex hits
+        else if (i % 3 == 1) s"alpha filler$i"
+        else s"noise words only$i")
+    }.toDF("doc_id", "text")
+    val emb = spark.range(24).select(col("id").as("vec_id"),
+      array((0 until 8).map(d =>
+        sin((col("id") + 1) * (d + 1)).cast("float")): _*).as("embedding"))
+    val bmDir = java.nio.file.Files
+      .createTempDirectory("graft_hyann_bm").toString
+    Relevance.bm25Index(docs, "doc_id", "text", bmDir)
+    val (model, idx) = Similarity.buildPqIndex(emb, "vec_id", "embedding",
+      nCentroids = 4, m = 4, kSub = 8, trainIters = 0, pqIters = 0)
+    // full probe width + a shortlist wider than the corpus: the ANN
+    // semantic side degenerates to the exact list, so the WHOLE fused
+    // output must equal the certified exact hybrid
+    val exact = Relevance.hybridSearch(docs, emb, "alpha beta",
+        queryVecId = 0L, kLex = 5, kSem = 5, k = 6)
+      .collect().map(_.toSeq).toSeq
+    assert(Relevance.hybridSearchAnn(spark, bmDir, model, idx, emb,
+        "alpha beta", queryVecId = 0L, kLex = 5, kSem = 5, k = 6,
+        nProbe = 4, rerankFactor = 5)
+      .collect().map(_.toSeq).toSeq === exact,
+      "full-probe ANN hybrid must equal the exact hybrid bit for bit")
+    // gate-width probes (nProbe 1 of 4): the ANN sem list must still
+    // recover most of the exact top-5 (deterministic fixture — the
+    // overlap is a fixed number, pinned ≥ 3/5)
+    val exactSem = Similarity.bruteForceTopK(emb, "vec_id", "embedding",
+        col("id") === 0L, k = 5)
+      .collect().map(_.getLong(1)).toSet
+    val annSem = Similarity.searchPqIndexPointQuery(model, idx, emb,
+        "vec_id", "embedding", 0L, k = 5, nProbe = 1, rerankFactor = 2)
+      .collect().map(_.getLong(1)).toSet
+    assert((exactSem intersect annSem).size >= 3,
+      s"gate-width recall collapsed: exact=$exactSem ann=$annSem")
+    // plan pin (VERDICT r14 #1): with the vectors PERSISTED, every scan
+    // of the embeddings table inside the ANN hybrid must carry a pushed
+    // point filter on vec_id — no full embeddings scan anywhere
+    val embDir = java.nio.file.Files
+      .createTempDirectory("graft_hyann_emb").toString
+    emb.write.mode("overwrite").parquet(embDir)
+    val embP = spark.read.parquet(embDir)
+    val plans = scala.collection.mutable.ArrayBuffer.empty[String]
+    val listener = new org.apache.spark.sql.util.QueryExecutionListener {
+      override def onSuccess(funcName: String,
+          qe: org.apache.spark.sql.execution.QueryExecution,
+          durationNs: Long): Unit =
+        plans.synchronized { plans += qe.executedPlan.toString; () }
+      override def onFailure(funcName: String,
+          qe: org.apache.spark.sql.execution.QueryExecution,
+          exception: Exception): Unit = ()
+    }
+    spark.listenerManager.register(listener)
+    try {
+      Relevance.hybridSearchAnn(spark, bmDir, model, idx, embP,
+        "alpha beta", queryVecId = 0L, kLex = 5, kSem = 5, k = 6,
+        nProbe = 2, rerankFactor = 2).count()
+      org.apache.spark.GraftListenerBridge
+        .waitListenerBus(spark.sparkContext)
+    } finally spark.listenerManager.unregister(listener)
+    val embScans = plans.synchronized {
+      plans.flatMap(_.linesIterator)
+        .filter(l => l.contains("FileScan") && l.contains("graft_hyann_emb"))
+    }
+    assert(embScans.nonEmpty, "the plan pin must bind to at least one scan")
+    val unfiltered = embScans.filterNot(l =>
+      l.contains("EqualTo(vec_id") || l.contains("In(vec_id"))
+    assert(unfiltered.isEmpty,
+      s"every embeddings read must be a pushed point filter:\n" +
+        unfiltered.mkString("\n"))
   }
 
   test("hybridSearch: k truncates after fusion, not per side") {

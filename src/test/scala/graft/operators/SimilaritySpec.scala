@@ -686,5 +686,70 @@ class SimilaritySpec extends SparkSuite {
     // k capped by the candidate count
     assert(Similarity.mmrRerank(emb, "vec_id", "embedding",
       col("id") === 0L, nCandidates = 5, k = 5).count() === 3L)
+    // a NEGATIVE max-sim must RAISE the score, not clamp to zero (the
+    // running-max seeding pitfall, r15): id 4 points opposite the query,
+    // so its best similarity to any selected doc is ≈ −cos(50°) — its
+    // mmr is −0.5 + 0.5·0.6428 ≈ −0.179, not the −0.5 a zero-clamped
+    // penalty would give
+    val emb4 = emb.unionByName(
+      Seq((4L, Array(-1.0f, 0.0f))).toDF("vec_id", "embedding"))
+    val neg = Similarity.mmrRerank(emb4, "vec_id", "embedding",
+        col("id") === 0L, lambda = 0.5, nCandidates = 4, k = 4)
+      .collect().map(r => (r.getLong(0), r.getDouble(2)))
+    assert(neg.map(_._1).toSeq === Seq(1L, 3L, 2L, 4L), neg.toSeq.toString)
+    val mmr4 = neg.find(_._1 == 4L).get._2
+    assert(mmr4 > -0.2 && mmr4 < -0.15,
+      s"negative max-sim must feed the penalty: got $mmr4")
+  }
+
+  test("searchPqIndexPointQuery ≡ searchPqIndex for the same single-query predicate") {
+    val emb = spark.range(60).select(col("id").as("vec_id"),
+      array((0 until 8).map(d =>
+        sin((col("id") + 1) * (d + 1)).cast("float")): _*).as("embedding"))
+    val (model, idx) = Similarity.buildPqIndex(emb, "vec_id", "embedding",
+      nCentroids = 4, m = 4, kSub = 8, trainIters = 0, pqIters = 0)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r =>
+        (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3))).toSet
+    for (nProbe <- Seq(1, 2, 4); rf <- Seq(1, 4)) {
+      val want = rows(Similarity.searchPqIndex(model, idx, emb,
+        "vec_id", "embedding", col("id") === 10L, k = 5,
+        nProbe = nProbe, rerankFactor = rf))
+      val got = rows(Similarity.searchPqIndexPointQuery(model, idx, emb,
+        "vec_id", "embedding", 10L, k = 5,
+        nProbe = nProbe, rerankFactor = rf))
+      assert(got === want,
+        s"point-query search must be bit-equal at nProbe=$nProbe rf=$rf")
+    }
+    // an empty model degrades to an empty result, like searchPqIndex
+    val none = Similarity.searchPqIndexPointQuery(
+      Similarity.PqModel(Array.empty, Array(Array.empty)),
+      idx, emb, "vec_id", "embedding", 10L, k = 5)
+    assert(none.count() === 0L)
+  }
+
+  test("mmrRerank: NaN embeddings are dropped, not ranked first (ADVICE r14)") {
+    // a NaN-component vector's cosine is NaN; Spark's descending order
+    // puts NaN FIRST, so without the finite filter it would enter the
+    // greedy and crash round6's BigDecimal(NaN). With it, the result is
+    // identical to the clean corpus. (A ZERO-norm vector fails louder
+    // and earlier: ANSI mode refuses the 0-divisor cosine inside
+    // bruteForceTopK itself.)
+    val clean = Seq(
+      (0L, Array(1.0f, 0.0f)),
+      (1L, Array(0.9848f, -0.1736f)),
+      (2L, Array(0.9781f, -0.2079f)),
+      (3L, Array(0.6428f, 0.766f))).toDF("vec_id", "embedding")
+    val dirty = clean.unionByName(
+      Seq((4L, Array(Float.NaN, 0.0f))).toDF("vec_id", "embedding"))
+    val got = Similarity.mmrRerank(dirty, "vec_id", "embedding",
+        col("id") === 0L, lambda = 0.5, nCandidates = 4, k = 3)
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2), r.getInt(3)))
+    val want = Similarity.mmrRerank(clean, "vec_id", "embedding",
+        col("id") === 0L, lambda = 0.5, nCandidates = 4, k = 3)
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2), r.getInt(3)))
+    assert(got.toSeq === want.toSeq,
+      "a degenerate vector must not perturb the MMR selection")
+    assert(!got.map(_._1).contains(4L))
   }
 }

@@ -824,6 +824,13 @@ class StreamPipelineSpec extends SparkSuite {
       val exp = reference(pairs)
       assert(drops(pairs, Long.MaxValue) === exp, s"collected trial $trial")
       assert(drops(pairs, 0L) === exp, s"distributed trial $trial")
+      // the EXACT tier boundary (r15): limit = count lands in the
+      // driver tier, limit = count − 1 in the frame tier — both sides
+      // of the crossing must agree with the reference
+      assert(drops(pairs, pairs.length.toLong) === exp,
+        s"at-boundary driver tier, trial $trial")
+      assert(drops(pairs, pairs.length.toLong - 1L) === exp,
+        s"just-over-boundary frame tier, trial $trial")
     }
   }
 
