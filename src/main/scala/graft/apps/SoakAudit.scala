@@ -331,6 +331,28 @@ object SoakAudit {
       graft.streaming.StreamPipeline.survivorDrops(s,
         stars.unionByName(chains), "sim", "doc_id")
     }),
+    // Depth isolation twin: SAME pair count (120k) but chains twice as
+    // deep (1,000 × depth 40) — if the frame tier's cost model is
+    // rounds × (join + checkpoint), this must take ~2× the base soak
+    // while the star-only work is unchanged. r15 measurements (warm
+    // JVM, quiet box): base 12.4 s / 104 shuffles, deep 33.3 s / 204 —
+    // exchanges exactly 5/round at both depths, per-round wall flat at
+    // ~0.6-1 s (instrumented), drops exactly 100,000 at both. A first
+    // run under ambient load recorded 179 s for the deep shape on the
+    // SAME binary — the checkpoint-loop box-sensitivity the bench's
+    // min-protocol exists for.
+    "soak_survivors_frame_deep" -> ((s, dir) => {
+      val stars = s.range(80000L).selectExpr(
+        "id % 200 AS id_a",
+        "id + 1000000 AS id_b",
+        "CASE WHEN id % 10 = 0 THEN 1.0 ELSE 0.8 END AS sim")
+      val chains = s.range(40000L).selectExpr(
+        "2000000 + (id div 40) * 41 + (id % 40) AS id_a",
+        "2000000 + (id div 40) * 41 + (id % 40) + 1 AS id_b",
+        "0.8 AS sim")
+      graft.streaming.StreamPipeline.survivorDrops(s,
+        stars.unionByName(chains), "sim", "doc_id")
+    }),
     // Incremental-SIMHASH ingest soaks (r10): same claim and method as
     // the minhash pair — the store build is the one-time corpus cost,
     // (_inc − _store) isolates the per-ingest screen, which reads NO

@@ -80,12 +80,14 @@ class GraphRankSpec extends SparkSuite {
       "a 5-deep unmaterialized plan must not move one bit")
   }
 
-  test("the iteration loop restores AQE and shuffle-width conf") {
+  test("the iteration loop restores AQE, shuffle-width, and codegen conf") {
     val aqePrev = spark.conf.get("spark.sql.adaptive.enabled", "true")
     val partPrev = spark.conf.get("spark.sql.shuffle.partitions")
+    val wscgPrev = spark.conf.get("spark.sql.codegen.wholeStage", "true")
     GraphRank.pageRank(Seq(("a", "b"), ("b", "a")).toDF("src", "dst"),
       "src", "dst", iters = 1)
     assert(spark.conf.get("spark.sql.adaptive.enabled", "true") === aqePrev)
     assert(spark.conf.get("spark.sql.shuffle.partitions") === partPrev)
+    assert(spark.conf.get("spark.sql.codegen.wholeStage", "true") === wscgPrev)
   }
 }
