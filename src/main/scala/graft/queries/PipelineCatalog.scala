@@ -2645,15 +2645,17 @@ object PipelineCatalog {
     // At 1/4 slices it alone cost 38 s of a 164-gate sf0.1 registry; as
     // a pure fraction it cost 402 s at sf1 (the plain-replica corpus
     // hands every doc ~10 verbatim twins — ~7M ≥ tau pairs, all real
-    // output). `doc_id < 2500` pins the gate to half the sf0.01 id
+    // output). `doc_id < 1250` pins the gate to a quarter of the sf0.01 id
     // range (the soak_minhash_inc fixed-slice precedent): identical
-    // gate at sf0.01/sf0.1, constant cost at any factor. r15 halved the
-    // r14 slice (5000 → 2500, VERDICT r14 #3): bit-exactness of the
-    // prefix path is slice-size-independent, and at 5000 the gate alone
-    // cost 52 s of the sf0.1 driver registry. The family's
+    // gate at sf0.01/sf0.1, constant cost at any factor. r15 cut the
+    // r14 slice 4× (5000 → 1250, VERDICT r14 #3): bit-exactness of the
+    // prefix path is slice-size-independent; at 5000 the gate alone
+    // cost 52 s of the sf0.1 driver registry, and at 2500 it still
+    // measured ~12 s — the cost is store-build-dominated, so the slice
+    // must shrink past the quadratic regime to move. The family's
     // corpus-scaling story lives in IngestBench cosine modes and the
     // APSS soak ladder, on corpus shapes that are actually long-tail.
-    val docs = Tables.documents(s, dir).filter(col("doc_id") < 2500L)
+    val docs = Tables.documents(s, dir).filter(col("doc_id") < 1250L)
     val corpus = docs.filter(col("doc_id") % 16 === 0)
     val incoming = docs.filter(col("doc_id") % 16 === 2)
       .withColumn("doc_id", col("doc_id") + lit(10000000L))
@@ -2670,8 +2672,8 @@ object PipelineCatalog {
       .replace(" WHERE w.df <= 20", "")
       .replace(" WHERE w.df0 <= 20", "")
       .replace(">= 0.3", ">= 0.6")
-      .replace("doc_id % 4 = 0", "doc_id % 16 = 0 AND doc_id < 2500")
-      .replace("doc_id % 4 = 2", "doc_id % 16 = 2 AND doc_id < 2500")
+      .replace("doc_id % 4 = 0", "doc_id % 16 = 0 AND doc_id < 1250")
+      .replace("doc_id % 4 = 2", "doc_id % 16 = 2 AND doc_id < 1250")
     require(out != textCosineIncSql, "cap filters not found in the capped oracle")
     out
   }
