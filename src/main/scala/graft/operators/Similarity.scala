@@ -858,6 +858,17 @@ object Similarity {
         nProbe, rerankFactor)
     }
 
+    /** [[search]] for ONE query id through the pushed-point-filter
+      * re-rank ([[searchPqIndexPointQuery]]) — the serving shape: no
+      * corpus-scale read anywhere in the query (r15). Bit-equal to
+      * `search(col(idCol) === queryId, …)`, spec-pinned. */
+    def searchPoint(queryId: Long, k: Int, nProbe: Int = 4,
+                    rerankFactor: Int = 4): DataFrame = {
+      val (mm, idx, corpus) = synchronized { (modelV, indexV, corpusV) }
+      searchPqIndexPointQuery(mm, idx, corpus, idCol, vecCol, queryId, k,
+        nProbe, rerankFactor)
+    }
+
     /** Rebuilds triggered by drift-stale appends (observability/spec). */
     def rebuilds: Int = synchronized(rebuildsV)
 

@@ -175,5 +175,14 @@ class PqDriftSpec extends SparkSuite {
     info(f"[managed] post-rebuild recall on the drifted increment: $r%.2f")
     assert(r >= 0.8,
       f"rebuild through the handle must restore planted recall (got $r%.2f)")
+    // the serving-shape point query (r15) is bit-equal to the predicate
+    // form for the same single id — through the cached handle
+    val qid = driftBase
+    val want = handle.search(col("vec_id") === qid, k = k, nProbe = 2)
+      .collect().map(_.toSeq).toSet
+    val got = handle.searchPoint(qid, k = k, nProbe = 2)
+      .collect().map(_.toSeq).toSet
+    assert(got === want,
+      "searchPoint must equal search(col === id) through the handle")
   }
 }
