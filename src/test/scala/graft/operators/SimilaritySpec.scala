@@ -752,4 +752,102 @@ class SimilaritySpec extends SparkSuite {
       "a degenerate vector must not perturb the MMR selection")
     assert(!got.map(_._1).contains(4L))
   }
+
+  test("mmrRerank: NaN doc must not consume a candidate slot when nCandidates binds (ADVICE r15)") {
+    // nCandidates = 2 binds HARD on the 3 real non-query docs. The NaN
+    // doc ranks FIRST under Spark's NaN-high descending order, so a
+    // post-window filter would leave only ONE real candidate (the r15
+    // displacement bug: got {1} instead of {1, 3}); the pre-window
+    // finite filter keeps the top-2 REAL candidates and the selection
+    // equals the clean corpus exactly.
+    val clean = Seq(
+      (0L, Array(1.0f, 0.0f)),
+      (1L, Array(0.9848f, -0.1736f)),
+      (2L, Array(0.9781f, -0.2079f)),
+      (3L, Array(0.6428f, 0.766f))).toDF("vec_id", "embedding")
+    val dirty = clean.unionByName(
+      Seq((4L, Array(Float.NaN, 0.0f))).toDF("vec_id", "embedding"))
+    val got = Similarity.mmrRerank(dirty, "vec_id", "embedding",
+        col("id") === 0L, lambda = 0.5, nCandidates = 2, k = 2)
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2)))
+    val want = Similarity.mmrRerank(clean, "vec_id", "embedding",
+        col("id") === 0L, lambda = 0.5, nCandidates = 2, k = 2)
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2)))
+    assert(got.length === 2,
+      s"the NaN doc displaced a real candidate from the bound pool: ${got.toSeq}")
+    assert(got.toSeq === want.toSeq)
+  }
+
+  test("searchPqIndexPoints ≡ fold of searchPoint; vector reads range-pruned; no corpus exchange (r16)") {
+    val emb = spark.range(60).select(col("id").as("vec_id"),
+      array((0 until 8).map(d =>
+        sin((col("id") + 1) * (d + 1)).cast("float")): _*).as("embedding"))
+    val (model, idx) = Similarity.buildPqIndex(emb, "vec_id", "embedding",
+      nCentroids = 4, m = 4, kSub = 8, trainIters = 0, pqIters = 0)
+    val queryIds = Seq(5L, 10L, 23L, 40L)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r =>
+        (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3))).toSet
+    for (nProbe <- Seq(1, 4); rf <- Seq(1, 4)) {
+      val want = queryIds.map(q =>
+        rows(Similarity.searchPqIndexPointQuery(model, idx, emb,
+          "vec_id", "embedding", q, k = 5,
+          nProbe = nProbe, rerankFactor = rf))).reduce(_ ++ _)
+      val got = rows(Similarity.searchPqIndexPoints(model, idx, emb,
+        "vec_id", "embedding", queryIds.toDF("vec_id"), k = 5,
+        nProbe = nProbe, rerankFactor = rf))
+      assert(got === want,
+        s"batch point query must equal the per-id fold at nProbe=$nProbe rf=$rf")
+    }
+    // degenerate inputs degrade to empty results, never errors
+    assert(Similarity.searchPqIndexPoints(model, idx, emb, "vec_id",
+      "embedding", queryIds.toDF("vec_id").filter(lit(false)), k = 5)
+      .count() === 0L, "empty query set")
+    assert(Similarity.searchPqIndexPoints(
+      Similarity.PqModel(Array.empty, Array(Array.empty)), idx, emb,
+      "vec_id", "embedding", queryIds.toDF("vec_id"), k = 5)
+      .count() === 0L, "empty model")
+    // plan pin (VERDICT r15 #1): with the vectors PERSISTED, every
+    // FileScan of the embeddings table inside the batch query must carry
+    // a pushed RANGE filter on vec_id (the min/max bounds — no isin
+    // literal list, no unfiltered corpus read), and no join may put the
+    // corpus through an exchange (shortlist + query sides broadcast).
+    val embDir = java.nio.file.Files
+      .createTempDirectory("graft_pqpoints_emb").toString
+    emb.write.mode("overwrite").parquet(embDir)
+    val embP = spark.read.parquet(embDir)
+    val plans = scala.collection.mutable.ArrayBuffer.empty[String]
+    val listener = new org.apache.spark.sql.util.QueryExecutionListener {
+      override def onSuccess(funcName: String,
+          qe: org.apache.spark.sql.execution.QueryExecution,
+          durationNs: Long): Unit =
+        plans.synchronized { plans += qe.executedPlan.toString; () }
+      override def onFailure(funcName: String,
+          qe: org.apache.spark.sql.execution.QueryExecution,
+          exception: Exception): Unit = ()
+    }
+    spark.listenerManager.register(listener)
+    try {
+      // built INSIDE the listener window: the operator's eager jobs
+      // (bounds aggs, shortlist checkpoint) read the vector table too
+      Similarity.searchPqIndexPoints(model, idx, embP, "vec_id",
+        "embedding", queryIds.toDF("vec_id"), k = 5,
+        nProbe = 2, rerankFactor = 2).count()
+      org.apache.spark.GraftListenerBridge
+        .waitListenerBus(spark.sparkContext)
+    } finally spark.listenerManager.unregister(listener)
+    val embScans = plans.synchronized {
+      plans.flatMap(_.linesIterator)
+        .filter(l => l.contains("FileScan") && l.contains("graft_pqpoints_emb"))
+    }
+    assert(embScans.nonEmpty, "the plan pin must bind to at least one scan")
+    val unfiltered = embScans.filterNot(l =>
+      l.contains("GreaterThanOrEqual(vec_id") &&
+        l.contains("LessThanOrEqual(vec_id"))
+    assert(unfiltered.isEmpty,
+      "every embeddings read must be range-pruned:\n" +
+        unfiltered.mkString("\n"))
+    assert(!plans.synchronized(plans.exists(_.contains("SortMergeJoin"))),
+      "the batch point query must never shuffle the corpus into a join")
+  }
 }
