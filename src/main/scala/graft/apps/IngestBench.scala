@@ -327,6 +327,59 @@ object IngestBench {
           (t, VersionedTable.read(spark, s"$statePath/corpus").get.count())
         } finally q.stop()
 
+      case "ann_points" =>
+        // batched index-bound ANN point query (r16, VERDICT r15 #1):
+        // query-batch sizes grow geometrically (batchSize << i) against
+        // a FIXED persisted det-PQ index, so the row shows cost tracking
+        // CANDIDATE/shortlist volume (∝ nQueries · probed-list mass),
+        // not the corpus. Coarse sizing is the PRODUCTION ~sqrt(n) rule
+        // (the r11 trainQuantizer default), NOT the det gate's 16-cell
+        // determinism device — 16 cells on a 200k corpus makes every
+        // probe drag nProbe/16 of the corpus through the ADC window,
+        // which measures list size, not the operator. search_sec carries
+        // the contrast: searchPqIndex's corpus-scan re-rank on the
+        // LARGEST query set — the shape a curation batch had to pay
+        // before searchPqIndexPoints.
+        val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+          .select(col("vec_id"), col("embedding"))
+        corpusRows = emb.count()
+        val nCells = math.max(16,
+          math.min(256, math.ceil(math.sqrt(corpusRows.toDouble)).toInt))
+        println(s"[ingest] ann_points coarse cells=$nCells")
+        val (model, idx0) = Similarity.buildPqIndex(emb, "vec_id",
+          "embedding", nCentroids = nCells, m = 8, kSub = 16,
+          trainIters = 0, pqIters = 0)
+        idx0.write.mode("overwrite").parquet(s"$statePath/pq_index")
+        val idx = spark.read.parquet(s"$statePath/pq_index")
+        stateBefore = idx.count()
+        def queryIds(size: Int): org.apache.spark.sql.DataFrame = {
+          val stride = math.max(1L, corpusRows / size)
+          emb.select(col("vec_id")).filter(pmod(col("vec_id"),
+            lit(stride)) === 0)
+        }
+        // untimed warmup: plan-family codegen + parquet footers
+        Similarity.searchPqIndexPoints(model, idx, emb, "vec_id",
+          "embedding", queryIds(batchSize), k = 5).count()
+        val t = (0 until nBatches).map { i =>
+          val qs = queryIds(batchSize << i)
+          System.gc()
+          val t0 = System.nanoTime()
+          val n = Similarity.searchPqIndexPoints(model, idx, emb,
+            "vec_id", "embedding", qs, k = 5).count()
+          val sec = (System.nanoTime() - t0) / 1e9
+          println(s"[ingest] ann_points nq=${qs.count()} rows=$n " +
+            f"sec=$sec%.3f")
+          sec
+        }
+        // contrast: the corpus-scan re-rank form at the largest width
+        val bigPred = pmod(col("id"),
+          lit(math.max(1L, corpusRows / (batchSize << (nBatches - 1))))) === 0
+        val t0 = System.nanoTime()
+        Similarity.searchPqIndex(model, idx, emb, "vec_id", "embedding",
+          bigPred, k = 5).count()
+        searchSecs += (System.nanoTime() - t0) / 1e9
+        (t, idx.count())
+
       case other => sys.error(s"unknown mode: $other")
     }
 

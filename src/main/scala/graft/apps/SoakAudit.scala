@@ -353,6 +353,27 @@ object SoakAudit {
       graft.streaming.StreamPipeline.survivorDrops(s,
         stars.unionByName(chains), "sim", "doc_id")
     }),
+    // Width isolation twin (r16, VERDICT r15 #4): 10× the PAIR COUNT
+    // (1.2M) at the SAME depth 20 — the 100 TB batch is wide, not deep.
+    // Star mix 800k leaves over 2,000 roots; 20,000 chains of depth 20
+    // (400k pairs). Expected drops: 800,000 leaves + 10 per chain ×
+    // 20,000 = 1,000,000. If the cost model (rounds × (join +
+    // checkpoint), join ∝ pair volume) is right, ROUNDS stay constant
+    // (depth-bound: shuffle/exchange counts ≈ the base soak's) and only
+    // per-round time grows — ≲ 10× the base wall, completing the axis
+    // the depth twin left open.
+    "soak_survivors_frame_wide" -> ((s, dir) => {
+      val stars = s.range(800000L).selectExpr(
+        "id % 2000 AS id_a",
+        "id + 10000000 AS id_b",
+        "CASE WHEN id % 10 = 0 THEN 1.0 ELSE 0.8 END AS sim")
+      val chains = s.range(400000L).selectExpr(
+        "20000000 + (id div 20) * 21 + (id % 20) AS id_a",
+        "20000000 + (id div 20) * 21 + (id % 20) + 1 AS id_b",
+        "0.8 AS sim")
+      graft.streaming.StreamPipeline.survivorDrops(s,
+        stars.unionByName(chains), "sim", "doc_id")
+    }),
     // Incremental-SIMHASH ingest soaks (r10): same claim and method as
     // the minhash pair — the store build is the one-time corpus cost,
     // (_inc − _store) isolates the per-ingest screen, which reads NO
