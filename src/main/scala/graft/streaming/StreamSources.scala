@@ -84,7 +84,7 @@ object StreamSources {
   /** S4 — kafka source parity (declared in the reference's pom but never
     * instantiated, pom.xml:36-45). Standard options; requires the kafka
     * connector jars on the cluster classpath (`spark-sql-kafka` absent
-    * from /opt/spark/jars — re-checked r15; smoke this against an
+    * from /opt/spark/jars — re-checked r16; smoke this against an
     * embedded broker the round the environment gains the jars). */
   def kafkaSource(spark: SparkSession, servers: String, topic: String): DataFrame =
     spark.readStream.format("kafka")
