@@ -291,7 +291,14 @@ class RelevanceSpec extends SparkSuite {
       (100L, "alpha beta gamma delta"),   // known content -> NOT appended
       (101L, "foo bar baz qux")           // novel -> appended under frozen model
     ).toDF("doc_id", "text")
-    val s2 = Relevance.cosineStoreAppend(store, batch1, "doc_id", "text")
+    // persisted like the production path (r16): the append DAG (store
+    // build + anti-join delta) otherwise recomputes once per reference
+    // below and the test ran 2½ minutes on a 2-doc fixture
+    val s2Dir = java.nio.file.Files
+      .createTempDirectory("graft_append_store").toString
+    Relevance.cosineStoreAppend(store, batch1, "doc_id", "text")
+      .write.mode("overwrite").parquet(s2Dir)
+    val s2 = spark.read.parquet(s2Dir)
     val ids = s2.select("id").distinct().collect().map(_.getLong(0)).toSet
     assert(ids === Set(0L, 4L, 101L),
       "append adds one keeper per NOVEL content only")
@@ -335,10 +342,20 @@ class RelevanceSpec extends SparkSuite {
     val incoming = all.filter($"doc_id" % 3 === 2)
       .withColumn("doc_id", $"doc_id" + 2000L)
     // store = build + appended delta, so the APPENDED rows' persisted
-    // bounds (computed under the frozen model) are exercised too
-    val store = Relevance.cosineStoreAppend(
+    // bounds (computed under the frozen model) are exercised too.
+    // PERSISTED to parquet (r16, the operator's own production contract
+    // and the gate's shape since r16): the screen references the store
+    // 4× per invocation and this test screens 8 times — inline, each
+    // reference recomputed the whole build+append DAG and the test ran
+    // 9½ MINUTES; persisted it reads bit-identical rows (doubles
+    // round-trip parquet exactly) in ~1/8 the wall.
+    val storeDir = java.nio.file.Files
+      .createTempDirectory("graft_incpfx_store").toString
+    Relevance.cosineStoreAppend(
       Relevance.cosineStore(corpus, "doc_id", "text"),
       append, "doc_id", "text")
+      .write.mode("overwrite").parquet(storeDir)
+    val store = spark.read.parquet(storeDir)
     def run(tau: Double, cap: Long, prefix: Boolean): Set[(Long, Long, Double)] =
       Relevance.cosinePairsIncrementalImpl(incoming, store,
           "doc_id", "text", tau, cap, prefix)
