@@ -427,6 +427,106 @@ object Relevance {
   }
 
   /**
+   * [[bm25SearchIndexed]] for a BATCH of queries (r16) — the curation
+   * form: thousands of retrieval queries answered from ONE term-pruned
+   * index read instead of one read (and one driver round-trip) per
+   * query. `queries` carries (query id, query text) in its first two
+   * columns. The batch's union TERM SET is collected once — bounded-
+   * model tier: the query batch's vocabulary, the same contract as the
+   * single form's driver-literal terms — and pushed into the postings
+   * scan as the footer-pruned `term IN (...)` filter, so the read is
+   * O(postings of the batch's terms), never the corpus, and each term's
+   * postings are read ONCE however many queries share it. The matched
+   * postings join the broadcast (query_id, term) pairs so each query
+   * scores only ITS terms; df per term comes from the same pruned read
+   * (the single form's derivation, shared across queries); the
+   * per-query top-k is a rank window (WindowGroupLimit bounds the
+   * exchange to ≤ k rows per query per map partition). Output
+   * (query_id, doc_id, score, rn) — bit-equal per query to
+   * [[bm25SearchIndexed]] (spec-pinned), and the `bm25_search_batch`
+   * gate's oracle is the certified single-query oracle replayed per
+   * query and unioned BY TRANSFORM.
+   */
+  def bm25SearchIndexedBatch(spark: org.apache.spark.sql.SparkSession,
+                             path: String, queries: DataFrame,
+                             k: Int = 10,
+                             k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    val Seq(qidC, qC) = queries.columns.take(2).toSeq
+    val qtPairs = queries.select(col(qidC).cast("long").as("query_id"),
+        explode(split(col(qC), " ")).as("term"))
+      .filter(col("term") =!= "").distinct()
+    val allTerms = qtPairs.select(col("term")).distinct()
+      .collect().map(_.getString(0)).toSeq
+    require(allTerms.nonEmpty,
+      "bm25SearchIndexedBatch needs at least one non-empty query term")
+    val tfAll = spark.read
+      .parquet(bm25IndexDirs(spark, path).map(d => s"$path/$d"): _*)
+      .filter(col("term").isin(allTerms: _*))
+    val dfq = tfAll.groupBy("term").agg(count(lit(1)).as("df"))
+    val tfq = tfAll.join(broadcast(qtPairs), "term")
+    val scored = scoreBm25(tfq, dfq, bm25IndexStats(spark, path), k1, b)
+    val agg = scored.groupBy("query_id", "doc_id")
+      .agg(round(sum(col("ts")), 6).as("score"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("score").desc, col("doc_id").asc)
+    agg.withColumn("rn", row_number().over(w)).filter(col("rn") <= k)
+      .select(col("query_id"), col("doc_id"), col("score"), col("rn"))
+  }
+
+  /**
+   * [[hybridSearchAnn]] for a BATCH of hybrid queries (r16) — the full
+   * index-bound retrieval stack at curation width. `queries` carries
+   * (query id, query text, query vec id) in its first three columns.
+   * Lexical side: [[bm25SearchIndexedBatch]] — ONE term-pruned index
+   * read for the whole batch. Semantic side:
+   * [[Similarity.searchPqIndexPoints]] — distributed per-query ADC
+   * shortlists + range-pruned broadcast re-rank, joined back to the
+   * hybrid query ids through the broadcast query frame (two hybrid
+   * queries may share a query vector; each gets the shared list).
+   * Fusion is the same fixed-(lex, sem)-order rrf sum and 6-dp round as
+   * the single form, ranked per query. Output (query_id, doc_id,
+   * rn_lex, rn_sem, rrf, rn) — bit-equal per query to
+   * [[hybridSearchAnn]] (spec-pinned), oracle built by TRANSFORM from
+   * the certified single-query ANN-hybrid oracle.
+   */
+  def hybridSearchAnnPoints(spark: org.apache.spark.sql.SparkSession,
+                            indexPath: String,
+                            model: Similarity.PqModel, pqIndex: DataFrame,
+                            embeddings: DataFrame,
+                            queries: DataFrame,
+                            vecIdCol: String = "vec_id",
+                            vecCol: String = "embedding",
+                            kLex: Int = 20, kSem: Int = 20, k: Int = 10,
+                            rrfK: Int = 60,
+                            nProbe: Int = 4, rerankFactor: Int = 4): DataFrame = {
+    require(k > 0 && kLex > 0 && kSem > 0,
+      "hybridSearchAnnPoints needs positive k")
+    val Seq(qidC, qC, vidC) = queries.columns.take(3).toSeq
+    val q = queries.select(col(qidC).cast("long").as("query_id"),
+      col(qC).as("qtext"), col(vidC).cast("long").as("qvec"))
+    val lex = bm25SearchIndexedBatch(spark, indexPath,
+        q.select(col("query_id"), col("qtext")), k = kLex)
+      .select(col("query_id"), col("doc_id"), col("rn").as("rn_lex"))
+    val sem = Similarity.searchPqIndexPoints(model, pqIndex, embeddings,
+        vecIdCol, vecCol, q.select(col("qvec")), k = kSem,
+        nProbe = nProbe, rerankFactor = rerankFactor)
+      .withColumnRenamed("query_id", "qvec")
+      .join(broadcast(q.select(col("query_id"), col("qvec"))), "qvec")
+      .select(col("query_id"), col("neighbor_id").as("doc_id"),
+        col("rn").as("rn_sem"))
+    val fused = lex.join(sem, Seq("query_id", "doc_id"), "full_outer")
+      .withColumn("rrf", round(
+        coalesce(lit(1.0) / (lit(rrfK.toDouble) + col("rn_lex").cast("double")), lit(0.0))
+          + coalesce(lit(1.0) / (lit(rrfK.toDouble) + col("rn_sem").cast("double")), lit(0.0)),
+        6))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("rrf").desc, col("doc_id").asc)
+    fused.withColumn("rn", row_number().over(w)).filter(col("rn") <= k)
+      .select(col("query_id"), col("doc_id"), col("rn_lex"), col("rn_sem"),
+        col("rrf"), col("rn"))
+  }
+
+  /**
    * Hybrid lexical + semantic retrieval with reciprocal-rank fusion
    * (Cormack/Clarke/Buettcher SIGIR 2009): a text query is answered by
    * BOTH the BM25 ranked list ([[bm25Search]]) and the exact cosine

@@ -2340,17 +2340,10 @@ object PipelineCatalog {
     * as [[hybridSearchQ]]: bm25SearchIndexed ≡ bm25Search is the
     * already-pinned bit-exact equivalence, so any seam the index path
     * introduced would hash-mismatch here. */
-  val hybridSearchIndexedQ: Q = (s, dir) => {
-    val key = s.sparkContext.applicationId + "|" + dir
-    val path = bm25IndexPaths.computeIfAbsent(key, _ => {
-      val p = java.nio.file.Files
-        .createTempDirectory("graft_bm25_idx").toString
-      Relevance.bm25Index(Tables.documents(s, dir), "doc_id", "text", p)
-      p
-    })
-    Relevance.hybridSearchIndexed(s, path, Tables.embeddings(s, dir),
+  val hybridSearchIndexedQ: Q = (s, dir) =>
+    Relevance.hybridSearchIndexed(s, bm25IdxPath(s, dir),
+      Tables.embeddings(s, dir),
       "dup vector key", queryVecId = 100L, kLex = 20, kSem = 20, k = 10)
-  }
 
   /** Fully index-bound hybrid retrieval (r15, VERDICT r14 #1): the
     * lexical side reads the persisted BM25 index (same cache key as
@@ -2365,18 +2358,76 @@ object PipelineCatalog {
     * the [[simIvfPqDet]] determinism device: DuckDB replays the entire
     * compressed-index search and the fusion bit for bit. */
   val hybridSearchAnnQ: Q = (s, dir) => {
-    val key = s.sparkContext.applicationId + "|" + dir
-    val bmPath = bm25IndexPaths.computeIfAbsent(key, _ => {
-      val p = java.nio.file.Files
-        .createTempDirectory("graft_bm25_idx").toString
-      Relevance.bm25Index(Tables.documents(s, dir), "doc_id", "text", p)
-      p
-    })
     val (model, pqPath) = detPqIndex(s, dir)
-    Relevance.hybridSearchAnn(s, bmPath, model, s.read.parquet(pqPath),
+    Relevance.hybridSearchAnn(s, bm25IdxPath(s, dir), model,
+      s.read.parquet(pqPath),
       Tables.embeddings(s, dir), "dup vector key", queryVecId = 100L,
       kLex = 20, kSem = 20, k = 10, nProbe = 4, rerankFactor = 4)
   }
+
+  /** Batched lexical retrieval (r16): three queries through
+    * [[Relevance.bm25SearchIndexedBatch]] — ONE term-pruned read of the
+    * shared persisted index for the whole batch. Certified by the
+    * single-query oracle replayed per query and unioned BY TRANSFORM
+    * ([[bm25SearchBatchSql]]), so the batch form must reproduce three
+    * independent [[bm25SearchIndexedQ]]-shaped answers bit for bit. */
+  val bm25SearchBatchQ: Q = (s, dir) => {
+    import s.implicits._
+    Relevance.bm25SearchIndexedBatch(s, bm25IdxPath(s, dir),
+      bm25BatchQueries.toDF("query_id", "query"), k = 10)
+  }
+
+  /** Fixed retrieval batch: the certified 3-term query plus two more
+    * over mid-frequency corpus vocabulary (TESTDATA's documents table
+    * is OLAP word soup — `merge join hash` / `slow scan filter` all sit
+    * in the df ~900 band at sf0.01). */
+  private val bm25BatchQueries: Seq[(Long, String)] = Seq(
+    (1L, "dup vector key"),
+    (2L, "merge join hash"),
+    (3L, "slow scan filter"))
+
+  /** [[bm25SearchSql]] per batch query — the IN list swapped (anchored),
+    * the result tagged with its query id — UNION ALL'd. No new
+    * arithmetic exists for the transform to drift. LAZY: the source
+    * oracles are declared later in this object and a strict val here
+    * would read them as null at class init (the r16 GoldenSpec abort). */
+  lazy val bm25SearchBatchSql: String = bm25BatchQueries.map { case (qid, qtext) =>
+    val inList = qtext.split(" ").filter(_.nonEmpty).distinct
+      .map(t => s"'$t'").mkString("(", ", ", ")")
+    val per = bm25SearchSql.replace("('dup', 'vector', 'key')", inList)
+    require(per != bm25SearchSql || inList == "('dup', 'vector', 'key')",
+      s"bm25 batch oracle anchor drifted — IN list not found for '$qtext'")
+    s"SELECT CAST($qid AS BIGINT) AS query_id, * FROM (\n$per\n)"
+  }.mkString("\nUNION ALL\n")
+
+  /** Batched index-bound hybrid retrieval (r16): two (text, vector)
+    * hybrid queries through [[Relevance.hybridSearchAnnPoints]] — the
+    * whole retrieval stack at curation width: one term-pruned BM25 read
+    * + distributed ADC shortlists + range-pruned broadcast re-rank +
+    * per-query fusion. Oracle: [[hybridSearchAnnSqlFor]] instantiated
+    * per query and unioned — the same transform the certified
+    * single-query gate uses, parameterized. */
+  val hybridSearchAnnBatchQ: Q = (s, dir) => {
+    val (model, pqPath) = detPqIndex(s, dir)
+    import s.implicits._
+    Relevance.hybridSearchAnnPoints(s, bm25IdxPath(s, dir), model,
+      s.read.parquet(pqPath), Tables.embeddings(s, dir),
+      hybridBatchQueries.toDF("query_id", "query", "qvec"),
+      kLex = 20, kSem = 20, k = 10, nProbe = 4, rerankFactor = 4)
+  }
+
+  /** Both vec ids exist at every sf (embeddings holds ≥ 500 rows). */
+  private val hybridBatchQueries: Seq[(Long, String, Long)] = Seq(
+    (1L, "dup vector key", 100L),
+    (2L, "merge join hash", 300L))
+
+  /** LAZY for the same declaration-order reason as
+    * [[bm25SearchBatchSql]]. */
+  lazy val hybridSearchAnnBatchSql: String =
+    hybridBatchQueries.map { case (qid, qtext, vid) =>
+      s"SELECT CAST($qid AS BIGINT) AS query_id, * FROM (\n" +
+        hybridSearchAnnSqlFor(qtext, vid) + "\n)"
+    }.mkString("\nUNION ALL\n")
 
   /** Batched index-bound ANN point query (r16, VERDICT r15 #1):
     * [[Similarity.searchPqIndexPoints]] over the whole `vec_id % 100`
@@ -2472,7 +2523,12 @@ object PipelineCatalog {
     * (coarse assign, encode, ADC, shortlist, exact re-rank) pointed at
     * the single query id 100 with the gate's shortlist width
     * (kSem 20 × rerankFactor 4 = 80) and sem-list depth 20. */
-  val hybridSearchAnnSql: String = {
+  val hybridSearchAnnSql: String = hybridSearchAnnSqlFor("dup vector key", 100L)
+
+  /** The ANN-hybrid oracle transform, parameterized by (query text,
+    * query vec id) so the batch gate can instantiate it per query —
+    * the single-query gate uses the default instance verbatim. */
+  private def hybridSearchAnnSqlFor(qtext: String, vecId: Long): String = {
     val semStart = hybridSearchSql.indexOf("), base AS (")
     val fusedStart = hybridSearchSql.indexOf("), fused AS (")
     require(semStart > 0 && fusedStart > semStart,
@@ -2483,19 +2539,22 @@ object PipelineCatalog {
     // gate mismatch rounds later
     def swap(sql: String, from: String, to: String): String = {
       val out = sql.replace(from, to)
-      require(out != sql,
+      require(out != sql || from == to,
         s"det-PQ oracle anchor drifted — '$from' not found; " +
-          "realign hybridSearchAnnSql's transform with simIvfPqDetSql")
+          "realign hybridSearchAnnSqlFor's transform with simIvfPqDetSql")
       out
     }
+    val inList = qtext.split(" ").filter(_.nonEmpty).distinct
+      .map(t => s"'$t'").mkString("(", ", ", ")")
     val pq = swap(swap(swap(simIvfPqDetSql,
-      "WHERE id % 100 = 0 AND rk <= 4", "WHERE id = 100 AND rk <= 4"),
-      "WHERE nn.id % 100 = 0", "WHERE nn.id = 100"),
+      "WHERE id % 100 = 0 AND rk <= 4", s"WHERE id = $vecId AND rk <= 4"),
+      "WHERE nn.id % 100 = 0", s"WHERE nn.id = $vecId"),
       "WHERE arn <= 20", "WHERE arn <= 80")
     val cut = pq.lastIndexOf("\nSELECT query_id")
     require(cut > 0 && pq.startsWith("WITH "),
       "det-PQ oracle shape changed — ANN transform anchors missing")
-    hybridSearchSql.substring(0, semStart + 1) + ", " +
+    swap(hybridSearchSql.substring(0, semStart + 1),
+      "('dup', 'vector', 'key')", inList) + ", " +
       pq.substring(5, cut).trim + ", sem AS (\n" +
       """|  SELECT neighbor_id AS doc_id, CAST(rn AS INT) AS rn_sem FROM (
          |    SELECT neighbor_id, row_number() OVER (PARTITION BY query_id
@@ -2783,16 +2842,21 @@ object PipelineCatalog {
     * [[bm25SearchQ]], certified by the same exact oracle; the bench gap
     * between the two gates is the recorded speedup of the production
     * read path over the full scan. */
-  val bm25SearchIndexedQ: Q = (s, dir) => {
-    val key = s.sparkContext.applicationId + "|" + dir
-    val path = bm25IndexPaths.computeIfAbsent(key, _ => {
-      val p = java.nio.file.Files
-        .createTempDirectory("graft_bm25_idx").toString
-      Relevance.bm25Index(Tables.documents(s, dir), "doc_id", "text", p)
-      p
-    })
-    Relevance.bm25SearchIndexed(s, path, "dup vector key", k = 10)
-  }
+  val bm25SearchIndexedQ: Q = (s, dir) =>
+    Relevance.bm25SearchIndexed(s, bm25IdxPath(s, dir),
+      "dup vector key", k = 10)
+
+  /** The shared persisted BM25 index, built once per (application,
+    * sfDir) — one build serves every indexed-read gate. */
+  private def bm25IdxPath(s: org.apache.spark.sql.SparkSession,
+                          dir: String): String =
+    bm25IndexPaths.computeIfAbsent(
+      s.sparkContext.applicationId + "|" + dir, _ => {
+        val p = java.nio.file.Files
+          .createTempDirectory("graft_bm25_idx").toString
+        Relevance.bm25Index(Tables.documents(s, dir), "doc_id", "text", p)
+        p
+      })
 
   private val bm25IndexPaths =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
@@ -3188,6 +3252,8 @@ object PipelineCatalog {
     "hybrid_search" -> hybridSearchQ,
     "hybrid_search_indexed" -> hybridSearchIndexedQ,
     "hybrid_search_ann" -> hybridSearchAnnQ,
+    "hybrid_search_ann_batch" -> hybridSearchAnnBatchQ,
+    "bm25_search_batch" -> bm25SearchBatchQ,
     "bm25_search_indexed" -> bm25SearchIndexedQ,
     "bm25_search_appended" -> bm25SearchAppendedQ,
     "bm25_search_compacted" -> bm25SearchCompactedQ,
@@ -3292,6 +3358,8 @@ object PipelineCatalog {
     "hybrid_search" -> hybridSearchSql,
     "hybrid_search_indexed" -> hybridSearchSql,
     "hybrid_search_ann" -> hybridSearchAnnSql,
+    "hybrid_search_ann_batch" -> hybridSearchAnnBatchSql,
+    "bm25_search_batch" -> bm25SearchBatchSql,
     "bm25_search_indexed" -> bm25SearchSql,
     "bm25_search_appended" -> bm25SearchSql,
     "bm25_search_compacted" -> bm25SearchSql,

@@ -767,6 +767,73 @@ class RelevanceSpec extends SparkSuite {
         unfiltered.mkString("\n"))
   }
 
+  test("bm25SearchIndexedBatch ≡ per-query fold of bm25SearchIndexed; one term-pruned read (r16)") {
+    import org.apache.spark.sql.functions.col
+    val dir = java.nio.file.Files.createTempDirectory("bm25_batch").toString
+    Relevance.bm25Index(corpus, "doc_id", "text", dir)
+    val batch = Seq((1L, "apple cherry"), (2L, "banana the"),
+      (3L, "cherry cherry")) // duplicate term: must dedupe like the single form
+    val got = Relevance.bm25SearchIndexedBatch(spark, dir,
+        batch.toDF("query_id", "query"), k = 10)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3)))
+      .groupBy(_._1).view.mapValues(_.map(t => (t._2, t._3, t._4)).toSet).toMap
+    batch.foreach { case (qid, qtext) =>
+      val want = Relevance.bm25SearchIndexed(spark, dir, qtext, k = 10)
+        .collect().map(r => (r.getLong(0), r.getDouble(1), r.getInt(2))).toSet
+      assert(got(qid) === want,
+        s"batch retrieval must equal the single form for query '$qtext'")
+    }
+    // the whole batch is ONE term-pruned index read: the union term set
+    // reaches the postings scan as a pushed IN filter
+    val plan = Relevance.bm25SearchIndexedBatch(spark, dir,
+        batch.toDF("query_id", "query"), k = 10)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters") && plan.contains("In(term"),
+      s"batch read lost the term pushdown:\n$plan")
+    // a query whose every term is absent from the corpus yields no rows
+    // for that id, others unaffected
+    val sparse = Relevance.bm25SearchIndexedBatch(spark, dir,
+        Seq((7L, "zz qq"), (8L, "apple")).toDF("query_id", "query"), k = 10)
+      .collect().map(_.getLong(0)).toSet
+    assert(sparse === Set(8L))
+  }
+
+  test("hybridSearchAnnPoints ≡ per-query fold of hybridSearchAnn; shared vectors allowed (r16)") {
+    import org.apache.spark.sql.functions.{array, col, sin}
+    val docs = Seq.tabulate(24) { i =>
+      (i.toLong,
+        if (i % 3 == 0) s"alpha beta shard$i"
+        else if (i % 3 == 1) s"alpha filler$i"
+        else s"noise words only$i")
+    }.toDF("doc_id", "text")
+    val emb = spark.range(24).select(col("id").as("vec_id"),
+      array((0 until 8).map(d =>
+        sin((col("id") + 1) * (d + 1)).cast("float")): _*).as("embedding"))
+    val bmDir = java.nio.file.Files
+      .createTempDirectory("graft_hyannb_bm").toString
+    Relevance.bm25Index(docs, "doc_id", "text", bmDir)
+    val (model, idx) = Similarity.buildPqIndex(emb, "vec_id", "embedding",
+      nCentroids = 4, m = 4, kSub = 8, trainIters = 0, pqIters = 0)
+    // three hybrid queries; q2 and q3 SHARE a query vector (the
+    // dedup-then-rejoin seam in the batch semantic side)
+    val batch = Seq((1L, "alpha beta", 0L), (2L, "noise words", 5L),
+      (3L, "alpha filler7", 5L))
+    val got = Relevance.hybridSearchAnnPoints(spark, bmDir, model, idx,
+        emb, batch.toDF("query_id", "query", "qvec"),
+        kLex = 5, kSem = 5, k = 6, nProbe = 4, rerankFactor = 5)
+      .collect().map(r => (r.getLong(0), r.toSeq.drop(1)))
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    batch.foreach { case (qid, qtext, vid) =>
+      val want = Relevance.hybridSearchAnn(spark, bmDir, model, idx, emb,
+          qtext, queryVecId = vid, kLex = 5, kSem = 5, k = 6,
+          nProbe = 4, rerankFactor = 5)
+        .collect().map(_.toSeq).toSet
+      assert(got(qid) === want,
+        s"batch hybrid must equal the single form for query $qid ('$qtext', vec $vid)")
+    }
+  }
+
   test("hybridSearch: k truncates after fusion, not per side") {
     import org.apache.spark.sql.functions.col
     val docs = Seq(
