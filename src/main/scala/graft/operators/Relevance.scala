@@ -457,8 +457,19 @@ object Relevance {
       .filter(col("term") =!= "").distinct()
     val allTerms = qtPairs.select(col("term")).distinct()
       .collect().map(_.getString(0)).toSeq
-    require(allTerms.nonEmpty,
-      "bm25SearchIndexedBatch needs at least one non-empty query term")
+    if (allTerms.isEmpty) {
+      // fold semantics over the query set: an EMPTY batch (a curation
+      // loop's empty partition) is an empty result, not an error —
+      // matching searchPqIndexPoints' degradation. A NON-empty batch
+      // whose every query is blank keeps the single form's per-query
+      // contract (bm25SearchIndexed requires a non-empty query) and
+      // fails loudly.
+      require(queries.isEmpty,
+        "bm25SearchIndexedBatch needs at least one non-empty query term")
+      import spark.implicits._
+      return Seq.empty[(Long, Long, Double, Int)]
+        .toDF("query_id", "doc_id", "score", "rn")
+    }
     val tfAll = spark.read
       .parquet(bm25IndexDirs(spark, path).map(d => s"$path/$d"): _*)
       .filter(col("term").isin(allTerms: _*))

@@ -1137,6 +1137,133 @@ object Similarity {
   }
 
   /**
+   * Late-interaction (ColBERT-style) MaxSim retrieval, exact form (r16;
+   * Khattab & Zaharia, SIGIR 2020): documents and the query are BAGS of
+   * token vectors — `vectors` carries one row per token
+   * (`docIdCol`, `vecIdCol`, `vecCol`) — and a document's score is
+   * Σ over query tokens of (max over the document's tokens of cosine).
+   * Summing per-token maxima is what separates late interaction from
+   * single-vector retrieval: a document matches a multi-aspect query by
+   * covering each aspect with its BEST token, not by one pooled vector
+   * splitting the difference.
+   *
+   * Scale shape: the query's token rows (a handful) broadcast against
+   * ONE corpus token scan — the same non-equi broadcast the brute-force
+   * scorer uses; per-(doc, query-token) maxima come from a map-side
+   * partial `max` (the exchange carries ≤ nDocs·nQTok rows, never token
+   * pairs); the global top-k is TakeOrdered (k rows per partition fold
+   * to the driver — no full sort, the [[Relevance]] rank precedent).
+   * Docs CONTAINING a query token (the query document itself) are
+   * excluded — the bag-level analogue of the scorer's `q.id =!= c.id`.
+   *
+   * Determinism: cosines round to 6 dp BEFORE the max (order-free), the
+   * per-doc score rounds the sum to 6 dp (the bm25 discipline); ties
+   * break by doc id. Output (doc_id, score, rn); empty query set →
+   * empty frame.
+   */
+  def maxSimTopK(vectors: DataFrame, docIdCol: String, vecIdCol: String,
+                 vecCol: String, queryTokenPred: Column,
+                 k: Int): DataFrame = {
+    require(k > 0, "maxSimTopK needs positive k")
+    graft.functions.GraftFunctions.register(vectors.sparkSession)
+    val base = vectors.select(col(docIdCol).cast("long").as("doc_id"),
+        col(vecIdCol).cast("long").as("id"),
+        col(vecCol).cast("array<double>").as("v"))
+      .withColumn("n", norm2(col("v")))
+    val q = base.filter(queryTokenPred)
+    val qDocs = q.select(col("doc_id")).distinct()
+    val corpus = base.join(broadcast(qDocs), Seq("doc_id"), "left_anti")
+    maxSimScoreTail(corpus, q, k)
+  }
+
+  /**
+   * Index-bound MaxSim (r16) — the late-interaction serving shape at
+   * corpus scale: candidate documents come from the persisted IVF-PQ
+   * index instead of scoring every document. Each query token's
+   * approximate top-`kTok` neighbor TOKENS ([[searchPqIndexPoints]] —
+   * distributed ADC shortlists, range-pruned broadcast re-rank) vote
+   * their documents into the candidate set; the exact MaxSim tail then
+   * runs ONLY over candidate-document tokens (broadcast semi-join +
+   * doc-range scan predicate — with a materialized doc column both
+   * reads row-group-prune). This is the standard ColBERT candidate
+   * generation: exact late interaction on an index-bounded candidate
+   * set, recall bounded by the per-token shortlists.
+   *
+   * With full coverage (`nProbe` ≥ cells and `kTok·rerankFactor` ≥
+   * corpus tokens) the candidate set is every non-query document and
+   * the output is BIT-EQUAL to [[maxSimTopK]] (spec-pinned; the
+   * `sim_maxsim_indexed` gate is certified by the exact gate's VERBATIM
+   * oracle under such a configuration). Scores of returned docs are
+   * always exact — shortlisting affects WHICH docs compete, never how a
+   * candidate is scored. Empty query set or empty model → empty frame.
+   */
+  def maxSimTopKIndexed(model: PqModel, index: DataFrame,
+                        vectors: DataFrame, docIdCol: String,
+                        vecIdCol: String, vecCol: String,
+                        queryTokenPred: Column, k: Int,
+                        kTok: Int = 50, nProbe: Int = 4,
+                        rerankFactor: Int = 4): DataFrame = {
+    require(k > 0 && kTok > 0, "maxSimTopKIndexed needs positive k")
+    graft.functions.GraftFunctions.register(vectors.sparkSession)
+    val base = vectors.select(col(docIdCol).cast("long").as("doc_id"),
+        col(vecIdCol).cast("long").as("id"),
+        col(vecCol).cast("array<double>").as("v"))
+      .withColumn("n", norm2(col("v")))
+    val q = base.filter(queryTokenPred)
+    val emptyOut = maxSimScoreTail(base.filter(lit(false)),
+      q.filter(lit(false)), k)
+    if (model.isEmpty) return emptyOut
+    val shortlist = searchPqIndexPoints(model, index, vectors,
+        vecIdCol, vecCol, q.select(col("id")), k = kTok,
+        nProbe = nProbe, rerankFactor = rerankFactor)
+      .select(col("neighbor_id")).distinct()
+    // neighbor tokens → their documents: a range-pruned 2-column read of
+    // the token→doc mapping refined by the broadcast shortlist (≤
+    // nQTok·kTok ids) — never a corpus-wide unfiltered pass
+    val nb = shortlist.agg(min(col("neighbor_id")).as("lo"),
+        max(col("neighbor_id")).as("hi")).collect().headOption
+      .filterNot(_.isNullAt(0)).map(r => (r.getLong(0), r.getLong(1)))
+    if (nb.isEmpty) return emptyOut
+    val qDocs = q.select(col("doc_id")).distinct()
+    val candDocs = base
+      .filter(col("id") >= nb.get._1 && col("id") <= nb.get._2)
+      .join(broadcast(shortlist), col("id") === col("neighbor_id"),
+        "left_semi")
+      .select(col("doc_id")).distinct()
+      .join(broadcast(qDocs), Seq("doc_id"), "left_anti")
+    val db = candDocs.agg(min(col("doc_id")).as("lo"),
+        max(col("doc_id")).as("hi")).collect().headOption
+      .filterNot(_.isNullAt(0)).map(r => (r.getLong(0), r.getLong(1)))
+    if (db.isEmpty) return emptyOut
+    val corpus = base
+      .filter(col("doc_id") >= db.get._1 && col("doc_id") <= db.get._2)
+      .join(broadcast(candDocs), Seq("doc_id"), "left_semi")
+    maxSimScoreTail(corpus, q, k)
+  }
+
+  /** Shared MaxSim scoring tail: per-(doc, query-token) max of the
+    * 6-dp cosine (map-side partial), per-doc rounded sum, TakeOrdered
+    * global top-k with the (score desc, doc_id asc) tie-break. The
+    * non-equi broadcast condition mirrors [[bruteForceScored]] — token
+    * ids are unique and the query's own doc is excluded upstream, so it
+    * never drops a cross-doc pair. */
+  private def maxSimScoreTail(corpus: DataFrame, q: DataFrame,
+                              k: Int): DataFrame = {
+    val qb = broadcast(q.select(col("id").as("qid"), col("v").as("qv"),
+      col("n").as("qn")))
+    val perTok = corpus.join(qb, col("qid") =!= col("id"))
+      .select(col("doc_id"), col("qid"),
+        round(dot(col("qv"), col("v")) / (col("qn") * col("n")), 6).as("cos"))
+      .groupBy(col("doc_id"), col("qid")).agg(max(col("cos")).as("m"))
+    val sc = perTok.groupBy(col("doc_id"))
+      .agg(round(sum(col("m")), 6).as("score"))
+    val w = Window.orderBy(col("score").desc, col("doc_id").asc)
+    sc.orderBy(col("score").desc, col("doc_id").asc).limit(k)
+      .withColumn("rn", row_number().over(w))
+      .select(col("doc_id"), col("score"), col("rn"))
+  }
+
+  /**
    * IVF-PQ approximate top-k, single-call form: [[buildPqIndex]] +
    * [[searchPqIndex]]. The split exists because the expensive part —
    * training + the encode pass — is per-CORPUS, not per-query-batch;

@@ -646,6 +646,59 @@ object PipelineCatalog {
       "\nSELECT doc_id, cos, mmr, CAST(rn AS INT) AS rn FROM acc5"
   }
 
+  /** Late-interaction MaxSim retrieval, exact form (r16; Khattab &
+    * Zaharia, SIGIR 2020): the embeddings table read as token BAGS —
+    * doc = vec_id DIV 10, ten token vectors per document — queried by
+    * document 10's token bag (vec_ids 100–109), k = 10. Every non-query
+    * document scores Σ over query tokens of its best token cosine. */
+  val simMaxSimQ: Q = (s, dir) =>
+    Similarity.maxSimTopK(
+      Tables.embeddings(s, dir).withColumn("mdoc", expr("vec_id DIV 10")),
+      "mdoc", "vec_id", "embedding",
+      col("id") >= 100L && col("id") <= 109L, k = 10)
+
+  /** Index-bound MaxSim (r16): candidate docs voted by each query
+    * token's IVF-PQ shortlist over the shared persisted det index, exact
+    * MaxSim on candidates only. FULL-COVERAGE configuration (nProbe =
+    * all 16 cells, kTok·rf = 2000 ≥ corpus tokens at sf0.01 AND sf0.1):
+    * every query token shortlists every other token, so the candidate
+    * set is every non-query doc and the output must be BIT-EQUAL to
+    * [[simMaxSimQ]] — certified by the exact gate's VERBATIM oracle.
+    * Narrow-shortlist recall behavior is spec-pinned, not gated. */
+  val simMaxSimIndexedQ: Q = (s, dir) => {
+    val (model, pqPath) = detPqIndex(s, dir)
+    Similarity.maxSimTopKIndexed(model, s.read.parquet(pqPath),
+      Tables.embeddings(s, dir).withColumn("mdoc", expr("vec_id DIV 10")),
+      "mdoc", "vec_id", "embedding",
+      col("id") >= 100L && col("id") <= 109L, k = 10,
+      kTok = 2000, nProbe = 16, rerankFactor = 1)
+  }
+
+  /** The MaxSim replay: same 6-dp cosine, per-(doc, query-token) max,
+    * rounded per-doc sum, (score desc, doc_id asc) rank. */
+  val simMaxSimSql: String =
+    """WITH base AS (
+      |  SELECT vec_id // 10 AS doc_id, vec_id AS id,
+      |         CAST(embedding AS DOUBLE[]) AS v
+      |  FROM embeddings
+      |), nn AS (
+      |  SELECT doc_id, id, v, sqrt(list_dot_product(v, v)) AS nrm FROM base
+      |), q AS (SELECT * FROM nn WHERE id BETWEEN 100 AND 109),
+      |c AS (
+      |  SELECT * FROM nn WHERE doc_id NOT IN (SELECT DISTINCT doc_id FROM q)
+      |), pt AS (
+      |  SELECT c.doc_id, q.id AS qid,
+      |         max(round(list_dot_product(q.v, c.v) / (q.nrm * c.nrm), 6)) AS m
+      |  FROM c CROSS JOIN q
+      |  GROUP BY c.doc_id, q.id
+      |), sc AS (
+      |  SELECT doc_id, round(sum(m), 6) AS score FROM pt GROUP BY doc_id
+      |)
+      |SELECT doc_id, score, rn FROM (
+      |  SELECT *, row_number() OVER (ORDER BY score DESC, doc_id ASC) AS rn
+      |  FROM sc
+      |) WHERE rn <= 10""".stripMargin
+
   /** Hyperplane-LSH bucketed ANN top-5 — xxhash64 planes, rows-only. */
   val simLsh: Q = (s, dir) =>
     Similarity.lshTopK(Tables.embeddings(s, dir), "vec_id", "embedding",
@@ -3281,6 +3334,8 @@ object PipelineCatalog {
     "dedup_simhash" -> dedupSimhash,
     "sim_bruteforce_topk" -> simBruteForce,
     "sim_mmr_rerank" -> simMmrRerankQ,
+    "sim_maxsim" -> simMaxSimQ,
+    "sim_maxsim_indexed" -> simMaxSimIndexedQ,
     "sim_lsh_topk" -> simLsh,
     "sim_ivf_topk" -> simIvf,
     "sim_filtered_topk" -> simFilteredTopK,
@@ -3382,6 +3437,10 @@ object PipelineCatalog {
     "dedup_incremental" -> dedupIncrementalSql,
     "sim_bruteforce_topk" -> simBruteForceSql,
     "sim_mmr_rerank" -> simMmrRerankSql,
+    "sim_maxsim" -> simMaxSimSql,
+    // the full-coverage indexed configuration must reproduce the exact
+    // MaxSim bit for bit — the oracle is shared VERBATIM by construction
+    "sim_maxsim_indexed" -> simMaxSimSql,
     "sim_ivf_topk" -> simIvfSql,
     "sim_filtered_topk" -> simFilteredTopKSql,
     "sim_ivf_filtered" -> simIvfFilteredSql,

@@ -797,6 +797,19 @@ class RelevanceSpec extends SparkSuite {
         Seq((7L, "zz qq"), (8L, "apple")).toDF("query_id", "query"), k = 10)
       .collect().map(_.getLong(0)).toSet
     assert(sparse === Set(8L))
+    // fold-over-query-set degradation: an EMPTY batch is an empty
+    // result (searchPqIndexPoints parity — a curation loop's empty
+    // partition must not crash); a non-empty all-blank batch keeps the
+    // single form's per-query non-empty contract and fails loudly
+    val empty = Relevance.bm25SearchIndexedBatch(spark, dir,
+      Seq.empty[(Long, String)].toDF("query_id", "query"), k = 10)
+    assert(empty.columns.toSeq ===
+      Seq("query_id", "doc_id", "score", "rn"))
+    assert(empty.count() === 0L)
+    intercept[IllegalArgumentException] {
+      Relevance.bm25SearchIndexedBatch(spark, dir,
+        Seq((9L, " ")).toDF("query_id", "query"), k = 10)
+    }
   }
 
   test("hybridSearchAnnPoints ≡ per-query fold of hybridSearchAnn; shared vectors allowed (r16)") {
@@ -832,6 +845,11 @@ class RelevanceSpec extends SparkSuite {
       assert(got(qid) === want,
         s"batch hybrid must equal the single form for query $qid ('$qtext', vec $vid)")
     }
+    // empty-batch degradation rides the lexical side's: zero rows, no crash
+    val empty = Relevance.hybridSearchAnnPoints(spark, bmDir, model, idx,
+      emb, Seq.empty[(Long, String, Long)].toDF("query_id", "query", "qvec"),
+      kLex = 5, kSem = 5, k = 6, nProbe = 4, rerankFactor = 5)
+    assert(empty.count() === 0L)
   }
 
   test("hybridSearch: k truncates after fusion, not per side") {

@@ -850,4 +850,105 @@ class SimilaritySpec extends SparkSuite {
     assert(!plans.synchronized(plans.exists(_.contains("SortMergeJoin"))),
       "the batch point query must never shuffle the corpus into a join")
   }
+
+  test("maxSimTopK: hand-computed late-interaction scores, query-doc exclusion, ties, k (r16)") {
+    // token bags, dim 2: query doc 0 = {(1,0), (0,1)}; doc 1 covers both
+    // aspects (score 2.0); doc 3's single token splits them (0.6 + 0.8 =
+    // 1.4 — the case single-vector pooling can't express); docs 2 and 4
+    // cover only the first aspect (1.0 each — doc-id tie-break)
+    val toks = Seq(
+      (0L, 1L, Array(1.0f, 0.0f)), (0L, 2L, Array(0.0f, 1.0f)),
+      (1L, 11L, Array(1.0f, 0.0f)), (1L, 12L, Array(0.0f, 1.0f)),
+      (2L, 21L, Array(1.0f, 0.0f)), (2L, 22L, Array(1.0f, 0.0f)),
+      (3L, 31L, Array(0.6f, 0.8f)),
+      (4L, 41L, Array(1.0f, 0.0f)), (4L, 42L, Array(1.0f, 0.0f))
+    ).toDF("doc", "tok", "vec")
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getDouble(1), r.getInt(2)))
+        .sortBy(_._3).toSeq
+    val got = rows(Similarity.maxSimTopK(toks, "doc", "tok", "vec",
+      col("id") <= 2L, k = 10))
+    assert(got === Seq((1L, 2.0, 1), (3L, 1.4, 2), (2L, 1.0, 3),
+      (4L, 1.0, 4)),
+      "scores must be per-query-token maxima summed, query doc excluded")
+    // k truncates the ranked list, never reorders it
+    assert(rows(Similarity.maxSimTopK(toks, "doc", "tok", "vec",
+      col("id") <= 2L, k = 2)) === got.take(2))
+    // empty query token set degrades to an empty frame, not an error
+    assert(Similarity.maxSimTopK(toks, "doc", "tok", "vec",
+      col("id") < 0L, k = 3).count() === 0L)
+  }
+
+  test("maxSimTopKIndexed: full coverage ≡ exact; narrow shortlist exact-on-candidates; reads pruned (r16)") {
+    val toks = spark.range(90).select(
+      expr("id DIV 3").as("doc"), col("id").as("tok"),
+      array((0 until 8).map(d =>
+        sin((col("id") + 1) * (d + 1)).cast("float")): _*).as("vec"))
+    val (model, idx) = Similarity.buildPqIndex(toks, "tok", "vec",
+      nCentroids = 8, m = 4, kSub = 8, trainIters = 0, pqIters = 0)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getDouble(1), r.getInt(2)))
+        .sortBy(_._3).toSeq
+    val exact = rows(Similarity.maxSimTopK(toks, "doc", "tok", "vec",
+      col("id") <= 2L, k = 8))
+    // full coverage (all cells probed, shortlist ≥ corpus): candidates =
+    // every non-query doc, so the indexed form must equal exact BIT FOR BIT
+    assert(rows(Similarity.maxSimTopKIndexed(model, idx, toks, "doc",
+      "tok", "vec", col("id") <= 2L, k = 8,
+      kTok = 90, nProbe = 8, rerankFactor = 1)) === exact)
+    // narrow shortlists bound WHICH docs compete, never how one scores:
+    // every returned (doc, score) must match the exact form's score
+    val exactScores = rows(Similarity.maxSimTopK(toks, "doc", "tok",
+      "vec", col("id") <= 2L, k = 30)).map(t => t._1 -> t._2).toMap
+    val narrow = rows(Similarity.maxSimTopKIndexed(model, idx, toks,
+      "doc", "tok", "vec", col("id") <= 2L, k = 8,
+      kTok = 2, nProbe = 1, rerankFactor = 1))
+    assert(narrow.nonEmpty && narrow.size <= 8)
+    narrow.foreach { case (doc, score, _) =>
+      assert(exactScores(doc) === score,
+        s"candidate doc $doc must carry its exact MaxSim score")
+    }
+    // empty model degrades to an empty frame
+    assert(Similarity.maxSimTopKIndexed(
+      Similarity.PqModel(Array.empty, Array(Array.empty)), idx, toks,
+      "doc", "tok", "vec", col("id") <= 2L, k = 8).count() === 0L)
+    // plan pin: with the token table PERSISTED (doc materialized), every
+    // FileScan inside the indexed form is range/pred-pruned — the query
+    // read by the token predicate, the mapping and corpus reads by the
+    // shortlist/candidate min-max bounds — and the corpus never crosses
+    // a shuffled join
+    val tokDir = java.nio.file.Files
+      .createTempDirectory("graft_maxsim_toks").toString
+    toks.write.mode("overwrite").parquet(tokDir)
+    val toksP = spark.read.parquet(tokDir)
+    val plans = scala.collection.mutable.ArrayBuffer.empty[String]
+    val listener = new org.apache.spark.sql.util.QueryExecutionListener {
+      override def onSuccess(funcName: String,
+          qe: org.apache.spark.sql.execution.QueryExecution,
+          durationNs: Long): Unit =
+        plans.synchronized { plans += qe.executedPlan.toString; () }
+      override def onFailure(funcName: String,
+          qe: org.apache.spark.sql.execution.QueryExecution,
+          exception: Exception): Unit = ()
+    }
+    spark.listenerManager.register(listener)
+    try {
+      Similarity.maxSimTopKIndexed(model, idx, toksP, "doc", "tok",
+        "vec", col("id") <= 2L, k = 8,
+        kTok = 3, nProbe = 2, rerankFactor = 2).count()
+      org.apache.spark.GraftListenerBridge
+        .waitListenerBus(spark.sparkContext)
+    } finally spark.listenerManager.unregister(listener)
+    val tokScans = plans.synchronized {
+      plans.flatMap(_.linesIterator)
+        .filter(l => l.contains("FileScan") && l.contains("graft_maxsim_toks"))
+    }
+    assert(tokScans.nonEmpty, "the plan pin must bind to at least one scan")
+    val unfiltered = tokScans.filterNot(_.contains("ThanOrEqual("))
+    assert(unfiltered.isEmpty,
+      "every token-table read must carry a pushed bound:\n" +
+        unfiltered.mkString("\n"))
+    assert(!plans.synchronized(plans.exists(_.contains("SortMergeJoin"))),
+      "index-bound MaxSim must never shuffle the corpus into a join")
+  }
 }
