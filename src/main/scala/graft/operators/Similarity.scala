@@ -1241,6 +1241,131 @@ object Similarity {
     maxSimScoreTail(corpus, q, k)
   }
 
+  /**
+   * [[maxSimTopK]] for a BATCH of query documents (r16) — late
+   * interaction at curation width. `queryDocIds`' first column names
+   * query documents; each query's bag is its own token rows in
+   * `vectors`, so a thousand-query curation batch is ONE frame, not a
+   * thousand predicates. All query bags broadcast together against ONE
+   * corpus token scan; per-(query, doc, query-token) maxima are
+   * map-side partials (the exchange carries ≤ nQ·nDocs·bagSize rows,
+   * never token pairs); the per-query top-k rank is WindowGroupLimit-
+   * bounded. Each query excludes only its OWN document — other query
+   * docs compete as candidates, exactly as in the single-query fold
+   * (bit-equal per query, spec-pinned). Output (query_id, doc_id,
+   * score, rn); an empty batch is an empty frame.
+   */
+  def maxSimTopKBatch(vectors: DataFrame, docIdCol: String,
+                      vecIdCol: String, vecCol: String,
+                      queryDocIds: DataFrame, k: Int): DataFrame = {
+    require(k > 0, "maxSimTopKBatch needs positive k")
+    graft.functions.GraftFunctions.register(vectors.sparkSession)
+    val base = vectors.select(col(docIdCol).cast("long").as("doc_id"),
+        col(vecIdCol).cast("long").as("id"),
+        col(vecCol).cast("array<double>").as("v"))
+      .withColumn("n", norm2(col("v")))
+    maxSimBatchTail(base, batchQueryBags(base, queryDocIds), k)
+  }
+
+  /**
+   * [[maxSimTopKIndexed]] for a BATCH of query documents (r16): ONE
+   * [[searchPqIndexPoints]] call shortlists every query token of every
+   * query bag together (distributed ADC, range-pruned reads); each
+   * neighbor token votes its document into ITS query's candidate pair
+   * set (qdoc, cdoc); exact MaxSim then scores only candidate-doc
+   * tokens, with the bounded (broadcast) pair set applied map-side
+   * BEFORE aggregation so non-candidate (query, doc) combinations never
+   * reach the exchange. Full coverage ⇒ bit-equal to
+   * [[maxSimTopKBatch]]; any coverage ⇒ bit-equal per query to the
+   * [[maxSimTopKIndexed]] fold (spec-pinned both ways).
+   */
+  def maxSimTopKIndexedBatch(model: PqModel, index: DataFrame,
+                             vectors: DataFrame, docIdCol: String,
+                             vecIdCol: String, vecCol: String,
+                             queryDocIds: DataFrame, k: Int,
+                             kTok: Int = 50, nProbe: Int = 4,
+                             rerankFactor: Int = 4): DataFrame = {
+    require(k > 0 && kTok > 0, "maxSimTopKIndexedBatch needs positive k")
+    graft.functions.GraftFunctions.register(vectors.sparkSession)
+    val base = vectors.select(col(docIdCol).cast("long").as("doc_id"),
+        col(vecIdCol).cast("long").as("id"),
+        col(vecCol).cast("array<double>").as("v"))
+      .withColumn("n", norm2(col("v")))
+    val q = batchQueryBags(base, queryDocIds)
+    val emptyOut = maxSimBatchTail(base.filter(lit(false)),
+      q.filter(lit(false)), k)
+    if (model.isEmpty) return emptyOut
+    val short = searchPqIndexPoints(model, index, vectors, vecIdCol,
+      vecCol, q.select(col("qid")), k = kTok, nProbe = nProbe,
+      rerankFactor = rerankFactor)
+    val nbrs = short.select(col("neighbor_id")).distinct()
+    val nb = nbrs.agg(min(col("neighbor_id")).as("lo"),
+        max(col("neighbor_id")).as("hi")).collect().headOption
+      .filterNot(_.isNullAt(0)).map(r => (r.getLong(0), r.getLong(1)))
+    if (nb.isEmpty) return emptyOut
+    // neighbor token → its doc (range-pruned mapping read), shortlist
+    // pair → voting query token → its qdoc (both broadcast-bounded):
+    // the candidate PAIR set, ≤ nQTokens·kTok·rerankFactor rows
+    val pairs = base
+      .filter(col("id") >= nb.get._1 && col("id") <= nb.get._2)
+      .select(col("id").as("neighbor_id"), col("doc_id").as("cdoc"))
+      .join(broadcast(short.select(col("query_id").as("qid"),
+        col("neighbor_id"))), "neighbor_id")
+      .join(broadcast(q.select(col("qid"), col("qdoc"))), "qid")
+      .filter(col("cdoc") =!= col("qdoc"))
+      .select(col("qdoc"), col("cdoc").as("doc_id")).distinct()
+      .localCheckpoint()
+    val db = pairs.agg(min(col("doc_id")).as("lo"),
+        max(col("doc_id")).as("hi")).collect().headOption
+      .filterNot(_.isNullAt(0)).map(r => (r.getLong(0), r.getLong(1)))
+    if (db.isEmpty) return emptyOut
+    val corpus = base
+      .filter(col("doc_id") >= db.get._1 && col("doc_id") <= db.get._2)
+      .join(broadcast(pairs.select(col("doc_id")).distinct()),
+        Seq("doc_id"), "left_semi")
+    maxSimBatchTail(corpus, q, k, pairFilter = Some(pairs))
+  }
+
+  /** Each query doc's bag = its own token rows: the doc-id batch frame
+    * (first column, distinct) broadcast-joined back into the token
+    * table. */
+  private def batchQueryBags(base: DataFrame,
+                             queryDocIds: DataFrame): DataFrame = {
+    val qd = queryDocIds
+      .select(col(queryDocIds.columns.head).cast("long").as("qdoc"))
+      .distinct()
+    base.join(broadcast(qd), col("doc_id") === col("qdoc"))
+      .select(col("qdoc"), col("id").as("qid"), col("v").as("qv"),
+        col("n").as("qn"))
+  }
+
+  /** Batched MaxSim scoring tail: all query bags broadcast at once, own
+    * doc excluded per query by the non-equi condition, optional
+    * candidate-pair restriction applied MAP-SIDE before the partial
+    * max, per-query rank window (WindowGroupLimit bounds the
+    * exchange). */
+  private def maxSimBatchTail(corpus: DataFrame, q: DataFrame, k: Int,
+                              pairFilter: Option[DataFrame] = None): DataFrame = {
+    val joined = corpus.join(broadcast(q), col("qdoc") =!= col("doc_id"))
+    val restricted = pairFilter match {
+      case Some(p) =>
+        joined.join(broadcast(p), Seq("qdoc", "doc_id"), "left_semi")
+      case None => joined
+    }
+    val perTok = restricted
+      .select(col("qdoc"), col("doc_id"), col("qid"),
+        round(dot(col("qv"), col("v")) / (col("qn") * col("n")), 6).as("cos"))
+      .groupBy(col("qdoc"), col("doc_id"), col("qid"))
+      .agg(max(col("cos")).as("m"))
+    val sc = perTok.groupBy(col("qdoc"), col("doc_id"))
+      .agg(round(sum(col("m")), 6).as("score"))
+    val w = Window.partitionBy(col("qdoc"))
+      .orderBy(col("score").desc, col("doc_id").asc)
+    sc.withColumn("rn", row_number().over(w)).filter(col("rn") <= k)
+      .select(col("qdoc").as("query_id"), col("doc_id"), col("score"),
+        col("rn"))
+  }
+
   /** Shared MaxSim scoring tail: per-(doc, query-token) max of the
     * 6-dp cosine (map-side partial), per-doc rounded sum, TakeOrdered
     * global top-k with the (score desc, doc_id asc) tie-break. The

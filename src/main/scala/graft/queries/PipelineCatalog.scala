@@ -699,6 +699,51 @@ object PipelineCatalog {
       |  FROM sc
       |) WHERE rn <= 10""".stripMargin
 
+  /** Batched MaxSim (r16): three query DOCUMENTS — their bags are their
+    * own token rows, so the batch is one id frame — through
+    * [[Similarity.maxSimTopKBatch]]. Includes the single gate's query
+    * doc 10: its slice of the batch must reproduce [[simMaxSimQ]] with
+    * the id attached. Oracle = the exact MaxSim oracle instantiated per
+    * query doc (anchored bound swap) and UNION ALL'd — the
+    * [[bm25SearchBatchSql]] transform discipline. */
+  val simMaxSimBatchQ: Q = (s, dir) => {
+    import s.implicits._
+    Similarity.maxSimTopKBatch(
+      Tables.embeddings(s, dir).withColumn("mdoc", expr("vec_id DIV 10")),
+      "mdoc", "vec_id", "embedding", maxSimBatchDocs.toDF("qdoc"), k = 10)
+  }
+
+  /** Indexed batched MaxSim (r16): the same batch through
+    * [[Similarity.maxSimTopKIndexedBatch]] under the FULL-COVERAGE
+    * configuration (all 16 det cells probed, kTok·rf ≥ corpus tokens at
+    * sf0.01 AND sf0.1) — every query token shortlists every other
+    * token, candidate pairs cover every (query, non-self doc), so the
+    * output must be BIT-EQUAL to [[simMaxSimBatchQ]]: certified by the
+    * batch transform oracle VERBATIM. */
+  val simMaxSimIndexedBatchQ: Q = (s, dir) => {
+    import s.implicits._
+    val (model, pqPath) = detPqIndex(s, dir)
+    Similarity.maxSimTopKIndexedBatch(model, s.read.parquet(pqPath),
+      Tables.embeddings(s, dir).withColumn("mdoc", expr("vec_id DIV 10")),
+      "mdoc", "vec_id", "embedding", maxSimBatchDocs.toDF("qdoc"), k = 10,
+      kTok = 2000, nProbe = 16, rerankFactor = 1)
+  }
+
+  /** All three exist at every sf (embeddings ≥ 500 rows ⇒ docs 0–49). */
+  private val maxSimBatchDocs: Seq[Long] = Seq(7L, 10L, 30L)
+
+  /** The batch-MaxSim oracle: [[simMaxSimSql]] per query doc with the
+    * token-bound anchor swapped (asserted individually — ADVICE r15
+    * discipline), result tagged with its query id, UNION ALL'd. */
+  lazy val simMaxSimBatchSql: String = maxSimBatchDocs.map { qd =>
+    val from = "WHERE id BETWEEN 100 AND 109"
+    val to = s"WHERE id BETWEEN ${qd * 10} AND ${qd * 10 + 9}"
+    val per = simMaxSimSql.replace(from, to)
+    require(per != simMaxSimSql || from == to,
+      s"maxsim batch oracle anchor drifted — token bound not found for doc $qd")
+    s"SELECT CAST($qd AS BIGINT) AS query_id, * FROM (\n$per\n)"
+  }.mkString("\nUNION ALL\n")
+
   /** Hyperplane-LSH bucketed ANN top-5 — xxhash64 planes, rows-only. */
   val simLsh: Q = (s, dir) =>
     Similarity.lshTopK(Tables.embeddings(s, dir), "vec_id", "embedding",
@@ -3336,6 +3381,8 @@ object PipelineCatalog {
     "sim_mmr_rerank" -> simMmrRerankQ,
     "sim_maxsim" -> simMaxSimQ,
     "sim_maxsim_indexed" -> simMaxSimIndexedQ,
+    "sim_maxsim_batch" -> simMaxSimBatchQ,
+    "sim_maxsim_indexed_batch" -> simMaxSimIndexedBatchQ,
     "sim_lsh_topk" -> simLsh,
     "sim_ivf_topk" -> simIvf,
     "sim_filtered_topk" -> simFilteredTopK,
@@ -3441,6 +3488,10 @@ object PipelineCatalog {
     // the full-coverage indexed configuration must reproduce the exact
     // MaxSim bit for bit — the oracle is shared VERBATIM by construction
     "sim_maxsim_indexed" -> simMaxSimSql,
+    "sim_maxsim_batch" -> simMaxSimBatchSql,
+    // full coverage ⇒ the indexed batch must reproduce the exact batch
+    // bit for bit — the transform oracle is shared VERBATIM
+    "sim_maxsim_indexed_batch" -> simMaxSimBatchSql,
     "sim_ivf_topk" -> simIvfSql,
     "sim_filtered_topk" -> simFilteredTopKSql,
     "sim_ivf_filtered" -> simIvfFilteredSql,

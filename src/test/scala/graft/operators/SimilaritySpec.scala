@@ -951,4 +951,55 @@ class SimilaritySpec extends SparkSuite {
     assert(!plans.synchronized(plans.exists(_.contains("SortMergeJoin"))),
       "index-bound MaxSim must never shuffle the corpus into a join")
   }
+
+  test("maxSimTopKBatch / maxSimTopKIndexedBatch ≡ per-query-doc folds; empty batch degrades (r16)") {
+    val toks = spark.range(90).select(
+      expr("id DIV 3").as("doc"), col("id").as("tok"),
+      array((0 until 8).map(d =>
+        sin((col("id") + 1) * (d + 1)).cast("float")): _*).as("vec"))
+    val (model, idx) = Similarity.buildPqIndex(toks, "tok", "vec",
+      nCentroids = 8, m = 4, kSub = 8, trainIters = 0, pqIters = 0)
+    val qdocs = Seq(0L, 7L, 15L)
+    def bag(qd: Long) = col("id") >= qd * 3 && col("id") <= qd * 3 + 2
+    def grouped(df: org.apache.spark.sql.DataFrame) =
+      df.collect()
+        .map(r => (r.getLong(0), (r.getLong(1), r.getDouble(2), r.getInt(3))))
+        .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    // exact batch ≡ fold of the single exact form (each query excludes
+    // only its own doc; other query docs stay candidates, as in the fold)
+    val exactBatch = grouped(Similarity.maxSimTopKBatch(toks, "doc",
+      "tok", "vec", qdocs.toDF("qdoc"), k = 8))
+    qdocs.foreach { qd =>
+      val want = Similarity.maxSimTopK(toks, "doc", "tok", "vec",
+          bag(qd), k = 8)
+        .collect().map(r => (r.getLong(0), r.getDouble(1), r.getInt(2)))
+        .toSet
+      assert(exactBatch(qd) === want,
+        s"exact batch must equal the single fold for query doc $qd")
+    }
+    // indexed batch ≡ fold of the single indexed form at NARROW
+    // coverage (per-token shortlists are per-query independent)
+    val idxBatch = grouped(Similarity.maxSimTopKIndexedBatch(model, idx,
+      toks, "doc", "tok", "vec", qdocs.toDF("qdoc"), k = 8,
+      kTok = 4, nProbe = 2, rerankFactor = 2))
+    qdocs.foreach { qd =>
+      val want = Similarity.maxSimTopKIndexed(model, idx, toks, "doc",
+          "tok", "vec", bag(qd), k = 8,
+          kTok = 4, nProbe = 2, rerankFactor = 2)
+        .collect().map(r => (r.getLong(0), r.getDouble(1), r.getInt(2)))
+        .toSet
+      assert(idxBatch.getOrElse(qd, Set.empty) === want,
+        s"indexed batch must equal the single indexed fold for query doc $qd")
+    }
+    // full coverage: the indexed batch must equal the exact batch
+    assert(grouped(Similarity.maxSimTopKIndexedBatch(model, idx, toks,
+      "doc", "tok", "vec", qdocs.toDF("qdoc"), k = 8,
+      kTok = 90, nProbe = 8, rerankFactor = 1)) === exactBatch)
+    // empty batch → empty frame, both forms
+    val none = qdocs.toDF("qdoc").filter(lit(false))
+    assert(Similarity.maxSimTopKBatch(toks, "doc", "tok", "vec",
+      none, k = 8).count() === 0L)
+    assert(Similarity.maxSimTopKIndexedBatch(model, idx, toks, "doc",
+      "tok", "vec", none, k = 8).count() === 0L)
+  }
 }
