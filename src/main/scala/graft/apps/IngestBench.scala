@@ -380,6 +380,56 @@ object IngestBench {
         searchSecs += (System.nanoTime() - t0) / 1e9
         (t, idx.count())
 
+      case "maxsim" =>
+        // batched late-interaction MaxSim (r16): query-DOC batch widths
+        // grow geometrically against a fixed persisted index over the
+        // scaled token table (doc = vec_id DIV 10). The indexed batch's
+        // cost should track candidate-pair volume (nQueryTokens ·
+        // kTok·rf votes), never the corpus; search_sec carries the
+        // contrast — the EXACT batch form at the LARGEST width, which
+        // scores every query bag against the full token table.
+        val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+          .select(expr("vec_id DIV 10").as("mdoc"), col("vec_id"),
+            col("embedding"))
+        corpusRows = emb.count()
+        val nDocs = corpusRows / 10
+        val nCells = math.max(16,
+          math.min(256, math.ceil(math.sqrt(corpusRows.toDouble)).toInt))
+        println(s"[ingest] maxsim coarse cells=$nCells docs=$nDocs")
+        val (model, idx0) = Similarity.buildPqIndex(emb, "vec_id",
+          "embedding", nCentroids = nCells, m = 8, kSub = 16,
+          trainIters = 0, pqIters = 0)
+        idx0.write.mode("overwrite").parquet(s"$statePath/pq_index")
+        val idx = spark.read.parquet(s"$statePath/pq_index")
+        stateBefore = idx.count()
+        def queryDocs(size: Int): org.apache.spark.sql.DataFrame = {
+          val stride = math.max(1L, nDocs / size)
+          emb.select(col("mdoc")).distinct()
+            .filter(pmod(col("mdoc"), lit(stride)) === 0)
+        }
+        // untimed warmup: plan-family codegen + parquet footers
+        Similarity.maxSimTopKIndexedBatch(model, idx, emb, "mdoc",
+          "vec_id", "embedding", queryDocs(batchSize), k = 10,
+          kTok = 10, nProbe = 4, rerankFactor = 2).count()
+        val t = (0 until nBatches).map { i =>
+          val qs = queryDocs(batchSize << i)
+          System.gc()
+          val t0 = System.nanoTime()
+          val n = Similarity.maxSimTopKIndexedBatch(model, idx, emb,
+            "mdoc", "vec_id", "embedding", qs, k = 10,
+            kTok = 10, nProbe = 4, rerankFactor = 2).count()
+          val sec = (System.nanoTime() - t0) / 1e9
+          println(s"[ingest] maxsim nq=${qs.count()} rows=$n " +
+            f"sec=$sec%.3f")
+          sec
+        }
+        // contrast: the exact (full token scan) batch at the largest width
+        val t0 = System.nanoTime()
+        Similarity.maxSimTopKBatch(emb, "mdoc", "vec_id", "embedding",
+          queryDocs(batchSize << (nBatches - 1)), k = 10).count()
+        searchSecs += (System.nanoTime() - t0) / 1e9
+        (t, idx.count())
+
       case other => sys.error(s"unknown mode: $other")
     }
 
