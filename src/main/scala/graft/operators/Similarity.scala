@@ -1213,10 +1213,12 @@ object Similarity {
     val emptyOut = maxSimScoreTail(base.filter(lit(false)),
       q.filter(lit(false)), k)
     if (model.isEmpty) return emptyOut
+    // compute-once: the bounds agg and the mapping join both read the
+    // checkpointed id set, so the index probe + re-rank run exactly once
     val shortlist = searchPqIndexPoints(model, index, vectors,
         vecIdCol, vecCol, q.select(col("id")), k = kTok,
         nProbe = nProbe, rerankFactor = rerankFactor)
-      .select(col("neighbor_id")).distinct()
+      .select(col("neighbor_id")).distinct().localCheckpoint()
     // neighbor tokens → their documents: a range-pruned 2-column read of
     // the token→doc mapping refined by the broadcast shortlist (≤
     // nQTok·kTok ids) — never a corpus-wide unfiltered pass
@@ -1295,11 +1297,15 @@ object Similarity {
     val emptyOut = maxSimBatchTail(base.filter(lit(false)),
       q.filter(lit(false)), k)
     if (model.isEmpty) return emptyOut
+    // compute-once: the bounds agg and the mapping join both read the
+    // checkpointed (query token, neighbor) pairs, so the index probe +
+    // re-rank run exactly once
     val short = searchPqIndexPoints(model, index, vectors, vecIdCol,
-      vecCol, q.select(col("qid")), k = kTok, nProbe = nProbe,
-      rerankFactor = rerankFactor)
-    val nbrs = short.select(col("neighbor_id")).distinct()
-    val nb = nbrs.agg(min(col("neighbor_id")).as("lo"),
+        vecCol, q.select(col("qid")), k = kTok, nProbe = nProbe,
+        rerankFactor = rerankFactor)
+      .select(col("query_id").as("qid"), col("neighbor_id"))
+      .localCheckpoint()
+    val nb = short.agg(min(col("neighbor_id")).as("lo"),
         max(col("neighbor_id")).as("hi")).collect().headOption
       .filterNot(_.isNullAt(0)).map(r => (r.getLong(0), r.getLong(1)))
     if (nb.isEmpty) return emptyOut
@@ -1309,8 +1315,7 @@ object Similarity {
     val pairs = base
       .filter(col("id") >= nb.get._1 && col("id") <= nb.get._2)
       .select(col("id").as("neighbor_id"), col("doc_id").as("cdoc"))
-      .join(broadcast(short.select(col("query_id").as("qid"),
-        col("neighbor_id"))), "neighbor_id")
+      .join(broadcast(short), "neighbor_id")
       .join(broadcast(q.select(col("qid"), col("qdoc"))), "qid")
       .filter(col("cdoc") =!= col("qdoc"))
       .select(col("qdoc"), col("cdoc").as("doc_id")).distinct()
