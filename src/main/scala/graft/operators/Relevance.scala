@@ -427,6 +427,50 @@ object Relevance {
   }
 
   /**
+   * Per-group diversity cap over a ranked retrieval result (r16): at
+   * most `maxPerGroup` documents per group (source, domain, shard …)
+   * survive, ranked by the ORIGINAL score, then the global top-k
+   * re-ranks what's left — the source-diversity quota a curation
+   * pipeline applies so one dominant domain can't fill a result list.
+   * `ranked` carries the candidate set (its doc-id and score columns
+   * named); `meta` maps doc id → group. Scale shape: the candidate set
+   * is k-bounded, so it BROADCASTS into the corpus-sized meta scan
+   * (map-only, with the candidates' id range pushed as a scan
+   * predicate); every window after that is candidate-set-sized. Output
+   * (doc_id, grp, score, grn, rn).
+   */
+  def capPerGroup(ranked: DataFrame, docIdCol: String, scoreCol: String,
+                  meta: DataFrame, metaIdCol: String, groupCol: String,
+                  maxPerGroup: Int, k: Int): DataFrame = {
+    require(maxPerGroup > 0 && k > 0, "capPerGroup needs positive caps")
+    val r = ranked.select(col(docIdCol).cast("long").as("doc_id"),
+      col(scoreCol).as("score"))
+    val m = meta.select(col(metaIdCol).cast("long").as("doc_id"),
+      col(groupCol).as("grp"))
+    // bounded-model: one 2-long agg of the k-bounded candidate set,
+    // pushed into the meta scan so the map-only join also row-group
+    // prunes
+    val b = r.agg(min(col("doc_id")).as("lo"), max(col("doc_id")).as("hi"))
+      .collect().headOption.filterNot(_.isNullAt(0))
+      .map(row => (row.getLong(0), row.getLong(1)))
+    val mRanged = b match {
+      case Some((lo, hi)) =>
+        m.filter(col("doc_id") >= lo && col("doc_id") <= hi)
+      case None => m.filter(lit(false))
+    }
+    val joined = mRanged.join(broadcast(r), Seq("doc_id"))
+    val wg = Window.partitionBy(col("grp"))
+      .orderBy(col("score").desc, col("doc_id").asc)
+    val capped = joined.withColumn("grn", row_number().over(wg))
+      .filter(col("grn") <= maxPerGroup)
+    val w = Window.orderBy(col("score").desc, col("doc_id").asc)
+    capped.orderBy(col("score").desc, col("doc_id").asc).limit(k)
+      .withColumn("rn", row_number().over(w))
+      .select(col("doc_id"), col("grp"), col("score"), col("grn"),
+        col("rn"))
+  }
+
+  /**
    * [[bm25SearchIndexed]] for a BATCH of queries (r16) — the curation
    * form: thousands of retrieval queries answered from ONE term-pruned
    * index read instead of one read (and one driver round-trip) per

@@ -1394,6 +1394,32 @@ object Similarity {
   }
 
   /**
+   * Recall@k evaluation (r16): per-query overlap between an APPROXIMATE
+   * retrieval result and its EXACT reference — the measurement a
+   * curation pipeline tunes `nProbe`/`kTok`/banding against. Both
+   * inputs are ranked result frames carrying (query_id, neighbor_id)
+   * in those columns (any extra columns ignored); the output is one row
+   * per reference query: (query_id, hits, n_exact, recall) with
+   * recall = round(hits / n_exact, 6). A query the approximate form
+   * missed entirely still appears, with 0 hits — silent misses are the
+   * point of the measurement. Scale shape: result frames are k-bounded
+   * (≤ k rows per query), so every join here is result-set-sized —
+   * never corpus-sized — whatever the corpus behind them was.
+   */
+  def recallAtK(approx: DataFrame, exact: DataFrame): DataFrame = {
+    val a = approx.select(col("query_id"), col("neighbor_id"))
+    val e = exact.select(col("query_id"), col("neighbor_id"))
+    val hits = a.join(e, Seq("query_id", "neighbor_id"), "left_semi")
+      .groupBy(col("query_id")).agg(count(lit(1)).as("hits"))
+    e.groupBy(col("query_id")).agg(count(lit(1)).as("n_exact"))
+      .join(hits, Seq("query_id"), "left")
+      .select(col("query_id"),
+        coalesce(col("hits"), lit(0L)).as("hits"), col("n_exact"),
+        round(coalesce(col("hits"), lit(0L)).cast("double")
+          / col("n_exact"), 6).as("recall"))
+  }
+
+  /**
    * IVF-PQ approximate top-k, single-call form: [[buildPqIndex]] +
    * [[searchPqIndex]]. The split exists because the expensive part —
    * training + the encode pass — is per-CORPUS, not per-query-batch;

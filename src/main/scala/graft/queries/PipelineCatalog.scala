@@ -744,6 +744,70 @@ object PipelineCatalog {
     s"SELECT CAST($qd AS BIGINT) AS query_id, * FROM (\n$per\n)"
   }.mkString("\nUNION ALL\n")
 
+  /** Recall@k of the deterministic IVF-PQ search against the exact
+    * brute-force reference (r16): the measurement a curation pipeline
+    * tunes nProbe/shortlist width against, as a first-class gate. Both
+    * sides are the already-certified gate queries; the oracle composes
+    * their SQLs VERBATIM as subqueries and adds only the overlap
+    * arithmetic, so no retrieval logic is re-derived. */
+  val annRecallDetQ: Q = (s, dir) =>
+    Similarity.recallAtK(
+      simIvfPqDet(s, dir),
+      Similarity.bruteForceTopK(Tables.embeddings(s, dir), "vec_id",
+        "embedding", col("id") % 100 === 0, k = 5))
+
+  /** LAZY: composes oracles declared later in this object. */
+  lazy val annRecallDetSql: String =
+    s"""WITH a AS (SELECT query_id, neighbor_id FROM (
+       |$simIvfPqDetSql
+       |)), e AS (SELECT query_id, neighbor_id FROM (
+       |$simBruteForceSql
+       |)), tot AS (
+       |  SELECT query_id, CAST(count(*) AS BIGINT) AS n_exact
+       |  FROM e GROUP BY query_id
+       |), h AS (
+       |  SELECT e.query_id, CAST(count(*) AS BIGINT) AS hits
+       |  FROM e JOIN a USING (query_id, neighbor_id) GROUP BY e.query_id
+       |)
+       |SELECT tot.query_id,
+       |       COALESCE(hits, CAST(0 AS BIGINT)) AS hits, n_exact,
+       |       round(COALESCE(hits, CAST(0 AS BIGINT)) / n_exact, 6) AS recall
+       |FROM tot LEFT JOIN h USING (query_id)""".stripMargin
+
+  /** Source-diversity quota on retrieval (r16): the certified BM25
+    * query widened to top-50, then [[Relevance.capPerGroup]] keeps at
+    * most 2 docs per `source` and re-ranks to top-10 — one dominant
+    * domain can no longer fill the list. Oracle = the certified BM25
+    * SQL with its rank bound widened (anchored) + the same two windows
+    * in DuckDB. */
+  val bm25SearchDiverseQ: Q = (s, dir) =>
+    Relevance.capPerGroup(
+      Relevance.bm25Search(Tables.documents(s, dir), "doc_id", "text",
+        "dup vector key", k = 50),
+      "doc_id", "score",
+      Tables.documents(s, dir), "doc_id", "source",
+      maxPerGroup = 2, k = 10)
+
+  /** LAZY for the same declaration-order reason. */
+  lazy val bm25SearchDiverseSql: String = {
+    val from = "WHERE rn <= 10"
+    val wide = bm25SearchSql.replace(from, "WHERE rn <= 50")
+    require(wide != bm25SearchSql,
+      "bm25 diverse oracle anchor drifted — rank bound not found")
+    s"""WITH cand AS (SELECT doc_id, score FROM (
+       |$wide
+       |)), withg AS (
+       |  SELECT c.doc_id, d.source AS grp, c.score,
+       |         CAST(row_number() OVER (PARTITION BY d.source
+       |           ORDER BY c.score DESC, c.doc_id ASC) AS INT) AS grn
+       |  FROM cand c JOIN documents d USING (doc_id)
+       |), capped AS (SELECT * FROM withg WHERE grn <= 2)
+       |SELECT doc_id, grp, score, grn, rn FROM (
+       |  SELECT *, CAST(row_number() OVER (ORDER BY score DESC,
+       |    doc_id ASC) AS INT) AS rn FROM capped
+       |) WHERE rn <= 10""".stripMargin
+  }
+
   /** Hyperplane-LSH bucketed ANN top-5 — xxhash64 planes, rows-only. */
   val simLsh: Q = (s, dir) =>
     Similarity.lshTopK(Tables.embeddings(s, dir), "vec_id", "embedding",
@@ -3383,6 +3447,8 @@ object PipelineCatalog {
     "sim_maxsim_indexed" -> simMaxSimIndexedQ,
     "sim_maxsim_batch" -> simMaxSimBatchQ,
     "sim_maxsim_indexed_batch" -> simMaxSimIndexedBatchQ,
+    "ann_recall_det" -> annRecallDetQ,
+    "bm25_search_diverse" -> bm25SearchDiverseQ,
     "sim_lsh_topk" -> simLsh,
     "sim_ivf_topk" -> simIvf,
     "sim_filtered_topk" -> simFilteredTopK,
@@ -3492,6 +3558,8 @@ object PipelineCatalog {
     // full coverage ⇒ the indexed batch must reproduce the exact batch
     // bit for bit — the transform oracle is shared VERBATIM
     "sim_maxsim_indexed_batch" -> simMaxSimBatchSql,
+    "ann_recall_det" -> annRecallDetSql,
+    "bm25_search_diverse" -> bm25SearchDiverseSql,
     "sim_ivf_topk" -> simIvfSql,
     "sim_filtered_topk" -> simFilteredTopKSql,
     "sim_ivf_filtered" -> simIvfFilteredSql,

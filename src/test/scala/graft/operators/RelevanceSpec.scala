@@ -812,6 +812,34 @@ class RelevanceSpec extends SparkSuite {
     }
   }
 
+  test("capPerGroup: per-group quota by original score, tie-break, k-truncation (r16)") {
+    // scores: a-group fills ranks 1-3 ungated; with cap 2 the third
+    // a-doc (id 3, score 7.0) is displaced by b/c docs
+    val ranked = Seq((1L, 9.0), (2L, 8.0), (3L, 7.0), (4L, 6.0),
+      (5L, 5.0), (6L, 4.0)).toDF("doc_id", "score")
+    val meta = Seq((1L, "a"), (2L, "a"), (3L, "a"), (4L, "b"),
+      (5L, "b"), (6L, "c")).toDF("doc_id", "source")
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getString(1),
+        r.getDouble(2), r.getInt(3), r.getInt(4))).sortBy(_._5).toSeq
+    val got = rows(Relevance.capPerGroup(ranked, "doc_id", "score",
+      meta, "doc_id", "source", maxPerGroup = 2, k = 10))
+    assert(got === Seq((1L, "a", 9.0, 1, 1), (2L, "a", 8.0, 2, 2),
+      (4L, "b", 6.0, 1, 3), (5L, "b", 5.0, 2, 4), (6L, "c", 4.0, 1, 5)),
+      "doc 3 must be displaced by the a-group quota, order otherwise kept")
+    // k truncates after capping, never reorders
+    assert(rows(Relevance.capPerGroup(ranked, "doc_id", "score",
+      meta, "doc_id", "source", maxPerGroup = 2, k = 3)) === got.take(3))
+    // a cap wider than any group degenerates to the plain global top-k
+    assert(rows(Relevance.capPerGroup(ranked, "doc_id", "score",
+      meta, "doc_id", "source", maxPerGroup = 10, k = 4))
+      .map(t => (t._1, t._5)) ===
+      Seq((1L, 1), (2L, 2), (3L, 3), (4L, 4)))
+    // empty candidate set degrades to an empty frame
+    assert(Relevance.capPerGroup(ranked.limit(0), "doc_id",
+      "score", meta, "doc_id", "source", 2, 5).count() === 0L)
+  }
+
   test("hybridSearchAnnPoints ≡ per-query fold of hybridSearchAnn; shared vectors allowed (r16)") {
     import org.apache.spark.sql.functions.{array, col, sin}
     val docs = Seq.tabulate(24) { i =>

@@ -1002,4 +1002,25 @@ class SimilaritySpec extends SparkSuite {
     assert(Similarity.maxSimTopKIndexedBatch(model, idx, toks, "doc",
       "tok", "vec", none, k = 8).count() === 0L)
   }
+
+  test("recallAtK: overlap per reference query, silent misses surface as 0 (r16)") {
+    val exact = Seq((1L, 10L), (1L, 11L), (1L, 12L),
+      (2L, 20L), (2L, 21L), (3L, 30L))
+      .toDF("query_id", "neighbor_id")
+    // q1: 2/3 recovered; q2: 0/2 (wrong neighbors); q3 missed ENTIRELY —
+    // it must still appear, with 0 hits (silent misses are the point)
+    val approx = Seq((1L, 10L), (1L, 12L), (1L, 99L),
+      (2L, 98L), (2L, 97L))
+      .toDF("query_id", "neighbor_id")
+    val got = Similarity.recallAtK(approx, exact).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .sortBy(_._1).toSeq
+    assert(got === Seq((1L, 2L, 3L, 0.666667), (2L, 0L, 2L, 0.0),
+      (3L, 0L, 1L, 0.0)))
+    // extra ranked columns on either side are ignored
+    val withExtra = Similarity.recallAtK(
+      approx.withColumn("rn", lit(1)), exact.withColumn("cos", lit(0.5)))
+    assert(withExtra.columns.toSeq ===
+      Seq("query_id", "hits", "n_exact", "recall"))
+  }
 }
