@@ -1407,8 +1407,11 @@ object Similarity {
    * never corpus-sized — whatever the corpus behind them was.
    */
   def recallAtK(approx: DataFrame, exact: DataFrame): DataFrame = {
-    val a = approx.select(col("query_id"), col("neighbor_id"))
-    val e = exact.select(col("query_id"), col("neighbor_id"))
+    // distinct: a duplicated (query, neighbor) row on either side must
+    // not double-count a hit (recall could exceed 1) or inflate
+    // n_exact; result frames are k-bounded so the dedup is free
+    val a = approx.select(col("query_id"), col("neighbor_id")).distinct()
+    val e = exact.select(col("query_id"), col("neighbor_id")).distinct()
     val hits = a.join(e, Seq("query_id", "neighbor_id"), "left_semi")
       .groupBy(col("query_id")).agg(count(lit(1)).as("hits"))
     e.groupBy(col("query_id")).agg(count(lit(1)).as("n_exact"))

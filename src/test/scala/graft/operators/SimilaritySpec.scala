@@ -1022,5 +1022,12 @@ class SimilaritySpec extends SparkSuite {
       approx.withColumn("rn", lit(1)), exact.withColumn("cos", lit(0.5)))
     assert(withExtra.columns.toSeq ===
       Seq("query_id", "hits", "n_exact", "recall"))
+    // a duplicated row on either side must not double-count: recall
+    // stays a fraction of the DISTINCT reference set
+    val dup = Similarity.recallAtK(approx.union(approx),
+        exact.union(exact)).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .sortBy(_._1).toSeq
+    assert(dup === got)
   }
 }
