@@ -70,9 +70,17 @@ object Bench {
     // timed pass measure the amortized index-bound query — the number the
     // operator exists to deliver — while the one-shot build cost stays
     // visible through sim_ivfpq_topk / bm25_search.
+    // bm25_search_appended / _compacted (r16): the SAME first-call
+    // index-persist contract (append ingest / compaction cycle cached per
+    // (app, dir)) — unwarmed, their pass-1 numbers were 3-7× steady state
+    // and the kept value needed the warmup-aware rule to adjudicate;
+    // warmed, every pass measures the amortized indexed read the gates
+    // certify, while the build cost stays visible through bm25_search
+    // (inline full build, unwarmed by design).
     Seq("hot_items", "text_contamination", "bm25_top_terms",
         "importance_weights", "sim_ivfpq_topk", "sim_ivfpq_search",
-        "hybrid_search_ann").foreach { q =>
+        "hybrid_search_ann", "bm25_search_appended",
+        "bm25_search_compacted").foreach { q =>
       try SparkEntry.queries.get(q).foreach(_(spark, sfDir).count())
       catch { case _: Throwable => }
     }

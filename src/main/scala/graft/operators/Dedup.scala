@@ -125,6 +125,22 @@ object Dedup {
    * (fingerprint, id, signature) — signatures are computed map-side before
    * it, so document bodies never enter a wide exchange anywhere.
    */
+  /** Batch-source width guard (r16, guide §2.5 input skew): a small
+    * parquet corpus is ONE scan partition, and a signature pass over it
+    * (the dedup families' dominant CPU) then runs on one core. When the
+    * scan has fewer partitions than the session width, redistribute the
+    * (id, text) rows by id once — at real corpus scale the scan is
+    * already wide and this is the identity. Batch-only by contract
+    * (`.rdd` — callers never pass streaming frames; the incremental
+    * STREAM screens live in StreamPipeline and pre-batch their input).
+    */
+  private def spreadNarrowScan(df: DataFrame, idCol: String): DataFrame = {
+    val n = df.sparkSession.sessionState.conf.numShufflePartitions
+    if (!df.isStreaming && df.rdd.getNumPartitions < n)
+      df.repartition(n, col(idCol))
+    else df
+  }
+
   def minhashLshPairs(df: DataFrame, idCol: String, textCol: String,
                       k: Int = 3, bands: Int = 8, rowsPerBand: Int = 4,
                       tau: Double = 0.7): DataFrame = {
@@ -134,11 +150,17 @@ object Dedup {
     // Signature via the native codegen'd expression (one content hash per
     // shingle + numHashes long hashes, tight loop) — the higher-order
     // function pipeline is CodegenFallback and ~20× slower per doc.
-    val hashed = docs
+    // Lazy localCheckpoint + spread (r16): hashed feeds the keeper
+    // aggregate AND the tagged join — without the checkpoint each
+    // consumer re-runs the signature pass as its own subtree, on the
+    // single scan partition of a small corpus file. The verify text
+    // joins below keep reading the plain scan (no signature work there).
+    val hashed = spreadNarrowScan(docs, "id")
       .withColumn("sig", call_function("graft_minhash_signature",
         col("text"), lit(k), lit(numHashes)))
       .withColumn("fp", md5(col("text")))
       .select(col("id"), col("fp"), col("sig"))
+      .localCheckpoint(false)
     val keepers = hashed.groupBy(col("fp")).agg(min(col("id")).as("keeper"))
     val tagged = hashed.join(keepers, "fp")
     val dupPairs = tagged.filter(col("id") =!= col("keeper"))
@@ -222,10 +244,16 @@ object Dedup {
     // acc[i] = min over shingles of family-i's hex hash, with a sentinel
     // above every hex string standing in for "empty" (→ '' like the
     // coalesce in the oracle SQL). Measured 4× on the sf0.1 gate.
-    val hashed = docs
+    // Lazy localCheckpoint + spread (r16): the 8-md5-rounds-per-shingle
+    // signature pass was running TWICE (keeper agg + tagged join), each
+    // time on the single scan partition of the small corpus file —
+    // measured as two ~2 s single-task stages of the 5 s sf0.1 gate.
+    // The verify text joins keep the plain scan (no signature work).
+    val hashed = spreadNarrowScan(docs, "id")
       .withColumn("sig", portableSigExpr(col("text"), k, numHashes))
       .withColumn("fp", md5(col("text")))
       .select(col("id"), col("fp"), col("sig"))
+      .localCheckpoint(false)
     // mega-bucket guard (see minhashLshPairs): band keepers only, emit
     // exact duplicates as a linear (keeper, dup, 1.0) star
     val keepers = hashed.groupBy(col("fp")).agg(min(col("id")).as("keeper"))
@@ -617,7 +645,12 @@ object Dedup {
                            corpusHint: Long = -1L): DataFrame = {
     val blocks = simhashBlocks(maxHamming,
       if (corpusHint >= 0L) corpusHint else estimatedSigRows(df))
-    val hashed = simhashHashedPortable(df, idCol, textCol)
+    // spread + compute-once (r16): the per-token md5 vote pass ran twice
+    // (keeper agg + tagged join) on the single scan partition of a small
+    // corpus file — two single-task ~2 s stages at sf0.1. The spread is
+    // identity at real corpus widths; the checkpoint is signature-sized.
+    val hashed = simhashHashedPortable(spreadNarrowScan(df, idCol),
+      idCol, textCol).localCheckpoint(false)
     val keepers = hashed.groupBy(col("fp")).agg(min(col("id")).as("keeper"))
     val tagged = hashed.join(keepers, "fp")
     val dupPairs = tagged.filter(col("id") =!= col("keeper"))
@@ -634,11 +667,19 @@ object Dedup {
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
         col("a.sig_hi").as("hi_a"), col("a.sig_lo").as("lo_a"),
         col("b.sig_hi").as("hi_b"), col("b.sig_lo").as("lo_b"))
-      .dropDuplicates("id_a", "id_b")
+      // hamming BEFORE the pair dedup (r16, guide §2.3 "aggregate before
+      // you shuffle"): the verify is pure carried-signature bit
+      // arithmetic, so evaluating it map-side per candidate occurrence
+      // (≤ tables-per-doc re-evaluations of two bit_counts) costs
+      // nothing, while the dropDuplicates exchange then carries only
+      // SURVIVING pairs instead of every band collision. Identical
+      // output: duplicates of a pair carry identical signatures, so
+      // filter-then-dedup ≡ dedup-then-filter.
       .withColumn("hamming",
         bit_count(col("lo_a").bitwiseXOR(col("lo_b"))) +
           bit_count(col("hi_a").bitwiseXOR(col("hi_b"))))
       .filter(col("hamming") <= maxHamming)
+      .dropDuplicates("id_a", "id_b")
       .select(col("id_a"), col("id_b"), col("hamming"))
     keeperPairs.unionByName(dupPairs)
   }
@@ -806,7 +847,9 @@ object Dedup {
                    maxHamming: Int = 3, corpusHint: Long = -1L): DataFrame = {
     val blocks = simhashBlocks(maxHamming,
       if (corpusHint >= 0L) corpusHint else estimatedSigRows(df))
-    val hashed = simhashHashed(df, idCol, textCol)
+    // spread + compute-once (r16): see simhashPairsPortable
+    val hashed = simhashHashed(spreadNarrowScan(df, idCol), idCol, textCol)
+      .localCheckpoint(false)
     val keepers = hashed.groupBy(col("fp")).agg(min(col("id")).as("keeper"))
     val tagged = hashed.join(keepers, "fp")
     val dupPairs = tagged.filter(col("id") =!= col("keeper"))
@@ -822,9 +865,12 @@ object Dedup {
           col("a.id") < col("b.id"))
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
         col("a.sig").as("sig_a"), col("b.sig").as("sig_b"))
-      .dropDuplicates("id_a", "id_b")
+      // hamming BEFORE the pair dedup (r16): map-side bit arithmetic is
+      // free next to shuffling every band collision — the dedup exchange
+      // carries survivors only. Identical output (see the portable twin).
       .withColumn("hamming", bit_count(col("sig_a").bitwiseXOR(col("sig_b"))))
       .filter(col("hamming") <= maxHamming)
+      .dropDuplicates("id_a", "id_b")
       .select(col("id_a"), col("id_b"), col("hamming"))
     keeperPairs.unionByName(dupPairs)
   }
@@ -910,9 +956,12 @@ object Dedup {
           col("a.sig").as("sig_a"), col("b.sig").as("sig_b"))
     val verified = bandJoin(storeBanded, newBanded)
       .unionByName(bandJoin(newBanded, newBanded))
-      .dropDuplicates("id_a", "id_b")
+      // hamming before the pair dedup (r16): the dedup exchange — the
+      // incremental screen's ONLY corpus-side shuffle — carries
+      // survivors only. Identical output (see simhashPairs).
       .withColumn("hamming", bit_count(col("sig_a").bitwiseXOR(col("sig_b"))))
       .filter(col("hamming") <= maxHamming)
+      .dropDuplicates("id_a", "id_b")
       .select(col("id_a"), col("id_b"), col("hamming"))
     verified.unionByName(crossStars).unionByName(inStars)
   }
@@ -954,11 +1003,13 @@ object Dedup {
           col("b.sig_hi").as("hi_b"), col("b.sig_lo").as("lo_b"))
     val verified = bandJoin(storeBanded, newBanded)
       .unionByName(bandJoin(newBanded, newBanded))
-      .dropDuplicates("id_a", "id_b")
+      // hamming before the pair dedup (r16): survivors-only dedup
+      // exchange. Identical output (see simhashPairsPortable).
       .withColumn("hamming",
         bit_count(col("lo_a").bitwiseXOR(col("lo_b"))) +
           bit_count(col("hi_a").bitwiseXOR(col("hi_b"))))
       .filter(col("hamming") <= maxHamming)
+      .dropDuplicates("id_a", "id_b")
       .select(col("id_a"), col("id_b"), col("hamming"))
     verified.unionByName(crossStars).unionByName(inStars)
   }
@@ -1508,8 +1559,20 @@ object Dedup {
                        k: Int = 3, tau: Double = 0.5,
                        minShingles: Int = 1, maxDf: Long = 0L): DataFrame = {
     require(tau > 0.0, "containment tau must be positive (tau <= 0 keeps every colliding pair)")
-    val base = df
-      .select(col(idCol).as("id"), shingleHashes(col(textCol), k).as("sh"))
+    // Spread the shingle-hash computation when the source scan is
+    // under-partitioned (r16, guide §2.5 input skew): a small parquet
+    // file is ONE scan partition, and the tokenize+hash pass — the
+    // operator's dominant CPU — then runs on one core (measured: 3×
+    // ~3 s single-task stages in a 6 s query at sf0.1). The repartition
+    // moves raw text once, only when the scan has fewer partitions than
+    // the session width — at corpus scale the scan is already wide and
+    // no exchange is added.
+    val nW = df.sparkSession.sessionState.conf.numShufflePartitions
+    val src0 = df.select(col(idCol).as("id"), col(textCol).as("_t"))
+    val src = if (!src0.isStreaming && src0.rdd.getNumPartitions < nW)
+      src0.repartition(nW, col("id")) else src0
+    val base = src
+      .select(col("id"), shingleHashes(col("_t"), k).as("sh"))
       .withColumn("n_sh", size(col("sh")).cast("long"))
       .filter(col("n_sh") >= math.max(minShingles, 1).toLong)
     // collapse to one representative per distinct shingle SET (sorted —
@@ -1535,10 +1598,21 @@ object Dedup {
       struct(xxhash64(sort_array(col("sh"))).as("h1"),
         xxhash64(lit(1L), sort_array(col("sh"))).as("h2")))
     val w = Window.partitionBy(col("_fp"))
+    // Lazy localCheckpoint (r16): withRep feeds the representative side,
+    // the hot-shingle cap, AND both member-expansion joins — without
+    // the checkpoint each consumer re-runs the scan + shingle-hash +
+    // collapse window as its own subtree (measured: three ~3 s
+    // duplicate stages at sf0.1; exchange reuse can't fire because
+    // column pruning gives each subtree a different ReadSchema). The
+    // checkpointed frame is signature-sized (hashes, never text) —
+    // the same corpus-state footprint the persisted minhash/simhash
+    // stores already accept. Lazy, so the first consumer materializes
+    // it in its own job instead of paying a dedicated barrier.
     val withRep = withFp
       .withColumn("rid", min(col("id")).over(w))
       .withColumn("grp", count(lit(1)).over(w))
       .drop("_fp")
+      .localCheckpoint(false)
     val reps = withRep.filter(col("id") === col("rid"))
       .select(col("rid"), col("sh"), col("n_sh"), col("grp"))
     val posts = reps.select(col("rid"), col("n_sh"), col("grp"),
@@ -1553,8 +1627,14 @@ object Dedup {
           .filter(col("_df") > maxDf).select(col("s"))
         posts.join(hot, Seq("s"), "left_anti")
       } else posts
-    val a = kept.alias("a")
-    val b = kept.alias("b")
+    // Pin the posting self-join's width (r16, guide §2.5): the postings
+    // exchange is hash-sized (a few MB here), so AQE folds it to 1-2
+    // partitions and the Σ df² pair scan + partial count — the
+    // operator's quadratic heart — runs nearly serial. One pinned
+    // exchange, reused by BOTH self-join sides (same child plan).
+    val keptW = kept.repartition(nW, col("s"))
+    val a = keptW.alias("a")
+    val b = keptW.alias("b")
     val repPairs = a
       .join(b, col("a.s") === col("b.s") && col("a.rid") =!= col("b.rid"))
       .groupBy(col("a.rid").as("ra"), col("b.rid").as("rb"),
@@ -1757,7 +1837,19 @@ object Dedup {
     val intra = m1.join(m2, Seq("blk", "s")).filter(col("ia") < col("ib"))
       .select(col("ia").as("id_a"), col("ib").as("id_b"), lit(0L).as("dist"))
     if (maxDist == 0) return intra
-    // distinct strings per block; rep = any stable order for the a<b cut
+    // distinct strings per block; rep = any stable order for the a<b cut.
+    // r16 optimization note: a pinned-width repartition before the
+    // variant explode was TRIED (AQE folds the byte-tiny distinct-string
+    // exchange to one partition, leaving the ~len^maxDist explode on one
+    // task — a 4.2 s single-task stage at sf0.1) and MEASURED WALL-
+    // NEUTRAL: the explode stage fell 4.2 → 2.1 s but the allocation
+    // storm of 32 concurrent variant-string streams shifted the cost
+    // into GC (24.8 s of GC across the stage's tasks on the 4 GB bench
+    // heap) and the downstream pair-walk stage slowed by the same
+    // amount. Reverted: locally neutral, and at corpus scale the
+    // distinct-string frame is large enough that the extra exchange is
+    // pure cost. The allocation-free variant hasher is the real lever
+    // (see OPTIMIZATION_r16.md "Not yet optimized").
     val reps = members.groupBy(col("blk"), col("s"))
       .agg(min(col("id")).as("rep"))
     // Candidate generation is ONE shuffle onto (blk, variant-hash) —

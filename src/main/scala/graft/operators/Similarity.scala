@@ -707,6 +707,13 @@ object Similarity {
     graft.functions.GraftFunctions.register(df.sparkSession)
     require(!model.isEmpty, "cannot encode against an empty model")
     val ds = model.dim / model.books.length
+    // r16 optimization note: a width-guarded repartition before the
+    // encode was TRIED (the Dedup.spreadNarrowScan pattern) and measured
+    // NEUTRAL — profiling showed the build gate's single-task stage is
+    // dominated by the embeddings SCAN (array<double> decode ~1 s at
+    // sf0.1), not by the code assignment; spreading the encode just
+    // moved the same wall behind one more exchange. Reverted — the
+    // encode stays fused with the scan, zero shuffle, as documented.
     df.select(col(idCol).as("id") +: col(vecCol).cast("array<double>").as("v")
         +: attrCols.map(col): _*)
       .withColumn("n", norm2(col("v")))
@@ -1116,11 +1123,16 @@ object Similarity {
       .orderBy(col("acos").desc, col("neighbor_id").asc)
     // compute-once shortlist: the min/max probe and the re-rank join
     // both read the checkpointed pairs, so the probe work runs exactly
-    // one time and nothing shortlist-sized reaches the driver
+    // one time and nothing shortlist-sized reaches the driver. LAZY
+    // (r16 optimization, the GraphRank precedent): the immediately
+    // following bounds agg is a full scan, so it materializes the
+    // checkpoint in ITS job — an eager checkpoint would run the whole
+    // probe DAG as a separate job first and pay one more job barrier
+    // per call for nothing.
     val shortlist = candApprox.withColumn("arn", row_number().over(wA))
       .filter(col("arn") <= k.toLong * rerankFactor)
       .select(col("query_id"), col("neighbor_id"))
-      .localCheckpoint()
+      .localCheckpoint(false)
     val nBounds = minMax(shortlist, "neighbor_id")
     if (nBounds.isEmpty) return emptyTopK(queries)
     val q2 = queries.select(col("id").as("query_id"),
@@ -1214,11 +1226,14 @@ object Similarity {
       q.filter(lit(false)), k)
     if (model.isEmpty) return emptyOut
     // compute-once: the bounds agg and the mapping join both read the
-    // checkpointed id set, so the index probe + re-rank run exactly once
+    // checkpointed id set, so the index probe + re-rank run exactly
+    // once. Lazy: the bounds agg below is the first consumer and scans
+    // every partition, so it materializes the checkpoint in its own job
+    // instead of paying a dedicated materialization barrier (r16).
     val shortlist = searchPqIndexPoints(model, index, vectors,
         vecIdCol, vecCol, q.select(col("id")), k = kTok,
         nProbe = nProbe, rerankFactor = rerankFactor)
-      .select(col("neighbor_id")).distinct().localCheckpoint()
+      .select(col("neighbor_id")).distinct().localCheckpoint(false)
     // neighbor tokens → their documents: a range-pruned 2-column read of
     // the token→doc mapping refined by the broadcast shortlist (≤
     // nQTok·kTok ids) — never a corpus-wide unfiltered pass
@@ -1299,12 +1314,13 @@ object Similarity {
     if (model.isEmpty) return emptyOut
     // compute-once: the bounds agg and the mapping join both read the
     // checkpointed (query token, neighbor) pairs, so the index probe +
-    // re-rank run exactly once
+    // re-rank run exactly once. Lazy: the bounds agg is the first
+    // consumer and full-scans, so no dedicated materialization job (r16).
     val short = searchPqIndexPoints(model, index, vectors, vecIdCol,
         vecCol, q.select(col("qid")), k = kTok, nProbe = nProbe,
         rerankFactor = rerankFactor)
       .select(col("query_id").as("qid"), col("neighbor_id"))
-      .localCheckpoint()
+      .localCheckpoint(false)
     val nb = short.agg(min(col("neighbor_id")).as("lo"),
         max(col("neighbor_id")).as("hi")).collect().headOption
       .filterNot(_.isNullAt(0)).map(r => (r.getLong(0), r.getLong(1)))
@@ -1319,7 +1335,7 @@ object Similarity {
       .join(broadcast(q.select(col("qid"), col("qdoc"))), "qid")
       .filter(col("cdoc") =!= col("qdoc"))
       .select(col("qdoc"), col("cdoc").as("doc_id")).distinct()
-      .localCheckpoint()
+      .localCheckpoint(false)
     val db = pairs.agg(min(col("doc_id")).as("lo"),
         max(col("doc_id")).as("hi")).collect().headOption
       .filterNot(_.isNullAt(0)).map(r => (r.getLong(0), r.getLong(1)))

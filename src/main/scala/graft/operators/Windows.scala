@@ -67,7 +67,24 @@ object Windows {
       .groupBy((window(col(tsCol), s"$slideSec seconds") +: keys.map(col)): _*)
       .agg(count(lit(1)).as("_slice_cnt"))
       .select(keys.map(col) :+ windowEndSec(col("window")).as("_slice_end") :+ col("_slice_cnt"): _*)
-    slices
+    // Pin the explode stage's width at high fan-out (r16, guide §2.5):
+    // the slice frame's exchange is byte-tiny by construction (it is the
+    // PRE-aggregated form — that's the operator's point), so AQE's
+    // size-based coalescing folds it to one partition and the ×fanout
+    // row explosion plus the second partial aggregate then run on ONE
+    // task (measured on hot_urls at sf0.1: a 2.0 s single-task stage in
+    // a 5 s query — and the same fold happens on a cluster, coalescing
+    // is size-based everywhere). An explicit REPARTITION_BY_NUM on the
+    // slice keys is exempt from coalescing and costs one slice-sized
+    // (i.e. ≤ 1/fanout of the explode output) exchange. Only at high
+    // fan-out: at the 12× family the explode CPU is too small to buy
+    // back an extra stage.
+    val spread =
+      if (fanout >= 16) {
+        val n = df.sparkSession.sessionState.conf.numShufflePartitions
+        slices.repartition(n, (keys.map(col) :+ col("_slice_end")): _*)
+      } else slices
+    spread
       .withColumn("window_end",
         explode(sequence(col("_slice_end"),
           col("_slice_end") + lit((fanout - 1) * slideSec), lit(slideSec))))
