@@ -43,7 +43,17 @@ object Relevance {
                    minDf: Long = 1L): DataFrame = {
     val terms = docs.select(col(idCol).as("doc_id"),
       explode(TextAnalysis.tokens(col(textCol))).as("term"))
-    val tf = terms.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    // Lazy localCheckpoint (r16, guide §1.2 "don't compute things
+    // twice"): tf feeds dl, df, AND the scored join — without the
+    // checkpoint each consumer re-runs the corpus tokenize + explode +
+    // tf aggregate as its own subtree (three near-identical exchanges
+    // at sf0.1; exchange reuse can't fire because column pruning gives
+    // each subtree a different projection). Materializing the posting
+    // frame is exactly what the persisted index form does — this is the
+    // in-session analogue. Batch-only guard: streaming frames can't
+    // checkpoint.
+    val tf0 = terms.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    val tf = if (tf0.isStreaming) tf0 else tf0.localCheckpoint(false)
     val dl = tf.groupBy("doc_id").agg(sum("tf").as("dl"))
     // Bounded-vocabulary knob (default off, oracle gate unchanged):
     // `minDf > 1` prunes terms seen in fewer than minDf docs BEFORE the
@@ -108,14 +118,23 @@ object Relevance {
                  k1: Double = 1.2, b: Double = 0.75): DataFrame = {
     val qTerms = query.split(" ").filter(_.nonEmpty).distinct.toSeq
     require(qTerms.nonEmpty, "bm25Search needs a non-empty query")
-    val dl = docs.select(col(idCol).as("doc_id"),
-      size(TextAnalysis.tokens(col(textCol))).cast("long").as("dl"))
-    val stats = dl.agg(count(lit(1)).as("n_docs"),
-      avg(col("dl").cast("double")).as("avgdl"))
-    val matched = docs.select(col(idCol).as("doc_id"),
+    // ONE corpus pass (r16, guide §1.2): the corpus-stats aggregate and
+    // the matched-term stream both need the tokenized doc, and computing
+    // them as separate subtrees tokenized the whole corpus twice. One
+    // scan now emits (doc_id, dl, matched-terms array) — bytes per row
+    // are a long plus the (almost always empty) query-term matches —
+    // and a lazy checkpoint lets the stats aggregate materialize it for
+    // the matched explode to reuse. Arithmetic unchanged; batch-only
+    // guard for streaming frames.
+    val base0 = docs.select(col(idCol).as("doc_id"),
         TextAnalysis.tokens(col(textCol)).as("tk"))
       .select(col("doc_id"), size(col("tk")).cast("long").as("dl"),
-        explode(filter(col("tk"), t => t.isInCollection(qTerms))).as("term"))
+        filter(col("tk"), t => t.isInCollection(qTerms)).as("mt"))
+    val base = if (base0.isStreaming) base0 else base0.localCheckpoint(false)
+    val stats = base.agg(count(lit(1)).as("n_docs"),
+      avg(col("dl").cast("double")).as("avgdl"))
+    val matched = base.select(col("doc_id"), col("dl"),
+      explode(col("mt")).as("term"))
     val tfq = matched.groupBy("doc_id", "dl", "term")
       .agg(count(lit(1)).as("tf"))
     val dfq = tfq.groupBy("term").agg(count(lit(1)).as("df"))

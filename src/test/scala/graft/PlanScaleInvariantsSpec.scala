@@ -369,7 +369,14 @@ class PlanScaleInvariantsSpec extends SparkSuite {
     // (18, 0) -> (16, 0) in r13: materializing the collapse fingerprint
     // as a column lets the rid and grp windows share ONE exchange where
     // the inline-expression form re-exchanged between them.
-    assertFlat("containment_capped", (16, 0)) { corpus =>
+    // (16, 0) -> (14, 0) in r16: the lazy localCheckpoint of the
+    // collapsed frame makes the rep side, the hot-cap aggregate, and
+    // both member expansions read ONE materialization instead of three
+    // duplicated scan+hash+window subtrees (two of whose exchanges are
+    // gone); the pinned-width posting self-join repartition replaces —
+    // not adds to — the join's own exchange. Derived per the pin
+    // provenance note; the flatness invariants below are unchanged.
+    assertFlat("containment_capped", (14, 0)) { corpus =>
       val pairs = Dedup.containmentPairs(corpus, "doc_id", "text",
         k = 3, tau = 0.3, maxDf = 64L)
       assert(pairs.groupBy(col("container_id"))

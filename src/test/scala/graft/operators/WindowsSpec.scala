@@ -41,6 +41,33 @@ class WindowsSpec extends SparkSuite {
     assert(rollup === direct)
   }
 
+  test("slidingCountRollup ≡ slidingCount at high fan-out (spread branch)") {
+    // fanout = 120 ≥ 16 exercises the r16 pinned-width repartition
+    // before the slice explode (the hot_urls regime); the branch is a
+    // pure plan change, so the result set must stay identical to the
+    // naive replicate-every-row form — including keys whose slices fan
+    // into overlapping windows.
+    val big = spark.range(1500).selectExpr("cast(id % 5 as string) as k",
+      "timestamp_seconds(id * 13 % 3000) as ts")
+    // reference side under interpreted execution: window() at 120×
+    // replication compiles an Expand wide enough that codegen splits it
+    // into a nested class that trips Janino's protected-field access
+    // (IllegalAccessError on BufferedRowIterator.partitionIndex) — a
+    // Spark codegen artifact of the TEST's reference computation only;
+    // the production operator under test is the explode-based rollup.
+    val wscg = "spark.sql.codegen.wholeStage"
+    val prev = spark.conf.get(wscg, "true")
+    val direct =
+      try {
+        spark.conf.set(wscg, "false")
+        Windows.slidingCount(big, "ts", Seq("k"), "600 seconds", "5 seconds")
+          .as[(String, Long, Long)].collect().toSet
+      } finally spark.conf.set(wscg, prev)
+    val rollup = Windows.slidingCountRollup(big, "ts", Seq("k"), 600L, 5L)
+      .as[(String, Long, Long)].collect().toSet
+    assert(rollup === direct)
+  }
+
   test("exactDistinct vs approxDistinct on duplicated keys") {
     val dup = Seq(1L, 1L, 2L, 3L, 3L, 3L).toDF("uid")
       .withColumn("ts", timestamp_seconds(lit(100L)))
