@@ -93,6 +93,81 @@ object TextHash {
     new GenericArrayData(if (m == count) out else java.util.Arrays.copyOf(out, m))
   }
 
+  /** xxhash64 (seed 42) of every DISTINCT ≤ `maxDist`-character-deletion
+    * variant of `text` — the string itself included — without ever
+    * materializing a variant string. The declarative form
+    * (`transform`/`concat`/`substr` + `array_distinct` + `xxhash64`)
+    * allocates ~len^maxDist short strings per row through interpreted
+    * higher-order lambdas; this walks the UTF-8 bytes once to find
+    * character boundaries, then assembles each variant's bytes into ONE
+    * reusable buffer and hashes it in place. Hash values are
+    * BIT-IDENTICAL to `xxhash64(variant)` on the same variant strings
+    * (deletion is per character, exactly like `substr`; XXH64 runs over
+    * the identical UTF-8 bytes with Spark's default seed), so swapping
+    * this in changes no candidate bucket, only the allocation profile.
+    * Emission order: the string itself, 1-deletions by position, then
+    * 2-deletions by unordered position pair — first occurrence kept on
+    * duplicates (set-equal to `array_distinct` of the variant strings). */
+  def deletionHashes(text: UTF8String, maxDist: Int): ArrayData = {
+    val bytes = text.getBytes
+    val nb = bytes.length
+    // character start offsets (code points, matching substr semantics)
+    var nc = 0
+    var p = 0
+    val offs = new Array[Int](nb + 1)
+    while (p < nb) {
+      offs(nc) = p
+      p += UTF8String.numBytesForFirstByte(bytes(p))
+      nc += 1
+    }
+    offs(nc) = nb
+    val cap = 1 + (if (maxDist >= 1) nc else 0) +
+      (if (maxDist >= 2) nc * (nc - 1) / 2 else 0)
+    val out = new Array[Long](cap)
+    val seen = new java.util.HashSet[Long](cap * 2)
+    var m = 0
+    def add(h: Long): Unit = if (seen.add(h)) { out(m) = h; m += 1 }
+    add(XXH64.hashUnsafeBytes(bytes,
+      org.apache.spark.unsafe.Platform.BYTE_ARRAY_OFFSET, nb,
+      XXHASH_DEFAULT_SEED))
+    if (maxDist >= 1 && nc > 0) {
+      val buf = new Array[Byte](nb)
+      var i = 0
+      while (i < nc) {
+        val a = offs(i)
+        val tail = nb - offs(i + 1)
+        System.arraycopy(bytes, 0, buf, 0, a)
+        System.arraycopy(bytes, offs(i + 1), buf, a, tail)
+        add(XXH64.hashUnsafeBytes(buf,
+          org.apache.spark.unsafe.Platform.BYTE_ARRAY_OFFSET, a + tail,
+          XXHASH_DEFAULT_SEED))
+        i += 1
+      }
+      if (maxDist >= 2) {
+        i = 0
+        while (i < nc - 1) {
+          val a = offs(i)
+          System.arraycopy(bytes, 0, buf, 0, a)
+          var j = i + 1
+          while (j < nc) {
+            // [offs(i+1), offs(j)) + [offs(j+1), nb) after the shared prefix
+            val mid = offs(j) - offs(i + 1)
+            System.arraycopy(bytes, offs(i + 1), buf, a, mid)
+            val tail = nb - offs(j + 1)
+            System.arraycopy(bytes, offs(j + 1), buf, a + mid, tail)
+            add(XXH64.hashUnsafeBytes(buf,
+              org.apache.spark.unsafe.Platform.BYTE_ARRAY_OFFSET,
+              a + mid + tail, XXHASH_DEFAULT_SEED))
+            j += 1
+          }
+          i += 1
+        }
+      }
+    }
+    new GenericArrayData(
+      if (m == cap) out else java.util.Arrays.copyOf(out, m))
+  }
+
   private val md5Local = new ThreadLocal[java.security.MessageDigest] {
     override def initialValue(): java.security.MessageDigest =
       java.security.MessageDigest.getInstance("MD5")
@@ -250,6 +325,26 @@ case class FeatBucketsExpr(first: Expression, second: Expression, third: Express
     copy(first = newFirst, second = newSecond, third = newThird)
 }
 
+/** deletion_hashes(text, maxDist) → array<bigint>. */
+case class DeletionHashesExpr(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = left.nullable
+
+  override protected def nullSafeEval(text: Any, maxDist: Any): Any =
+    TextHash.deletionHashes(text.asInstanceOf[UTF8String],
+      maxDist.asInstanceOf[Int])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (t, d) =>
+      s"graft.functions.TextHash.deletionHashes($t, $d)")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
 /** jaccard_sorted(sortedHashesA, sortedHashesB) → double. */
 case class JaccardSortedExpr(left: Expression, right: Expression)
     extends BinaryExpression {
@@ -293,6 +388,7 @@ object GraftFunctions {
     "graft_ngram_hashes" -> (args => NgramHashesExpr(args(0), args(1), args(2))),
     "graft_feat_buckets" -> (args => FeatBucketsExpr(args(0), args(1), args(2))),
     "graft_simhash64" -> (args => SimHash64Expr(args.head)),
+    "graft_deletion_hashes" -> (args => DeletionHashesExpr(args(0), args(1))),
     "graft_jaccard_sorted" -> (args => JaccardSortedExpr(args(0), args(1))),
     "graft_dot" -> (args => DotProductExpr(args(0), args(1))),
     "graft_lsh_bucket" -> (args => LshBucketExpr(args(0), args(1))),

@@ -1777,14 +1777,6 @@ object Dedup {
         col("dist").cast("long").as("dist"))
   }
 
-  /** Every single-character-deletion variant of `s` (empty array for an
-    * empty string — `sequence(1, 0)` would step BACKWARDS, not empty). */
-  private def delOnce(s: Column): Column =
-    when(length(s) === lit(0), array().cast("array<string>"))
-      .otherwise(transform(sequence(lit(1), length(s)), i =>
-        concat(s.substr(lit(1), i - lit(1)),
-          s.substr(i + lit(1), length(s) - i))))
-
   /** Bucket-size boundary between the two neighborhood pair regimes: at
     * or below it, a bucket's pairs come from the in-expression
     * combination walk (one array, ≤ cap²/2 ≈ 32k structs per row);
@@ -1821,14 +1813,6 @@ object Dedup {
       df: DataFrame, idCol: String, strCol: String, blockCol: String,
       maxDist: Int,
       bucketCap: Int = neighborhoodBucketCap): DataFrame = {
-    def variants(s: Column): Column = maxDist match {
-      case 0 => array(s)
-      case 1 => array_distinct(concat(array(s), delOnce(s)))
-      case _ =>
-        val d1 = delOnce(s)
-        array_distinct(concat(array(s), d1,
-          flatten(transform(d1, v => delOnce(v)))))
-    }
     val members = df.select(col(idCol).as("id"), col(blockCol).as("blk"),
       col(strCol).as("s"))
     // identical strings: every member pair, distance 0
@@ -1861,6 +1845,17 @@ object Dedup {
     // candidates (~170 at radius 2); generated this way the amplified
     // stream costs re-evaluations of the banded levenshtein, never a
     // shuffle row — only the ~output-sized survivors reach the dedup.
+    //
+    // The variant hashes come from the native codegen'd
+    // `graft_deletion_hashes` (r17): the declarative form (delOnce via
+    // transform/concat/substr + array_distinct + xxhash64-per-row)
+    // materialized ~len^maxDist variant STRINGS per distinct name
+    // through interpreted higher-order lambdas — profiled as the
+    // operator's dominant allocation churn (the r16 width-pin attempt
+    // moved that cost into GC instead of removing it; see the note
+    // above). The expression emits the identical xxhash64(seed 42)
+    // values straight off a reusable byte buffer — bucket membership
+    // is bit-identical, only the allocation profile changes.
     // (A degenerate block of very short strings can still bucket
     // together on a shared tiny variant — Σ bucket² is the operator's
     // inherent candidate cost in any formulation.)
@@ -1876,9 +1871,11 @@ object Dedup {
     // co-partitioned self-join instead — identical pairs, identical
     // struct-order orientation, one pair per ROW instead of per array
     // slot. Both regimes verify map-side before the dedup shuffle.
+    graft.functions.GraftFunctions.register(df.sparkSession)
     val t = reps.select(col("blk"), col("rep"), col("s"),
-        explode(variants(col("s"))).as("v0"))
-      .select(col("blk"), xxhash64(col("v0")).as("v"),
+        explode(call_function("graft_deletion_hashes",
+          col("s"), lit(maxDist))).as("v"))
+      .select(col("blk"), col("v"),
         struct(col("rep"), col("s")).as("m"))
     val wbv = Window.partitionBy(col("blk"), col("v"))
     val tc = t.withColumn("bs", count(lit(1)).over(wbv))

@@ -409,6 +409,44 @@ class DedupSpec extends SparkSuite {
     }
   }
 
+  test("graft_deletion_hashes ≡ xxhash64 over the declarative deletion-variant set") {
+    // The r17 native expression must emit exactly the xxhash64(seed 42)
+    // values of the distinct ≤ maxDist-deletion variants the retired
+    // declarative pipeline (delOnce via substr + array_distinct +
+    // xxhash64) produced — deletion counted in CODE POINTS (substr
+    // semantics), including multibyte and supplementary-plane chars.
+    import graft.functions.TextHash
+    import org.apache.spark.unsafe.types.UTF8String
+    import org.apache.spark.sql.catalyst.expressions.XXH64
+    def delOnceRef(s: String): Seq[String] = {
+      val cps = s.codePoints().toArray
+      cps.indices.map { i =>
+        val kept = cps.patch(i, Nil, 1)
+        new String(kept, 0, kept.length)
+      }
+    }
+    def variantsRef(s: String, maxDist: Int): Seq[String] = maxDist match {
+      case 0 => Seq(s)
+      case 1 => (s +: delOnceRef(s)).distinct
+      case _ =>
+        val d1 = delOnceRef(s)
+        (s +: (d1 ++ d1.flatMap(delOnceRef))).distinct
+    }
+    val samples = Seq("", "a", "ab", "aaa", "Customer#000001234",
+      "añaüz", "日本語テスト", "a😀b😀", "mixedASCIIand日本")
+    for (s <- samples; d <- 0 to 2) {
+      val got = TextHash.deletionHashes(UTF8String.fromString(s), d)
+        .toLongArray().toSeq
+      val want = variantsRef(s, d)
+        .map(v => XXH64.hashUTF8String(UTF8String.fromString(v), 42L))
+      assert(got.toSet === want.toSet,
+        s"variant hash set must match the declarative form for '$s' d=$d")
+      assert(got.distinct === got,
+        s"emitted hashes must already be distinct for '$s' d=$d")
+      assert(got.size === want.distinct.size)
+    }
+  }
+
   test("keepBestPerCluster: max score survives, ties to min id, null scores lose, singletons stay") {
     // components from pairs: {1,2,3} and {10,11}; 20 is a singleton
     val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("id_a", "id_b")
