@@ -3,8 +3,8 @@ package graft.functions
 import org.apache.spark.broadcast.Broadcast
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
-import org.apache.spark.sql.catalyst.util.ArrayData
-import org.apache.spark.sql.types.{DataType, LongType}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types.{ArrayType, DataType, IntegerType, LongType}
 
 /**
  * Executor-side coarse-quantizer model: centroid ids, vectors, and norms
@@ -76,6 +76,89 @@ case class CentroidArgmaxExpr(child: Expression, setBc: Broadcast[CentroidSet])
     val ref = ctx.addReferenceObj("centroidArgmax", this,
       classOf[CentroidArgmaxExpr].getName)
     nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $ref.argmax($c);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** Executor-side PQ codebooks in primitive arrays: `books(j)(c)` =
+  * codeword c of subspace j; `norms(j)(c)` = Σ codeword², accumulated in
+  * index order exactly like the literal path's `cw.map(x*x).sum`. */
+final class PqBookSet(val books: Array[Array[Array[Double]]],
+                      val norms: Array[Array[Double]]) extends Serializable
+
+object PqBookSet {
+  def apply(books: Array[Array[Seq[Double]]]): PqBookSet =
+    new PqBookSet(books.map(_.map(_.toArray)),
+      books.map(_.map(cw => cw.map(x => x * x).sum)))
+}
+
+/**
+ * `array<double>` vector → per-subspace argmin-distance PQ codes over the
+ * broadcast codebooks, BIT-EQUIVALENT to the literal encode
+ * (`pqCodesFor`: per subspace, `array_max` over one `(2·dot − ‖cw‖²,
+ * −c)` struct literal per codeword): the same sequential-order
+ * sub-vector dot ([[VectorOps.dot]] min-length semantics over
+ * `slice(v, j·ds+1, ds)`), the same `score = dot·2 − n2` arithmetic,
+ * and the same lexicographic tie-break (equal scores pick the LOWEST
+ * code; `java.lang.Double.compare` matches Spark's double ordering under
+ * `array_max`, NaN greatest). Exists because the literal form allocates
+ * per ROW — m sub-slices, m·kSub score structs, m struct arrays — which
+ * profiled as the dominant CPU of every corpus-sized encode pass
+ * (~135 µs/row at m=8, kSub=16, dim=64 vs ~1 µs in this loop), and
+ * because its plan size scales with m·kSub. Ships once per executor as
+ * a TorrentBroadcast; stays inside whole-stage codegen via a plan
+ * reference object (the [[CentroidArgmaxExpr]] pattern).
+ */
+case class PqCodesExpr(child: Expression, setBc: Broadcast[PqBookSet])
+    extends UnaryExpression {
+
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+
+  def codes(v: ArrayData): ArrayData = {
+    val s = setBc.value
+    val m = s.books.length
+    val n = v.numElements()
+    val out = new Array[Int](m)
+    var j = 0
+    var off = 0
+    while (j < m) {
+      val cws = s.books(j)
+      val ds = if (cws.length > 0) cws(0).length else 0
+      val subLen = math.max(0, math.min(ds, n - off))
+      var first = true
+      var bestScore = 0.0
+      var bestNeg = 0
+      var c = 0
+      while (c < cws.length) {
+        val cw = cws(c)
+        val lim = math.min(subLen, cw.length)
+        var d = 0.0
+        var t = 0
+        while (t < lim) { d += v.getDouble(off + t) * cw(t); t += 1 }
+        val score = d * 2 - s.norms(j)(c)
+        val neg = -c
+        val cmp = if (first) 1 else java.lang.Double.compare(score, bestScore)
+        if (cmp > 0 || (cmp == 0 && neg > bestNeg)) {
+          bestScore = score; bestNeg = neg; first = false
+        }
+        c += 1
+      }
+      out(j) = -bestNeg
+      off += ds
+      j += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override protected def nullSafeEval(v: Any): Any =
+    codes(v.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("pqCodes", this,
+      classOf[PqCodesExpr].getName)
+    nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $ref.codes($c);")
   }
 
   override protected def withNewChildInternal(newChild: Expression): Expression =

@@ -561,7 +561,8 @@ object Similarity {
       Array.tabulate(m)(j => samples.map(s => s.slice(j * ds, (j + 1) * ds)))
     var it = 0
     while (it < iters) {
-      val rows = base.withColumn("codes", pqCodesFor(books, ds)(col("v")))
+      val rows = base.withColumn("codes",
+          pqCodesNative(base.sparkSession, books)(col("v")))
         .select(col("codes"), posexplode(col("v")))
         .select(expr(s"pos div $ds").cast("int").as("j"),
           element_at(col("codes"), expr(s"pos div $ds").cast("int") + 1).as("c"),
@@ -582,7 +583,7 @@ object Similarity {
   /** Map-side PQ encoding: per subspace, argmin ‖sub − cw‖² via the
     * max-of-structs trick (2·sub·cw − ‖cw‖² maximized; smallest code wins
     * ties). One int array per row — the compressed representation. */
-  private def pqCodesFor(books: Array[Array[Seq[Double]]], ds: Int)(
+  private[graft] def pqCodesFor(books: Array[Array[Seq[Double]]], ds: Int)(
       v: Column): Column =
     array(books.indices.map { j =>
       val sub = slice(v, j * ds + 1, ds)
@@ -706,20 +707,27 @@ object Similarity {
                         attrCols: Seq[String]): DataFrame = {
     graft.functions.GraftFunctions.register(df.sparkSession)
     require(!model.isEmpty, "cannot encode against an empty model")
-    val ds = model.dim / model.books.length
     // r16 optimization note: a width-guarded repartition before the
     // encode was TRIED (the Dedup.spreadNarrowScan pattern) and measured
-    // NEUTRAL — profiling showed the build gate's single-task stage is
-    // dominated by the embeddings SCAN (array<double> decode ~1 s at
-    // sf0.1), not by the code assignment; spreading the encode just
-    // moved the same wall behind one more exchange. Reverted — the
-    // encode stays fused with the scan, zero shuffle, as documented.
+    // NEUTRAL; the encode stays fused with the scan, zero shuffle.
+    // r17 re-measurement overturned the r16 attribution: the raw
+    // embeddings scan is ~0.09 s at sf0.1 where the full encode pass was
+    // ~0.36 s — the cost was the LITERAL expression trees (per row: m
+    // sub-slices + m·kSub score structs for the codes, nCentroids more
+    // for the coarse assign), not the array<double> decode. Both
+    // corpus-sized assignments now run through the broadcast-codebook
+    // native expressions (CentroidArgmaxExpr / PqCodesExpr), each
+    // spec-pinned bit-equivalent to its literal form; the tiny
+    // query-side probe/LUT expressions keep the literal shape.
+    val spark = df.sparkSession
     df.select(col(idCol).as("id") +: col(vecCol).cast("array<double>").as("v")
         +: attrCols.map(col): _*)
-      .withColumn("n", norm2(col("v")))
       .withColumn("cid",
-        -array_max(centScoresFor(model.cents)(col("v"), col("n"))).getField("negcid"))
-      .withColumn("codes", pqCodesFor(model.books, ds)(col("v")))
+        org.apache.spark.sql.GraftColumnBridge.column(
+          graft.functions.CentroidArgmaxExpr(
+            org.apache.spark.sql.GraftColumnBridge.expression(col("v")),
+            centroidBroadcast(spark, model.cents))))
+      .withColumn("codes", pqCodesNative(spark, model.books)(col("v")))
       .withColumn("rn2", pqReconNorm2For(model.books)(col("codes")))
       .select(col("id") +: col("cid") +: col("codes") +: col("rn2")
         +: attrCols.map(col): _*)
@@ -773,7 +781,7 @@ object Similarity {
       .select(col(idCol).as("id"), col(vecCol).cast("array<double>").as("v"))
       .withColumn("n", norm2(col("v")))
       .filter(col("n") > 0)
-      .withColumn("codes", pqCodesFor(model.books, ds)(col("v")))
+      .withColumn("codes", pqCodesNative(df.sparkSession, model.books)(col("v")))
       .withColumn("rn2", pqReconNorm2For(model.books)(col("codes")))
       .withColumn("luts", pqLutsFor(model.books, ds)(col("v")))
     val selfAdc = model.books.indices.map { j =>
@@ -1717,6 +1725,39 @@ object Similarity {
         bc
       }
     }
+
+  /** [[centroidBroadcasts]]' twin for the PQ codebooks (same keying,
+    * same lifecycle): one TorrentBroadcast per frozen book array per
+    * context, released when the model is dropped. */
+  private val pqBookBroadcasts =
+    new java.util.WeakHashMap[Array[Array[Seq[Double]]],
+      (org.apache.spark.SparkContext,
+        org.apache.spark.broadcast.Broadcast[graft.functions.PqBookSet])]()
+
+  private def pqBookBroadcast(spark: org.apache.spark.sql.SparkSession,
+      books: Array[Array[Seq[Double]]])
+      : org.apache.spark.broadcast.Broadcast[graft.functions.PqBookSet] =
+    pqBookBroadcasts.synchronized {
+      val sc = spark.sparkContext
+      val hit = pqBookBroadcasts.get(books)
+      if (hit != null && (hit._1 eq sc) && !sc.isStopped) hit._2
+      else {
+        val bc = sc.broadcast(graft.functions.PqBookSet(books))
+        pqBookBroadcasts.put(books, (sc, bc))
+        bc
+      }
+    }
+
+  /** Native broadcast-codebook PQ encode — bit-equivalent to
+    * `pqCodesFor(books, ds)` (spec-pinned in SimilaritySpec); the
+    * corpus-sized passes use this form, the tiny query-side LUT/probe
+    * expressions keep the literal shape. */
+  private def pqCodesNative(spark: org.apache.spark.sql.SparkSession,
+      books: Array[Array[Seq[Double]]])(v: Column): Column =
+    org.apache.spark.sql.GraftColumnBridge.column(
+      graft.functions.PqCodesExpr(
+        org.apache.spark.sql.GraftColumnBridge.expression(v),
+        pqBookBroadcast(spark, books)))
 
   /** The deterministic coarse quantizer as a standalone, persistable
     * model: the same lowest-id sample (+ optional Lloyd rounds) the IVF

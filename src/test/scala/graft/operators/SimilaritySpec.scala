@@ -342,6 +342,37 @@ class SimilaritySpec extends SparkSuite {
     }
   }
 
+  test("native PqCodesExpr ≡ the literal pqCodesFor encode on every row") {
+    // The r17 broadcast-codebook encode must be BIT-equivalent to the
+    // retired-from-the-hot-path literal form: same sub-vector dots, same
+    // 2·dot − ‖cw‖² scores, same (score desc, code asc) tie-break. The
+    // fixture plants exact-codeword vectors (forcing score ties against
+    // duplicated codewords) plus hash-noise vectors across every cell.
+    graft.functions.GraftFunctions.register(spark)
+    val corpus = spark.range(120).select(col("id").as("vec_id"),
+      expr("""transform(sequence(0, 15), i ->
+        cast(if(vec_id < 8, if(i % 8 = cast(vec_id % 8 as int), 1.0, 0.0),
+        cast(xxhash64(vec_id, i) as double) / 9.2e18) as double)""" + ")")
+        .as("embedding"))
+    val (model, _) = Similarity.buildPqIndex(corpus, "vec_id", "embedding",
+      nCentroids = 4, m = 4, kSub = 8, trainIters = 0, pqIters = 1)
+    val ds = model.dim / model.books.length
+    val v = col("embedding").cast("array<double>")
+    val both = corpus.select(col("vec_id"),
+      Similarity.pqCodesFor(model.books, ds)(v).as("lit_codes"),
+      org.apache.spark.sql.GraftColumnBridge.column(
+        graft.functions.PqCodesExpr(
+          org.apache.spark.sql.GraftColumnBridge.expression(v),
+          spark.sparkContext.broadcast(
+            graft.functions.PqBookSet(model.books)))).as("native_codes"))
+    val rows = both.collect()
+    assert(rows.length === 120)
+    rows.foreach { r =>
+      assert(r.getSeq[Int](1) === r.getSeq[Int](2),
+        s"codes must be bit-identical for vec ${r.getLong(0)}")
+    }
+  }
+
   test("appendToPqIndex: incremental encode equals encoding everything at once") {
     graft.functions.GraftFunctions.register(spark)
     val corpus = spark.range(80).select(col("id").as("vec_id"),
